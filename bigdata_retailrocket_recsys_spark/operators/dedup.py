@@ -1,0 +1,237 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (north-star extensions; SURVEY §2.11).
+
+Scale design notes:
+- ``exact_dedup``: one hash-shuffle on the (md5 of the) key. Grouping on the
+  128-bit digest, not the full text, keeps shuffle rows tiny at 100 TB.
+- ``minhash_lsh_candidates``: shingle → 64-bit hashes → k min-hash
+  signatures → band buckets → shuffle on (band, bucket) → pairs only within
+  buckets. Pair generation is bounded by bucket size, never all-pairs.
+- ``simhash``: 64-bit weighted-majority hash; near-dups differ in few bits;
+  banding the 64 bits into 4×16-bit chunks gives exact-match buckets for
+  Hamming distance ≤ 3 candidates.
+- ``ngram_jaccard_pairs``: relational form — explode distinct shingles,
+  self-join on shingle within a blocking key, count intersections; union
+  sizes from per-doc counts. No UDF, no quadratic all-pairs.
+- ``embedding_cosine_pairs``: blocked all-pairs cosine for calibration;
+  production path is LSH/IVF (similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_retailrocket_recsys_spark.functions.vector import (
+    cosine_similarity,
+    to_double_array,
+)
+from bigdata_retailrocket_recsys_spark.operators.text import ws_tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Exact dedup: one surviving row id per duplicate group (deterministic
+    keeper = min id) + group size. Group key is md5(concat of key cols)."""
+    digest = F.md5(F.concat_ws("", *key_cols)).alias("dup_key")
+    return (
+        df.select(digest, F.col(id_col))
+        .groupBy("dup_key")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (distinct)."""
+    toks = ws_tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed j, min over shingles of
+    xxhash64(shingle, j). Returns array<bigint> of length ``num_hashes``.
+    Pure JVM (xxhash64 + array HOFs)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_arr, lambda s: F.xxhash64(s, F.lit(j)))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + LSH banding.
+
+    signature (num_hashes) → ``bands`` bands of num_hashes/bands values;
+    docs sharing any full band land in one bucket; pairs emitted per bucket
+    with ``a < b``. Output: doc_a, doc_b, n_shared_bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
+    with_sig = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    banded = with_sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "_",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+            "inner",
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """SimHash via explode/groupBy (clearer plan than nested HOFs and
+    map-side combinable): explode shingle hashes, explode 64 bit positions,
+    sum ±1 votes per (doc, bit), rebuild the 64-bit signature."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).select("doc", F.xxhash64("shingle").alias("h"))
+    bits = sh.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "h",
+    ).select(
+        "doc",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    votes = bits.groupBy("doc", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    shingle_n: int = 1,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs, relational formulation.
+
+    tokens → distinct shingles per doc → self-join on shingle within the
+    blocking key (a.doc < b.doc) → |A∩B| per pair; |A∪B| from per-doc
+    distinct counts. Output: doc_a, doc_b, n_common, n_a, n_b, jaccard.
+    """
+    block_cols = block_cols or []
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        *[F.col(c) for c in block_cols],
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).distinct()
+    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc") < F.col("b.doc")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    common = (
+        a.join(b, cond, "inner")
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    min_cosine: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs: all-pairs cosine within a blocking key
+    (label, LSH bucket, ...). Output: id_a, id_b, cosine. For unblocked
+    large inputs use similarity.lsh_bucket first."""
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        to_double_array(vec_col).alias("vec"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cond = F.col("a.vid") < F.col("b.vid")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(b, cond, "inner")
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

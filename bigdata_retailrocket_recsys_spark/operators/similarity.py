@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers (SURVEY §2.11):
+- ``cosine_topk``: brute-force top-k — broadcast the (small) query set,
+  JVM-side cosine via array HOFs, per-query top-k via WindowGroupLimit.
+  Exact; one pass over the corpus; scales to any corpus size but is
+  O(queries × corpus).
+- ``lsh_bucket`` / ``cosine_topk_lsh``: random-hyperplane (sign) LSH — each
+  vector maps to a b-bit bucket; queries only scan their bucket (and
+  optionally neighboring probes). The scale path: corpus can be written
+  bucket-partitioned so a query prunes to one partition.
+
+The hyperplanes are generated deterministically from a seed via xxhash64 —
+no driver-side randomness, no numpy shipping: plane_i component_j =
+(xxhash64(seed, i, j) % 2001 - 1000) / 1000.0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_retailrocket_recsys_spark.functions.vector import (
+    cosine_similarity,
+    to_double_array,
+)
+from bigdata_retailrocket_recsys_spark.operators.windows import topk_per_group
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+
+    Output: query_id, vec_id, cosine, rank (1-based, ties broken by
+    vec_id asc). ``queries`` needs (query_id_col, vec_col).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    return topk_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_by=[F.col("cosine").desc(), F.col("vec_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 42) -> Column:
+    """Deterministic pseudo-random hyperplane as array<double> literal-free
+    expression: component j = (xxhash64(seed, plane, j) mod 2001 - 1000)/1000."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), j), F.lit(2001)) - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+
+
+def lsh_bucket(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-LSH bucket id (0..2^bits-1) per vector: bit_i = sign(v·plane_i).
+    Deterministic across engines and runs (hyperplanes from xxhash64)."""
+    v = to_double_array(vec_col)
+    bucket = F.lit(0).cast("bigint")
+    for i in range(bits):
+        plane = _hyperplane(dim, i, seed)
+        d = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bucket = bucket + F.when(d > 0, F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0))
+    return df.withColumn(out_col, bucket)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    dim: int,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. Recall < 1 by design; bench compares against cosine_topk."""
+    c = lsh_bucket(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col)),
+        vec_col=vec_col,
+        dim=dim,
+        bits=bits,
+    ).select("vec_id", F.col("bucket"), to_double_array(vec_col).alias("cvec"))
+    q = lsh_bucket(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        vec_col=vec_col,
+        dim=dim,
+        bits=bits,
+    ).select("query_id", F.col("bucket"), to_double_array(vec_col).alias("qvec"))
+    pairs = c.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    return topk_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_by=[F.col("cosine").desc(), F.col("vec_id").asc()],
+        k=k,
+        rank_col="rank",
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions / DataFrame ops —
+no Python UDFs, so every operator stays inside whole-stage codegen and
+scales linearly with input splits (narrow, shuffle-free except the final
+aggregations).
+
+Operators: whitespace/regex tokenization, token counting, language-ID
+heuristic, quality scoring, document fingerprinting (md5 shingle rolling
+hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword anchors for the n-gram/stopword-ratio
+#: heuristic language id. Deliberately minimal — the operator's value is the
+#: distributed shape (scan → narrow map → optional agg), not lexicon size.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "fr": ["le", "la", "de", "et", "est", "que"],
+}
+
+#: BPE-ish subtoken pattern: letter runs, digit runs, or single non-space
+SUBTOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex subtoken count per document."""
+    return df.select(
+        id_col,
+        F.size(ws_tokens(text_col)).alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(SUBTOKEN_PATTERN))
+        .cast("int")
+        .alias("n_subtokens"),
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str]) -> Column:
+    """Fraction of whitespace tokens that are in ``stopwords``."""
+    toks = ws_tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def lang_id(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    'und' (undetermined) when no language scores a hit. Deterministic
+    tiebreak: language key ascending."""
+    toks = ws_tokens(text_col)
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(sw))).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, sw in sorted(LANG_STOPWORDS.items(), reverse=True)
+    ]
+    # array_max on struct(hits, code): lexicographic → max hits, then max
+    # code; reverse-sorted input + max-code tiebreak ≡ ascending-key argmax
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        id_col,
+        F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und")).alias(
+            "lang_guess"
+        ),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def quality_score(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cheap quality features: length, token stats, punctuation/digit
+    ratios, plus a [0,1] composite. All arithmetic IEEE-deterministic."""
+    toks = ws_tokens(text_col)
+    n_chars = F.length(text_col).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")).cast("double")
+    n_digit = F.regexp_count(F.col(text_col), F.lit(r"[0-9]")).cast("double")
+    avg_tok_len = (n_chars - (n_tokens - F.lit(1.0))) / F.greatest(
+        n_tokens, F.lit(1.0)
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    digit_ratio = n_digit / F.greatest(n_chars, F.lit(1.0))
+    score = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * F.lit(0.5)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * F.lit(0.25)
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * F.lit(0.25)
+    )
+    return df.select(
+        id_col,
+        n_chars.cast("int").alias("n_chars_obs"),
+        n_tokens.cast("int").alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprint: md5 of normalized text (exact-dup key) plus a
+    16-hex-char rolling fingerprint of the token stream (first 8 hex of the
+    md5 of the first and last 5-token shingles) — order-sensitive, cheap,
+    cross-engine reproducible."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    head = F.array_join(F.slice(toks, 1, 5), " ")
+    # last-5 shingle in reverse order: well-defined for short docs on every
+    # engine (negative-start slice semantics differ across engines)
+    tail = F.array_join(F.slice(F.reverse(toks), 1, 5), " ")
+    return df.select(
+        id_col,
+        F.md5(norm).alias("fp_exact"),
+        F.concat(
+            F.substring(F.md5(head), 1, 8), F.substring(F.md5(tail), 1, 8)
+        ).alias("fp_rolling"),
+    )

@@ -1,0 +1,97 @@
+"""Window-function operators (SURVEY.md §2.5, W1-W4).
+
+All windows take explicit tiebreaker columns — the reference's bare
+``ORDER BY ts`` / ``ORDER BY metric DESC`` (py:96-101, 171-173, 280-287)
+breaks ties arbitrarily, which is run-to-run nondeterministic (SURVEY §4.4).
+
+Scale notes:
+- ``topk_per_group`` / ``latest_per_key`` compile to Spark's
+  WindowGroupLimit (rank-limit pushdown, Spark ≥3.5): each partition keeps
+  only k rows per group *before* the shuffle-side sort materializes — the
+  per-group top-k never holds a full group in memory.
+- All operators are single-shuffle (hash by the partition keys) and stay
+  inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def _ordered_window(
+    partition_by: list[str], order_by: list[Column | str]
+) -> WindowSpec:
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def lag_delta(
+    df: DataFrame,
+    *,
+    partition_by: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+    out_col: str = "gap_us",
+) -> DataFrame:
+    """W1 — previous-row timestamp delta per group, exact integer µs
+    (reference: lag(ts) at py:96-101 + float-seconds diff at py:103-109).
+    NULL for the first row of each group (py:106)."""
+    order: list[Column | str] = [F.col(ts_col), *(tiebreak_cols or [])]
+    w = _ordered_window(partition_by, order)
+    return df.withColumn(
+        out_col, F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    )
+
+
+def running_sum(
+    df: DataFrame,
+    value: Column,
+    *,
+    partition_by: list[str],
+    order_by: list[Column | str],
+    out_col: str,
+) -> DataFrame:
+    """W2 — cumulative sum over rows unbounded-preceding..current
+    (reference: session-ordinal running sum, py:119-123)."""
+    w = _ordered_window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def latest_per_key(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """W3 — keep the most recent row per key (reference: latest category per
+    item, row_number OVER (... ORDER BY ts DESC) = 1 at py:171-173)."""
+    order: list[Column] = [F.col(ts_col).desc()]
+    for c in tiebreak_cols or []:
+        order.append(F.col(c).desc())
+    w = _ordered_window(key_cols, order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """W4 — per-group top-k via row_number + rank filter (reference:
+    top-15 co-vis / top-10 co-occur / 10 most-recent at py:280-287, 322-329,
+    354-362). Compiles to WindowGroupLimit — no full per-group sort."""
+    w = _ordered_window(group_cols, order_by)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")

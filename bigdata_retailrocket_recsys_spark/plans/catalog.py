@@ -1,0 +1,1250 @@
+"""Declared query catalog — the driver contract (SURVEY.md §2).
+
+Every operator the engine claims is registered here as a named query:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (where SQL can
+express it) the equivalent DuckDB oracle SQL. The driver runs both at
+sf=0.01 and compares row count + schema + order-insensitive value hash.
+
+Cross-engine determinism rules used throughout (these are the reason the
+hashes match — keep them when adding queries):
+
+1. Timestamps leave the query as exact integer epoch-µs
+   (Spark ``unix_micros`` ≡ DuckDB ``epoch_us``).
+2. Sums over doubles go through DECIMAL(18,2|6) — exact, order-independent —
+   then cast back to double (same rational → bit-identical double).
+3. Derived doubles use the *same IEEE expression tree* on both sides
+   (+-*/ and sqrt are correctly-rounded per IEEE-754 → bit-identical);
+   never ``round()`` (Spark HALF_UP vs DuckDB HALF_EVEN differ on ties) and
+   never bare libm transcendentals (log/exp may differ by 1 ulp between
+   JVM and glibc) — those go through ``floor(x * 1e6)`` → bigint.
+4. Every window/top-k carries a total-order tiebreaker (SURVEY §4.4).
+5. Half-open time ranges: ``>= start AND < end``; point-in-time predicates
+   strictly ``<``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+    collect_ordered_seq,
+    two_level_agg,
+)
+from bigdata_retailrocket_recsys_spark.operators.joins import (
+    anti,
+    covis_pairs,
+    pit_last_join,
+    prefix_agg_join,
+    semi,
+)
+from bigdata_retailrocket_recsys_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+from bigdata_retailrocket_recsys_spark.operators.windows import (
+    lag_delta,
+    latest_per_key,
+    running_sum,
+    topk_per_group,
+)
+from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+from bigdata_retailrocket_recsys_spark.sources.writers import write_parquet
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class CatalogQuery:
+    name: str
+    fn: SparkQuery
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    headline: bool = False  # included in bench.py
+    doc: str = ""
+
+
+QUERIES: dict[str, CatalogQuery] = {}
+
+
+def query(name: str, oracle: str | None = None, *, headline: bool = False):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = CatalogQuery(name, fn, oracle, headline, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 Scans / sources / sinks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_parquet",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — parquet scan with pushed filter + pruned columns
+    (ref: ipynb cell 24 re-read; engine checks PushedFilters in bench)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "q_scan_csv",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — CSV scan with explicit schema (ref py:70-71 uses inferSchema;
+    engine declares the schema — SURVEY §1.3). Round-trips the events table
+    through CSV to prove the reader, then aggregates."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_retailrocket_recsys_spark.sources.readers import read_csv
+
+    out = os.path.join(tempfile.gettempdir(), "bdrr_csv_roundtrip")
+    (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out)
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    return (
+        read_csv(spark, out, schema)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_sink_parquet",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE user_id < 100 GROUP BY event_type
+    """,
+)
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — parquet sink (overwrite, maxRecordsPerFile — ref py:640-644,
+    ipynb cell 22) proven by write → re-read → aggregate."""
+    out = os.path.join(tempfile.gettempdir(), "bdrr_parquet_sink")
+    write_parquet(
+        _t(spark, sf_dir, "events").filter(F.col("user_id") < 100),
+        out,
+        max_records_per_file=50_000,
+    )
+    return spark.read.parquet(out).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 100000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 200000
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — UNION ALL bag semantics (ref py:153, py:365-369): overlapping
+    inputs stay duplicated."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return o.filter(F.col("o_totalprice") < 100000).union(
+        o.filter(F.col("o_totalprice") < 200000)
+    )
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_totalprice < 100000
+    UNION
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — UNION set semantics via union().distinct() (ref py:365-370:
+    candidate merge)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") < 100000)
+        .select("o_orderkey")
+        .union(o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+        .distinct()
+    )
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op extension (not in reference — SURVEY §2.7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey")
+        .intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 50000
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op extension (not in reference — SURVEY §2.7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.select("c_custkey").subtract(
+        o.filter(F.col("o_totalprice") > 50000).select(
+            F.col("o_custkey").alias("c_custkey")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_project_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey AS VARCHAR) AS okey_str,
+           CAST(l_linenumber AS BIGINT) AS ln,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           l_returnflag
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def q_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — project + rename + cast (ref py:86-91, 164-168)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 3000)
+        .select(
+            "l_orderkey",
+            F.col("l_orderkey").cast("string").alias("okey_str"),
+            F.col("l_linenumber").cast("bigint").alias("ln"),
+            F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+            "l_returnflag",
+        )
+    )
+
+
+@query(
+    "q_filter_ts_range",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """,
+)
+def q_filter_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — half-open timestamp range (ref py:80-83, 199-207: >= start AND
+    < end; SURVEY §4.4)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+
+
+@query(
+    "q_filter_eq",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — string equality predicate (ref py:162 property='categoryid',
+    py:186 event='addtocart')."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING COUNT(*) >= 15
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — post-aggregation threshold (ref py:260 covis>=3, py:303
+    cooccur>=5)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .filter(F.col("n_purchases") >= 15)
+    )
+
+
+@query(
+    "q_null_handling",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN value >= 5 THEN value END) AS n_notnull,
+           SUM(CASE WHEN value < 5 THEN 1 ELSE 0 END) AS n_null
+    FROM events GROUP BY event_type
+    """,
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — isNull/isNotNull discipline (ref py:106,114 NULL lag rows)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("value") >= 5, F.col("value"))
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("v").alias("n_notnull"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — distinct on projected keys (ref py:136, 246, 370)."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner_eq",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def q_join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — single-key equi inner join (ref py:187,241,...). Catalyst
+    broadcasts the 1.5k-row customer side automatically."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — explicit broadcast of a small dim (replaces the reference's
+    broadcast-dict UDF lookup, py:603-622 — SURVEY §2.10/F1)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (engine extension — SURVEY §2.3 'surfaces anyway')."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (engine extension)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_left_nullfill",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.total_spent, 0.0) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_left_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — left join + coalesce null-fill (ref py:532-555 feature assembly,
+    py:564-590 null discipline)."""
+    c = _t(spark, sf_dir, "customer")
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+@query(
+    "q_join_composite_key",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, g.type_cnt
+    FROM events e
+    JOIN (SELECT user_id, event_type, COUNT(*) AS type_cnt
+          FROM events GROUP BY user_id, event_type) g
+      ON e.user_id = g.user_id AND e.event_type = g.event_type
+    WHERE e.event_id < 2000
+    """,
+)
+def q_join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — composite-key equi join (ref py:451-455 (session_id, atc_ts))."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("type_cnt"))
+    return (
+        ev.filter(F.col("event_id") < 2000)
+        .join(g, ["user_id", "event_type"], "inner")
+        .select("event_id", "user_id", "event_type", "type_cnt")
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — cross join with a tiny side → BroadcastNestedLoopJoin
+    (ref py:339-340: ATC × top-20 categories)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    s = _t(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(F.broadcast(s))
+
+
+@query(
+    "q_join_asof_prefix",
+    oracle="""
+    SELECT a.event_id,
+           COUNT(e.event_id) AS n_prefix_events,
+           COALESCE(SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END), 0)
+               AS n_prefix_views
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') a
+    LEFT JOIN events e ON a.user_id = e.user_id AND e.ts < a.ts
+    GROUP BY a.event_id, a.user_id, a.ts
+    """,
+)
+def q_join_asof_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — point-in-time prefix theta-join + aggregate (ref py:235-239,
+    465-496: all events strictly before the anchor, same key)."""
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = prefix_agg_join(
+        anchors,
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        key_cols=["user_id"],
+        anchor_ts="ts",
+        event_ts="ts",
+        aggs=[
+            F.count(F.col("e.event_id")).alias("n_prefix_events"),
+            F.coalesce(
+                F.sum(F.when(F.col("e.event_type") == "view", 1).otherwise(0)),
+                F.lit(0),
+            ).alias("n_prefix_views"),
+        ],
+    )
+    return out.select("event_id", "n_prefix_events", "n_prefix_views")
+
+
+@query(
+    "q_join_pit_user",
+    oracle="""
+    SELECT a.event_id,
+           COALESCE(epoch_us(MAX(e.ts)), -1) AS last_view_us
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') a
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') e
+      ON a.user_id = e.user_id AND e.ts < a.ts
+    GROUP BY a.event_id, a.user_id, a.ts
+    """,
+)
+def q_join_pit_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — as-of lookup of latest prior state (ref py:343-353: user history
+    last_seen < atc_ts)."""
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    out = pit_last_join(
+        anchors,
+        views,
+        key_cols=["user_id"],
+        anchor_ts="ts",
+        event_ts="ts",
+        value_aggs=[
+            F.coalesce(F.unix_micros(F.max(F.col("e.ts"))), F.lit(-1)).alias(
+                "last_view_us"
+            )
+        ],
+    )
+    return out.select("event_id", "last_view_us")
+
+
+@query(
+    "q_join_self_covis",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+    )
+    SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS covis
+    FROM items a JOIN items b
+      ON a.user_id = b.user_id AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING COUNT(*) >= 40
+    """,
+)
+def q_join_self_covis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — co-visitation self-join with key-ordering predicate
+    (ref py:252-260: a.item < b.item dedupes unordered pairs; HAVING bounds
+    the quadratic blowup)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    )
+    return covis_pairs(ev, group_col="user_id", item_col="item", min_count=40)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions + sessionization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — lag per group, exact µs (ref py:96-109); NULL first rows."""
+    ev = _t(spark, sf_dir, "events")
+    return lag_delta(
+        ev, partition_by=["user_id"], ts_col="ts", tiebreak_cols=["event_id"]
+    ).select("event_id", "gap_us")
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT event_id,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run_purchases
+    FROM events
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — running sum, unbounded-preceding frame (ref py:119-123 session
+    ordinal)."""
+    ev = _t(spark, sf_dir, "events")
+    flag = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return running_sum(
+        ev,
+        flag,
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        out_col="run_purchases",
+    ).select("event_id", "run_purchases")
+
+
+@query(
+    "q_window_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — latest row per key (ref py:171-173: latest category per item)."""
+    ev = _t(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, key_cols=["user_id"], ts_col="ts", tiebreak_cols=["event_id"]
+    ).select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+
+
+@query(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT event_type, user_id, cnt, rnk FROM (
+        SELECT event_type, user_id, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rnk
+        FROM (SELECT event_type, user_id, COUNT(*) AS cnt
+              FROM events GROUP BY event_type, user_id)
+    ) WHERE rnk <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — per-group top-k with deterministic tiebreak (ref py:280-287,
+    322-329, 354-362). Compiles to WindowGroupLimit."""
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return topk_per_group(
+        counts,
+        group_cols=["event_type"],
+        order_by=[F.col("cnt").desc(), F.col("user_id").asc()],
+        k=3,
+        rank_col="rnk",
+    ).select("event_type", "user_id", "cnt", "rnk")
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts,
+               CAST(user_id AS VARCHAR) || '_' || CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS VARCHAR) AS session_id
+        FROM flagged
+    )
+    SELECT session_id,
+           MIN(user_id) AS user_id,
+           COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS start_us,
+           MAX(epoch_us(ts)) AS end_us,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+    FROM sessions GROUP BY session_id
+    """,
+    headline=True,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2 composite — the reference's signature operator: 30-min-gap
+    sessionization (py:96-131) + per-session rollup. One shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(
+        ev, user_col="user_id", ts_col="ts", gap_minutes=30, tiebreak_cols=["event_id"]
+    )
+    return session_stats(s)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — global top-k: TakeOrderedAndProject, no full sort
+    (ref py:331-337 top-20 categories)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_sort_multi",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — multi-column global sort (ref py:396) with total order."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_count",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — hash aggregate count(*) (ref py:258-259, 335-336)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — exact countDistinct (ref py:302, 477, 485, 514, 527)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "q_agg_minmax_avg",
+    oracle="""
+    SELECT event_type,
+           MIN(value) AS min_v, MAX(value) AS max_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_minmax_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — min/max/sum/avg; sums exact via decimal, avg as identical IEEE
+    division (ref py:347, 484, 528)."""
+    sum_dec = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            sum_dec.alias("sum_v"),
+            (sum_dec / F.count(F.lit(1))).alias("avg_v"),
+        )
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+               AS purchase_value,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — filtered aggregation sum(CASE WHEN ...) (ref py:479-483)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            .cast("double")
+            .alias("purchase_value"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        )
+    )
+
+
+@query(
+    "q_agg_twolevel",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_days,
+           SUM(n) AS n_events,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_events_per_day
+    FROM (SELECT user_id, DATE_TRUNC('day', ts) AS d, COUNT(*) AS n
+          FROM events GROUP BY user_id, DATE_TRUNC('day', ts))
+    GROUP BY user_id
+    """,
+)
+def q_agg_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — two-level re-aggregation (ref py:524-529: per-(user,session)
+    duration → per-user avg)."""
+    ev = _t(spark, sf_dir, "events")
+    return two_level_agg(
+        ev,
+        fine_keys=["user_id", F.date_trunc("day", "ts").alias("d")],
+        fine_aggs=[F.count(F.lit(1)).alias("n")],
+        coarse_keys=["user_id"],
+        coarse_aggs=[
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("n_events"),
+            (F.sum("n").cast("double") / F.count(F.lit(1))).alias(
+                "avg_events_per_day"
+            ),
+        ],
+    )
+
+
+@query(
+    "q_agg_collect_seq",
+    oracle="""
+    SELECT user_id,
+           STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+    """,
+)
+def q_agg_collect_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — deterministic ordered sequence per group (ref py:393-400; the
+    reference's orderBy-before-groupBy is NOT order-stable — SURVEY §4.4;
+    engine packs struct(order_keys, value) + sort_array)."""
+    ev = _t(spark, sf_dir, "events")
+    seq = collect_ordered_seq(
+        ev,
+        group_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="event_type",
+        out_col="seq_arr",
+    )
+    return seq.select("user_id", F.array_join("seq_arr", ",").alias("seq"))
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets extension (not in reference — SURVEY §2.4 'engine
+    adds')."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+    )
+
+
+@query("q_agg_approx_distinct", oracle=None)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate countDistinct (HLL) — engine extension; sketch values are
+    implementation-specific → rows-only check."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fn_datetime",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_us,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(dayofweek(ts) + 1 AS INT) AS day_of_week,
+           CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS INT)
+               AS is_weekend,
+           strftime(ts, '%Y-%m-%d') AS day_str
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family (ref py:74-77 epoch→ts, py:573-575 hour/dayofweek/
+    weekend). Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday → +1."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.dayofweek("ts").cast("int").alias("day_of_week"),
+        F.dayofweek("ts").isin([1, 7]).cast("int").alias("is_weekend"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )
+
+
+@query(
+    "q_fn_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 40 THEN 'bulk'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           GREATEST(l_quantity, 10.0) AS qty_floor10,
+           CAST(CASE WHEN l_returnflag IN ('A', 'R') THEN 1 ELSE 0 END AS INT)
+               AS is_returned
+    FROM lineitem WHERE l_orderkey < 3000
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: when/otherwise, greatest, isin (ref py:105-117,
+    564-590, 568, 575)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 3000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") > 40, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.greatest(F.col("l_quantity"), F.lit(10.0)).alias("qty_floor10"),
+        F.col("l_returnflag").isin(["A", "R"]).cast("int").alias("is_returned"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(ln(1.0 + value) * 1000000) AS BIGINT) AS log1p_value_e6,
+           sqrt(value) AS sqrt_value,
+           abs(value - 10.0) AS abs_dev,
+           value * 2.0 - 1.0 AS affine
+    FROM events WHERE event_id < 2000 AND value >= 0
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (ref py:570, 581, 585 log1p; arithmetic py:76,114).
+    sqrt/abs/* are IEEE-exact; ln goes through floor(x*1e6) because JVM and
+    glibc libm may differ by 1 ulp."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_id") < 2000) & (F.col("value") >= 0)
+    )
+    return ev.select(
+        "event_id",
+        F.floor(F.log1p("value") * 1_000_000).cast("bigint").alias("log1p_value_e6"),
+        F.sqrt("value").alias("sqrt_value"),
+        F.abs(F.col("value") - 10.0).alias("abs_dev"),
+        (F.col("value") * 2.0 - 1.0).alias("affine"),
+    )
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           c_name || '_' || c_mktsegment AS tagged,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INT) AS name_len
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (ref py:125-128 concat session-id synthesis)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("_", "c_name", "c_mktsegment").alias("tagged"),
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(list_contains(string_split(text, ' '), 'spark') AS INT)
+               AS has_spark,
+           list_sort(string_split(text, ' '))[1] AS first_token
+    FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family (ref: collect_list py:398-400; engine adds size/
+    sort_array/array_contains — SURVEY §2.8)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+        F.element_at(F.sort_array(toks), 1).alias("first_token"),
+    )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction extension (driver testdata events.props — SURVEY
+    §2.1 note, §2.11)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_fn_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, 'spark')) AS INT) AS n_spark,
+           CAST(regexp_matches(text, 'join|merge') AS INT) AS mentions_join
+    FROM documents
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extension (SURVEY §2.8: engine adds regexp ops)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit("spark")).cast("int").alias("n_spark"),
+        F.col("text").rlike("join|merge").cast("int").alias("mentions_join"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped headline queries (bench anchors on the star schema)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2001-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the scan+agg throughput anchor.
+    Product terms computed in double (identical IEEE tree both engines),
+    then decimal-summed for order-independent exactness."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "sum_qty"
+        ),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(disc_price.cast("decimal(18,6)")).cast("double").alias(
+            "sum_disc_price"
+        ),
+        F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           epoch_us(o.o_orderdate) AS orderdate_us
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+    headline=True,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join + agg + global top-k. Customer dim
+    broadcasts; orders⋈lineitem shuffles on the join key once."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue.cast("decimal(18,6)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "revenue", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"))
+    )

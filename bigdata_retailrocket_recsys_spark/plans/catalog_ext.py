@@ -1,0 +1,352 @@
+"""Catalog extensions — LLM-training-data-pipeline operators (SURVEY §2.11).
+
+Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+similarity search (brute-force + LSH), text analysis (tokenize / lang-id /
+quality / fingerprint), vectors, Word2Vec, streaming sessionization,
+multimodal plumbing. Registered into the same QUERIES registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_retailrocket_recsys_spark.functions.vector import to_double_array
+from bigdata_retailrocket_recsys_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from bigdata_retailrocket_recsys_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
+from bigdata_retailrocket_recsys_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from bigdata_retailrocket_recsys_spark.plans.catalog import _t, query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS dup_key,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest; deterministic keeper = min id.
+    Shuffles 16-byte digests, not documents — the 100 TB shape."""
+    return exact_dedup(
+        _t(spark, sf_dir, "documents"), key_cols=["text"], id_col="doc_id"
+    )
+
+
+@query("q_dedup_minhash", oracle=None, headline=True)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join).
+    xxhash64 signatures aren't DuckDB-expressible → rows-only check."""
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+    )
+
+
+@query("q_dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (explode/groupBy bit-vote formulation,
+    no UDF). xxhash64 → rows-only check."""
+    return simhash(_t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text")
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS doc, lang, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM tok GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+         AND a.lang = b.lang AND a.source = b.source
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs, relational form (explode → shingle
+    self-join within (lang, source) blocks → intersection counts). No UDF,
+    no unblocked all-pairs."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_n=1,
+        min_jaccard=0.5,
+    )
+
+
+@query(
+    "q_dedup_embed_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.vec, b.vec) >= 0.8
+    """,
+)
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label. Cosine values can
+    differ across engines by ~1 ulp (summation order), so the output is the
+    id pairs only; the 0.8 threshold sits far from any FP noise floor."""
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        min_cosine=0.8,
+    ).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, c.vec_id,
+               list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qvec)
+                   AS cosine
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+    headline=True,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine neighbors for 3 query vectors (broadcast
+    queries × one corpus pass → WindowGroupLimit top-k). Scores are
+    engine-ulp-sensitive → output is (query_id, vec_id, rank) only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(
+        emb, queries, k=10, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "vec_id", "rank")
+
+
+@query("q_sim_topk_lsh", oracle=None)
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed approximate top-k (the 100 TB path: queries scan
+    one bucket, not the corpus). Deterministic xxhash64 hyperplanes →
+    not DuckDB-expressible → rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(
+        emb, queries, k=10, dim=64, bits=4, id_col="vec_id", vec_col="embedding"
+    ).select("query_id", "vec_id", "rank")
+
+
+@query(
+    "q_vector_norm",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(FLOOR(sqrt(list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+               'sum')) * 1000) AS BIGINT) AS norm_e3
+    FROM embeddings
+    """,
+)
+def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector ops surface: per-vector L2 norm (array HOFs, JVM-side).
+    floor(×1e3) absorbs cross-engine summation-order ulp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.floor(norm * 1000).cast("bigint").alias("norm_e3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_tokenize",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents)
+    GROUP BY token HAVING COUNT(*) >= 100
+    """,
+)
+def q_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + explode + frequency rollup (SURVEY §2.11 text analysis)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+               AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]'))
+               AS INT) AS n_subtokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), hits AS (
+        SELECT doc_id,
+          len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is')))
+              AS h_en,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht')))
+              AS h_de,
+          len(list_filter(toks, x -> x IN ('el','la','de','que','y','en')))
+              AS h_es,
+          len(list_filter(toks, x -> x IN ('le','la','de','et','est','que')))
+              AS h_fr
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_fr = GREATEST(h_en, h_de, h_es, h_fr) THEN 'fr'
+                WHEN h_es = GREATEST(h_en, h_de, h_es, h_fr) THEN 'es'
+                WHEN h_en = GREATEST(h_en, h_de, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_guess,
+           GREATEST(h_en, h_de, h_es, h_fr) AS stopword_hits
+    FROM hits
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-anchor language-ID heuristic; argmax with deterministic
+    tiebreak (highest language code wins ties — mirrored in the oracle)."""
+    out = lang_id(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang_guess", F.col("stopword_hits").cast("bigint").alias("stopword_hits")
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                   AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INT) AS n_chars_obs,
+           CAST(n_tokens AS INT) AS n_tokens,
+           (n_chars - (n_tokens - 1.0)) / GREATEST(n_tokens, 1.0)
+               AS avg_token_len,
+           n_punct / GREATEST(n_chars, 1.0) AS punct_ratio,
+           n_digit / GREATEST(n_chars, 1.0) AS digit_ratio,
+           LEAST(n_tokens / 64.0, 1.0) * 0.5
+             + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0)) * 0.25
+             + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0)) * 0.25
+               AS quality
+    FROM f
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality features + composite score (identical IEEE
+    expression tree on both engines — no rounding needed)."""
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS fp_exact,
+           substr(md5(array_to_string(toks[1:5], ' ')), 1, 8)
+             || substr(md5(array_to_string(list_reverse(toks)[1:5], ' ')), 1, 8)
+               AS fp_rolling
+    FROM t
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + head/tail shingle
+    rolling fingerprint (md5 on both engines → byte-identical)."""
+    return fingerprint(_t(spark, sf_dir, "documents"))

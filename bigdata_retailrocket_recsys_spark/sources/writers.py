@@ -1,0 +1,37 @@
+"""Sinks: Parquet writer with scale-friendly defaults.
+
+Reference site: ``write.mode("overwrite").parquet`` with 200 shuffle
+partitions and ``maxRecordsPerFile=50000`` (prepare_training_data_pyspark.py:
+640-644; ipynb cell 22). The engine keeps snappy + maxRecordsPerFile and adds
+optional partitioned layout — at 100 TB you always write partitioned
+(e.g. by date) so downstream scans prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = 1_000_000,
+    sort_within_partitions: list[str] | None = None,
+) -> None:
+    """Parquet sink (reference S3).
+
+    ``sort_within_partitions`` clusters rows inside each file so parquet
+    min/max row-group stats become selective for downstream point-in-time
+    predicates — free pruning at read time.
+    """
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

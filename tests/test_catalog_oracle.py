@@ -1,0 +1,90 @@
+"""Local mirror of the driver's correctness gate: run every declared query
+on Spark AND its DuckDB oracle at the same scale factor; compare schema
+(column names), row count, and the order-insensitive multiset of values.
+
+Comparison is EXACT (no float tolerance) — the engine's catalog is designed
+for bit-identical cross-engine results (see plans/catalog.py docstring).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from bigdata_retailrocket_recsys_spark.plans import QUERIES
+from tests.conftest import SF_ORACLE
+
+ORACLE_QUERIES = sorted(n for n, q in QUERIES.items() if q.oracle)
+ROWS_ONLY_QUERIES = sorted(n for n, q in QUERIES.items() if not q.oracle)
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, int):
+        return v
+    return v
+
+
+def _sortable(row):
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    q = QUERIES[name]
+    sdf = q.fn(spark, SF_ORACLE)
+    spark_cols = sorted(sdf.columns)
+    rel = duck.sql(q.oracle)
+    duck_cols = sorted(rel.columns)
+    assert spark_cols == duck_cols, f"{name}: schema mismatch {spark_cols} vs {duck_cols}"
+
+    srows = [
+        tuple(_norm(r[c]) for c in spark_cols) for r in sdf.collect()
+    ]
+    idx = [rel.columns.index(c) for c in duck_cols]
+    drows = [tuple(_norm(r[i]) for i in idx) for r in rel.fetchall()]
+
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs {len(drows)}"
+    )
+    srows.sort(key=_sortable)
+    drows.sort(key=_sortable)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)}/{len(srows)} rows differ; first 3: "
+        f"{mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    q = QUERIES[name]
+    df = q.fn(spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shapes():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 40
