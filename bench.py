@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries are materialized through the noop sink (full execution, no driver
+collect). Every timing includes plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bigdata_retailrocket_recsys_spark.session import get_spark
+    from bigdata_retailrocket_recsys_spark.plans import QUERIES
+
+    spark = get_spark("bdrr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    headline = [n for n, q in sorted(QUERIES.items()) if q.headline]
+    timings: dict[str, float] = {}
+    for name in headline:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(q.fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # end-to-end reference-shaped pipeline (sessionize → candidates →
+    # features) if available
+    try:
+        from bigdata_retailrocket_recsys_spark.pipelines.retailrocket import (
+            run_events_pipeline,
+        )
+
+        t0 = time.perf_counter()
+        materialize(run_events_pipeline(spark, sf_dir))
+        timings["pipeline_e2e"] = round(time.perf_counter() - t0, 3)
+    except ImportError:
+        pass
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

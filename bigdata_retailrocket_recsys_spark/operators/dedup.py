@@ -46,18 +46,70 @@ def exact_dedup(
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array of strings (distinct)."""
+    """Word n-gram shingles as an array of strings (distinct).
+
+    NOTE: array-expression form — fine for one-off use, but the token
+    array referenced inside the lambda is re-evaluated per position (Spark
+    does not CSE into higher-order lambdas), so for hot paths use
+    ``shingle_rows`` (tokenize-once, window-based) instead."""
     toks = ws_tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingle_rows(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Distinct (doc, shingle) rows — the scalable shingle producer.
+
+    Tokenizes each document exactly once (posexplode), then forms n-grams
+    with ``lead()`` windows partitioned by document. One shuffle by doc id;
+    every step whole-stage-codegen. Documents shorter than ``n`` tokens
+    yield their single partial shingle (same as ``shingles``)."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(ws_tokens(text_col)).alias("pos", "tok"),
+    )
+    if n == 1:
+        return tok.select("doc", F.col("tok").alias("shingle")).distinct()
+    w = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    out = tok.select(
+        "doc",
+        "pos",
+        F.concat_ws(" ", *leads).alias("shingle"),
+        leads[-1].isNotNull().alias("full"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("doc_len"),
+    )
+    return (
+        out.filter(F.col("full") | ((F.col("pos") == 0) & (F.col("doc_len") < n)))
+        .select("doc", "shingle")
+        .distinct()
     )
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed j, min over shingles of
+    """MinHash signature expression: for seed j, min over shingles of
     xxhash64(shingle, j). Returns array<bigint> of length ``num_hashes``.
-    Pure JVM (xxhash64 + array HOFs)."""
+    Pure JVM (xxhash64 + array HOFs). NOTE: pass a *bound column* (already
+    materialized in a projection), not a fresh ``shingles(...)`` expression —
+    Spark does not CSE across the array elements, so an inline expression
+    would re-tokenize the document ``num_hashes`` times."""
     return F.array(
         *[
             F.array_min(
@@ -65,6 +117,31 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
             )
             for j in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures via shingle rows → groupBy(min...): documents are
+    tokenized ONCE, the num_hashes mins run as one map-side-combined hash
+    aggregate. Output: doc, sig (array<bigint>)."""
+    exploded = shingle_rows(
+        df, id_col=id_col, text_col=text_col, n=shingle_n
+    ).withColumnRenamed("shingle", "s")
+    mins = exploded.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
     )
 
 
@@ -84,8 +161,13 @@ def minhash_lsh_candidates(
     with ``a < b``. Output: doc_a, doc_b, n_shared_bands.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(F.col(text_col), shingle_n), num_hashes)
-    with_sig = df.select(F.col(id_col).alias("doc"), sig.alias("sig"))
+    with_sig = minhash_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+    )
     banded = with_sig.select(
         "doc",
         F.explode(
@@ -129,10 +211,9 @@ def simhash(
     """SimHash via explode/groupBy (clearer plan than nested HOFs and
     map-side combinable): explode shingle hashes, explode 64 bit positions,
     sum ±1 votes per (doc, bit), rebuild the 64-bit signature."""
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).select("doc", F.xxhash64("shingle").alias("h"))
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n).select(
+        "doc", F.xxhash64("shingle").alias("h")
+    )
     bits = sh.select(
         "doc",
         F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
@@ -170,11 +251,10 @@ def ngram_jaccard_pairs(
     distinct counts. Output: doc_a, doc_b, n_common, n_a, n_b, jaccard.
     """
     block_cols = block_cols or []
-    tok = df.select(
-        F.col(id_col).alias("doc"),
-        *[F.col(c) for c in block_cols],
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).distinct()
+    tok = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    if block_cols:
+        blocks = df.select(F.col(id_col).alias("doc"), *block_cols)
+        tok = tok.join(blocks, "doc")
     sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = tok.alias("a")
     b = tok.alias("b")

@@ -1,0 +1,569 @@
+"""Reference-parity RetailRocket pipeline, re-expressed as composable
+Spark-first stages.
+
+The reference (prepare_training_data_pyspark.py, SURVEY.md §3) is one
+hardwired script: sessionization (py:96-131) → candidate generation
+(py:225-375) → feature engineering (py:441-626) → parquet. Here every stage
+is a typed DataFrame→DataFrame function with the reference's exact
+semantics (half-open windows, strictly-before point-in-time predicates,
+coalesce defaults incl. recency=999999 py:569-570 and cat_popularity=1
+py:580) plus the §4.4 determinism fixes (explicit tiebreakers, exact-µs
+gaps, sorted sequence collection).
+
+Scale deltas vs the reference (§7.3):
+- co-visitation pairing capped per session (``max_items_per_session``) —
+  the reference only bounds the *output* via HAVING thresholds; at 100 TB
+  the pair *generation* must be bounded too;
+- Word2Vec runs distributed via MLlib (vectorSize/window/minCount/epochs/
+  seed mirroring gensim py:420) instead of a driver-side toPandas detour
+  (py:403);
+- embeddings land via broadcast equi-join + posexplode, not 16 row-at-a-
+  time Python UDF calls (py:603-622).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_retailrocket_recsys_spark.operators.joins import covis_pairs
+from bigdata_retailrocket_recsys_spark.operators.sessionize import sessionize
+from bigdata_retailrocket_recsys_spark.operators.windows import (
+    latest_per_key,
+    topk_per_group,
+)
+from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+
+@dataclass
+class PipelineConfig:
+    """Reference constants (cited) + engine scale guards."""
+
+    session_gap_minutes: int = 30  # py:114 SESSION_GAP_MINUTES
+    covis_min: int = 3  # py:260
+    cooccur_min: int = 5  # py:303
+    top_covis_cats: int = 15  # py:286
+    top_cooccur_cats: int = 10  # py:328
+    top_pop: int = 20  # py:337
+    top_user_cats: int = 10  # py:361
+    recency_default: int = 999999  # py:569-570
+    cat_pop_default: int = 1  # py:580
+    # engine-only: bounds the quadratic self-join (SURVEY §7.3)
+    max_items_per_session_pairing: int | None = 50
+    embedding_dim: int = 16  # py:420 vector_size
+    w2v_window: int = 5  # py:420
+    w2v_min_count: int = 3  # py:420
+    w2v_epochs: int = 10  # py:420
+    w2v_seed: int = 42  # py:420
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — ingest + sessionize (py:70-137)
+# ---------------------------------------------------------------------------
+
+
+def prepare_events(
+    raw: DataFrame,
+    *,
+    start: str,
+    end: str,
+    ts_ms_col: str = "timestamp",
+    user_col: str = "visitorid",
+    item_col: str = "itemid",
+    event_col: str = "event",
+) -> DataFrame:
+    """Epoch-ms → timestamp, half-open window filter, typed projection
+    (py:74-91)."""
+    ts = F.timestamp_millis(F.col(ts_ms_col).cast("bigint"))
+    return (
+        raw.withColumn("ts", ts)
+        .filter(
+            (F.col("ts") >= F.lit(start).cast("timestamp"))
+            & (F.col("ts") < F.lit(end).cast("timestamp"))
+        )
+        .select(
+            F.col(user_col).cast("bigint").alias("user_id"),
+            F.col("ts"),
+            F.col(item_col).cast("bigint").alias("item_id"),
+            F.col(event_col).cast("string").alias("event"),
+        )
+    )
+
+
+def sessionize_events(events: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """30-min-gap session ids (py:96-131) with deterministic tiebreaks."""
+    return sessionize(
+        events,
+        user_col="user_id",
+        ts_col="ts",
+        gap_minutes=cfg.session_gap_minutes,
+        tiebreak_cols=["item_id", "event"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — item→category dimension (py:146-173)
+# ---------------------------------------------------------------------------
+
+
+def latest_item_category(props: DataFrame) -> DataFrame:
+    """property='categoryid' rows → latest snapshot per item (py:162-173,
+    W3 latest-per-key with tiebreak)."""
+    cat = props.filter(F.col("property") == "categoryid").select(
+        F.col("itemid").cast("bigint").alias("item_id"),
+        F.timestamp_millis(F.col("timestamp").cast("bigint")).alias("ts"),
+        F.col("value").cast("bigint").alias("category_id"),
+    )
+    return latest_per_key(
+        cat, key_cols=["item_id"], ts_col="ts", tiebreak_cols=["category_id"]
+    ).select("item_id", "category_id")
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — anchor (ATC) extraction + time split (py:186-216)
+# ---------------------------------------------------------------------------
+
+
+def extract_anchors(
+    events_sess: DataFrame,
+    item_cat: DataFrame,
+    *,
+    start: str,
+    end: str,
+    anchor_event: str = "addtocart",
+) -> DataFrame:
+    """Anchor events with their true category, in [start, end)
+    (py:186-207). Output: session_id, user_id, atc_ts, item_id,
+    category_id (the label's true category)."""
+    return (
+        events_sess.filter(F.col("event") == anchor_event)
+        .filter(
+            (F.col("ts") >= F.lit(start).cast("timestamp"))
+            & (F.col("ts") < F.lit(end).cast("timestamp"))
+        )
+        .join(F.broadcast(item_cat), "item_id", "inner")
+        .select(
+            "session_id",
+            "user_id",
+            F.col("ts").alias("atc_ts"),
+            "item_id",
+            "category_id",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 4 — candidate generation (py:225-375)
+# ---------------------------------------------------------------------------
+
+
+def build_candidates(
+    anchors: DataFrame,
+    events_cat: DataFrame,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """Five candidate strategies unioned + distinct (py:225-375).
+
+    ``events_cat``: sessionized events joined to categories
+    (session_id, user_id, ts, item_id, category_id). Output:
+    (session_id, atc_ts, category_id).
+    """
+    a = anchors.select("session_id", "user_id", "atc_ts").alias("a")
+    ev = events_cat.alias("se")
+
+    # events strictly before the anchor, same session (the shared prefix
+    # subtree of strategies 1-3; py:235-239)
+    prefix = a.join(
+        ev,
+        (F.col("a.session_id") == F.col("se.session_id"))
+        & (F.col("se.ts") < F.col("a.atc_ts")),
+        "inner",
+    ).select(
+        F.col("a.session_id").alias("session_id"),
+        F.col("a.atc_ts").alias("atc_ts"),
+        F.col("se.item_id").alias("item_id"),
+        F.col("se.category_id").alias("category_id"),
+    )
+
+    # 1) prefix categories (py:235-246)
+    prefix_cands = prefix.select("session_id", "atc_ts", "category_id").distinct()
+
+    # 2) item co-visitation (py:252-287): item pairs per session → covis>=3
+    #    → candidate items co-visited with prefix items → their categories,
+    #    scored by max covis, top-15 per anchor
+    pairs = covis_pairs(
+        events_cat,
+        group_col="session_id",
+        item_col="item_id",
+        min_count=cfg.covis_min,
+        max_per_group=cfg.max_items_per_session_pairing,
+        ts_col="ts",
+    )  # item_a, item_b, covis
+    sym = pairs.select("item_a", "item_b", "covis").union(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "covis",
+        )
+    )
+    prefix_items = prefix.select("session_id", "atc_ts", "item_id").distinct()
+    item_cat_dim = events_cat.select("item_id", "category_id").distinct()
+    covis_cats = (
+        prefix_items.join(sym, prefix_items.item_id == sym.item_a, "inner")
+        .join(
+            item_cat_dim.select(
+                F.col("item_id").alias("cand_item"),
+                F.col("category_id").alias("category_id"),
+            ),
+            F.col("item_b") == F.col("cand_item"),
+            "inner",
+        )
+        .groupBy("session_id", "atc_ts", "category_id")
+        .agg(F.max("covis").alias("score"))
+    )
+    itemcovis_cands = topk_per_group(
+        covis_cats,
+        group_cols=["session_id", "atc_ts"],
+        order_by=[F.col("score").desc(), F.col("category_id").asc()],
+        k=cfg.top_covis_cats,
+    ).select("session_id", "atc_ts", "category_id")
+
+    # 3) category co-occurrence (py:291-329): category pairs per session,
+    #    countDistinct sessions, cooccur>=5, join prefix categories, top-10
+    cat_pairs = covis_pairs(
+        events_cat.select("session_id", "category_id"),
+        group_col="session_id",
+        item_col="category_id",
+        min_count=cfg.cooccur_min,
+    ).withColumnRenamed("covis", "cooccur")
+    cat_sym = cat_pairs.select(
+        F.col("item_a").alias("cat_a"), F.col("item_b").alias("cat_b"), "cooccur"
+    ).union(
+        cat_pairs.select(
+            F.col("item_b").alias("cat_a"),
+            F.col("item_a").alias("cat_b"),
+            "cooccur",
+        )
+    )
+    prefix_cats = prefix.select("session_id", "atc_ts", "category_id").distinct()
+    cooccur_cats = (
+        prefix_cats.join(
+            cat_sym, prefix_cats.category_id == cat_sym.cat_a, "inner"
+        )
+        .groupBy("session_id", "atc_ts", F.col("cat_b").alias("category_id"))
+        .agg(F.max("cooccur").alias("score"))
+    )
+    catcovis_cands = topk_per_group(
+        cooccur_cats,
+        group_cols=["session_id", "atc_ts"],
+        order_by=[F.col("score").desc(), F.col("category_id").asc()],
+        k=cfg.top_cooccur_cats,
+    ).select("session_id", "atc_ts", "category_id")
+
+    # 4) global popularity top-20 × every anchor (py:331-340; ALL event
+    #    types — §4.4)
+    top_pop = (
+        events_cat.groupBy("category_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("category_id").asc())
+        .limit(cfg.top_pop)
+        .select("category_id")
+    )
+    pop_cands = a.select("session_id", "atc_ts").crossJoin(F.broadcast(top_pop))
+
+    # 5) user history: 10 most recent categories strictly before the anchor
+    #    (py:343-362)
+    user_cat_seen = events_cat.groupBy("user_id", "category_id").agg(
+        F.max("ts").alias("last_seen")
+    )
+    uh = a.join(user_cat_seen, "user_id", "inner").filter(
+        F.col("last_seen") < F.col("atc_ts")
+    )
+    userhist_cands = topk_per_group(
+        uh,
+        group_cols=["session_id", "atc_ts"],
+        order_by=[F.col("last_seen").desc(), F.col("category_id").asc()],
+        k=cfg.top_user_cats,
+    ).select("session_id", "atc_ts", "category_id")
+
+    return (
+        prefix_cands.union(itemcovis_cands)
+        .union(catcovis_cands)
+        .union(pop_cands)
+        .union(userhist_cands)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 5 — feature assembly (py:441-626)
+# ---------------------------------------------------------------------------
+
+
+def build_features(
+    anchors: DataFrame,
+    candidates: DataFrame,
+    events_cat: DataFrame,
+    *,
+    train_cutoff: str,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """Star-shaped feature assembly: base fact × 4 aggregated dims, all
+    left-joined with the reference's exact null-fill defaults, then derived
+    features + label (py:441-594)."""
+    base = (
+        anchors.select(
+            "session_id",
+            "user_id",
+            "atc_ts",
+            F.col("category_id").alias("true_category"),
+        )
+        .join(candidates, ["session_id", "atc_ts"], "inner")
+        .withColumnRenamed("category_id", "cand_category")
+    )
+
+    train_events = events_cat.filter(
+        F.col("ts") < F.lit(train_cutoff).cast("timestamp")
+    )
+
+    # dim 1: prefix stats per (session, atc_ts, cand_category) — left theta
+    # join then conditional aggs (py:465-496)
+    b = base.select("session_id", "atc_ts", "cand_category").distinct().alias("b")
+    ev = events_cat.alias("se")
+    pj = b.join(
+        ev,
+        (F.col("b.session_id") == F.col("se.session_id"))
+        & (F.col("se.ts") < F.col("b.atc_ts")),
+        "left",
+    )
+    is_cand = F.col("se.category_id") == F.col("b.cand_category")
+    prefix_stats = pj.groupBy(
+        F.col("b.session_id").alias("session_id"),
+        F.col("b.atc_ts").alias("atc_ts"),
+        F.col("b.cand_category").alias("cand_category"),
+    ).agg(
+        F.count(F.col("se.item_id")).alias("n_prefix_events"),
+        F.countDistinct(F.col("se.item_id")).alias("n_prefix_items"),
+        F.countDistinct(F.col("se.category_id")).alias("n_unique_cats_in_session"),
+        F.sum(F.when(is_cand, 1).otherwise(0)).alias("cat_count_in_prefix"),
+        F.max(
+            F.when(
+                is_cand,
+                F.unix_micros(F.col("b.atc_ts")) - F.unix_micros(F.col("se.ts")),
+            )
+        ).alias("recency_us"),
+        F.min(F.unix_micros(F.col("se.ts"))).alias("session_start_us"),
+    )
+
+    # dim 2: global category popularity over train events, ALL event types
+    # (py:499-506)
+    cat_pop = train_events.groupBy(
+        F.col("category_id").alias("cand_category")
+    ).agg(F.count(F.lit(1)).alias("cat_popularity"))
+
+    # dim 3: user×category affinity before cutoff (py:509-521)
+    user_cat_aff = train_events.groupBy(
+        "user_id", F.col("category_id").alias("cand_category")
+    ).agg(
+        F.count(F.lit(1)).alias("user_cat_count"),
+        F.countDistinct("session_id").alias("user_cat_sessions"),
+    )
+
+    # dim 4: user activity stats — two-level agg (py:524-529)
+    user_stats = (
+        train_events.groupBy("user_id", "session_id")
+        .agg(
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("dur_us")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("total_sessions"),
+            (F.sum("dur_us").cast("double") / F.count(F.lit(1))).alias(
+                "avg_session_dur_us"
+            ),
+        )
+    )
+
+    assembled = (
+        base.join(prefix_stats, ["session_id", "atc_ts", "cand_category"], "left")
+        .join(F.broadcast(cat_pop), ["cand_category"], "left")
+        .join(user_cat_aff, ["user_id", "cand_category"], "left")
+        .join(user_stats, ["user_id"], "left")
+    )
+
+    sec = F.lit(1_000_000)
+    n_prefix_events = F.coalesce("n_prefix_events", F.lit(0))
+    cat_count = F.coalesce("cat_count_in_prefix", F.lit(0))
+    return assembled.select(
+        "session_id",
+        "user_id",
+        F.unix_micros("atc_ts").alias("atc_ts_us"),
+        "cand_category",
+        n_prefix_events.alias("n_prefix_events"),
+        F.coalesce("n_prefix_items", F.lit(0)).alias("n_prefix_items"),
+        F.coalesce("n_unique_cats_in_session", F.lit(0)).alias(
+            "n_unique_cats_in_session"
+        ),
+        cat_count.alias("cat_count_in_prefix"),
+        # share guarded like py:567-568: denominator >= 1
+        (
+            cat_count.cast("double")
+            / F.greatest(n_prefix_events, F.lit(1)).cast("double")
+        ).alias("cat_share_in_prefix"),
+        # recency in whole seconds, default 999999 (py:569-570)
+        F.coalesce(
+            (F.col("recency_us") / sec).cast("bigint"),
+            F.lit(cfg.recency_default),
+        ).alias("recency_sec"),
+        # session duration up to anchor, default 0 (py:576)
+        F.coalesce(
+            (
+                (F.unix_micros("atc_ts") - F.col("session_start_us")) / sec
+            ).cast("bigint"),
+            F.lit(0),
+        ).alias("session_age_sec"),
+        # popularity default 1 so log1p stays finite-positive (py:580)
+        F.coalesce("cat_popularity", F.lit(cfg.cat_pop_default)).alias(
+            "cat_popularity"
+        ),
+        F.coalesce("user_cat_count", F.lit(0)).alias("user_cat_count"),
+        F.coalesce("user_cat_sessions", F.lit(0)).alias("user_cat_sessions"),
+        F.coalesce("total_sessions", F.lit(0)).alias("total_sessions"),
+        F.coalesce("avg_session_dur_us", F.lit(0.0)).alias("avg_session_dur_us"),
+        F.hour("atc_ts").cast("int").alias("hour_of_day"),
+        F.dayofweek("atc_ts").cast("int").alias("day_of_week"),
+        F.dayofweek("atc_ts").isin([1, 7]).cast("int").alias("is_weekend"),
+        F.when(F.col("cand_category") == F.col("true_category"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stage 6 — embeddings (py:378-431, 603-622 → MLlib + broadcast join)
+# ---------------------------------------------------------------------------
+
+
+def train_category_embeddings(
+    events_cat: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Distributed Word2Vec over per-session category sequences (replaces
+    the reference's toPandas→gensim detour, py:403-431). Sequences are
+    deterministically ordered (sort_array over struct — §4.4 A6 fix) and
+    filtered to length ≥ 2 (py:406). Output: category_id, vector
+    (array<float> of embedding_dim)."""
+    from pyspark.ml.feature import Word2Vec
+
+    seqs = (
+        events_cat.select(
+            "session_id",
+            F.struct("ts", F.col("category_id").cast("string").alias("c")).alias(
+                "p"
+            ),
+        )
+        .groupBy("session_id")
+        .agg(
+            F.transform(F.sort_array(F.collect_list("p")), lambda s: s["c"]).alias(
+                "seq"
+            )
+        )
+        .filter(F.size("seq") >= 2)
+    )
+    w2v = Word2Vec(
+        vectorSize=cfg.embedding_dim,
+        windowSize=cfg.w2v_window,
+        minCount=cfg.w2v_min_count,
+        maxIter=cfg.w2v_epochs,
+        seed=cfg.w2v_seed,
+        inputCol="seq",
+        outputCol="vec",
+    )
+    model = w2v.fit(seqs)
+    vectors = model.getVectors()  # word: string, vector: ml VectorUDT
+    from pyspark.ml.functions import vector_to_array
+
+    return vectors.select(
+        F.col("word").cast("bigint").alias("category_id"),
+        vector_to_array("vector", dtype="float32").alias("vector"),
+    )
+
+
+def attach_embeddings(
+    features: DataFrame,
+    embeddings: DataFrame,
+    cfg: PipelineConfig,
+    *,
+    cat_col: str = "cand_category",
+) -> DataFrame:
+    """Broadcast equi-join + unpack to emb_0..emb_{d-1} float columns,
+    0.0 for categories without a vector — replaces the reference's 16
+    row-at-a-time UDF calls (py:603-622) with ONE join."""
+    emb = F.broadcast(
+        embeddings.select(F.col("category_id").alias(cat_col), "vector")
+    )
+    out = features.join(emb, [cat_col], "left")
+    for i in range(cfg.embedding_dim):
+        out = out.withColumn(
+            f"emb_{i}",
+            F.coalesce(F.element_at("vector", i + 1), F.lit(0.0)).cast("float"),
+        )
+    return out.drop("vector")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end adapter over the driver testdata events table
+# ---------------------------------------------------------------------------
+
+
+def run_events_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    cfg: PipelineConfig | None = None,
+    train_cutoff: str = "2024-01-21",
+    end: str = "2024-02-01",
+    with_embeddings: bool = True,
+) -> DataFrame:
+    """Full reference-shaped pipeline on the driver testdata: props.k acts
+    as item_id, category = item mod 20, 'purchase' acts as add-to-cart."""
+    cfg = cfg or PipelineConfig()
+    raw = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item_id"),
+        F.when(F.col("event_type") == "purchase", "addtocart")
+        .otherwise(F.col("event_type"))
+        .alias("event"),
+    )
+    events_sess = sessionize_events(raw, cfg)
+    item_cat = (
+        raw.select("item_id")
+        .distinct()
+        .select("item_id", (F.col("item_id") % 20).alias("category_id"))
+    )
+    # cache the sessionized+categorized events: ~10 downstream subtrees read
+    # it (the reference caches the same way, py:134, 381-382)
+    events_cat = (
+        events_sess.join(F.broadcast(item_cat), "item_id", "inner")
+        .select("session_id", "user_id", "ts", "item_id", "category_id")
+        .cache()
+    )
+    anchors = extract_anchors(
+        events_sess, item_cat, start="2024-01-01", end=train_cutoff
+    ).cache()
+    candidates = build_candidates(anchors, events_cat, cfg)
+    features = build_features(
+        anchors, candidates, events_cat, train_cutoff=train_cutoff, cfg=cfg
+    )
+    if with_embeddings:
+        emb = train_category_embeddings(
+            events_cat.filter(F.col("ts") < F.lit(train_cutoff).cast("timestamp")),
+            cfg,
+        )
+        features = attach_embeddings(features, emb, cfg)
+    return features
