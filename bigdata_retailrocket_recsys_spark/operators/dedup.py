@@ -56,11 +56,13 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     if n == 1:
         return F.array_distinct(toks)
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    # try_element_at: NULL past the end (ANSI-safe); concat_ws drops NULLs,
+    # so docs shorter than n yield their single partial shingle.
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
             ),
         )
     )

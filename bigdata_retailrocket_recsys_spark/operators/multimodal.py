@@ -1,0 +1,127 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video are opaque ``binary`` columns + typed metadata structs.
+The Spark-side plumbing — schema, partition-friendly batch shapes,
+Arrow-batched ``mapInPandas`` UDF signatures — is real and tested; the
+actual media decode is STUBBED (``decode_stub='error'`` raises
+NotImplementedError exactly where a real libjpeg/ffmpeg call would go,
+``'fake'`` produces deterministic pseudo-features) because media codecs
+are not available in this environment.
+
+At 100 TB: binary payloads ride Parquet binary columns; ``mapInPandas``
+streams Arrow record batches so one task never holds more than
+``spark.sql.execution.arrow.maxRecordsPerBatch`` payloads; feature
+extraction parallelism is the file-split parallelism of the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: metadata contract for a multimodal asset column
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("format", StringType()),  # jpeg|png|wav|mp4|...
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),  # -1 when not applicable
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),  # -1 for still images
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_entropy", DoubleType()),
+        StructField("feat_0", DoubleType()),
+        StructField("feat_1", DoubleType()),
+        StructField("feat_2", DoubleType()),
+        StructField("feat_3", DoubleType()),
+    ]
+)
+
+
+def attach_fake_media(
+    df: DataFrame, *, id_col: str, payload_from: str, fmt: str = "jpeg"
+) -> DataFrame:
+    """Turn a string column into an opaque binary asset + metadata struct —
+    the testdata has no real media, so the *plumbing* is exercised with
+    deterministic fake payloads (utf-8 bytes of the source column)."""
+    payload = F.encode(F.col(payload_from), "utf-8").cast(BinaryType())
+    meta = F.struct(
+        F.lit("image").alias("media_type"),
+        F.lit(fmt).alias("format"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.lit(-1).cast("int").alias("width"),
+        F.lit(-1).cast("int").alias("height"),
+        F.lit(-1).cast("bigint").alias("duration_ms"),
+    )
+    return df.select(
+        F.col(id_col).alias("asset_id"), payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def extract_media_features(
+    assets: DataFrame, *, decode_stub: str = "fake", batch_hint: int = 256
+) -> DataFrame:
+    """Arrow-batched feature extraction over (asset_id, payload) via
+    ``mapInPandas`` — the real-media integration point.
+
+    ``decode_stub='error'`` raises NotImplementedError at the decode call
+    site (where PIL/ffmpeg would run); ``'fake'`` computes deterministic
+    byte-level pseudo-features so the distributed path is testable.
+    """
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                if decode_stub == "error":
+                    raise NotImplementedError(
+                        "media decode requires an image/audio codec "
+                        "(PIL/ffmpeg) not present in this environment; "
+                        "plug the real decoder in here"
+                    )
+                # deterministic byte-level pseudo-features
+                n = len(data)
+                counts = [0] * 256
+                for b in data:
+                    counts[b] += 1
+                ent = -sum(
+                    (c / n) * math.log2(c / n) for c in counts if c
+                ) if n else 0.0
+                rows.append(
+                    {
+                        "asset_id": int(asset_id),
+                        "n_bytes": n,
+                        "byte_entropy": ent,
+                        "feat_0": float(data[0]) if n else 0.0,
+                        "feat_1": float(data[n // 2]) if n else 0.0,
+                        "feat_2": float(data[-1]) if n else 0.0,
+                        "feat_3": float(sum(data) % 997),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=FEATURE_SCHEMA
+    )

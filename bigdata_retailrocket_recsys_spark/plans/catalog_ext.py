@@ -329,6 +329,108 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_t(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Streaming, ML, multimodal (rows-only surfaces)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_session_window_batch",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS start_us,
+           MAX(epoch_us(ts)) + 1800000000 AS end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window`` in batch mode (same operator Structured
+    Streaming uses). Oracle replicates merge-on-overlap semantics: a
+    successor exactly at the gap boundary starts a NEW session (>=, unlike
+    the batch gap-rule's >); window end = last event + gap."""
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        streaming_session_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return streaming_session_stats(ev, gap_minutes=30, watermark="365 days")
+
+
+@query("q_stream_session_window", oracle=None)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Structured Streaming sessionization: parquet file stream →
+    watermark → session_window agg → memory sink (Trigger.AvailableNow).
+    Streaming lifecycle isn't SQL-expressible → rows-only."""
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        run_streaming_sessionize,
+    )
+
+    return run_streaming_sessionize(spark, sf_dir)
+
+
+@query("q_w2v_embed", oracle=None)
+def q_w2v_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Word2Vec category embeddings (MLlib replaces the
+    reference's driver-side gensim, py:403-431). Float values are
+    seed/implementation-specific → rows-only."""
+    from pyspark.sql import functions as F2
+
+    from bigdata_retailrocket_recsys_spark.pipelines.retailrocket import (
+        PipelineConfig,
+        sessionize_events,
+        train_category_embeddings,
+    )
+
+    raw = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F2.get_json_object("props", "$.k").cast("bigint").alias("item_id"),
+        F2.col("event_type").alias("event"),
+    )
+    cfg = PipelineConfig()
+    ev = sessionize_events(raw, cfg).withColumn(
+        "category_id", F2.col("item_id") % 20
+    )
+    emb = train_category_embeddings(ev, cfg)
+    return emb.select(
+        "category_id", F.size("vector").alias("dim")
+    )
+
+
+@query("q_multimodal_meta", oracle=None)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + metadata struct + Arrow-batched
+    mapInPandas feature extraction (decode stubbed — no codecs in this
+    environment; the distributed path is real)."""
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = attach_fake_media(docs, id_col="doc_id", payload_from="text")
+    feats = extract_media_features(assets, decode_stub="fake")
+    return feats.join(
+        assets.select("asset_id", F.col("meta.n_bytes").alias("meta_bytes")),
+        "asset_id",
+    )
+
+
 @query(
     "q_fingerprint",
     oracle="""

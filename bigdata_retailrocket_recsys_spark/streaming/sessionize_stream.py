@@ -1,0 +1,82 @@
+"""Structured Streaming sessionization (engine extension — SURVEY §2.9).
+
+The reference is pure batch; its 30-min-gap sessionization (py:96-131) is a
+window function. At continuous/100 TB scale the same semantics run as a
+Structured Streaming job: ``session_window(ts, gap)`` + watermark bounds
+state (late events beyond the watermark are dropped instead of growing
+executor state forever).
+
+Semantics note vs the batch operator: ``session_window`` merges events
+whose [ts, ts+gap) windows OVERLAP, i.e. a successor at exactly ``gap``
+after its predecessor starts a NEW session, while the batch rule
+(``gap_us > gap``) keeps it in the SAME session. With microsecond
+timestamps an exact-gap tie is measure-zero; documented, not hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """session_window aggregation with watermark — works on both streaming
+    and batch DataFrames (same code path, Spark picks the impl)."""
+    gap = f"{gap_minutes} minutes"
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+def run_streaming_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gap_minutes: int = 30,
+    sink_table: str = "bdrr_stream_sessions",
+) -> DataFrame:
+    """Drive the events table through a real streaming query: parquet file
+    source → session_window agg → memory sink, Trigger.AvailableNow (one
+    bounded pass — the batch-parity mode). Returns the sink contents."""
+    from bigdata_retailrocket_recsys_spark.schemas import TESTDATA_SCHEMAS
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # streaming source needs an explicit schema; ts arrives as int64 ns
+    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    # the file stream source wants a directory; scope it to the events
+    # table with a glob filter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = streaming_session_stats(stream, gap_minutes=gap_minutes)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

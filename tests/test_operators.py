@@ -1,0 +1,270 @@
+"""Micro-fixture unit tests for the SURVEY §4.4 semantics traps:
+half-open windows, strict point-in-time predicates, tie determinism,
+gap-boundary behavior, null discipline, pair dedup."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_boundary(spark):
+    """Exactly-1800s gap stays in the SAME session (rule is gap > 1800s,
+    py:114); 1800.000001s starts a new one; single event → session 1."""
+    from bigdata_retailrocket_recsys_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00")),
+            (1, ts("2024-01-01 00:30:00")),  # gap exactly 1800s → same
+            (1, ts("2024-01-01 01:00:00.000001")),  # 1800.000001s → new
+            (2, ts("2024-01-01 00:00:00")),  # lone event
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    out = {
+        (r.user_id, r.ts.isoformat()): r.session_id
+        for r in sessionize(df).collect()
+    }
+    assert out[(1, "2024-01-01T00:00:00")] == "1_1"
+    assert out[(1, "2024-01-01T00:30:00")] == "1_1"
+    assert out[(1, "2024-01-01T01:00:00.000001")] == "1_2"
+    assert out[(2, "2024-01-01T00:00:00")] == "2_1"
+
+
+def test_sessionize_tie_determinism(spark):
+    """Events at the same timestamp get a deterministic order via the
+    tiebreak column (the reference's bare orderBy(ts) does not — §4.4)."""
+    from bigdata_retailrocket_recsys_spark.operators.sessionize import sessionize
+
+    rows = [(1, ts("2024-01-01 00:00:00"), i) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, eid bigint")
+    a = sessionize(df, tiebreak_cols=["eid"]).collect()
+    b = sessionize(df, tiebreak_cols=["eid"]).collect()
+    assert sorted((r.eid, r.session_id) for r in a) == sorted(
+        (r.eid, r.session_id) for r in b
+    )
+    assert all(r.session_id == "1_1" for r in a)
+
+
+def test_latest_per_key_tie(spark):
+    """Same-timestamp snapshots resolve by tiebreak desc, deterministically
+    (ref py:171-173 is arbitrary on ties)."""
+    from bigdata_retailrocket_recsys_spark.operators.windows import latest_per_key
+
+    df = spark.createDataFrame(
+        [
+            (10, ts("2024-01-01 00:00:00"), 100),
+            (10, ts("2024-01-01 00:00:00"), 200),  # tie → higher cat wins
+            (10, ts("2023-12-31 00:00:00"), 300),
+        ],
+        "item_id bigint, ts timestamp, category_id bigint",
+    )
+    out = latest_per_key(
+        df, key_cols=["item_id"], ts_col="ts", tiebreak_cols=["category_id"]
+    ).collect()
+    assert len(out) == 1 and out[0].category_id == 200
+
+
+def test_prefix_join_strictly_before(spark):
+    """An event exactly AT the anchor timestamp is excluded (strict <,
+    py:238,250,266,352)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import prefix_agg_join
+
+    anchors = spark.createDataFrame(
+        [(1, ts("2024-01-01 01:00:00"))], "user_id bigint, ts timestamp"
+    )
+    events = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:59:59")),  # before → counted
+            (1, ts("2024-01-01 01:00:00")),  # exactly at → excluded
+            (1, ts("2024-01-01 01:00:01")),  # after → excluded
+        ],
+        "user_id bigint, ts timestamp",
+    )
+    out = prefix_agg_join(
+        anchors,
+        events,
+        key_cols=["user_id"],
+        anchor_ts="ts",
+        event_ts="ts",
+        aggs=[F.count(F.col("e.user_id")).alias("n")],
+    ).collect()
+    assert out[0].n == 1
+
+
+def test_covis_pairs_dedup_and_threshold(spark):
+    """(a,b)/(b,a) collapse to one pair, self-pairs drop, repeated views in
+    one group count once, min_count filters (py:252-260)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import covis_pairs
+
+    rows = []
+    for g in ["s1", "s2", "s3"]:
+        rows += [(g, 1), (g, 2), (g, 1)]  # dup view of item 1 per session
+    rows += [("s1", 3)]
+    df = spark.createDataFrame(rows, "session_id string, item_id bigint")
+    out = {
+        (r.item_a, r.item_b): r.covis
+        for r in covis_pairs(
+            df, group_col="session_id", item_col="item_id", min_count=1
+        ).collect()
+    }
+    assert out[(1, 2)] == 3  # once per session despite dup rows
+    assert (2, 1) not in out and (1, 1) not in out
+    assert out[(1, 3)] == 1 and out[(2, 3)] == 1
+    filtered = covis_pairs(
+        df, group_col="session_id", item_col="item_id", min_count=3
+    ).collect()
+    assert {(r.item_a, r.item_b) for r in filtered} == {(1, 2)}
+
+
+def test_covis_pairs_cap(spark):
+    """max_per_group keeps only the most recent N items before pairing —
+    the quadratic-blowup guard (SURVEY §7.3)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import covis_pairs
+
+    rows = [("s1", i, ts(f"2024-01-01 00:0{i}:00")) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "session_id string, item_id bigint, ts timestamp")
+    out = covis_pairs(
+        df,
+        group_col="session_id",
+        item_col="item_id",
+        max_per_group=2,
+        ts_col="ts",
+    ).collect()
+    # only the 2 most recent items (4, 5) can pair
+    assert {(r.item_a, r.item_b) for r in out} == {(4, 5)}
+
+
+def test_collect_ordered_seq_deterministic(spark):
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        collect_ordered_seq,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:02:00"), 2, "b"),
+            (1, ts("2024-01-01 00:01:00"), 1, "a"),
+            (1, ts("2024-01-01 00:02:00"), 3, "c"),  # ts tie → eid breaks
+        ],
+        "g bigint, ts timestamp, eid bigint, v string",
+    ).repartition(4)
+    out = collect_ordered_seq(
+        df, group_cols=["g"], order_cols=["ts", "eid"], value_col="v"
+    ).collect()
+    assert out[0].seq == ["a", "b", "c"]
+
+
+def test_exact_dedup_keeper(spark):
+    from bigdata_retailrocket_recsys_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "doc_id bigint, text string"
+    )
+    out = {r.keeper_id: r.n_dups for r in exact_dedup(
+        df, key_cols=["text"], id_col="doc_id"
+    ).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_shingle_rows_matches_array_form(spark):
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        shingle_rows,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "solo")], "doc_id bigint, text string"
+    )
+    via_rows = {
+        (r.doc, r.shingle)
+        for r in shingle_rows(df, id_col="doc_id", text_col="text", n=3).collect()
+    }
+    via_array = set()
+    for r in df.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    ).collect():
+        via_array |= {(r.doc_id, s) for s in r.sh}
+    assert via_rows == via_array
+    assert (1, "a b c") in via_rows and (1, "b c d") in via_rows
+    assert (3, "solo") in via_rows
+
+
+def test_simhash_identical_and_near(spark):
+    from bigdata_retailrocket_recsys_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc: r.simhash for r in simhash(df).collect()}
+    assert out[1] == out[2]
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+
+
+def test_cosine_topk_hand_computed(spark):
+    from bigdata_retailrocket_recsys_spark.operators.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id bigint, embedding array<float>"
+    )
+    out = cosine_topk(corpus, queries, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 2, 3]
+    assert abs(out[0].cosine - 1.0) < 1e-12
+
+
+def test_lang_id_obvious(spark):
+    from bigdata_retailrocket_recsys_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and the dog is a pet"),
+            (2, "der hund ist nicht die katze und das ist gut"),
+            (3, "zzz qqq xxx"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.lang_guess for r in lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_multimodal_stub_paths(spark):
+    import pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc")], "doc_id bigint, text string"
+    )
+    assets = attach_fake_media(df, id_col="doc_id", payload_from="text")
+    feats = {r.asset_id: r for r in extract_media_features(assets).collect()}
+    assert feats[1].n_bytes == 11 and feats[2].n_bytes == 3
+    assert feats[1].byte_entropy > 0
+    with pytest.raises(Exception) as exc:
+        extract_media_features(assets, decode_stub="error").collect()
+    assert "NotImplementedError" in str(exc.value) or "media decode" in str(
+        exc.value
+    )
