@@ -159,23 +159,14 @@ def extract_anchors(
 # ---------------------------------------------------------------------------
 
 
-def build_candidates(
-    anchors: DataFrame,
-    events_cat: DataFrame,
-    cfg: PipelineConfig,
-) -> DataFrame:
-    """Five candidate strategies unioned + distinct (py:225-375).
-
-    ``events_cat``: sessionized events joined to categories
-    (session_id, user_id, ts, item_id, category_id). Output:
-    (session_id, atc_ts, category_id).
-    """
-    a = anchors.select("session_id", "user_id", "atc_ts").alias("a")
+def prefix_events(anchors: DataFrame, events_cat: DataFrame) -> DataFrame:
+    """Events strictly before each anchor in the same session — the shared
+    theta-join subtree (py:235-239, py:465-471) consumed by three candidate
+    strategies AND the prefix-stats feature dims. Computed once and cached
+    by the pipeline runner so the SortMergeJoin executes once, not 4×."""
+    a = anchors.select("session_id", "atc_ts").distinct().alias("a")
     ev = events_cat.alias("se")
-
-    # events strictly before the anchor, same session (the shared prefix
-    # subtree of strategies 1-3; py:235-239)
-    prefix = a.join(
+    return a.join(
         ev,
         (F.col("a.session_id") == F.col("se.session_id"))
         & (F.col("se.ts") < F.col("a.atc_ts")),
@@ -185,7 +176,27 @@ def build_candidates(
         F.col("a.atc_ts").alias("atc_ts"),
         F.col("se.item_id").alias("item_id"),
         F.col("se.category_id").alias("category_id"),
+        F.col("se.ts").alias("ts"),
     )
+
+
+def build_candidates(
+    anchors: DataFrame,
+    events_cat: DataFrame,
+    cfg: PipelineConfig,
+    prefix: DataFrame | None = None,
+) -> DataFrame:
+    """Five candidate strategies unioned + distinct (py:225-375).
+
+    ``events_cat``: sessionized events joined to categories
+    (session_id, user_id, ts, item_id, category_id). ``prefix``: optional
+    precomputed :func:`prefix_events` (cached by the runner). Output:
+    (session_id, atc_ts, category_id).
+    """
+    a = anchors.select("session_id", "user_id", "atc_ts").alias("a")
+
+    if prefix is None:
+        prefix = prefix_events(anchors, events_cat)
 
     # 1) prefix categories (py:235-246)
     prefix_cands = prefix.select("session_id", "atc_ts", "category_id").distinct()
@@ -309,6 +320,7 @@ def build_features(
     *,
     train_cutoff: str,
     cfg: PipelineConfig,
+    prefix: DataFrame | None = None,
 ) -> DataFrame:
     """Star-shaped feature assembly: base fact × 4 aggregated dims, all
     left-joined with the reference's exact null-fill defaults, then derived
@@ -328,33 +340,33 @@ def build_features(
         F.col("ts") < F.lit(train_cutoff).cast("timestamp")
     )
 
-    # dim 1: prefix stats per (session, atc_ts, cand_category) — left theta
-    # join then conditional aggs (py:465-496)
-    b = base.select("session_id", "atc_ts", "cand_category").distinct().alias("b")
-    ev = events_cat.alias("se")
-    pj = b.join(
-        ev,
-        (F.col("b.session_id") == F.col("se.session_id"))
-        & (F.col("se.ts") < F.col("b.atc_ts")),
-        "left",
+    # dim 1: prefix stats. The reference theta-joins every (anchor,
+    # candidate) row against every prefix event and re-aggregates
+    # (py:465-496) — fan-out = candidates/anchor × events/session. We apply
+    # the SURVEY §7.3 rewrite: aggregate the prefix ONCE per anchor (the
+    # cand-independent stats) and ONCE per (anchor, category) (the
+    # conditional stats), then left-join — algebraically identical because
+    # sum(when(cat=cand,1)) over the fan-out == count of prefix events in
+    # that category, and max(when(cat=cand, Δt)) == Δt of that category's
+    # latest prefix event. Missing groups → NULL → the same coalesce
+    # defaults as the reference's left theta join.
+    prefix_ev = prefix if prefix is not None else prefix_events(anchors, events_cat)
+    # cand-independent stats, one row per anchor (was: repeated per cand)
+    anchor_stats = prefix_ev.groupBy("session_id", "atc_ts").agg(
+        F.count("item_id").alias("n_prefix_events"),
+        F.countDistinct("item_id").alias("n_prefix_items"),
+        F.countDistinct("category_id").alias("n_unique_cats_in_session"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
     )
-    is_cand = F.col("se.category_id") == F.col("b.cand_category")
-    prefix_stats = pj.groupBy(
-        F.col("b.session_id").alias("session_id"),
-        F.col("b.atc_ts").alias("atc_ts"),
-        F.col("b.cand_category").alias("cand_category"),
+    # conditional stats keyed by the category itself — the left join against
+    # cand_category replaces the when(cat = cand_cat, ...) filters
+    cat_stats = prefix_ev.groupBy(
+        "session_id", "atc_ts", F.col("category_id").alias("cand_category")
     ).agg(
-        F.count(F.col("se.item_id")).alias("n_prefix_events"),
-        F.countDistinct(F.col("se.item_id")).alias("n_prefix_items"),
-        F.countDistinct(F.col("se.category_id")).alias("n_unique_cats_in_session"),
-        F.sum(F.when(is_cand, 1).otherwise(0)).alias("cat_count_in_prefix"),
+        F.count(F.lit(1)).alias("cat_count_in_prefix"),
         F.max(
-            F.when(
-                is_cand,
-                F.unix_micros(F.col("b.atc_ts")) - F.unix_micros(F.col("se.ts")),
-            )
+            F.unix_micros("atc_ts") - F.unix_micros("ts")
         ).alias("recency_us"),
-        F.min(F.unix_micros(F.col("se.ts"))).alias("session_start_us"),
     )
 
     # dim 2: global category popularity over train events, ALL event types
@@ -389,7 +401,8 @@ def build_features(
     )
 
     assembled = (
-        base.join(prefix_stats, ["session_id", "atc_ts", "cand_category"], "left")
+        base.join(anchor_stats, ["session_id", "atc_ts"], "left")
+        .join(cat_stats, ["session_id", "atc_ts", "cand_category"], "left")
         .join(F.broadcast(cat_pop), ["cand_category"], "left")
         .join(user_cat_aff, ["user_id", "cand_category"], "left")
         .join(user_stats, ["user_id"], "left")
@@ -556,9 +569,17 @@ def run_events_pipeline(
     anchors = extract_anchors(
         events_sess, item_cat, start="2024-01-01", end=train_cutoff
     ).cache()
-    candidates = build_candidates(anchors, events_cat, cfg)
+    # the anchor-prefix theta join feeds 3 candidate strategies + 2 feature
+    # dims — compute the SortMergeJoin once, cache, reuse (SURVEY §7.3)
+    prefix = prefix_events(anchors, events_cat).cache()
+    candidates = build_candidates(anchors, events_cat, cfg, prefix=prefix).cache()
     features = build_features(
-        anchors, candidates, events_cat, train_cutoff=train_cutoff, cfg=cfg
+        anchors,
+        candidates,
+        events_cat,
+        train_cutoff=train_cutoff,
+        cfg=cfg,
+        prefix=prefix,
     )
     if with_embeddings:
         emb = train_category_embeddings(
