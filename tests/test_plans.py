@@ -1,0 +1,73 @@
+"""Physical-plan shape regression tests.
+
+Correctness tests prove the operators compute the right rows; these prove
+the plans are the ones that survive a 100 TB scale-up (SURVEY §4.2-4.3):
+filters and projections reach the parquet scan, small dims broadcast, top-k
+never materializes a full sort, rank-limit pushes below the window, and no
+row-at-a-time Python UDF sneaks into a hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_retailrocket_recsys_spark.plans import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    """The same string df.explain(mode) prints."""
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_str(QUERIES["q_filter_ts_range"].fn(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # the ts-range predicate must actually be pushed, not just the node exist
+    assert "IsNotNull" in plan or "GreaterThan" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = plan_str(QUERIES["q_project_cast"].fn(spark, SF_DIR))
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    # lineitem has 16 columns; the projection needs 4
+    n_read = scan[scan.index("<") + 1 : scan.rindex(">")].count(",") + 1
+    assert n_read <= 4, scan
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = plan_str(QUERIES["q_join_broadcast"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = plan_str(QUERIES["q_orderby_limit"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rank_limit_pushes_below_window(spark):
+    plan = plan_str(QUERIES["q_window_topk_per_group"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_sessionize_windows_share_one_shuffle(spark):
+    """The lag + running-sum windows share PARTITION BY user ORDER BY ts —
+    one Exchange, one Sort (SURVEY §4.3.1)."""
+    plan = plan_str(QUERIES["q_sessionize"].fn(spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(QUERIES) if n != "q_stream_session_window"]
+)
+def test_no_row_python_udf_in_any_plan(spark, name):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned engine-wide;
+    Arrow-batched exchanges (ArrowEvalPython / MapInPandas) are the only
+    sanctioned Python boundary (multimodal decode)."""
+    df = QUERIES[name].fn(spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "BatchEvalPython" not in plan, name
