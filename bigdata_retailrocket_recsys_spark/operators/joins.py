@@ -93,6 +93,7 @@ def covis_pairs(
     min_count: int = 1,
     max_per_group: int | None = None,
     ts_col: str | None = None,
+    pair_strategy: str = "auto",
 ) -> DataFrame:
     """J3 — unordered co-occurrence pairs within a group.
 
@@ -102,11 +103,86 @@ def covis_pairs(
 
     ``max_per_group`` keeps only the most recent N items per group before
     pairing (needs ``ts_col``) — bounds the quadratic fan-out at scale.
+
+    ``pair_strategy``:
+
+    - ``"array"`` — collect the group's distinct items into an array (one
+      shuffle), generate pairs with JVM higher-order functions, explode,
+      count (second shuffle). 2 shuffles total vs the self-join's 4-5;
+      requires per-group item counts to be bounded (a cap, or a naturally
+      small item domain like categories) since one group's pairs
+      materialize inside a single row before the explode.
+    - ``"selfjoin"`` — the relational SortMergeJoin form; per-group size
+      only affects row fan-out, never single-row memory. The safe default
+      for unbounded groups.
+    - ``"auto"`` — array when ``max_per_group`` bounds the group, else
+      selfjoin.
+
+    Both strategies are value-identical (items are distinct per group, so a
+    pair occurs once per group either way).
     """
+    if count_distinct_col not in (None, group_col):
+        pair_strategy = "selfjoin"  # array path can't count a third column
+    elif pair_strategy == "auto":
+        pair_strategy = "array" if max_per_group else "selfjoin"
+    if max_per_group and not ts_col:
+        raise ValueError("max_per_group requires ts_col")
+
     items = df.select(group_col, item_col, *( [ts_col] if ts_col else [] )).distinct()
+
+    if pair_strategy == "array":
+        if max_per_group:
+            # top-N (ts desc, item desc) rows per group — same ranking the
+            # window form uses; struct sort is lexicographic so
+            # reverse(array_sort) == ORDER BY ts DESC, item DESC
+            g = items.groupBy(group_col).agg(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(ts_col).alias("t"),
+                                    F.col(item_col).alias("i"),
+                                )
+                            )
+                        )
+                    ),
+                    1,
+                    max_per_group,
+                ).alias("top")
+            )
+            g = g.select(
+                F.array_distinct(
+                    F.transform(F.col("top"), lambda s: s["i"])
+                ).alias("items")
+            )
+        else:
+            g = items.groupBy(group_col).agg(
+                F.collect_set(item_col).alias("items")
+            )
+        arr = F.col("items")
+        pairs_arr = F.flatten(
+            F.transform(
+                arr,
+                lambda x: F.transform(
+                    F.filter(arr, lambda y: y > x),
+                    lambda y: F.struct(
+                        x.alias("item_a"), y.alias("item_b")
+                    ),
+                ),
+            )
+        )
+        out = (
+            g.select(F.explode(pairs_arr).alias("p"))
+            .select("p.item_a", "p.item_b")
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("covis"))
+        )
+        if min_count > 1:
+            out = out.filter(F.col("covis") >= min_count)
+        return out
+
     if max_per_group:
-        if not ts_col:
-            raise ValueError("max_per_group requires ts_col")
         w = Window.partitionBy(group_col).orderBy(
             F.col(ts_col).desc(), F.col(item_col).desc()
         )

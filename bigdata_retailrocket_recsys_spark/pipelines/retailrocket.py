@@ -248,6 +248,9 @@ def build_candidates(
         group_col="session_id",
         item_col="category_id",
         min_count=cfg.cooccur_min,
+        # distinct categories per session are bounded by the catalog's
+        # category count (hundreds) — safe for the 2-shuffle array path
+        pair_strategy="array",
     ).withColumnRenamed("covis", "cooccur")
     cat_sym = cat_pairs.select(
         F.col("item_a").alias("cat_a"), F.col("item_b").alias("cat_b"), "cooccur"
