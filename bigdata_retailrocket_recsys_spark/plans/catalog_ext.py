@@ -383,6 +383,30 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_sessionize(spark, sf_dir)
 
 
+@query(
+    "q_stream_tumbling_window",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+           event_type,
+           count(*) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation with watermark:
+    parquet file stream → window(1h) agg → memory sink (AvailableNow).
+    Bounded source + deterministic aggs (count/min/max) ⇒ value-equal to
+    the batch GROUP BY ⇒ full DuckDB oracle, not just rows-only."""
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        run_streaming_tumbling,
+    )
+
+    return run_streaming_tumbling(spark, sf_dir)
+
+
 @query("q_w2v_embed", oracle=None)
 def q_w2v_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Word2Vec category embeddings (MLlib replaces the

@@ -46,6 +46,69 @@ def streaming_session_stats(
     )
 
 
+def streaming_tumbling_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (epoch-aligned windows).
+
+    Aggregates are chosen to be exactly deterministic (count + min/max —
+    no float accumulation, no distinct, which streaming prohibits), so the
+    bounded-source AvailableNow run is value-equal to the batch GROUP BY
+    and can be DuckDB-oracle-checked.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            F.col(group_col),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def run_streaming_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    window: str = "1 hour",
+    sink_table: str = "bdrr_stream_tumbling",
+) -> DataFrame:
+    """Events table → parquet file stream → tumbling-window agg → memory
+    sink, Trigger.AvailableNow. Returns the sink contents (batch-equal)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = streaming_tumbling_counts(stream, window=window)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
+
+
 def run_streaming_sessionize(
     spark: SparkSession,
     sf_dir: str,
