@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Reference-volume throughput benchmark.
+
+The reference publishes one end-to-end number: 1,902,445 events -> feature
+matrix in 444.13 s on local[*] (BASELINE.md). This script runs OUR full
+pipeline (sessionize -> 5-strategy candidates -> star-schema features ->
+MLlib Word2Vec embeddings) at the same event volume by replicating the
+driver testdata events table with shifted user ids (preserves per-user
+event counts and session structure; adds no synthetic tables to the
+declared query surface, which only ever reads /root/testdata directly).
+
+Prints one JSON line: {"metric": "pipeline_events_per_sec", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    target_events = int(os.environ.get("SPARK_GRAFT_TARGET_EVENTS", 1_900_000))
+
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.pipelines import retailrocket as rr
+    from bigdata_retailrocket_recsys_spark.session import get_spark
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    spark = get_spark("bdrr-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load_table(spark, sf_dir, "events")
+    per_copy = base.count()
+    copies = max(1, target_events // per_copy)
+    rep = None
+    for i in range(copies):
+        shifted = base.withColumn(
+            "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+        )
+        rep = shifted if rep is None else rep.unionByName(shifted)
+    n_events = per_copy * copies
+
+    cfg = rr.PipelineConfig()
+    raw = rep.select(
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item_id"),
+        F.when(F.col("event_type") == "purchase", "addtocart")
+        .otherwise(F.col("event_type"))
+        .alias("event"),
+    )
+
+    t0 = time.perf_counter()
+    events_sess = rr.sessionize_events(raw, cfg)
+    item_cat = (
+        raw.select("item_id")
+        .distinct()
+        .select("item_id", (F.col("item_id") % 20).alias("category_id"))
+    )
+    events_cat = (
+        events_sess.join(F.broadcast(item_cat), "item_id", "inner")
+        .select("session_id", "user_id", "ts", "item_id", "category_id")
+        .cache()
+    )
+    anchors = rr.extract_anchors(
+        events_sess, item_cat, start="2024-01-01", end="2024-01-21"
+    ).cache()
+    prefix = rr.prefix_events(anchors, events_cat).cache()
+    cands = rr.build_candidates(anchors, events_cat, cfg, prefix=prefix).cache()
+    feats = rr.build_features(
+        anchors, cands, events_cat, train_cutoff="2024-01-21", cfg=cfg, prefix=prefix
+    )
+    emb = rr.train_category_embeddings(
+        events_cat.filter(F.col("ts") < F.lit("2024-01-21").cast("timestamp")), cfg
+    )
+    out = rr.attach_embeddings(feats, emb, cfg)
+    out.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_events_per_sec",
+                "value": round(n_events / wall, 1),
+                "unit": "events/sec",
+                "wall_sec": round(wall, 1),
+                "n_events": n_events,
+                "reference_baseline": {
+                    "events": 1_902_445,
+                    "wall_sec": 444.13,
+                    "events_per_sec": 4284,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
