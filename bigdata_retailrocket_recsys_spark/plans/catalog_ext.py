@@ -371,11 +371,36 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_session_stats(ev, gap_minutes=30, watermark="365 days")
 
 
-@query("q_stream_session_window", oracle=None)
+@query(
+    "q_stream_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS start_us,
+           MAX(epoch_us(ts)) + 1800000000 AS end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming sessionization: parquet file stream →
     watermark → session_window agg → memory sink (Trigger.AvailableNow).
-    Streaming lifecycle isn't SQL-expressible → rows-only."""
+    The bounded source arrives as ONE micro-batch (single file), so the
+    watermark drops nothing and the sink equals the batch session_window
+    result — same DuckDB oracle as q_session_window_batch."""
     from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
         run_streaming_sessionize,
     )
