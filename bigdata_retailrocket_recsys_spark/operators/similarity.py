@@ -99,6 +99,92 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: MLlib KMeans
+    partitions the corpus into ``n_cells`` Voronoi cells; each query scores
+    only the vectors in its ``nprobe`` nearest cells.
+
+    Scale shape: the corpus is scanned once to assign cells (distributed
+    KMeans fit + transform); at rest the corpus would be *written
+    partitioned by cell* so a query reads nprobe/n_cells of the data.
+    Centroids (n_cells × dim doubles) broadcast to assign query probes —
+    no driver-side loops over the corpus. Output: query_id, vec_id,
+    cosine, rank. Recall < 1 by design; calibrate against cosine_topk.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("cvec")
+    )
+    fitted = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(c.select(array_to_vector("cvec").alias("features")))
+    assigned = fitted.transform(
+        c.select("vec_id", "cvec", array_to_vector("cvec").alias("features"))
+    ).select("vec_id", "cvec", "cell")
+
+    # centroid table: n_cells rows — broadcast side of every probe join
+    centroids = (
+        fitted.clusterCenters()
+    )  # small driver-side list (n_cells × dim), by construction
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")
+    )
+    # nprobe nearest cells per query by euclidean distance to centroid
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(cent_df)).select(
+            "query_id",
+            "qvec",
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("dist2"),
+        ),
+        group_cols=["query_id"],
+        order_by=[F.col("dist2").asc(), F.col("cell").asc()],
+        k=nprobe,
+        rank_col="probe_rank",
+    ).select("query_id", "qvec", "cell")
+
+    pairs = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    return topk_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_by=[F.col("cosine").desc(), F.col("vec_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -194,6 +194,26 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank")
 
 
+@query("q_sim_topk_ivf", oracle=None)
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate top-k: MLlib KMeans cells, queries probe
+    their nprobe nearest cells only (the at-rest layout is
+    cell-partitioned parquet). KMeans assignment isn't DuckDB-expressible
+    → rows-only."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf(
+        emb, queries, k=10, n_cells=8, nprobe=3, id_col="vec_id",
+        vec_col="embedding",
+    ).select("query_id", "vec_id", "rank")
+
+
 @query(
     "q_vector_norm",
     oracle="""

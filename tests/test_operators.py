@@ -233,6 +233,40 @@ def test_cosine_topk_hand_computed(spark):
     assert abs(out[0].cosine - 1.0) < 1e-12
 
 
+def test_cosine_topk_ivf_recall(spark):
+    """IVF probe search must (a) return well-formed per-query top-k and
+    (b) recover most of the exact brute-force neighbors on real testdata."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = cosine_topk_ivf(emb, queries, k=10, n_cells=8, nprobe=4).collect()
+
+    by_q_exact = {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.vec_id)
+    by_q_approx = {}
+    for r in approx:
+        by_q_approx.setdefault(r.query_id, []).append(r)
+
+    hits = total = 0
+    for qid, rows in by_q_approx.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1)), "ranks not 1..n"
+        assert all(r.vec_id != qid for r in rows), "self returned"
+        hits += len({r.vec_id for r in rows} & by_q_exact[qid])
+        total += len(by_q_exact[qid])
+    # nprobe=4 of 8 cells scans ~half the corpus; recall should be high
+    assert total > 0 and hits / total >= 0.6, f"recall {hits}/{total}"
+
+
 def test_lang_id_obvious(spark):
     from bigdata_retailrocket_recsys_spark.operators.text import lang_id
 
