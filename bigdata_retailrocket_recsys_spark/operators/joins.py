@@ -214,6 +214,37 @@ def covis_pairs(
     return out
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spreading equi join: manual salting for hot keys.
+
+    AQE's skew-join splitting handles most skew at runtime; manual salting
+    remains the tool when (a) AQE is unavailable (streaming joins), or
+    (b) one key is so hot a single AQE split still overflows a task. The
+    fact side gets a DETERMINISTIC salt (xxhash64 of the whole row — no
+    rand(), so retries/replays produce identical partitioning); the dim
+    side is replicated ``buckets`` times via explode. Join on
+    (key, salt) spreads each hot key over ``buckets`` tasks. Result is
+    value-identical to ``facts.join(dim, on, how)`` for inner/left joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (dim is replicated)")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(buckets)
+    ).cast("int")
+    f = facts.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return f.join(d, [on, "__salt"], how).drop("__salt")
+
+
 def semi(df: DataFrame, other: DataFrame, on: list[str]) -> DataFrame:
     """LEFT SEMI — rows of df with a match in other (SQL EXISTS)."""
     return df.join(other, on, "left_semi")

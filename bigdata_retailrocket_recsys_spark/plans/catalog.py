@@ -397,6 +397,30 @@ def q_join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_salted_skew",
+    oracle="""
+    SELECT c.c_custkey, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew salting: deterministic fact-side salt + dim replicated
+    ×buckets, joined on (key, salt) — value-identical to the plain equi
+    join (the oracle IS the plain join), spreads hot keys over
+    ``buckets`` tasks where AQE skew splitting can't run (streaming) or
+    isn't enough."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import salted_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return salted_join(c, n, "c_nationkey", buckets=8).select(
+        "c_custkey", "n_name"
+    )
+
+
+@query(
     "q_join_broadcast",
     oracle="""
     SELECT n.n_name, COUNT(*) AS n_customers

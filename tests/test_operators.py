@@ -233,6 +233,30 @@ def test_cosine_topk_hand_computed(spark):
     assert abs(out[0].cosine - 1.0) < 1e-12
 
 
+def test_salted_join_matches_plain_join(spark):
+    from bigdata_retailrocket_recsys_spark.operators.joins import salted_join
+
+    # one hot key (k=1) dominating the fact table
+    facts = spark.createDataFrame(
+        [(i, 1 if i % 10 else 2) for i in range(200)], "fid bigint, k bigint"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")],
+                                "k bigint, name string")
+    plain = {(r.fid, r.name) for r in facts.join(dim, "k").collect()}
+    salted = [
+        (r.fid, r.name)
+        for r in salted_join(facts, dim, "k", buckets=4).collect()
+    ]
+    assert len(salted) == len(plain)  # no duplicate fan-out
+    assert set(salted) == plain
+
+    # left join keeps unmatched facts exactly once
+    facts2 = facts.union(spark.createDataFrame([(999, 42)], facts.schema))
+    left = salted_join(facts2, dim, "k", buckets=4, how="left").collect()
+    assert len(left) == 201
+    assert [r.name for r in left if r.fid == 999] == [None]
+
+
 def test_cosine_topk_ivf_recall(spark):
     """IVF probe search must (a) return well-formed per-query top-k and
     (b) recover most of the exact brute-force neighbors on real testdata."""
