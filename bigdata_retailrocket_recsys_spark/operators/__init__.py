@@ -6,13 +6,29 @@ from bigdata_retailrocket_recsys_spark.operators.windows import (
     topk_per_group,
 )
 from bigdata_retailrocket_recsys_spark.operators.joins import (
+    anti,
     covis_pairs,
     pit_last_join,
     prefix_agg_join,
+    salted_join,
+    semi,
 )
 from bigdata_retailrocket_recsys_spark.operators.aggregates import (
     collect_ordered_seq,
     two_level_agg,
+)
+from bigdata_retailrocket_recsys_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from bigdata_retailrocket_recsys_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+    lsh_bucket,
 )
 
 __all__ = [
@@ -21,9 +37,21 @@ __all__ = [
     "latest_per_key",
     "running_sum",
     "topk_per_group",
+    "anti",
     "covis_pairs",
     "pit_last_join",
     "prefix_agg_join",
+    "salted_join",
+    "semi",
     "collect_ordered_seq",
     "two_level_agg",
+    "embedding_cosine_pairs",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "lsh_bucket",
 ]

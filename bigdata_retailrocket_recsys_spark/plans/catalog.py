@@ -547,6 +547,7 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_asof_prefix",
+    headline=True,
     oracle="""
     SELECT a.event_id,
            COUNT(e.event_id) AS n_prefix_events,
@@ -711,6 +712,7 @@ def q_window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_window_topk_per_group",
+    headline=True,
     oracle="""
     SELECT event_type, user_id, cnt, rnk FROM (
         SELECT event_type, user_id, cnt,

@@ -38,6 +38,7 @@ from bigdata_retailrocket_recsys_spark.plans.catalog import _t, query
 
 @query(
     "q_dedup_exact",
+    headline=True,
     oracle="""
     SELECT md5(text) AS dup_key,
            MIN(doc_id) AS keeper_id,
@@ -245,6 +246,7 @@ def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_tokenize",
+    headline=True,
     oracle="""
     SELECT token, COUNT(*) AS n
     FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
