@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis) for the semantics-critical operators.
+
+Each property runs a handful of randomized examples (Spark jobs are ~1s
+each, so max_examples stays small); the point is adversarial inputs —
+duplicate timestamps, empty groups, single-event users, exact-gap
+boundaries — that hand-written fixtures miss.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # CI determinism: same examples every run
+)
+
+GAP_S = 1800
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=6 * GAP_S),  # ts offset sec
+        st.integers(min_value=1, max_value=5),  # item_id
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(events=events_strategy)
+@settings(**PROP_SETTINGS)
+def test_sessionize_invariants(spark, events):
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(u, t * 1_000_000, i) for u, t, i in events],
+        "user_id bigint, ts_us bigint, item_id bigint",
+    ).select("user_id", F.timestamp_micros("ts_us").alias("ts"), "item_id")
+
+    out = sessionize(
+        df,
+        user_col="user_id",
+        ts_col="ts",
+        gap_minutes=GAP_S // 60,
+        tiebreak_cols=["item_id"],
+    ).collect()
+
+    # 1) row count preserved
+    assert len(out) == len(events)
+
+    # 2) intra-session gaps <= GAP; session spans one user only
+    by_sess: dict[str, list] = {}
+    for r in out:
+        by_sess.setdefault(r.session_id, []).append(r)
+    for sess_rows in by_sess.values():
+        assert len({r.user_id for r in sess_rows}) == 1
+        ts_sorted = sorted(r.ts for r in sess_rows)
+        for a, b in zip(ts_sorted, ts_sorted[1:]):
+            assert (b - a).total_seconds() <= GAP_S
+
+    # 3) consecutive sessions of one user are separated by > GAP
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        sessions = {}
+        for r in rows:
+            sessions.setdefault(r.session_id, []).append(r.ts)
+        spans = sorted((min(v), max(v)) for v in sessions.values())
+        for (_, prev_end), (nxt_start, _) in zip(spans, spans[1:]):
+            assert (nxt_start - prev_end).total_seconds() > GAP_S
+
+
+@given(events=events_strategy)
+@settings(**PROP_SETTINGS)
+def test_covis_array_equals_selfjoin(spark, events):
+    """The 2-shuffle array strategy must be value-identical to the
+    relational self-join on arbitrary inputs (incl. duplicate rows,
+    singleton groups)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import covis_pairs
+
+    df = spark.createDataFrame(
+        [(u, t * 1_000_000, i) for u, t, i in events],
+        "grp bigint, ts bigint, item bigint",
+    )
+
+    def rows(out):
+        return sorted(
+            (r.item_a, r.item_b, r.covis)
+            for r in out.collect()
+        )
+
+    for cap in (None, 2):
+        kwargs = dict(
+            group_col="grp",
+            item_col="item",
+            min_count=1,
+            max_per_group=cap,
+            ts_col="ts" if cap else None,
+        )
+        a = rows(covis_pairs(df, pair_strategy="array", **kwargs))
+        s = rows(covis_pairs(df, pair_strategy="selfjoin", **kwargs))
+        assert a == s, f"cap={cap}: {a} != {s}"
+
+
+@given(events=events_strategy)
+@settings(**PROP_SETTINGS)
+def test_topk_per_group_bounds(spark, events):
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.windows import topk_per_group
+
+    df = spark.createDataFrame(
+        [(u, t, i) for u, t, i in events], "grp bigint, score bigint, it bigint"
+    )
+    k = 3
+    out = topk_per_group(
+        df,
+        group_cols=["grp"],
+        order_by=[F.col("score").desc(), F.col("it").asc()],
+        k=k,
+        rank_col="rank",
+    ).collect()
+
+    per_group: dict[int, list] = {}
+    for r in out:
+        per_group.setdefault(r.grp, []).append(r)
+    src_count: dict[int, int] = {}
+    for u, _, _ in events:
+        src_count[u] = src_count.get(u, 0) + 1
+    for g, rows_ in per_group.items():
+        assert len(rows_) == min(k, src_count[g])
+        assert sorted(r.rank for r in rows_) == list(range(1, len(rows_) + 1))
+        # rank order respects (score desc, it asc)
+        ordered = sorted(rows_, key=lambda r: r.rank)
+        keys = [(-r.score, r.it) for r in ordered]
+        assert keys == sorted(keys)
