@@ -53,24 +53,36 @@ def main() -> None:
         .save()
     )
 
+    def timed(thunk) -> float:
+        # best of 2: GC/JIT noise at small SF can double a single run;
+        # min-of-2 measures the query, not the JVM's mood
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     headline = [n for n, q in sorted(QUERIES.items()) if q.headline]
     timings: dict[str, float] = {}
     for name in headline:
         q = QUERIES[name]
-        t0 = time.perf_counter()
-        materialize(q.fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda: materialize(q.fn(spark, sf_dir)))
 
     # end-to-end reference-shaped pipeline (sessionize → candidates →
-    # features) if available
+    # features) if available. NOTE: run_events_pipeline caches its interior
+    # stages, so a second call would measure cache hits, not the pipeline —
+    # clear the cache registry between runs.
     try:
         from bigdata_retailrocket_recsys_spark.pipelines.retailrocket import (
             run_events_pipeline,
         )
 
-        t0 = time.perf_counter()
-        materialize(run_events_pipeline(spark, sf_dir))
-        timings["pipeline_e2e"] = round(time.perf_counter() - t0, 3)
+        def run_pipeline():
+            spark.catalog.clearCache()
+            materialize(run_events_pipeline(spark, sf_dir))
+
+        timings["pipeline_e2e"] = timed(run_pipeline)
     except ImportError:
         pass
 
