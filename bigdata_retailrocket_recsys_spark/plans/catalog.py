@@ -397,6 +397,51 @@ def q_join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 450000
+    """,
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing: both sides written
+    bucketed by the join key (same bucket count), so the sort-merge join
+    runs with NO Exchange — the 100 TB layout for repeatedly-joined keys.
+    Oracle is the plain equi join (bucketing is a physical layout, not a
+    semantic change)."""
+    from bigdata_retailrocket_recsys_spark.sources.writers import write_bucketed
+
+    base = os.path.join(tempfile.gettempdir(), "bdrr_bucketed")
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "bdrr_orders_bkt",
+        bucket_by=["o_custkey"],
+        num_buckets=8,
+        sort_by=["o_custkey"],
+        path=os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        "bdrr_customer_bkt",
+        bucket_by=["c_custkey"],
+        num_buckets=8,
+        sort_by=["c_custkey"],
+        path=os.path.join(base, "customer"),
+    )
+    o = spark.table("bdrr_orders_bkt").filter(F.col("o_totalprice") > 450000)
+    c = spark.table("bdrr_customer_bkt")
+    # merge hint: prove the co-located SMJ path (broadcast would hide it)
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_custkey", "c_name")
+    )
+
+
+@query(
     "q_join_salted_skew",
     oracle="""
     SELECT c.c_custkey, n.n_name

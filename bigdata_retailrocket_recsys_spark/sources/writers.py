@@ -35,3 +35,33 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table — the co-located-join layout.
+
+    Two tables bucketed by the same key with the same bucket count join
+    WITHOUT a shuffle (no Exchange in the plan; asserted in
+    tests/test_plans.py). At 100 TB this is how the repeatedly-joined keys
+    (session_id, user_id, item_id) avoid re-shuffling the fact table for
+    every query: pay the clustering once at write time. ``sort_by`` the
+    bucket key too and the sort-merge join skips its sort.
+
+    Bucket metadata lives in the session catalog (``saveAsTable``); pass
+    ``path`` to make it an external table at a chosen location.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

@@ -54,6 +54,15 @@ def test_rank_limit_pushes_below_window(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key ⇒ sort-merge join with zero
+    shuffles — the pay-once co-location layout for 100 TB fact tables."""
+    df = QUERIES["q_join_bucketed_colocated"].fn(spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+
+
 def test_sessionize_windows_share_one_shuffle(spark):
     """The lag + running-sum windows share PARTITION BY user ORDER BY ts —
     one Exchange, one Sort (SURVEY §4.3.1)."""
