@@ -431,6 +431,43 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stateful_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def q_stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user open-session state + event-time timeout, carrying the BATCH
+    strict-> gap rule into streaming (unlike session_window's >=). Bounded
+    source → one micro-batch → upserts equal the batch sessionization →
+    full DuckDB oracle."""
+    from bigdata_retailrocket_recsys_spark.streaming.stateful import (
+        run_stateful_sessionize,
+    )
+
+    return run_stateful_sessionize(spark, sf_dir)
+
+
+@query(
     "q_stream_tumbling_window",
     oracle="""
     SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
