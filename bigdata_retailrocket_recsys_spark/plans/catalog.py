@@ -1047,6 +1047,140 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '*') AS rf,
+           COALESCE(l_linestatus, '*') AS ls,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 4 grouping combinations in one pass
+    (engine extension, SURVEY §2.4)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("ls"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS seg_building,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS seg_machinery,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS seg_automobile
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation) — compiles to the same
+    hash-aggregate as SQL FILTER clauses; pivot values enumerated
+    explicitly so no extra distinct-discovery job runs at scale."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    segs = ["BUILDING", "MACHINERY", "AUTOMOBILE"]
+    out = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"seg_{s.lower()}")
+            for s in segs
+        ],
+    )
+    return renamed
+
+
+@query(
+    "q_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode / lateral unnest of an array column (generator in the
+    SELECT list — the row-expanding primitive under every tokenize/
+    shingle op)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+
+
+@query(
+    "q_fn_levenshtein",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           levenshtein(a.n_name, b.n_name) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+def q_fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance (fuzzy-matching primitive for entity dedup) — JVM
+    built-in, exact integer → engine-independent."""
+    a = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("name_a")
+    )
+    b = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("name_b")
+    )
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(FLOOR(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) * 1e6)
+                AS BIGINT) AS median_qty_e6,
+           CAST(FLOOR(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) * 1e6)
+                AS BIGINT) AS p90_price_e6
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (linear interpolation). Interpolation arithmetic
+    may differ by 1 ulp across engines → floor(x*1e6) per the catalog
+    float rules."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.floor(
+            F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)) * 1e6
+        )
+        .cast("bigint")
+        .alias("median_qty_e6"),
+        F.floor(
+            F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.9))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("p90_price_e6"),
+    )
+
+
 @query("q_agg_approx_distinct", oracle=None)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate countDistinct (HLL) — engine extension; sketch values are
