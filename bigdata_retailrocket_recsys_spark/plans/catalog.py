@@ -177,6 +177,40 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-pruned re-read: the 100 TB
+    layout where a predicate on the partition column prunes directories
+    instead of scanning row groups (PartitionFilters asserted in
+    tests/test_plans.py)."""
+    out = os.path.join(tempfile.gettempdir(), "bdrr_parquet_partitioned")
+    write_parquet(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ),
+        out,
+        partition_by=["event_type"],
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Set operations
 # ---------------------------------------------------------------------------

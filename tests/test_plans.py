@@ -54,6 +54,15 @@ def test_rank_limit_pushes_below_window(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_partitioned_sink_prunes_partitions(spark):
+    """A predicate on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter over the full scan."""
+    df = QUERIES["q_sink_partitioned"].fn(spark, SF_DIR)
+    plan = plan_str(df)
+    pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "event_type" in pf, pf
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Both sides bucketed by the join key ⇒ sort-merge join with zero
     shuffles — the pay-once co-location layout for 100 TB fact tables."""
