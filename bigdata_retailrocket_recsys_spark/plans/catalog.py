@@ -178,6 +178,68 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_json",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, MIN(user_id) AS min_user
+    FROM events WHERE user_id < 200 GROUP BY event_type
+    """,
+)
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source (engine extension; reference reads only CSV):
+    write → read with explicit schema (no inference pass at scale) →
+    aggregate."""
+    out = os.path.join(tempfile.gettempdir(), "bdrr_json_roundtrip")
+    (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select("event_id", "user_id", "event_type")
+        .write.mode("overwrite")
+        .json(out)
+    )
+    schema = "event_id bigint, user_id bigint, event_type string"
+    return (
+        spark.read.schema(schema)
+        .json(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("min_user"),
+        )
+    )
+
+
+@query(
+    "q_scan_orc",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink (engine extension): columnar round-trip through the
+    other columnar format Spark ships natively; predicate/column pushdown
+    works the same as parquet."""
+    out = os.path.join(tempfile.gettempdir(), "bdrr_orc_roundtrip")
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return (
+        spark.read.orc(out)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
     "q_sink_partitioned",
     oracle="""
     SELECT user_id, COUNT(*) AS n,
