@@ -178,6 +178,31 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sql_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+    """,
+)
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door: the engine's tables registered as temp views and
+    queried with ``spark.sql`` (TPC-H Q6 shape) — same Catalyst plan as
+    the DataFrame API, proving both entry points serve the catalog."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("bdrr_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM bdrr_lineitem
+        WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+        """
+    )
+
+
+@query(
     "q_scan_json",
     oracle="""
     SELECT event_type, COUNT(*) AS n, MIN(user_id) AS min_user
