@@ -39,17 +39,20 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
-    ``shuffle_partitions`` defaults to 2× the local core count — small enough
-    that tiny test inputs don't drown in task overhead, while AQE coalesces
-    or splits at runtime. On a real cluster pass ~2-3× total executor cores.
+    ``shuffle_partitions`` defaults to the local core count: measured on the
+    sf0.1 pipeline, 64 partitions (2× cores) cost 26s vs 13s at 32 — task
+    scheduling overhead dominates small shuffles, and AQE's coalescing floor
+    (defaultParallelism under parallelismFirst) can't rescue a too-wide
+    default locally. On a real cluster pass ~2-3× total executor cores and
+    let AQE coalesce per stage.
     """
     master = master or _default_master()
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
         try:
-            shuffle_partitions = 2 * max(int(cpus), 4)
+            shuffle_partitions = max(int(cpus), 4)
         except ValueError:
-            shuffle_partitions = 64
+            shuffle_partitions = 32
 
     builder = (
         SparkSession.builder.appName(app_name)
