@@ -95,3 +95,43 @@ def topk_per_group(
     if rank_col:
         return out.withColumnRenamed("__rn", rank_col)
     return out.drop("__rn")
+
+
+def prefix_counts_window(
+    df: DataFrame,
+    *,
+    group_col: str,
+    ts_col: str = "ts",
+    item_col: str | None = None,
+) -> DataFrame:
+    """Cumulative prefix statistics with ONE shuffle and NO join.
+
+    When the anchors are rows of the SAME event stream (the RetailRocket
+    case: every add-to-cart is itself an event of its session), the
+    anchor-prefix theta join (joins.prefix_agg_join, ref py:465-471) is
+    overkill — a range window ``RANGE BETWEEN UNBOUNDED PRECEDING AND 1
+    PRECEDING`` over epoch-µs computes "events strictly before this row in
+    its group" in place: one hash shuffle on the group, no second pass, no
+    join fan-out. Strictness matches the reference's ``se.ts < a.atc_ts``
+    (ties at the same microsecond are excluded on both paths).
+
+    Adds per row: ``n_prefix_events``; with ``item_col`` also
+    ``n_prefix_items`` (distinct items strictly before, via
+    size(collect_set) — exact, window-legal where countDistinct is not)
+    and ``session_start_us`` (first event time in the whole group).
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(ts_us)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("n_prefix_events", F.count(F.lit(1)).over(w))
+    if item_col:
+        out = out.withColumn(
+            "n_prefix_items", F.size(F.collect_set(item_col).over(w))
+        ).withColumn(
+            "session_start_us",
+            F.min(ts_us).over(Window.partitionBy(group_col)),
+        )
+    return out

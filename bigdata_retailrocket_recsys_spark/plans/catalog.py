@@ -1169,6 +1169,31 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_prefix_counts",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS n_prefix_events
+    FROM events WHERE user_id < 50
+    """,
+)
+def q_window_prefix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-before prefix counts as a RANGE window — ONE shuffle, no
+    join: the superior plan for the reference's prefix-stats theta join
+    (py:465-471) whenever anchors are rows of the same stream. Value-based
+    frame makes same-µs ties deterministic on both engines."""
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        prefix_counts_window,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return prefix_counts_window(ev, group_col="user_id", ts_col="ts").select(
+        "event_id", "user_id", "n_prefix_events"
+    )
+
+
+@query(
     "q_agg_cube",
     oracle="""
     SELECT COALESCE(l_returnflag, '*') AS rf,

@@ -233,6 +233,55 @@ def test_cosine_topk_hand_computed(spark):
     assert abs(out[0].cosine - 1.0) < 1e-12
 
 
+def test_prefix_counts_window_matches_theta_join(spark):
+    """The one-shuffle window path must agree with the theta-join path on
+    every row, including same-timestamp ties (both strictly-before)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.joins import prefix_agg_join
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        prefix_counts_window,
+    )
+
+    rows = [  # (user, ts_us, item) with a duplicate-ts tie for user 1
+        (1, 1000, 10), (1, 2000, 11), (1, 2000, 12), (1, 3000, 10),
+        (2, 1000, 20),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, i) for u, t, i in rows], "user_id bigint, ts_us bigint, item bigint"
+    ).select("user_id", F.timestamp_micros("ts_us").alias("ts"), "item")
+
+    win = {
+        (r.user_id, r.ts, r.item): (r.n_prefix_events, r.n_prefix_items)
+        for r in prefix_counts_window(
+            df, group_col="user_id", ts_col="ts", item_col="item"
+        ).collect()
+    }
+    theta = {
+        (r.user_id, r.ts, r.item): (r.n, r.n_items)
+        for r in prefix_agg_join(
+            df.select("user_id", F.col("ts").alias("anchor_ts"), "item"),
+            df.select("user_id", "ts", F.col("item").alias("e_item")),
+            key_cols=["user_id"],
+            anchor_ts="anchor_ts",
+            event_ts="ts",
+            aggs=[
+                F.count(F.col("e.ts")).alias("n"),
+                F.size(F.collect_set("e.e_item")).alias("n_items"),
+            ],
+        )
+        .selectExpr("user_id", "anchor_ts as ts", "item", "n", "n_items")
+        .collect()
+    }
+    assert win == theta
+    # the tie rows (ts=2000µs) see only the strictly-earlier event
+    import datetime
+
+    tie_ts = datetime.datetime(1970, 1, 1, 0, 0, 0, 2000)
+    assert win[(1, tie_ts, 11)][0] == 1
+    assert win[(1, tie_ts, 12)][0] == 1
+
+
 def test_salted_join_matches_plain_join(spark):
     from bigdata_retailrocket_recsys_spark.operators.joins import salted_join
 
