@@ -431,6 +431,90 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM (
+        SELECT DISTINCT event_id, event_type FROM events
+    ) GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the stream (state = seen
+    keys, bounded by watermark in production via
+    dropDuplicatesWithinWatermark) → per-type counts. Bounded source ⇒
+    equals batch DISTINCT ⇒ full oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = (
+        stream.select("event_id", "event_type")
+        .dropDuplicates(["event_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bdrr_stream_dedup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("bdrr_stream_dedup")
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    WITH cat AS (
+        SELECT DISTINCT user_id % 10 AS user_bucket FROM events
+    )
+    SELECT e.user_id % 10 AS user_bucket, COUNT(*) AS n_events
+    FROM events e JOIN cat c ON e.user_id % 10 = c.user_bucket
+    GROUP BY 1
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming fact joins a static
+    (batch) dimension per micro-batch — the streaming form of dimension
+    enrichment (no state, dim re-resolved each batch). Bounded source ⇒
+    equals the batch join ⇒ full oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("user_bucket", F.col("user_id") % 10)
+    )
+    static_dim = (
+        _t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 10).alias("user_bucket"))
+        .distinct()
+    )
+    out = (
+        stream.join(F.broadcast(static_dim), "user_bucket")
+        .groupBy("user_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bdrr_stream_static")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("bdrr_stream_static")
+
+
+@query(
     "q_stream_stateful_sessionize",
     oracle="""
     WITH flagged AS (
