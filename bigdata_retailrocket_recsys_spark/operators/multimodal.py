@@ -125,3 +125,94 @@ def extract_media_features(
     return assets.select("asset_id", "payload").mapInPandas(
         _extract, schema=FEATURE_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame, *, width: int, height: int, decode_stub: str = "fake"
+) -> DataFrame:
+    """Image resize over ``mapInPandas`` — the PIL/libvips call site is
+    stubbed (``'error'`` raises NotImplementedError where
+    ``Image.open(...).resize(...)`` would run; ``'fake'`` passes the
+    payload through and stamps the target dims) but the distributed
+    plumbing — Arrow batches of binary payloads in, binary out, schema
+    contract — is real and tested."""
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if decode_stub == "error":
+                    raise NotImplementedError(
+                        "image resize requires PIL/libvips; plug the real "
+                        "decoder in here"
+                    )
+                out.append(
+                    {
+                        "asset_id": int(asset_id),
+                        "payload": bytes(payload),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, *, every_n: int = 8, decode_stub: str = "fake"
+) -> DataFrame:
+    """Video frame sampling over ``mapInPandas`` — a row-expanding UDF
+    (one asset → many frames), the shape ffmpeg-based extraction uses.
+    ``'fake'`` emits deterministic byte-slices as stand-in frames; the
+    explode-like fan-out, Arrow batching, and schema contract are real."""
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                if decode_stub == "error":
+                    raise NotImplementedError(
+                        "frame extraction requires ffmpeg; plug the real "
+                        "demuxer in here"
+                    )
+                # fake: every_n-th 16-byte slice acts as a frame
+                for i, off in enumerate(range(0, max(len(data), 1), 16 * every_n)):
+                    out.append(
+                        {
+                            "asset_id": int(asset_id),
+                            "frame_idx": i,
+                            "frame": data[off : off + 16],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _sample, schema=FRAME_SCHEMA
+    )

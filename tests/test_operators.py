@@ -375,3 +375,29 @@ def test_multimodal_stub_paths(spark):
     assert "NotImplementedError" in str(exc.value) or "media decode" in str(
         exc.value
     )
+
+
+def test_multimodal_resize_and_frames(spark):
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "abc")], "doc_id bigint, text string"
+    )
+    assets = attach_fake_media(df, id_col="doc_id", payload_from="text")
+
+    resized = {r.asset_id: r for r in resize_images(assets, width=64, height=64).collect()}
+    assert resized[1].width == 64 and resized[1].height == 64
+    assert bytes(resized[2].payload) == b"abc"  # fake path: pass-through
+
+    frames = sample_frames(assets, every_n=2).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # 100 bytes / (16*2) stride → 4 frames; 3 bytes → 1 frame
+    assert len(by_asset[1]) == 4 and len(by_asset[2]) == 1
+    assert [r.frame_idx for r in sorted(by_asset[1], key=lambda x: x.frame_idx)] == [0, 1, 2, 3]
+    assert bytes(by_asset[2][0].frame) == b"abc"
