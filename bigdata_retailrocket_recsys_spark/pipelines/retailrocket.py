@@ -544,9 +544,18 @@ def run_events_pipeline(
     train_cutoff: str = "2024-01-21",
     end: str = "2024-02-01",
     with_embeddings: bool = True,
+    observe: "Observation | None" = None,
 ) -> DataFrame:
     """Full reference-shaped pipeline on the driver testdata: props.k acts
-    as item_id, category = item mod 20, 'purchase' acts as add-to-cart."""
+    as item_id, category = item mod 20, 'purchase' acts as add-to-cart.
+
+    ``observe``: optional ``pyspark.sql.Observation`` — attaches the
+    reference's printed stage invariants (feature rows, positive labels,
+    distinct sessions; py:93,136,597,659) as observation metrics that ride
+    the SAME job instead of firing extra count() actions the way the
+    reference does. After any action on the result,
+    ``observe.get`` returns ``{"n_rows", "n_pos", "n_sessions"}`` for free.
+    """
     cfg = cfg or PipelineConfig()
     raw = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -590,4 +599,11 @@ def run_events_pipeline(
             cfg,
         )
         features = attach_embeddings(features, emb, cfg)
+    if observe is not None:
+        features = features.observe(
+            observe,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("y").alias("n_pos"),
+            F.approx_count_distinct("session_id").alias("n_sessions"),
+        )
     return features

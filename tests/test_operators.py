@@ -377,6 +377,26 @@ def test_multimodal_stub_paths(spark):
     )
 
 
+def test_pipeline_observation_metrics(spark):
+    """Stage invariants ride the job as Observation metrics — the
+    scale-friendly form of the reference's printed count() calls."""
+    from pyspark.sql import Observation
+
+    from bigdata_retailrocket_recsys_spark.pipelines.retailrocket import (
+        run_events_pipeline,
+    )
+
+    obs = Observation("pipeline")
+    out = run_events_pipeline(
+        spark, "/root/testdata/sf0.001", with_embeddings=False, observe=obs
+    )
+    n_rows = out.count()  # the ONE action; metrics piggyback on it
+    m = obs.get
+    assert m["n_rows"] == n_rows > 0
+    assert 0 < m["n_pos"] < m["n_rows"]
+    assert m["n_sessions"] > 0
+
+
 def test_multimodal_resize_and_frames(spark):
     from bigdata_retailrocket_recsys_spark.operators.multimodal import (
         attach_fake_media,
