@@ -1169,6 +1169,45 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey) OVER w AS next_order,
+           DENSE_RANK() OVER w AS drank,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS rolling3_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window completeness beyond the reference's lag/row_number
+    (SURVEY §2.5 'not present' list): lead, dense_rank, ntile,
+    first_value, and an explicit ROWS BETWEEN rolling frame — one window
+    spec, one shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    roll = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(roll)
+        .cast("double")
+        .alias("rolling3_price"),
+    )
+
+
+@query(
     "q_window_prefix_counts",
     oracle="""
     SELECT event_id, user_id,
