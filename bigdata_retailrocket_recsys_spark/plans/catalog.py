@@ -1169,6 +1169,41 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fn_struct_map",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice AS packed_price,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS from_map
+    FROM orders WHERE o_orderkey < 400
+    """,
+)
+def q_fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types (absent from the reference — SURVEY §1.2): pack a
+    struct, read a field back; build a map literal, look up a key. Output
+    projected to scalars so the oracle compares values, not engine-specific
+    nested renderings. The multimodal meta column (multimodal.py) uses the
+    same struct machinery."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    packed = o.withColumn(
+        "pack",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        ),
+    ).withColumn(
+        "status_flags",
+        F.create_map(F.lit("F"), F.lit(1), F.lit("O"), F.lit(0), F.lit("P"), F.lit(0)),
+    )
+    return packed.select(
+        "o_orderkey",
+        F.col("pack.price").alias("packed_price"),
+        F.coalesce(
+            F.col("status_flags")[F.col("pack.status")], F.lit(0)
+        ).alias("from_map"),
+    )
+
+
+@query(
     "q_window_analytics",
     oracle="""
     SELECT o_custkey, o_orderkey,
