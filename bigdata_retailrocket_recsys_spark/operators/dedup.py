@@ -286,6 +286,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over near-dup
+    candidate pairs (the step after any pairwise dedup — LSH/Jaccard pairs
+    only say "a~b"; picking one canonical doc per GROUP needs components).
+
+    Iterative min-label propagation: every node starts labeled with its own
+    id; each round a node takes the min of its label and its neighbors'
+    labels, until a fixpoint (≤ graph diameter rounds, bounded by
+    ``max_iter``). Each round is one join + one map-side-combinable min
+    aggregate; lineage is truncated per round with ``localCheckpoint`` so
+    the plan stays flat. The driver-side loop is orchestration only — no
+    data is collected beyond the 1-value convergence count (the standard
+    Spark shape for iterative graph algorithms; at extreme diameters
+    switch to the large-star/small-star variant which converges in
+    O(log² n) rounds).
+
+    Output: ``node_col``, ``cluster_id`` (min node id reachable; singleton
+    nodes keep their own id).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("__n"), F.col(dst_col).alias("__peer")
+    ).union(
+        edges.select(F.col(dst_col).alias("__n"), F.col(src_col).alias("__peer"))
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("__n"), F.col(node_col).alias("__lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(
+                F.col("__n").alias("__peer"), F.col("__lbl")
+            ),
+            "__peer",
+        ).select("__n", "__lbl")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("__n")
+            .agg(F.min("__lbl").alias("__lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "__n")
+            .filter(F.col("new.__lbl") != F.col("old.__lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("__n").alias(node_col), F.col("__lbl").alias("cluster_id")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     *,

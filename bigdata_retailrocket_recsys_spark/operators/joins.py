@@ -214,6 +214,134 @@ def covis_pairs(
     return out
 
 
+def asof_join(
+    anchors: DataFrame,
+    events: DataFrame,
+    *,
+    key_cols: list[str],
+    anchor_ts: str,
+    event_ts: str,
+    value_cols: list[str],
+    tiebreak_col: str,
+    strict: bool = True,
+    prefix: str = "prev_",
+) -> DataFrame:
+    """True as-of join: attach the SINGLE nearest-preceding event to each
+    anchor row (reference builds the as-of *pattern* from theta joins,
+    py:349-353 — this is the proper operator the reference lacks,
+    SURVEY §2.3 "ASOF joins proper").
+
+    Spark-first plan: instead of a SortMergeJoin with residual inequality
+    (whose intermediate fan-out is anchors × full per-key event history),
+    union both sides into one stream and take a running ``last`` over a
+    window — ONE shuffle on the key, ONE sort, zero join fan-out. This is
+    the formulation that survives 100 TB: cost is O(n log n) per key,
+    independent of history length per anchor.
+
+    Semantics: for each anchor, the event with the greatest
+    ``(event_ts, tiebreak_col)`` such that ``event_ts < anchor_ts``
+    (strictly before — SURVEY §4.4 half-open discipline; ``strict=False``
+    for ``<=``). Anchors with no preceding event get NULLs. Event rows with
+    NULL values are matched as-is (the carried payload is a struct, so a
+    NULL field does not fall through to an older event).
+
+    Output: all anchor columns + ``prefix + value_col`` for each value col
+    + ``prefix + event_ts``.
+    """
+    a_cols = anchors.columns
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in value_cols],
+        F.col(event_ts).alias("__ets"),
+    )
+    # __pos orders same-ts rows: strict → anchors (0) BEFORE events (1) so
+    # an event at exactly anchor_ts is invisible; non-strict → events (0)
+    # first so it is visible.
+    ev_side = events.select(
+        *[F.col(c) for c in key_cols],
+        F.col(event_ts).alias("__ts"),
+        F.lit(1 if strict else 0).alias("__pos"),
+        F.col(tiebreak_col).alias("__tb"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(anchors.schema[c].dataType).alias(f"__a_{c}")
+          for c in a_cols],
+    )
+    an_side = anchors.select(
+        *[F.col(c) for c in key_cols],
+        F.col(anchor_ts).alias("__ts"),
+        F.lit(0 if strict else 1).alias("__pos"),
+        F.lit(None).cast(ev_side.schema["__tb"].dataType).alias("__tb"),
+        F.lit(None).cast(ev_side.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__a_{c}") for c in a_cols],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__ts", "__pos", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = ev_side.unionByName(an_side).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("__payload").isNull()).select(
+        *[F.col(f"__a_{c}").alias(c) for c in a_cols],
+        *[F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in value_cols],
+        F.col("__match.__ets").alias(f"{prefix}{event_ts}"),
+    )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_val: str,
+    right_val: str,
+    eps: float,
+    extra_cond: Column | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """ε-band join: pairs with ``|left.val - right.val| <= eps`` (optionally
+    also equal on ``key_cols``).
+
+    Naive form is a cross join with a residual predicate —
+    BroadcastNestedLoopJoin, quadratic, dead at scale. This bucketizes both
+    sides by ``floor(val / eps)``: any ε-close pair differs by at most one
+    bucket, so the left side is exploded to buckets {b-1, b, b+1} and the
+    join is a plain equi join on (key, bucket) — shuffle-partitionable,
+    AQE-skew-splittable. Each qualifying pair matches exactly once (the
+    right row's bucket is unique). The exact band predicate is re-applied
+    after the equi join.
+
+    Output: left columns aliased ``a_*``, right columns ``b_*``.
+    """
+    lb = F.floor(F.col(left_val) / F.lit(eps))
+    rb = F.floor(F.col(right_val) / F.lit(eps))
+    key_cols = key_cols or []
+    l = left.select(
+        *[F.col(c).alias(f"a_{c}") for c in left.columns],
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("__bucket"),
+        *[F.col(c).alias(f"__lk_{c}") for c in key_cols],
+    )
+    r = right.select(
+        *[F.col(c).alias(f"b_{c}") for c in right.columns],
+        rb.alias("__bucket"),
+        *[F.col(c).alias(f"__rk_{c}") for c in key_cols],
+    )
+    on = [l["__bucket"] == r["__bucket"]] + [
+        l[f"__lk_{c}"] == r[f"__rk_{c}"] for c in key_cols
+    ]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    band = (
+        F.abs(F.col(f"a_{left_val}") - F.col(f"b_{right_val}")) <= F.lit(eps)
+    )
+    if extra_cond is not None:
+        band = band & extra_cond
+    drop = ["__bucket"] + [f"__lk_{c}" for c in key_cols] + [
+        f"__rk_{c}" for c in key_cols
+    ]
+    return l.join(r, cond, "inner").filter(band).drop(*drop)
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,

@@ -1,0 +1,78 @@
+"""Deterministic dataset splitting / sampling — training-pipeline staples.
+
+The reference splits train/valid by a timestamp range predicate
+(py:199-207). Time splits are right for temporal models; for corpus-style
+training data the standard tool is a HASH split: stable under reruns,
+independent of row order and partitioning, and joins/reshards never move a
+row across splits. ``randomSplit``/``sample`` do NOT have those properties
+(seeded per-partition RNG — repartitioning reshuffles membership), so the
+engine's split is built on a content hash instead.
+
+Design: md5 over the key columns (content-defined, available in every
+engine — xxhash64 is Spark-only), take the first 4 hex chars = 16 bits,
+and compare against fixed-width hex thresholds. Lexicographic compare of
+fixed-width lowercase hex ≡ numeric compare, so the same expression runs
+in any SQL dialect. Pure JVM expressions, narrow (no shuffle), whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: unit separator — joins multi-column keys without ambiguity ("a"+"bc" vs
+#: "ab"+"c") as long as values don't contain \x1f
+_SEP = "\x1f"
+
+
+def _bucket_hex(key_cols: list[str]) -> Column:
+    cols = [F.col(c).cast("string") for c in key_cols]
+    return F.substring(F.md5(F.concat_ws(_SEP, *cols)), 1, 4)
+
+
+def split_thresholds(fractions: list[float]) -> list[str]:
+    """Cumulative 16-bit thresholds as fixed-width hex strings; the last
+    fraction is implicit (remainder to 0xffff)."""
+    out, acc = [], 0.0
+    for f in fractions[:-1]:
+        acc += f
+        out.append(format(min(int(round(acc * 65536)), 65535), "04x"))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    splits: list[tuple[str, float]],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label by content hash.
+
+    ``splits`` is ``[(name, fraction), ...]``; fractions must sum to 1.
+    A row's split depends only on its key values — stable across runs,
+    engines, partitionings, and data growth (new rows never move old rows).
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bounds = split_thresholds([f for _, f in splits])
+    h = _bucket_hex(key_cols)
+    expr = F.lit(splits[-1][0])
+    for (name, _), bound in reversed(list(zip(splits[:-1], bounds))):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    fraction: float,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample by content hash — reproducible
+    across engines and runs, unlike ``df.sample`` (partition-seeded RNG).
+    """
+    bound = format(min(int(round(fraction * 65536)), 65535), "04x")
+    return df.filter(_bucket_hex(key_cols) < F.lit(bound))

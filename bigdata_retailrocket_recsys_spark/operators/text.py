@@ -112,6 +112,64 @@ def quality_score(
     )
 
 
+def tfidf(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """TF-IDF term weights per document — corpus-statistic operator for
+    training-data curation (term-based filtering, keyword extraction).
+
+    Fully relational: tokenize-once explode → (doc, term) counts → document
+    frequency → smooth idf ``ln((N+1)/(df+1)) + 1``. Three hash aggregates
+    (all map-side combinable) + one broadcast of the 1-row corpus size;
+    no UDFs. With ``top_k``, keeps the k highest-weight terms per doc
+    ranked by the µ-floored weight (bigint — cross-engine deterministic,
+    SURVEY float rule 3) with term-ascending tiebreak.
+
+    Output: doc, term, n_tf, n_df, tfidf_u (= floor(tf·idf·1e6)).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("n_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("n_df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_u",
+            F.floor(
+                F.col("n_tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("n_df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(1e6)
+            ),
+        )
+        .select("doc", "term", "n_tf", "n_df", "tfidf_u")
+    )
+    if top_k is None:
+        return weighted
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tfidf_u").desc(), F.col("term").asc()
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 def fingerprint(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -644,3 +644,217 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of normalized text + head/tail shingle
     rolling fingerprint (md5 on both engines → byte-identical)."""
     return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# As-of / band joins, hash split, TF-IDF, dedup clustering (session additions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH anchors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), src AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type <> 'purchase'
+    )
+    SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+           e.event_id AS prev_event_id, e.value AS prev_value,
+           epoch_us(e.ts) AS prev_ts_us
+    FROM anchors a LEFT JOIN src e
+      ON a.user_id = e.user_id AND e.ts < a.ts
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY a.event_id
+        ORDER BY e.ts DESC NULLS LAST, e.event_id DESC NULLS LAST) = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True as-of join (nearest preceding, strict `<`): each purchase gets
+    the single latest earlier non-purchase event of the same user. The
+    reference builds as-of lookups from theta joins (py:349-353); this is
+    the proper operator via union+window — ONE shuffle, no per-key
+    history fan-out (operators/joins.asof_join)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    src = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        anchors,
+        src,
+        key_cols=["user_id"],
+        anchor_ts="ts",
+        event_ts="ts",
+        value_cols=["event_id", "value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "prev_event_id",
+        "prev_value",
+        F.unix_micros("prev_ts").alias("prev_ts_us"),
+    )
+
+
+@query(
+    "q_join_range_band",
+    oracle="""
+    SELECT a.event_id AS a_event_id, b.event_id AS b_event_id,
+           a.value - b.value AS diff
+    FROM events a JOIN events b
+      ON a.event_type = b.event_type AND a.event_id < b.event_id
+     AND abs(a.value - b.value) <= 0.02
+    """,
+)
+def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-band join: same-type event pairs with |Δvalue| ≤ 0.02, via
+    bucket-explode equi join (operators/joins.band_join) — shuffle-
+    partitionable, never a BroadcastNestedLoopJoin cross product. Oracle is
+    the naive theta join; results are value-identical (subtraction is exact
+    IEEE — float rule 3)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import band_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = band_join(
+        ev,
+        ev,
+        left_val="value",
+        right_val="value",
+        eps=0.02,
+        key_cols=["event_type"],
+        extra_cond=F.col("a_event_id") < F.col("b_event_id"),
+    )
+    return out.select(
+        "a_event_id",
+        "b_event_id",
+        (F.col("a_value") - F.col("b_value")).alias("diff"),
+    )
+
+
+@query(
+    "q_split_hash",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '199a'
+                THEN 'valid'
+                WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '3333'
+                THEN 'test'
+                ELSE 'train' END AS split
+    FROM events
+    """,
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/test/valid split (10/10/80).
+    Unlike randomSplit/sample (partition-seeded RNG), membership depends
+    only on the key — stable across runs, engines, and repartitioning
+    (operators/splits.hash_split). Reference splits by time range
+    (py:199-207); hash splits are the corpus-pipeline complement."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import hash_split
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    return hash_split(
+        ev,
+        key_cols=["event_id"],
+        splits=[("valid", 0.1), ("test", 0.1), ("train", 0.8)],
+    )
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc, term, COUNT(*) AS n_tf
+        FROM tok WHERE term <> '' GROUP BY doc, term
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS n_df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc, term, n_tf, n_df, tfidf_u, rank FROM (
+        SELECT tf.doc, tf.term, tf.n_tf, dfreq.n_df,
+               CAST(FLOOR(CAST(tf.n_tf AS DOUBLE)
+                    * (ln(CAST(n_docs + 1 AS DOUBLE)
+                          / CAST(dfreq.n_df + 1 AS DOUBLE)) + 1.0)
+                    * 1e6) AS BIGINT) AS tfidf_u,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc
+                   ORDER BY CAST(FLOOR(CAST(tf.n_tf AS DOUBLE)
+                        * (ln(CAST(n_docs + 1 AS DOUBLE)
+                              / CAST(dfreq.n_df + 1 AS DOUBLE)) + 1.0)
+                        * 1e6) AS BIGINT) DESC, tf.term ASC) AS rank
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rank <= 5
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 terms per document (operators/text.tfidf): three
+    map-side-combinable aggregates + 1-row corpus-size broadcast, ranked by
+    the µ-floored weight (float rule 3 — ln goes through floor(x*1e6))."""
+    from bigdata_retailrocket_recsys_spark.operators.text import tfidf
+
+    return tfidf(_t(spark, sf_dir, "documents"), top_k=5)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id AS doc, lang, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM tok GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+         AND a.lang = b.lang AND a.source = b.source
+        GROUP BY a.doc, b.doc
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(s, d) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over Jaccard≥0.5 near-dup
+    pairs (min-label propagation, operators/dedup.connected_components) —
+    the canonical-doc-per-group step after pairwise dedup. Oracle:
+    recursive-CTE transitive closure over the same edge set."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_n=1,
+        min_jaccard=0.5,
+    ).select("doc_a", "doc_b")
+    return connected_components(
+        docs, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )

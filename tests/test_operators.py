@@ -421,3 +421,158 @@ def test_multimodal_resize_and_frames(spark):
     assert len(by_asset[1]) == 4 and len(by_asset[2]) == 1
     assert [r.frame_idx for r in sorted(by_asset[1], key=lambda x: x.frame_idx)] == [0, 1, 2, 3]
     assert bytes(by_asset[2][0].frame) == b"abc"
+
+
+def test_asof_join_nearest_and_strict(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.joins import asof_join
+
+    # user 1: events at t=10,20,30(null value); anchors at t=20 (strict →
+    # only t=10 visible), t=25, t=40. user 2: no events → NULL match.
+    events = spark.createDataFrame(
+        [(1, 10, 100, 1.0), (1, 20, 101, 2.0), (1, 30, 102, None)],
+        "user_id bigint, ts bigint, event_id bigint, value double",
+    )
+    anchors = spark.createDataFrame(
+        [(1, 20, 900), (1, 25, 901), (1, 40, 902), (2, 15, 903)],
+        "user_id bigint, ts bigint, anchor_id bigint",
+    )
+    out = {
+        r.anchor_id: r
+        for r in asof_join(
+            anchors,
+            events,
+            key_cols=["user_id"],
+            anchor_ts="ts",
+            event_ts="ts",
+            value_cols=["event_id", "value"],
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[900].prev_event_id == 100  # strict: t=20 event excluded
+    assert out[901].prev_event_id == 101 and out[901].prev_value == 2.0
+    # a NULL field in the matched event must NOT fall through to older rows
+    assert out[902].prev_event_id == 102 and out[902].prev_value is None
+    assert out[903].prev_event_id is None
+
+    # non-strict: anchor at t=20 sees the t=20 event
+    lax = {
+        r.anchor_id: r
+        for r in asof_join(
+            anchors,
+            events,
+            key_cols=["user_id"],
+            anchor_ts="ts",
+            event_ts="ts",
+            value_cols=["event_id"],
+            tiebreak_col="event_id",
+            strict=False,
+        ).collect()
+    }
+    assert lax[900].prev_event_id == 101
+
+    # same-ts events: greatest tiebreak wins
+    dup = spark.createDataFrame(
+        [(1, 10, 100, 1.0), (1, 10, 105, 5.0)],
+        "user_id bigint, ts bigint, event_id bigint, value double",
+    )
+    tie = asof_join(
+        anchors.filter(F.col("anchor_id") == 900),
+        dup,
+        key_cols=["user_id"],
+        anchor_ts="ts",
+        event_ts="ts",
+        value_cols=["event_id"],
+        tiebreak_col="event_id",
+    ).collect()
+    assert tie[0].prev_event_id == 105
+
+
+def test_band_join_matches_naive(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.joins import band_join
+
+    df = spark.createDataFrame(
+        [(i, "t", v) for i, v in enumerate(
+            [0.0, 0.019, 0.02, 0.041, 0.5, 0.52, 0.54, -0.01, None]
+        )],
+        "id bigint, grp string, v double",
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in band_join(
+            df, df, left_val="v", right_val="v", eps=0.02,
+            key_cols=["grp"],
+            extra_cond=F.col("a_id") < F.col("b_id"),
+        ).collect()
+    )
+    naive = sorted(
+        (r.i, r.j)
+        for r in df.alias("a").join(
+            df.alias("b"),
+            (F.col("a.grp") == F.col("b.grp"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.v") - F.col("b.v")) <= 0.02),
+        ).select(F.col("a.id").alias("i"), F.col("b.id").alias("j")).collect()
+    )
+    # note (4,5) is in NEITHER: 0.52-0.5 = 0.020000000000000018 in IEEE754 —
+    # both forms apply the identical predicate, which is the contract
+    assert got == naive and (0, 2) in got and (0, 7) in got
+
+
+def test_hash_split_deterministic_fractions(spark):
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    splits = [("valid", 0.1), ("test", 0.1), ("train", 0.8)]
+    out = hash_split(df, key_cols=["k"], splits=splits)
+    counts = {r.split: r.cnt for r in out.groupBy("split").count()
+              .withColumnRenamed("count", "cnt").collect()}
+    assert abs(counts["valid"] / 20000 - 0.1) < 0.02
+    assert abs(counts["test"] / 20000 - 0.1) < 0.02
+    # stable under repartitioning (the property sample() lacks)
+    again = hash_split(
+        df.repartition(13), key_cols=["k"], splits=splits
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+    n = hash_sample(df, key_cols=["k"], fraction=0.25).count()
+    assert abs(n / 20000 - 0.25) < 0.02
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node bigint")
+    # chain 0-1-2-3, pair 4-5, singletons 6,7
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (4, 5)], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_tfidf_hand_computed(spark):
+    import math
+
+    from bigdata_retailrocket_recsys_spark.operators.text import tfidf
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c")],
+        "doc_id bigint, text string",
+    )
+    rows = {(r.doc, r.term): r for r in tfidf(df).collect()}
+    # 'a' appears in 2 docs, tf=2 in doc 1: 2 * (ln(4/3) + 1) * 1e6
+    exp = math.floor(2 * (math.log(4 / 3) + 1) * 1e6)
+    assert rows[(1, "a")].tfidf_u == exp and rows[(1, "a")].n_df == 2
+    assert rows[(3, "c")].n_tf == 3 and rows[(3, "c")].n_df == 2
