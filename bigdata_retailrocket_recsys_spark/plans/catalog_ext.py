@@ -858,3 +858,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )
+
+
+@query(
+    "q_stream_sliding_window",
+    oracle="""
+    WITH w AS (
+        SELECT unnest([
+                   (epoch_us(ts) // 1800000000) * 1800000000,
+                   (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000
+               ]) AS win_start_us,
+               event_type, value
+        FROM events
+    )
+    SELECT win_start_us, event_type, count(*) AS n_events,
+           min(value) AS min_value, max(value) AS max_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming SLIDING-window aggregation (1h window / 30min
+    slide — each event in 2 overlapping windows), watermarked, AvailableNow
+    → memory sink. Bounded source + deterministic aggs ⇒ batch-equal ⇒
+    full DuckDB oracle (each event unnested into its 2 windows)."""
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        run_streaming_tumbling,
+    )
+
+    return run_streaming_tumbling(
+        spark,
+        sf_dir,
+        window="1 hour",
+        slide="30 minutes",
+        sink_table="bdrr_stream_sliding",
+    )

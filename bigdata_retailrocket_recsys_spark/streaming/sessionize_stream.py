@@ -51,19 +51,27 @@ def streaming_tumbling_counts(
     *,
     ts_col: str = "ts",
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "2 hours",
     group_col: str = "event_type",
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation (epoch-aligned windows).
+    """Watermarked tumbling-window aggregation (epoch-aligned windows);
+    with ``slide`` set, a SLIDING window — each event lands in
+    window/slide overlapping windows (e.g. 1h every 30min → 2).
 
     Aggregates are chosen to be exactly deterministic (count + min/max —
     no float accumulation, no distinct, which streaming prohibits), so the
     bounded-source AvailableNow run is value-equal to the batch GROUP BY
     and can be DuckDB-oracle-checked.
     """
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(group_col))
+        .groupBy(win.alias("w"), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min("value").alias("min_value"),
@@ -84,10 +92,12 @@ def run_streaming_tumbling(
     sf_dir: str,
     *,
     window: str = "1 hour",
+    slide: str | None = None,
     sink_table: str = "bdrr_stream_tumbling",
 ) -> DataFrame:
-    """Events table → parquet file stream → tumbling-window agg → memory
-    sink, Trigger.AvailableNow. Returns the sink contents (batch-equal)."""
+    """Events table → parquet file stream → tumbling (or, with ``slide``,
+    sliding) window agg → memory sink, Trigger.AvailableNow. Returns the
+    sink contents (batch-equal)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
@@ -97,7 +107,7 @@ def run_streaming_tumbling(
         .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    out = streaming_tumbling_counts(stream, window=window)
+    out = streaming_tumbling_counts(stream, window=window, slide=slide)
     q = (
         out.writeStream.format("memory")
         .queryName(sink_table)

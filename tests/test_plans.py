@@ -89,3 +89,26 @@ def test_no_row_python_udf_in_any_plan(spark, name):
     df = QUERIES[name].fn(spark, SF_DIR)
     plan = plan_str(df, "simple")
     assert "BatchEvalPython" not in plan, name
+
+
+def test_asof_join_is_one_window_no_join(spark):
+    """asof_join must plan as union + ONE window shuffle — no join node at
+    all (the SMJ-with-residual-inequality form fans out per-key history;
+    the union+window form is why it survives 100 TB)."""
+    plan = plan_str(QUERIES["q_join_asof_nearest"].fn(spark, SF_DIR), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_band_join_is_equi_not_nested_loop(spark):
+    """band_join's bucket trick must produce a partitionable equi join —
+    never the quadratic BroadcastNestedLoopJoin/CartesianProduct a naive
+    |a-b|<=eps predicate plans to."""
+    plan = plan_str(QUERIES["q_join_range_band"].fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_topk_pushes_rank_limit(spark):
+    plan = plan_str(QUERIES["q_tfidf"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
