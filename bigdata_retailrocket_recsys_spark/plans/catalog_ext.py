@@ -892,3 +892,73 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide="30 minutes",
         sink_table="bdrr_stream_sliding",
     )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '*') AS status,
+           COALESCE(o_orderpriority, '*') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completes the rollup/cube family, SURVEY
+    §2.4 'engine adds') with grouping_id — one pass, no union of scans.
+    Decimal-routed price sum (float rule 2); COALESCE sentinels make the
+    subtotal rows hash-comparable."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("*")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("*")).alias("priority"),
+            "n",
+            "sum_price",
+            "gid",
+        )
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (floor arithmetic — IEEE-identical
+    across engines, float rule 3): one map-side-combinable aggregate, the
+    distributed profile/summary-stats shape for data curation."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / F.lit(25.0)).cast("bigint").alias("bin"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
