@@ -962,3 +962,90 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(v.ts) AS view_ts_us, epoch_us(p.ts) AS purchase_ts_us
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (views ⋈ purchases within 1h,
+    same user): both streams buffer watermark-bounded state; the time-range
+    condition lets Spark expire it. Bounded source + AvailableNow ⇒ every
+    qualifying pair emitted exactly once ⇒ full DuckDB oracle
+    (streaming/stream_join.py)."""
+    from bigdata_retailrocket_recsys_spark.streaming.stream_join import (
+        run_stream_stream_join,
+    )
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
+@query(
+    "q_dedup_apply",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id AS doc, lang, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM tok GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+         AND a.lang = b.lang AND a.source = b.source
+        GROUP BY a.doc, b.doc
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(s, d) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), clusters AS (
+        SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup REMOVAL: cluster Jaccard≥0.5 pairs, keep one
+    canonical doc per cluster (min id — deterministic), return the
+    surviving corpus. The composition a production curation pipeline runs:
+    pairs → components → filter."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_n=1,
+        min_jaccard=0.5,
+    ).select("doc_a", "doc_b")
+    cc = connected_components(
+        docs, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    keepers = cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )

@@ -1,0 +1,92 @@
+"""Stream-stream join (engine extension — SURVEY §2.9).
+
+The reference is pure batch; its view→purchase attribution shape
+(candidates × prefix events) would, in a continuous pipeline, be a
+watermarked stream-stream join: both sides buffer state, the event-time
+range condition bounds how long a row waits for matches, and watermarks
+expire state — without them the join state grows forever.
+
+Batch-parity note: with a bounded file source and Trigger.AvailableNow the
+whole input arrives before the join's watermark advances, so every
+qualifying pair is emitted exactly once and the result equals the batch
+join — which is why the catalog query carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+    sink_table: str = "bdrr_stream_ssjoin",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    same user's views in the preceding ``horizon`` (half-open, strict
+    ``<`` on the view side — SURVEY §4.4 discipline). Both sides carry
+    watermarks + the time-range condition, so Spark can bound and expire
+    join state — the production requirement at continuous 100 TB ingest.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            f"v_user_id = p_user_id AND p_ts > v_ts "
+            f"AND p_ts <= v_ts + interval {horizon}"
+        ),
+        "inner",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
