@@ -1049,3 +1049,117 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keepers, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'signup' AND e.ts > t1.t1
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        GROUP BY e.user_id
+    )
+    SELECT t1.user_id,
+           epoch_us(t1.t1) AS t1_us,
+           epoch_us(t2.t2) AS t2_us,
+           epoch_us(t3.t3) AS t3_us,
+           1 + CASE WHEN t2.t2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN t3.t3 IS NULL THEN 0 ELSE 1 END AS funnel_depth
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → signup → purchase): per user, the
+    first time each step completes STRICTLY AFTER the previous step
+    (half-open discipline, SURVEY §4.4). Three map-side-combinable min
+    aggregates chained by equi joins — each stage shrinks, so later joins
+    broadcast under AQE."""
+    ev = _t(spark, sf_dir, "events")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "signup")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        F.lit(1)
+        + F.when(F.col("t2").isNull(), 0).otherwise(1)
+        + F.when(F.col("t3").isNull(), 0).otherwise(1)
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("t1_us"),
+            F.unix_micros("t2").alias("t2_us"),
+            F.unix_micros("t3").alias("t3_us"),
+            depth.alias("funnel_depth"),
+        )
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT epoch_us(f.cohort_week) AS cohort_week_us,
+           (epoch_us(a.week) - epoch_us(f.cohort_week)) // 604800000000
+               AS weeks_since,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted as
+    active N weeks later. Two aggregates + one equi join; both engines
+    truncate weeks to Monday so the buckets align exactly."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (
+                (F.unix_micros("week") - F.unix_micros("cohort_week"))
+                / F.lit(604800000000)
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
