@@ -57,6 +57,11 @@ class PipelineConfig:
     w2v_min_count: int = 3  # py:420
     w2v_epochs: int = 10  # py:420
     w2v_seed: int = 42  # py:420
+    # engine-only: MLlib Word2Vec trains on ONE partition by default — a
+    # single-threaded bottleneck (2.5× slower at sf0.1, unusable at 100 TB).
+    # >1 shards training (tiny stochastic variation across cluster layouts;
+    # embedding floats are seed/impl-specific and rows-only-checked anyway).
+    w2v_partitions: int = 8
 
 
 # ---------------------------------------------------------------------------
@@ -496,6 +501,7 @@ def train_category_embeddings(
         minCount=cfg.w2v_min_count,
         maxIter=cfg.w2v_epochs,
         seed=cfg.w2v_seed,
+        numPartitions=cfg.w2v_partitions,
         inputCol="seq",
         outputCol="vec",
     )
