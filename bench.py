@@ -53,11 +53,11 @@ def main() -> None:
         .save()
     )
 
-    def timed(thunk) -> float:
-        # best of 2: GC/JIT noise at small SF can double a single run;
-        # min-of-2 measures the query, not the JVM's mood
+    def timed(thunk, runs: int = 2) -> float:
+        # best of N: GC/JIT noise at small SF can double a single run;
+        # min-of-N measures the query, not the JVM's mood
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             thunk()
             best = min(best, time.perf_counter() - t0)
@@ -82,7 +82,9 @@ def main() -> None:
             spark.catalog.clearCache()
             materialize(run_events_pipeline(spark, sf_dir))
 
-        timings["pipeline_e2e"] = timed(run_pipeline)
+        # the pipeline is the longest, noisiest timing (GC pressure from the
+        # W2V fit + caches) — a third run materially tightens the estimate
+        timings["pipeline_e2e"] = timed(run_pipeline, runs=3)
     except ImportError:
         pass
 

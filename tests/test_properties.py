@@ -142,3 +142,105 @@ def test_topk_per_group_bounds(spark, events):
         ordered = sorted(rows_, key=lambda r: r.rank)
         keys = [(-r.score, r.it) for r in ordered]
         assert keys == sorted(keys)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # user
+            st.integers(min_value=0, max_value=20),  # ts
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    anchors=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**PROP_SETTINGS)
+def test_asof_join_equals_bruteforce(spark, events, anchors):
+    """The union+window as-of join must equal the quadratic definition —
+    for every anchor, the max-(ts, id) event strictly before it — on
+    adversarial inputs (duplicate timestamps, ties at the anchor instant,
+    users with no events)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import asof_join
+
+    ev_rows = [(u, t, i) for i, (u, t) in enumerate(events)]
+    an_rows = [(u, t, 1000 + i) for i, (u, t) in enumerate(anchors)]
+    ev = spark.createDataFrame(
+        ev_rows, "user_id bigint, ts bigint, event_id bigint"
+    )
+    an = spark.createDataFrame(
+        an_rows, "user_id bigint, ts bigint, anchor_id bigint"
+    )
+    got = {
+        r.anchor_id: r.prev_event_id
+        for r in asof_join(
+            an,
+            ev,
+            key_cols=["user_id"],
+            anchor_ts="ts",
+            event_ts="ts",
+            value_cols=["event_id"],
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    for u, t, aid in an_rows:
+        cand = [(et, eid) for eu, et, eid in ev_rows if eu == u and et < t]
+        expect = max(cand)[1] if cand else None
+        assert got[aid] == expect, (aid, got[aid], expect)
+
+
+@given(
+    n_nodes=st.integers(min_value=1, max_value=12),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        max_size=15,
+    ),
+)
+@settings(**PROP_SETTINGS)
+def test_connected_components_equals_union_find(spark, n_nodes, edges):
+    """Min-label propagation must produce the same partition as a
+    driver-side union-find on arbitrary graphs (self-loops, duplicate
+    edges, edges to nodes outside the node set are clipped)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edges]
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node bigint")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: r.cluster_id for r in connected_components(nodes, edf).collect()
+    }
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(n_nodes)}
+    # canonicalize: min node id per component
+    comp_min: dict[int, int] = {}
+    for i in range(n_nodes):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expect = {i: comp_min[find(i)] for i in range(n_nodes)}
+    assert got == expect
