@@ -653,6 +653,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_join_asof_nearest",
+    headline=True,
     oracle="""
     WITH anchors AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -1162,4 +1163,21 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weeks_since"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query("q_agg_hll_sketch", oracle=None)
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches): per-day user sketches union
+    into per-type totals — THE 100 TB distinct-count pattern (pre-aggregate
+    once, merge any rollup later without rescanning). Estimates are
+    implementation-specific → rows-only; the unit test asserts the merged
+    path equals the direct path exactly and both sit within 5% of exact."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
     )

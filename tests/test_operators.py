@@ -576,3 +576,36 @@ def test_tfidf_hand_computed(spark):
     exp = math.floor(2 * (math.log(4 / 3) + 1) * 1e6)
     assert rows[(1, "a")].tfidf_u == exp and rows[(1, "a")].n_df == 2
     assert rows[(3, "c")].n_tf == 3 and rows[(3, "c")].n_df == 2
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """HLL union over per-day sketches must equal one direct sketch (the
+    merge is lossless at equal precision) and approximate exact counts."""
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    direct = {
+        r.event_type: r.a
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("a"))
+        .collect()
+    }
+    merged = {
+        r.event_type: r.a
+        for r in ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("a"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct
+    for t, n in exact.items():
+        assert abs(merged[t] - n) / n < 0.05, (t, merged[t], n)
