@@ -1181,3 +1181,51 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.count(F.lit(1)).alias("n_daily_sketches"),
     )
+
+
+@query(
+    "q_dedup_jaccard_prefix",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS doc, lang, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM tok GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+         AND a.lang = b.lang AND a.source = b.source
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs via PREFIX FILTERING (ppjoin-style): shingles
+    globally ordered rarest-first, each doc keeps a |S|-ceil(t|S|)+1 prefix,
+    candidates = prefix-share pairs, then exact verify. Value-identical to
+    q_dedup_ngram_jaccard (same oracle) with asymptotically fewer candidate
+    pairs — hot stopword shingles never generate candidates
+    (operators/dedup.ngram_jaccard_pairs_prefix)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    return ngram_jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_n=1,
+        min_jaccard=0.5,
+    )

@@ -609,3 +609,29 @@ def test_hll_sketch_merge_equals_direct(spark):
     assert merged == direct
     for t, n in exact.items():
         assert abs(merged[t] - n) / n < 0.05, (t, merged[t], n)
+
+
+def test_jaccard_prefix_filter_equals_plain(spark):
+    """Prefix filtering must lose NO pairs vs the full self-join at the
+    same threshold (the prefix theorem), across thresholds."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for t in (0.3, 0.5, 0.8):
+        plain = sorted(
+            (r.doc_a, r.doc_b, r.n_common)
+            for r in ngram_jaccard_pairs(
+                docs, block_cols=["lang", "source"], min_jaccard=t
+            ).collect()
+        )
+        pref = sorted(
+            (r.doc_a, r.doc_b, r.n_common)
+            for r in ngram_jaccard_pairs_prefix(
+                docs, block_cols=["lang", "source"], min_jaccard=t
+            ).collect()
+        )
+        assert plain == pref, f"t={t}: {len(plain)} vs {len(pref)}"
