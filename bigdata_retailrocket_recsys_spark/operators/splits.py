@@ -76,3 +76,35 @@ def hash_sample(
     """
     bound = format(min(int(round(fraction * 65536)), 65535), "04x")
     return df.filter(_bucket_hex(key_cols) < F.lit(bound))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-rebalancing shape
+    (downsample the over-represented class, keep the rare one whole) with
+    hash-stable membership. ``df.sampleBy`` does the same non-reproducibly
+    (partition-seeded RNG); this is a pure narrow filter, no shuffle.
+
+    Fractions ≥ 1 keep the stratum entirely (no hash comparison — the
+    16-bit bucket space cannot express exactly 1.0 as a `<` bound).
+    """
+    h = _bucket_hex(key_cols)
+
+    def keep(frac: float):
+        if frac >= 1.0:
+            return F.lit(True)
+        bound = format(min(int(round(frac * 65536)), 65535), "04x")
+        return h < F.lit(bound)
+
+    cond = keep(default_fraction)
+    for value, frac in sorted(fractions.items()):
+        cond = F.when(F.col(strata_col) == F.lit(value), keep(frac)).otherwise(
+            cond
+        )
+    return df.filter(cond)

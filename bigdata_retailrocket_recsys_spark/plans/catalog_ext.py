@@ -1229,3 +1229,51 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=1,
         min_jaccard=0.5,
     )
+
+
+@query(
+    "q_split_stratified",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE CASE
+        WHEN event_type = 'purchase' THEN TRUE
+        WHEN event_type = 'view'
+            THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '199a'
+        ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '8000'
+    END
+    """,
+)
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (class rebalancing): keep all
+    purchases, 10% of views, 50% of the rest — hash-stable membership,
+    pure narrow filter (operators/splits.stratified_hash_sample). The
+    reproducible replacement for df.sampleBy's partition-seeded RNG."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        stratified_hash_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_hash_sample(
+        ev,
+        key_cols=["event_id"],
+        strata_col="event_type",
+        fractions={"purchase": 1.0, "view": 0.1},
+        default_fraction=0.5,
+    )
+
+
+@query("q_agg_countmin", oracle=None)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch per event type (heavy-hitter frequency estimates in
+    fixed memory — the streaming/merge-friendly companion to the HLL
+    sketch). Sketch bytes are implementation-specific → rows-only; the
+    unit test asserts the sketch is deterministic for a fixed seed
+    (PySpark does not expose estimate decoding)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_min_sketch(
+            F.col("user_id"), F.lit(0.01), F.lit(0.95), F.lit(42)
+        ).alias("cms"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("event_type", F.length("cms").alias("cms_bytes"), "n_events")
