@@ -74,13 +74,22 @@ def shingle_rows(
     id_col: str,
     text_col: str,
     n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (doc, shingle) rows — the scalable shingle producer.
+    """(doc, shingle) rows — the scalable shingle producer.
 
     Tokenizes each document exactly once (posexplode), then forms n-grams
     with ``lead()`` windows partitioned by document. One shuffle by doc id;
     every step whole-stage-codegen. Documents shorter than ``n`` tokens
-    yield their single partial shingle (same as ``shingles``)."""
+    yield their single partial shingle (same as ``shingles``).
+
+    ``distinct=False`` keeps duplicate shingles (bag semantics): correct
+    for consumers idempotent over duplicates (min-hash — min of a value
+    repeated is the min), and SAVES A SHUFFLE twice over: the distinct's
+    own exchange disappears, and a following groupBy("doc") reuses the
+    lead-window's hashpartitioning(doc) instead of re-exchanging from
+    (doc, shingle). Jaccard set-intersection consumers need the default
+    ``distinct=True``."""
     from pyspark.sql import Window
 
     tok = df.select(
@@ -88,7 +97,8 @@ def shingle_rows(
         F.posexplode(ws_tokens(text_col)).alias("pos", "tok"),
     )
     if n == 1:
-        return tok.select("doc", F.col("tok").alias("shingle")).distinct()
+        out = tok.select("doc", F.col("tok").alias("shingle"))
+        return out.distinct() if distinct else out
     w = Window.partitionBy("doc").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
     out = tok.select(
@@ -98,11 +108,10 @@ def shingle_rows(
         leads[-1].isNotNull().alias("full"),
         F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("doc_len"),
     )
-    return (
-        out.filter(F.col("full") | ((F.col("pos") == 0) & (F.col("doc_len") < n)))
-        .select("doc", "shingle")
-        .distinct()
-    )
+    out = out.filter(
+        F.col("full") | ((F.col("pos") == 0) & (F.col("doc_len") < n))
+    ).select("doc", "shingle")
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int = 16) -> Column:
@@ -132,9 +141,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures via shingle rows → groupBy(min...): documents are
     tokenized ONCE, the num_hashes mins run as one map-side-combined hash
-    aggregate. Output: doc, sig (array<bigint>)."""
+    aggregate. Duplicate shingles are kept (min is idempotent — same
+    signature as over the distinct set) so the groupBy reuses the shingle
+    window's doc partitioning: ONE data shuffle end-to-end instead of
+    three. Output: doc, sig (array<bigint>)."""
     exploded = shingle_rows(
-        df, id_col=id_col, text_col=text_col, n=shingle_n
+        df, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
     ).withColumnRenamed("shingle", "s")
     mins = exploded.groupBy("doc").agg(
         *[
