@@ -135,3 +135,58 @@ def prefix_counts_window(
             F.min(ts_us).over(Window.partitionBy(group_col)),
         )
     return out
+
+
+def resample_ffill(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Fixed-interval resampling with forward fill — the time-series
+    regularization shape (sensor/metric streams → one row per key per
+    bucket, gaps carrying the last observation forward).
+
+    Three steps, all shuffle-partitionable by key: (1) per-key min/max
+    bucket bounds → `sequence()` + explode generates the dense grid
+    JVM-side (no driver-side date arithmetic); (2) per-bucket latest
+    observation picked deterministically by (ts, tiebreak) —
+    WindowGroupLimit applies; (3) one cumulative window carries the last
+    non-null value forward. NULL observations are skipped by the fill
+    (``ignorenulls``), matching SQL ``LAST_VALUE(x IGNORE NULLS)``.
+
+    Output: key cols, ``bucket`` (timestamp), ``value_ffill``.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    bounds = df.groupBy(*key_cols).agg(
+        F.min(bucket).alias("__b0"), F.max(bucket).alias("__b1")
+    )
+    grid = bounds.select(
+        *key_cols,
+        F.explode(
+            F.sequence("__b0", "__b1", F.expr(f"interval 1 {unit}"))
+        ).alias("bucket"),
+    )
+    w_latest = Window.partitionBy(*key_cols, "__b").orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    latest = (
+        df.select(
+            *key_cols, bucket.alias("__b"), F.col(ts_col), F.col(tiebreak_col),
+            F.col(value_col),
+        )
+        .withColumn("__rn", F.row_number().over(w_latest))
+        .filter(F.col("__rn") == 1)
+        .select(*key_cols, F.col("__b").alias("bucket"), F.col(value_col))
+    )
+    w_ffill = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(latest, [*key_cols, "bucket"], "left").withColumn(
+        "value_ffill", F.last(value_col, ignorenulls=True).over(w_ffill)
+    ).drop(value_col)

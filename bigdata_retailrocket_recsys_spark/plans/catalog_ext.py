@@ -1277,3 +1277,55 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cms"),
         F.count(F.lit(1)).alias("n_events"),
     ).select("event_type", F.length("cms").alias("cms_bytes"), "n_events")
+
+
+@query(
+    "q_resample_ffill",
+    oracle="""
+    WITH src AS (
+        SELECT * FROM events WHERE user_id < 40
+    ), b AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS b0,
+               date_trunc('hour', MAX(ts)) AS b1
+        FROM src GROUP BY user_id
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM b
+    ), latest AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value
+        FROM src
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id, date_trunc('hour', ts)
+            ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT g.user_id, epoch_us(g.bucket) AS bucket_us,
+           LAST_VALUE(l.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM grid g LEFT JOIN latest l
+      ON g.user_id = l.user_id AND g.bucket = l.bucket
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resampling with forward fill per user (users < 40 to bound
+    the compare): dense JVM-side `sequence()` grid, deterministic
+    per-bucket latest observation, one cumulative fill window
+    (operators/windows.resample_ffill)."""
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        resample_ffill,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    out = resample_ffill(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "value_ffill",
+    )

@@ -690,3 +690,39 @@ def test_countmin_never_underestimates(spark):
         F.count_min_sketch(F.col("user_id"), F.lit(0.005), F.lit(0.99), F.lit(7)).alias("cms")
     ).collect()[0].cms
     assert bytes(sk) == bytes(sk2)  # deterministic for a fixed seed
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    from datetime import datetime as dt
+
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        resample_ffill,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 0, 10), 100, 1.0),
+            (1, dt(2024, 1, 1, 0, 50), 101, 2.0),   # same hour, later → wins
+            (1, dt(2024, 1, 1, 3, 0), 102, None),   # null obs: fill skips it
+            (1, dt(2024, 1, 1, 4, 30), 103, 9.0),
+            (2, dt(2024, 1, 1, 5, 0), 104, 7.0),    # single-bucket user
+        ],
+        "user_id bigint, ts timestamp, event_id bigint, value double",
+    )
+    out = {
+        (r.user_id, r.bucket.hour): r.value_ffill
+        for r in resample_ffill(
+            df,
+            key_cols=["user_id"],
+            ts_col="ts",
+            value_col="value",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    # user 1: hours 0..4 dense; hour 0 takes the LATER obs in the bucket;
+    # hours 1-3 carry it forward (hour-3 null obs does not reset the fill)
+    assert out[(1, 0)] == 2.0
+    assert out[(1, 1)] == 2.0 and out[(1, 2)] == 2.0 and out[(1, 3)] == 2.0
+    assert out[(1, 4)] == 9.0
+    assert out[(2, 5)] == 7.0
+    assert len(out) == 6  # 5 hourly buckets for user 1 + 1 for user 2
