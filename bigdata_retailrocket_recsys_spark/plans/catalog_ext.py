@@ -1329,3 +1329,75 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("bucket").alias("bucket_us"),
         "value_ffill",
     )
+
+
+@query(
+    "q_features_multi_horizon",
+    oracle="""
+    SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
+           COUNT(e.event_id) AS n_all,
+           COALESCE(SUM(CASE WHEN e.ts >= a.ts - INTERVAL 1 DAY
+                             THEN 1 ELSE 0 END), 0) AS n_1d,
+           COALESCE(SUM(CASE WHEN e.ts >= a.ts - INTERVAL 7 DAY
+                             THEN 1 ELSE 0 END), 0) AS n_7d
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+    LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') e
+      ON a.user_id = e.user_id AND e.ts < a.ts
+    GROUP BY a.event_id, a.user_id, a.ts
+    """,
+)
+def q_features_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon point-in-time features: per purchase anchor, the same
+    user's strictly-prior event counts over all-history / 1-day / 7-day
+    horizons — ONE prefix theta join + conditional sums (the reference
+    would run one join per horizon; conditional aggregation folds them
+    into a single pass — operators/joins.prefix_agg_join composability)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import (
+        prefix_agg_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    src = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("src_id"), "user_id", "ts"
+    )
+    out = prefix_agg_join(
+        anchors,
+        src,
+        key_cols=["user_id"],
+        anchor_ts="ts",
+        event_ts="ts",
+        aggs=[
+            F.count(F.col("e.src_id")).alias("n_all"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("e.ts")
+                        >= F.col("a.ts") - F.expr("interval 1 day"),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_1d"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("e.ts")
+                        >= F.col("a.ts") - F.expr("interval 7 days"),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("n_7d"),
+        ],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "n_all",
+        "n_1d",
+        "n_7d",
+    )
