@@ -1401,3 +1401,59 @@ def q_features_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_1d",
         "n_7d",
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity AS value
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        FROM lineitem WHERE l_orderkey < 100
+    )
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long, the inverse of q_pivot): three measure
+    columns become (measure, value) rows via the built-in `unpivot` —
+    a narrow Generate, no shuffle, no UNION re-scan of the table (the
+    oracle's UNION ALL form scans 3×; Spark's unpivot scans once)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "q_stream_foreach_batch",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch streaming sink: watermarked aggregate → idempotent
+    per-batch parquet overwrite (the exactly-once pattern for sinks
+    without native streaming support) → re-read. Bounded AvailableNow run
+    equals the batch aggregate ⇒ full oracle
+    (streaming/stream_join.run_stream_foreach_batch)."""
+    from bigdata_retailrocket_recsys_spark.streaming.stream_join import (
+        run_stream_foreach_batch,
+    )
+
+    return run_stream_foreach_batch(spark, sf_dir)

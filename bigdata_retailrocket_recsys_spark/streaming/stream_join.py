@@ -90,3 +90,51 @@ def run_stream_stream_join(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_stream_foreach_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    out_path: str | None = None,
+) -> DataFrame:
+    """foreachBatch sink — the production pattern for exactly-once writes
+    to systems without a native streaming sink: each micro-batch arrives
+    as a plain DataFrame plus a monotonically increasing batch id, and an
+    IDEMPOTENT write (mode=overwrite keyed by batch contents here; in
+    production, MERGE on a unique key or overwrite-by-partition) makes
+    replays after failure safe. With a bounded source + AvailableNow the
+    re-read output equals the batch aggregate → full DuckDB oracle.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out_path = out_path or os.path.join(
+        tempfile.gettempdir(), "bdrr_stream_foreach_batch"
+    )
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent: a replayed batch overwrites its own previous output
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
