@@ -1,0 +1,203 @@
+"""Sequence / market-basket operators — session-based recsys analytics.
+
+The reference's candidate generators are co-occurrence driven (covis
+self-joins, py:252-329) but it never materializes the *directed* session
+dynamics those counts approximate. These operators close that gap —
+first-order transition statistics (which item follows which) and directed
+association rules (support / confidence / lift) — as one- and two-shuffle
+DataFrame plans.
+
+Scale notes:
+- ``transition_counts`` is ONE window shuffle (hash by group) + one agg
+  shuffle; the window stays inside whole-stage codegen (lead + project).
+- ``association_rules`` reuses :func:`covis_pairs` (bounded by
+  ``min_pair_count``) and joins two small aggregated dims — both sides of
+  the final join are post-aggregation, orders of magnitude smaller than
+  the event stream, so Spark broadcasts them.
+- All ratios are IEEE double divisions of exact bigints — bit-identical
+  across engines (plans/catalog.py determinism rule 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_retailrocket_recsys_spark.operators.joins import covis_pairs
+
+
+def transition_counts(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    item_col: str,
+    tiebreak_cols: list[str] | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order (Markov) transition counts within ordered groups.
+
+    For each group (session/user) ordered by ``order_col``, pairs every
+    item with its immediate successor and counts `(src, dst)` transitions
+    corpus-wide, attaching the row-level transition probability
+    ``p = n / n_src_total`` (directed, self-transitions kept — a repeat
+    view IS a signal).
+
+    Replaces the reference's unordered covis heuristic (py:252-260) with
+    the directed next-item statistic a sequential recommender trains on.
+
+    Plan: one window shuffle (lead over group) + one aggregation shuffle;
+    the per-src total comes from a window over the aggregated pairs
+    (negligible — post-agg cardinality), not a re-scan.
+    """
+    order = [F.col(order_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    pairs = (
+        df.select(group_col, order_col, *(tiebreak_cols or []), item_col)
+        .withColumn("__dst", F.lead(item_col).over(w))
+        .filter(F.col("__dst").isNotNull())
+        .select(F.col(item_col).alias("src"), F.col("__dst").alias("dst"))
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        counts = counts.filter(F.col("n") >= min_count)
+    total_w = Window.partitionBy("src")
+    return counts.withColumn(
+        "p",
+        F.col("n").cast("double") / F.sum("n").over(total_w).cast("double"),
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Directed association rules over item co-occurrence in groups.
+
+    Classic market-basket statistics from the same self-join the
+    reference's covis candidates use (py:252-260): for every unordered
+    co-occurring pair, emit BOTH directed rules ``a -> b`` and ``b -> a``
+    with
+
+    - ``support``    = n_ab / n_groups
+    - ``confidence`` = n_ab / n_antecedent
+    - ``lift``       = n_ab * n_groups / (n_a * n_b)
+
+    Plan: covis pair counts (bounded by ``min_pair_count``) left as the
+    fact; per-item group counts and the 1-row group total are broadcast;
+    the two directed rules come from one ``explode`` of a 2-element
+    struct array — no union, single pass.
+    """
+    base = df.select(group_col, item_col).distinct()
+    pair_counts = covis_pairs(
+        base, group_col=group_col, item_col=item_col, min_count=min_pair_count
+    )
+    item_counts = base.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    # 1-row lazy total, broadcast-cross-joined — no driver-side action
+    totals = base.agg(F.countDistinct(group_col).alias("n_groups"))
+
+    a_cnt = item_counts.select(
+        F.col(item_col).alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    b_cnt = item_counts.select(
+        F.col(item_col).alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    joined = (
+        pair_counts.join(F.broadcast(a_cnt), "item_a")
+        .join(F.broadcast(b_cnt), "item_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    directed = F.array(
+        F.struct(
+            F.col("item_a").alias("antecedent"),
+            F.col("item_b").alias("consequent"),
+            F.col("n_a").alias("n_ante"),
+            F.col("n_b").alias("n_cons"),
+        ),
+        F.struct(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("n_b").alias("n_ante"),
+            F.col("n_a").alias("n_cons"),
+        ),
+    )
+    ng = F.col("n_groups").cast("double")
+    return (
+        joined.select(
+            F.col("covis").alias("n_pair"),
+            F.col("n_groups"),
+            F.explode(directed).alias("r"),
+        )
+        .select(
+            "r.antecedent",
+            "r.consequent",
+            "n_pair",
+            (F.col("n_pair").cast("double") / ng).alias("support"),
+            (
+                F.col("n_pair").cast("double")
+                / F.col("r.n_ante").cast("double")
+            ).alias("confidence"),
+            (
+                F.col("n_pair").cast("double")
+                * ng
+                / (
+                    F.col("r.n_ante").cast("double")
+                    * F.col("r.n_cons").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, *, bucket_width: int | None = None
+) -> DataFrame:
+    """Key-frequency skew histogram — the shuffle-planning diagnostic.
+
+    Buckets keys by their row count — decimal digits of the count by
+    default (order-of-magnitude view for heavy-tail detection), or fixed
+    ``bucket_width`` linear bins — and reports, per bucket: how many keys
+    land there, the min/max per-key count, and the total row share. A
+    100 TB join planner reads this to decide salting / AQE skew
+    thresholds before running the join (SURVEY §7.3: the covis self-join
+    is the #1 scale risk; this is how you see the blowup coming without
+    executing it).
+
+    Plan: one agg shuffle (per-key counts) + one tiny re-agg; buckets
+    use integer ops (``length(cast(n as string))`` / integer DIV) —
+    identical in Spark and DuckDB, unlike ``log10`` (1-ulp libm
+    divergence risk).
+    """
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = df.agg(F.count(F.lit(1)).alias("n_total"))
+    if bucket_width:
+        bucket = F.expr(f"n DIV {int(bucket_width)} * {int(bucket_width)}")
+    else:
+        bucket = F.length(F.col("n").cast("string")).cast("bigint")
+    return (
+        per_key.withColumn("magnitude", bucket)
+        .groupBy("magnitude")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("n").alias("min_rows_per_key"),
+            F.max("n").alias("max_rows_per_key"),
+            F.sum("n").alias("rows_total"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "magnitude",
+            "n_keys",
+            "min_rows_per_key",
+            "max_rows_per_key",
+            "rows_total",
+            (
+                F.col("rows_total").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("row_share"),
+        )
+    )

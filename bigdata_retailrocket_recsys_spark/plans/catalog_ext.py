@@ -1457,3 +1457,144 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_foreach_batch(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sequence / market-basket extensions (operators/sequences.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS src,
+               LEAD(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ), counts AS (
+        SELECT src, dst, COUNT(*) AS n
+        FROM seq WHERE dst IS NOT NULL
+        GROUP BY src, dst HAVING COUNT(*) >= 3
+    )
+    SELECT src, dst, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE)
+               AS p
+    FROM counts
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order next-item transition counts + probabilities per user
+    stream — the directed statistic the reference's unordered covis
+    self-join (py:252-260) approximates. One lead-window shuffle + one
+    agg shuffle; p is an IEEE bigint division (bit-identical cross-engine)
+    computed over the post-HAVING counts."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        transition_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    )
+    return transition_counts(
+        ev,
+        group_col="user_id",
+        order_col="ts",
+        item_col="item",
+        tiebreak_cols=["event_id"],
+        min_count=3,
+    )
+
+
+@query(
+    "q_assoc_rules",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+    ), pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+        FROM base a JOIN base b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 40
+    ), ic AS (
+        SELECT item, COUNT(*) AS n_item FROM base GROUP BY item
+    ), tot AS (
+        SELECT COUNT(DISTINCT user_id) AS n_groups FROM base
+    ), joined AS (
+        SELECT p.item_a, p.item_b, p.n_pair,
+               a.n_item AS n_a, b.n_item AS n_b
+        FROM pairs p
+        JOIN ic a ON p.item_a = a.item
+        JOIN ic b ON p.item_b = b.item
+    ), directed AS (
+        SELECT item_a AS antecedent, item_b AS consequent, n_pair,
+               n_a AS n_ante, n_b AS n_cons FROM joined
+        UNION ALL
+        SELECT item_b, item_a, n_pair, n_b, n_a FROM joined
+    )
+    SELECT antecedent, consequent, n_pair,
+           CAST(n_pair AS DOUBLE) / CAST(n_groups AS DOUBLE) AS support,
+           CAST(n_pair AS DOUBLE) / CAST(n_ante AS DOUBLE) AS confidence,
+           CAST(n_pair AS DOUBLE) * CAST(n_groups AS DOUBLE)
+               / (CAST(n_ante AS DOUBLE) * CAST(n_cons AS DOUBLE)) AS lift
+    FROM directed, tot
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules (support/confidence/lift) from the same
+    covis self-join the reference's candidates use (py:252-260). Pair
+    counts stay the fact; per-item counts and the 1-row group total are
+    broadcast; both rule directions come from one struct-array explode —
+    no UNION re-scan (the oracle's UNION ALL form is the 2-scan shape the
+    engine avoids). All ratios are IEEE divisions of exact bigints."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        association_rules,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+    )
+    return association_rules(
+        ev, group_col="user_id", item_col="item", min_pair_count=40
+    )
+
+
+@query(
+    "q_key_skew_profile",
+    oracle="""
+    WITH pk AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT COUNT(*) AS n_total FROM events
+    )
+    SELECT n // 10 * 10 AS magnitude,
+           COUNT(*) AS n_keys,
+           MIN(n) AS min_rows_per_key,
+           MAX(n) AS max_rows_per_key,
+           SUM(n) AS rows_total,
+           CAST(SUM(n) AS DOUBLE) / CAST(n_total AS DOUBLE) AS row_share
+    FROM pk, tot
+    GROUP BY magnitude, n_total
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-frequency skew histogram over events.user_id (width-10 count
+    bins): the pre-join diagnostic that tells a 100 TB planner whether a
+    shuffle key needs salting / AQE skew handling BEFORE executing the
+    join (SURVEY §7.3 — the covis self-join blowup is visible here
+    without running it). One agg shuffle + one tiny re-agg; buckets are
+    integer DIV (no libm)."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "events"), "user_id", bucket_width=10
+    )

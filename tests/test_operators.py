@@ -726,3 +726,89 @@ def test_resample_ffill_grid_and_fill(spark):
     assert out[(1, 4)] == 9.0
     assert out[(2, 5)] == 7.0
     assert len(out) == 6  # 5 hourly buckets for user 1 + 1 for user 2
+
+
+def test_transition_counts_directed_prob(spark):
+    """lead pairs are directed, ordered by (ts, tiebreak); p sums to 1 per
+    src over the post-filter counts."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        transition_counts,
+    )
+
+    t0 = datetime(2015, 5, 1)
+    rows = [
+        # u1: 1 -> 2 -> 1 -> 3 ; u2: 1 -> 2
+        ("u1", t0, 0, 1),
+        ("u1", t0, 1, 2),  # same ts — tiebreak on seq
+        ("u2", datetime(2015, 5, 2), 0, 1),
+        ("u1", datetime(2015, 5, 3), 2, 1),
+        ("u1", datetime(2015, 5, 4), 3, 3),
+        ("u2", datetime(2015, 5, 5), 1, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, seq int, item bigint"
+    )
+    out = {
+        (r.src, r.dst): (r.n, r.p)
+        for r in transition_counts(
+            df,
+            group_col="user_id",
+            order_col="ts",
+            item_col="item",
+            tiebreak_cols=["seq"],
+        ).collect()
+    }
+    assert out[(1, 2)] == (2, 2 / 3)  # u1 and u2; p over src=1's 3 exits
+    assert out[(2, 1)] == (1, 1.0)
+    assert out[(1, 3)] == (1, 1 / 3)
+    assert (3, 1) not in out  # directed: nothing follows u1's final 3
+
+
+def test_association_rules_stats(spark):
+    """support/confidence/lift on a 4-basket fixture, both directions."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        association_rules,
+    )
+
+    baskets = {
+        "g1": [1, 2],
+        "g2": [1, 2],
+        "g3": [1, 3],
+        "g4": [2, 2],  # dup row — item counted once per basket
+    }
+    rows = [(g, i) for g, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "basket string, item bigint")
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in association_rules(
+            df, group_col="basket", item_col="item"
+        ).collect()
+    }
+    r12 = out[(1, 2)]
+    # pair {1,2} in 2 of 4 baskets; item1 in 3, item2 in 3
+    assert (r12.n_pair, r12.support, r12.confidence) == (2, 0.5, 2 / 3)
+    assert r12.lift == 2 * 4 / (3 * 3)
+    r21 = out[(2, 1)]
+    assert (r21.confidence, r21.lift) == (2 / 3, r12.lift)
+    assert out[(1, 3)].n_pair == 1 and (3, 2) not in out
+
+
+def test_key_skew_profile_buckets(spark):
+    """digit buckets split a hot key from the long tail; shares sum to 1."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 120 + [("warm",)] * 15 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.magnitude: r for r in key_skew_profile(df, "k").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3].n_keys == 1 and out[3].max_rows_per_key == 120
+    assert out[2].n_keys == 1 and out[2].rows_total == 15
+    assert out[1].n_keys == 3 and out[1].min_rows_per_key == 1
+    assert sum(r.row_share for r in out.values()) == 1.0
+    linear = {
+        r.magnitude: r.n_keys
+        for r in key_skew_profile(df, "k", bucket_width=50).collect()
+    }
+    assert linear == {100: 1, 0: 4}
