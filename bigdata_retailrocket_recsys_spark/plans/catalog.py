@@ -298,6 +298,48 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sink_sorted_pruning",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE user_id BETWEEN 40 AND 49 GROUP BY event_type
+    """,
+)
+def q_sink_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered parquet sink + data-skipping re-read: files get
+    disjoint user_id ranges (repartitionByRange) and row groups carry
+    tight min/max stats (sortWithinPartitions), so the BETWEEN predicate
+    skips whole files/row groups at scan time — the complement of
+    q_sink_partitioned for keys too high-cardinality to be directory
+    partitions (PushedFilters asserted in tests/test_plans.py)."""
+    from bigdata_retailrocket_recsys_spark.sources.writers import (
+        write_range_clustered,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "bdrr_parquet_rangeclustered")
+    write_range_clustered(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        ),
+        out,
+        range_by=["user_id"],
+        sort_by=["user_id", "ts"],
+        num_files=8,
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id").between(40, 49))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Set operations
 # ---------------------------------------------------------------------------
@@ -1398,6 +1440,25 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("p90_price_e6"),
+    )
+
+
+@query("q_agg_approx_percentile", oracle=None)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (Greenwald-Khanna sketch) — the fixed-memory,
+    mergeable quantile for 100 TB profiling where exact percentile's
+    per-group sort/collect is the bottleneck. Sketch outputs are
+    implementation-specific → rows-only check; the rank-error bound
+    (≤ 1/accuracy) vs the exact percentile is asserted in
+    tests/test_properties.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            F.col("l_quantity").cast("double"), F.lit(0.5), F.lit(1000)
+        ).alias("median_qty_approx"),
+        F.percentile_approx(
+            F.col("l_extendedprice").cast("double"), F.lit(0.9), F.lit(1000)
+        ).alias("p90_price_approx"),
     )
 
 

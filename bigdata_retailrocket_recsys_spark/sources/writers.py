@@ -65,3 +65,33 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    range_by: list[str],
+    sort_by: list[str] | None = None,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet — the data-skipping layout for range keys.
+
+    ``repartitionByRange`` gives each output file a disjoint key range
+    (global clustering), then rows are sorted inside each file so every
+    parquet row group carries tight min/max stats on the cluster keys. A
+    downstream range predicate then skips whole files AND whole row
+    groups — the poor man's Z-order, exactly right for the engine's
+    dominant access patterns (user slices, time slices). At 100 TB:
+    partition by coarse time (day), range-cluster by (user_id, ts) inside
+    each partition; point-in-time scans touch one partition and a handful
+    of row groups instead of the full table.
+
+    The range boundaries come from a sampling pass over ``range_by``
+    (Spark's RangePartitioner) — one extra job at write time, free at
+    read time forever after.
+    """
+    clustered = df.repartitionByRange(num_files, *range_by)
+    clustered = clustered.sortWithinPartitions(*(sort_by or range_by))
+    clustered.write.mode(mode).parquet(path)

@@ -112,3 +112,23 @@ def test_band_join_is_equi_not_nested_loop(spark):
 def test_tfidf_topk_pushes_rank_limit(spark):
     plan = plan_str(QUERIES["q_tfidf"].fn(spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_range_clustered_sink_pushes_range_filter(spark):
+    """The BETWEEN predicate on the cluster key must reach the parquet
+    scan as PushedFilters (row-group min/max skipping); with
+    repartitionByRange files hold disjoint key ranges, so the pushed
+    filter prunes whole files too."""
+    df = QUERIES["q_sink_sorted_pruning"].fn(spark, SF_DIR)
+    plan = plan_str(df)
+    pushed = plan[plan.index("PushedFilters") :].splitlines()[0]
+    assert "GreaterThanOrEqual(user_id" in pushed, pushed
+    assert "LessThanOrEqual(user_id" in pushed, pushed
+
+
+def test_assoc_rules_dims_broadcast(spark):
+    """Association-rule item counts and the 1-row total join the pair
+    fact via broadcast — never a shuffled sort-merge join."""
+    plan = plan_str(QUERIES["q_assoc_rules"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

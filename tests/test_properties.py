@@ -244,3 +244,49 @@ def test_connected_components_equals_union_find(spark, n_nodes, edges):
         comp_min[r] = min(comp_min.get(r, i), i)
     expect = {i: comp_min[find(i)] for i in range(n_nodes)}
     assert got == expect
+
+
+def test_approx_percentile_rank_error(spark):
+    """GK sketch guarantee: the approximate p-quantile's true rank is
+    within n/accuracy of ceil(p*n) — checked against the exact sorted
+    ranks at accuracy=1000 on the oracle scale factor."""
+    from bigdata_retailrocket_recsys_spark.plans import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    approx = {
+        r.l_returnflag: (r.median_qty_approx, r.p90_price_approx)
+        for r in QUERIES["q_agg_approx_percentile"]
+        .fn(spark, SF_ORACLE)
+        .collect()
+    }
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    rows = li.collect()
+    by_flag: dict = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, ([], []))
+        by_flag[r.l_returnflag][0].append(float(r.l_quantity))
+        by_flag[r.l_returnflag][1].append(float(r.l_extendedprice))
+    for flag, (qty, price) in by_flag.items():
+        for vals, est, p in (
+            (sorted(qty), approx[flag][0], 0.5),
+            (sorted(price), approx[flag][1], 0.9),
+        ):
+            n = len(vals)
+            import bisect
+
+            lo = bisect.bisect_left(vals, est)
+            hi = bisect.bisect_right(vals, est)
+            target = p * n
+            slack = n / 1000 + 1
+            assert lo - slack <= target <= hi + slack, (
+                flag,
+                p,
+                est,
+                lo,
+                hi,
+                target,
+            )
