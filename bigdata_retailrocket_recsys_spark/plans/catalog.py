@@ -1734,3 +1734,114 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "revenue", F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"))
     )
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    headline=True,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: the 6-table star join (local-supplier revenue).
+    Every dimension (customer, supplier, nation, region) broadcasts; the
+    only shuffle is lineitem⋈orders on the orderkey plus the final 5-row
+    agg — the shape where Catalyst's join-order + broadcast selection does
+    the heavy lifting. Decimal sum for order-independent revenue."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue.cast("decimal(18,6)")).cast("double").alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           epoch_us(o.o_orderdate) AS orderdate_us, b.sum_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped (large-volume customers): pre-aggregate the fact
+    to order grain WITH the HAVING gate first — the aggregated+filtered
+    side is then small enough to drive broadcast joins against orders and
+    customer, instead of joining the raw fact three ways. Exact decimal
+    quantity sum gates the threshold."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
+        )
+        .filter(F.col("q") >= 300)
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "sum_qty",
+        )
+    )
