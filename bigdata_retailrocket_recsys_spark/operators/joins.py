@@ -128,21 +128,27 @@ def covis_pairs(
     if max_per_group and not ts_col:
         raise ValueError("max_per_group requires ts_col")
 
-    items = df.select(group_col, item_col, *( [ts_col] if ts_col else [] )).distinct()
-
     if pair_strategy == "array":
+        # no pre-distinct: the (group, item[, ts]) dedup happens INSIDE the
+        # group's array (array_distinct / collect_set) — one exchange (hash
+        # by group) instead of two (distinct's + the groupBy re-exchange),
+        # value-identical (A/B-verified vs the distinct form)
         if max_per_group:
             # top-N (ts desc, item desc) rows per group — same ranking the
             # window form uses; struct sort is lexicographic so
-            # reverse(array_sort) == ORDER BY ts DESC, item DESC
-            g = items.groupBy(group_col).agg(
+            # reverse(array_sort) == ORDER BY ts DESC, item DESC;
+            # array_distinct first so duplicate (ts, item) observations
+            # don't eat top-N slots (≡ the old distinct() semantics)
+            g = df.groupBy(group_col).agg(
                 F.slice(
                     F.reverse(
                         F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    F.col(ts_col).alias("t"),
-                                    F.col(item_col).alias("i"),
+                            F.array_distinct(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col(ts_col).alias("t"),
+                                        F.col(item_col).alias("i"),
+                                    )
                                 )
                             )
                         )
@@ -157,7 +163,7 @@ def covis_pairs(
                 ).alias("items")
             )
         else:
-            g = items.groupBy(group_col).agg(
+            g = df.groupBy(group_col).agg(
                 F.collect_set(item_col).alias("items")
             )
         arr = F.col("items")
@@ -182,6 +188,9 @@ def covis_pairs(
             out = out.filter(F.col("covis") >= min_count)
         return out
 
+    items = df.select(
+        group_col, item_col, *([ts_col] if ts_col else [])
+    ).distinct()
     if max_per_group:
         w = Window.partitionBy(group_col).orderBy(
             F.col(ts_col).desc(), F.col(item_col).desc()
