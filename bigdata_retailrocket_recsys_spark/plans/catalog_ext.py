@@ -1598,3 +1598,136 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         _t(spark, sf_dir, "events"), "user_id", bucket_width=10
     )
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT p.user_id AS u_purchase, v.user_id AS u_view,
+           p.n_purchases, v.n_views
+    FROM (SELECT user_id, COUNT(*) AS n_purchases FROM events
+          WHERE event_type = 'purchase' AND user_id < 30
+          GROUP BY user_id) p
+    FULL OUTER JOIN
+         (SELECT user_id, COUNT(*) AS n_views FROM events
+          WHERE event_type = 'view' AND user_id >= 20 AND user_id < 50
+          GROUP BY user_id) v
+      ON p.user_id = v.user_id
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (completes the join-type surface beyond the
+    reference's inner/left/cross — SURVEY §2.3): unmatched rows from BOTH
+    sides survive with NULLs; the overlapping-and-disjoint user ranges
+    exercise left-only, right-only, and matched rows."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .select(F.col("user_id").alias("u_purchase"), "n_purchases")
+    )
+    v = (
+        ev.filter(
+            (F.col("event_type") == "view")
+            & (F.col("user_id") >= 20)
+            & (F.col("user_id") < 50)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+        .select(F.col("user_id").alias("u_view"), "n_views")
+    )
+    return p.join(v, p.u_purchase == v.u_view, "full_outer")
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    SELECT user_id, event_type AS mode_event, n FROM (
+        SELECT user_id, event_type, COUNT(*) AS n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+        FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value, deterministic tiebreak on the
+    value itself): count-then-rank — the two-shuffle shape that scales,
+    vs a collect+sort UDAF that doesn't. WindowGroupLimit prunes the
+    rank."""
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        topk_per_group,
+    )
+
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return topk_per_group(
+        counts,
+        group_cols=["user_id"],
+        order_by=[F.col("n").desc(), F.col("event_type").asc()],
+        k=1,
+    ).select("user_id", F.col("event_type").alias("mode_event"), "n")
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT event_id,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist) — the
+    normalized-rank completeness pass over q_window_analytics. Both are
+    single IEEE divisions of exact ranks/counts → bit-identical
+    cross-engine; one window shuffle, total order via the event_id
+    tiebreak."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "q_dedup_within_window",
+    oracle="""
+    SELECT event_id FROM (
+        SELECT event_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ) WHERE gap_us IS NULL OR gap_us > 600000000
+    """,
+)
+def q_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window event dedup (telemetry/retry collapse): keep an event
+    only if the previous event with the same (user, type) is more than
+    10 min older — the batch twin of streaming dropDuplicates-with-
+    watermark, and the standard repeated-beacon filter in training-data
+    ingest. ONE lag window, exact-µs half-open gap (> not >=), no
+    self-join."""
+    from bigdata_retailrocket_recsys_spark.operators.windows import lag_delta
+
+    return (
+        lag_delta(
+            _t(spark, sf_dir, "events"),
+            partition_by=["user_id", "event_type"],
+            ts_col="ts",
+            tiebreak_cols=["event_id"],
+        )
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 600_000_000))
+        .select("event_id")
+    )
