@@ -108,3 +108,33 @@ def stratified_hash_sample(
             cond
         )
     return df.filter(cond)
+
+
+def per_group_hash_sample(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    key_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Deterministic k-per-group subsample: rank rows inside each group by
+    the md5 of their key and keep the first k — the reproducible,
+    engine-portable version of "grab k random rows per user/class"
+    (balanced subsampling for training data). Hash ordering is uniform
+    pseudo-random but content-defined, so membership survives reruns,
+    repartitioning, and engine changes; WindowGroupLimit keeps only k
+    rows per group ahead of the shuffle-side sort.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws(_SEP, *[F.col(c).cast("string") for c in key_cols])
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        h.asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

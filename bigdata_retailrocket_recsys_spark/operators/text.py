@@ -190,3 +190,50 @@ def fingerprint(
             F.substring(F.md5(head), 1, 8), F.substring(F.md5(tail), 1, 8)
         ).alias("fp_rolling"),
     )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase, non-alphanumerics → space, collapse runs, trim. Pure
+    JVM-side regex (whole-stage codegen, no UDF); the exact same
+    transform precedes shingling in the MinHash/Jaccard ops so near-dup
+    candidates are case/punctuation-insensitive. Engine-portable: the
+    character classes are identical in Java regex and RE2."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus n-gram frequency table (the LM-ish corpus statistic next to
+    TF-IDF): whitespace tokens → in-array n-gram assembly via zip_with
+    over shifted slices (no posexplode/window — zero extra shuffles) →
+    explode → count. With ``top_k``: global (count desc, ngram asc)
+    TakeOrderedAndProject. One agg shuffle total."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sz = F.size(toks)
+    grams = toks
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    out = (
+        docs.select(F.explode(grams).alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if top_k:
+        out = out.orderBy(F.col("n").desc(), F.col("ngram").asc()).limit(top_k)
+    return out

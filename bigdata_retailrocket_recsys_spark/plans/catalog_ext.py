@@ -1731,3 +1731,81 @@ def q_dedup_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 600_000_000))
         .select("event_id")
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip punctuation,
+    collapse whitespace) — the first stage of every dedup/fingerprint
+    pipeline, JVM-side regex only (operators/text.normalize_text).
+    Java-regex and RE2 agree on these character classes → full oracle."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        normalize_text,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("norm")
+    )
+
+
+@query(
+    "q_text_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), bg AS (
+        SELECT t[i] || ' ' || t[i + 1] AS ngram
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM bg GROUP BY ngram
+    ORDER BY n DESC, ngram ASC LIMIT 20
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus word bigrams: n-grams assembled INSIDE the token
+    array (zip_with over shifted slices — no posexplode/lead window, so
+    the only shuffle is the count agg; top-k is TakeOrderedAndProject
+    with a total-order tiebreak)."""
+    from bigdata_retailrocket_recsys_spark.operators.text import ngram_counts
+
+    return ngram_counts(
+        _t(spark, sf_dir, "documents"), text_col="text", n=2, top_k=20
+    )
+
+
+@query(
+    "q_split_per_group",
+    oracle="""
+    SELECT user_id, event_id FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY md5(CAST(event_id AS VARCHAR)) ASC,
+                            event_id ASC) AS rn
+        FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def q_split_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group subsample (5 events per user, ranked by
+    content hash): the reproducible 'k random rows per class' for
+    balanced training sets — engine-portable membership, WindowGroupLimit
+    bounds memory (operators/splits.per_group_hash_sample)."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        per_group_hash_sample,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    return per_group_hash_sample(
+        ev, group_cols=["user_id"], key_cols=["event_id"], k=5
+    )

@@ -812,3 +812,52 @@ def test_key_skew_profile_buckets(spark):
         for r in key_skew_profile(df, "k", bucket_width=50).collect()
     }
     assert linear == {100: 1, 0: 4}
+
+
+def test_normalize_text_collapses(spark):
+    from bigdata_retailrocket_recsys_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! 42 ",), ("...",), ("",)], "t string"
+    )
+    out = [r.n for r in df.select(normalize_text("t").alias("n")).collect()]
+    assert out == ["hello world 42", "", ""]
+
+
+def test_ngram_counts_bigrams(spark):
+    from bigdata_retailrocket_recsys_spark.operators.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("b a",), ("solo",), ("",)], "text string"
+    )
+    out = {
+        r.ngram: r.n for r in ngram_counts(df, text_col="text").collect()
+    }
+    # "a b a b" → [a b, b a, a b]; "b a" → [b a]; 1-token and empty docs
+    # contribute nothing
+    assert out == {"a b": 2, "b a": 2}
+    top1 = ngram_counts(df, text_col="text", top_k=1).collect()
+    assert [(r.ngram, r.n) for r in top1] == [("a b", 2)]  # tie → lexical
+
+
+def test_per_group_hash_sample_deterministic(spark):
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        per_group_hash_sample,
+    )
+
+    rows = [(g, i) for g in ("x", "y") for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, k bigint")
+    out1 = sorted(
+        (r.g, r.k)
+        for r in per_group_hash_sample(
+            df, group_cols=["g"], key_cols=["k"], k=3
+        ).collect()
+    )
+    out2 = sorted(
+        (r.g, r.k)
+        for r in per_group_hash_sample(
+            df.repartition(7), group_cols=["g"], key_cols=["k"], k=3
+        ).collect()
+    )
+    assert out1 == out2  # membership survives repartitioning
+    assert len(out1) == 6 and len({g for g, _ in out1}) == 2
