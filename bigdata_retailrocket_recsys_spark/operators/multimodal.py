@@ -216,3 +216,48 @@ def sample_frames(
     return assets.select("asset_id", "payload").mapInPandas(
         _sample, schema=FRAME_SCHEMA
     )
+
+
+def chunk_binary(
+    assets: DataFrame,
+    *,
+    chunk_bytes: int,
+    overlap_bytes: int = 0,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Fixed-size (optionally overlapping) chunking of binary payloads —
+    the segmentation step before per-chunk decode/embed (audio windows,
+    video GOPs, long-document byte spans).
+
+    Pure JVM: chunk starts come from ``sequence`` + ``explode`` and the
+    slice is binary ``substring`` — no Python worker touches the bytes,
+    so chunking runs at codegen speed and the expensive Arrow hop
+    (mapInPandas decode) happens only on the (smaller) chunks that
+    survive downstream filters. Narrow op: zero shuffles, parallelism =
+    scan splits.
+
+    Output: (id, chunk_idx, chunk_off, chunk_len, chunk) — 1-based byte
+    offsets; the last chunk is short rather than padded; consecutive
+    chunks share ``overlap_bytes`` prefix/suffix bytes.
+    """
+    if not 0 <= overlap_bytes < chunk_bytes:
+        raise ValueError("need 0 <= overlap_bytes < chunk_bytes")
+    step = chunk_bytes - overlap_bytes
+    n = F.length(F.col(payload_col))
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    out = assets.select(
+        F.col(id_col),
+        F.col(payload_col),
+        F.posexplode(starts).alias("chunk_idx", "chunk_off"),
+    )
+    chunk = F.col(payload_col).substr(F.col("chunk_off"), F.lit(chunk_bytes))
+    return (
+        out.withColumn("chunk", chunk)
+        .withColumn("chunk_len", F.length("chunk"))
+        # a trailing start that only re-covers overlap bytes adds nothing
+        .filter(
+            (F.col("chunk_idx") == 0) | (F.col("chunk_len") > overlap_bytes)
+        )
+        .select(id_col, "chunk_idx", "chunk_off", "chunk_len", "chunk")
+    )

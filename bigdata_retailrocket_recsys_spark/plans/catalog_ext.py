@@ -1809,3 +1809,28 @@ def q_split_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group_hash_sample(
         ev, group_cols=["user_id"], key_cols=["event_id"], k=5
     )
+
+
+@query("q_multimodal_chunk", oracle=None)
+def q_multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload chunking (256-byte windows, 32-byte overlap) over
+    the fake-media assets: sequence+explode starts, binary substring
+    slices — all JVM-side, zero shuffles; the Arrow decode hop happens
+    per-chunk downstream, not per-asset (operators/multimodal.
+    chunk_binary). Binary content is environment-opaque → rows-only;
+    the byte-exact reassembly invariant is unit-tested."""
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        chunk_binary,
+    )
+
+    assets = attach_fake_media(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", payload_from="text"
+    )
+    return chunk_binary(assets, chunk_bytes=256, overlap_bytes=32).select(
+        "asset_id",
+        "chunk_idx",
+        "chunk_off",
+        "chunk_len",
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )

@@ -861,3 +861,34 @@ def test_per_group_hash_sample_deterministic(spark):
     )
     assert out1 == out2  # membership survives repartitioning
     assert len(out1) == 6 and len({g for g, _ in out1}) == 2
+
+
+def test_chunk_binary_reassembles(spark):
+    """Chunks cover the payload exactly: stripping each non-first chunk's
+    overlap prefix and concatenating reproduces the original bytes; the
+    tail chunk is short, never padded."""
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        chunk_binary,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xyz"), (3, "")], "doc_id bigint, text string"
+    )
+    assets = attach_fake_media(docs, id_col="doc_id", payload_from="text")
+    chunks = chunk_binary(assets, chunk_bytes=4, overlap_bytes=1)
+    by_id = {}
+    for r in sorted(
+        chunks.collect(), key=lambda r: (r.asset_id, r.chunk_idx)
+    ):
+        piece = bytes(r.chunk) if r.chunk_idx == 0 else bytes(r.chunk)[1:]
+        by_id[r.asset_id] = by_id.get(r.asset_id, b"") + piece
+        assert r.chunk_len == len(bytes(r.chunk))
+        assert r.chunk_len <= 4
+    assert by_id[1] == b"abcdefghij"  # starts 1,4,7,10 → 4+3+3+... re-cover
+    assert by_id[2] == b"xyz"
+    assert by_id[3] == b""
+    # overlap: consecutive chunks share 1 byte
+    c1 = {r.chunk_idx: bytes(r.chunk) for r in chunks.collect() if r.asset_id == 1}
+    for i in range(1, len(c1)):
+        assert c1[i - 1][-1:] == c1[i][:1] or len(c1[i - 1]) < 4
