@@ -1834,3 +1834,59 @@ def q_multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_len",
         F.md5(F.col("chunk")).alias("chunk_md5"),
     )
+
+
+@query(
+    "q_agg_corr_moments",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+               AS corr_qty_price
+    FROM m
+    """,
+)
+def q_agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal moments — the deterministic
+    distributed-statistics pattern: the five sums are EXACT decimals
+    (order-independent, partition-order-proof, mergeable across any
+    rollup), and only the final scalar combination drops to IEEE doubles
+    with the SAME expression tree on both engines (+-*/ and sqrt are
+    correctly rounded → bit-identical). Contrast F.corr/DuckDB corr():
+    streaming co-moment updates whose result depends on row order — not
+    reproducible across engines OR across two Spark runs with different
+    partitioning. One map-side-combinable agg shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx)
+        * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))

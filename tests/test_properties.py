@@ -290,3 +290,29 @@ def test_approx_percentile_rank_error(spark):
                 hi,
                 target,
             )
+
+
+def test_corr_moments_close_to_builtin(spark):
+    """The exact-moments Pearson r agrees with Spark's streaming F.corr
+    to float tolerance (the moments form is the deterministic one; corr()
+    is the fast-and-loose one — they must describe the same statistic)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.plans import QUERIES
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    ours = {
+        r.l_returnflag: r.corr_qty_price
+        for r in QUERIES["q_agg_corr_moments"].fn(spark, SF_ORACLE).collect()
+    }
+    builtin = {
+        r.l_returnflag: r.c
+        for r in load_table(spark, SF_ORACLE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    assert set(ours) == set(builtin)
+    for flag in ours:
+        assert abs(ours[flag] - builtin[flag]) < 1e-9, flag
