@@ -1890,3 +1890,132 @@ def q_agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("syy") - sy * sy)
     )
     return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+@query(
+    "q_agg_partial_merge",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events GROUP BY event_type, d
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(sum_value) AS DOUBLE) AS sum_value
+    FROM daily GROUP BY event_type
+    """,
+)
+def q_agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate merge: daily (event_type, day) partials re-merged
+    to per-type totals — the pre-aggregation rollup pattern that lets a
+    100 TB warehouse answer any coarser rollup from stored partials
+    without rescanning raw events. Works because count and DECIMAL sum
+    are associative+exact (the same property the HLL-sketch query proves
+    for distinct counts). The merged result is bit-identical to a direct
+    aggregation — the oracle computes the same two-level shape, and the
+    unit suite's oracle gate compares it against Spark's."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    return daily.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q_recommend_topk",
+    oracle="""
+    WITH base AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS cat
+        FROM events
+    ), pairs AS (
+        SELECT a.cat AS cat_a, b.cat AS cat_b, COUNT(*) AS covis
+        FROM base a JOIN base b
+          ON a.user_id = b.user_id AND a.cat < b.cat
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ), sym AS (
+        SELECT cat_a, cat_b, covis FROM pairs
+        UNION ALL
+        SELECT cat_b, cat_a, covis FROM pairs
+    ), scored AS (
+        SELECT u.user_id, s.cat_b AS rec_category, MAX(s.covis) AS score
+        FROM base u JOIN sym s ON u.cat = s.cat_a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM base seen
+            WHERE seen.user_id = u.user_id AND seen.cat = s.cat_b)
+        GROUP BY u.user_id, s.cat_b
+    )
+    SELECT user_id, rec_category, score FROM (
+        SELECT user_id, rec_category, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY score DESC, rec_category ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def q_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 category recommendations per user — the serving-side
+    composition of the engine's candidate machinery (reference's covis
+    strategy py:252-287 turned into a recommendation query): category
+    co-visitation scores × the user's own categories, minus already-seen
+    categories (left_anti), ranked per user. Covis pairs use the
+    2-shuffle array path; the seen-filter is a left_anti join (no
+    NOT-IN null traps); WindowGroupLimit bounds the rank."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import (
+        anti,
+        covis_pairs,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        topk_per_group,
+    )
+
+    base = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.get_json_object("props", "$.k").cast("bigint") % 20).alias(
+                "cat"
+            ),
+        )
+        .distinct()
+    )
+    pairs = covis_pairs(
+        base, group_col="user_id", item_col="cat", min_count=5,
+        pair_strategy="array",
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("cat"),
+        F.col("item_b").alias("rec_category"),
+        "covis",
+    ).union(
+        pairs.select(
+            F.col("item_b").alias("cat"),
+            F.col("item_a").alias("rec_category"),
+            "covis",
+        )
+    )
+    scored = (
+        base.join(sym, "cat")
+        .groupBy("user_id", "rec_category")
+        .agg(F.max("covis").alias("score"))
+    )
+    unseen = anti(
+        scored,
+        base.select("user_id", F.col("cat").alias("rec_category")),
+        on=["user_id", "rec_category"],
+    )
+    return topk_per_group(
+        unseen,
+        group_cols=["user_id"],
+        order_by=[F.col("score").desc(), F.col("rec_category").asc()],
+        k=5,
+    ).select("user_id", "rec_category", "score")
