@@ -2019,3 +2019,30 @@ def q_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=[F.col("score").desc(), F.col("rec_category").asc()],
         k=5,
     ).select("user_id", "rec_category", "score")
+
+
+@query("q_graph_pagerank", oracle=None)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetric category co-visitation graph (10 power
+    iterations, damping 0.85): the graph-importance complement of the
+    popularity candidate strategy (py:331-340). One shuffle per
+    iteration, localCheckpoint lineage truncation (operators/graph.
+    pagerank). Float ranks are reduction-order dependent → rows-only;
+    mass conservation + NumPy agreement are property-tested."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import pagerank
+    from bigdata_retailrocket_recsys_spark.operators.joins import covis_pairs
+
+    base = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.get_json_object("props", "$.k").cast("bigint") % 20).alias("cat"),
+    )
+    pairs = covis_pairs(
+        base, group_col="user_id", item_col="cat", min_count=5,
+        pair_strategy="array",
+    )
+    sym = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    return pagerank(sym, iters=10)

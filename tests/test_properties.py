@@ -316,3 +316,35 @@ def test_corr_moments_close_to_builtin(spark):
     assert set(ours) == set(builtin)
     for flag in ours:
         assert abs(ours[flag] - builtin[flag]) < 1e-9, flag
+
+
+def test_pagerank_invariants(spark):
+    """Rank mass is conserved (Σ = 1) and ranks match a dense NumPy power
+    iteration of the same formulation on a small digraph with a dangling
+    node."""
+    import numpy as np
+
+    from bigdata_retailrocket_recsys_spark.operators.graph import pagerank
+
+    # 0→1, 0→2, 1→2, 2→0, 3→2 ; node 4 dangling (edge 2→4 gives it rank)
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(edge_list, "src bigint, dst bigint")
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, iters=10, checkpoint_every=3).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    n, d = 5, 0.85
+    M = np.zeros((n, n))
+    outdeg = {}
+    for s, t in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    for s, t in edge_list:
+        M[t, s] = 1.0 / outdeg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dangling = sum(r[i] for i in range(n) if i not in outdeg)
+        r = (1 - d) / n + d * (M @ r + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
