@@ -2046,3 +2046,105 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
     )
     return pagerank(sym, iters=10)
+
+
+@query(
+    "q_window_gaps_islands",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                   AS grp
+        FROM events
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS run_len,
+           MIN(epoch_us(ts)) AS run_start_us,
+           MAX(epoch_us(ts)) AS run_end_us
+    FROM tagged
+    GROUP BY user_id, event_type, grp
+    """,
+)
+def q_window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events per
+    user via the classic row_number-difference trick — the value-change
+    complement of time-gap sessionization (py:96-131 splits on TIME gaps;
+    this splits on VALUE changes). Both row_numbers share the user_id
+    hash partitioning → one shuffle + one sort feed both windows, then
+    one agg."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn(
+            "grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min(F.unix_micros("ts")).alias("run_start_us"),
+            F.max(F.unix_micros("ts")).alias("run_end_us"),
+        )
+        .drop("grp")
+    )
+
+
+@query(
+    "q_agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price — exact decimal numerator and
+    denominator (order-independent), ONE final IEEE division. The
+    mergeable form of weighted mean: partials (Σwx, Σw) re-merge at any
+    rollup level, unlike a stored avg."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("decimal(18,2)")
+    x = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum(x * w).cast("double") / F.sum(w).cast("double")
+        ).alias("wavg_price")
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS state,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+    FROM events
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 validity intervals from a change log: each user state
+    change is valid [its ts, next change's ts) — NULL valid_to marks the
+    current row. One lead window; the half-open interval convention
+    matches the engine's point-in-time joins, so an as-of lookup against
+    these intervals is `valid_from <= t AND (valid_to IS NULL OR
+    t < valid_to)`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
