@@ -132,3 +132,33 @@ def test_assoc_rules_dims_broadcast(spark):
     plan = plan_str(QUERIES["q_assoc_rules"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q5_fact_never_shuffles(spark):
+    """All five dimensions broadcast; the lineitem fact reaches the
+    aggregate without a single data shuffle (the only Exchange carries
+    the 5-row partial agg)."""
+    plan = plan_str(QUERIES["q_tpch_q5"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    tree = plan[: plan.index("(1) Scan")] if "(1) Scan" in plan else plan
+    assert tree.count("BroadcastHashJoin") == 5
+    # exactly one non-broadcast Exchange (the 5-row partial agg)
+    assert tree.count("+- Exchange") == 1, tree
+
+
+def test_gaps_islands_single_shuffle(spark):
+    """Both row_number windows AND the final aggregate ride one user_id
+    hash partitioning — exactly one Exchange in the whole plan."""
+    plan = plan_str(QUERIES["q_window_gaps_islands"].fn(spark, SF_DIR))
+    tree = plan[: plan.index("(1) Scan")] if "(1) Scan" in plan else plan
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("Window") == 2
+
+
+def test_markov_transitions_two_data_shuffles(spark):
+    """Lead window (hash by user) + pair-count agg are the only full-data
+    exchanges; the probability window's exchange carries post-agg rows
+    only — 3 exchanges total, no more."""
+    plan = plan_str(QUERIES["q_markov_transitions"].fn(spark, SF_DIR))
+    tree = plan[: plan.index("(1) Scan")] if "(1) Scan" in plan else plan
+    assert tree.count("Exchange") == 3, tree
