@@ -2148,3 +2148,59 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("valid_from_us"),
         F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
     )
+
+
+@query(
+    "q_union_by_name",
+    oracle="""
+    SELECT event_id, user_id, value FROM (
+        SELECT event_id, user_id, value
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL BY NAME
+        SELECT user_id, event_id, NULL AS value
+        FROM events WHERE event_type = 'signup'
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: unionByName(allowMissingColumns=True)
+    aligns by column NAME, not position, and null-fills columns one side
+    lacks — how a 100 TB ingest concatenates drifting schema versions
+    without positional corruption (plain UNION would silently zip
+    event_id against user_id here)."""
+    ev = _t(spark, sf_dir, "events")
+    new_schema = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+    old_schema = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id"
+    )
+    return new_schema.unionByName(
+        old_schema, allowMissingColumns=True
+    ).select("event_id", "user_id", "value")
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id, value * 1000000000.0 + event_id) AS top_event,
+           arg_min(event_id, value * 1000000000.0 + event_id) AS bottom_event,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin (max_by/min_by): fetch the row-identifying column AT
+    the group's extreme in one aggregate pass — no self-join back, no
+    window. Ties on value are broken by the (value, event_id) struct
+    comparison so both engines pick the same row (bare max_by tie-breaks
+    arbitrarily — SURVEY §4.4 discipline)."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", key).alias("top_event"),
+        F.min_by("event_id", key).alias("bottom_event"),
+        F.max("value").cast("double").alias("max_value"),
+    )
