@@ -551,9 +551,17 @@ def run_events_pipeline(
     end: str = "2024-02-01",
     with_embeddings: bool = True,
     observe: "Observation | None" = None,
+    split: str = "train",
 ) -> DataFrame:
     """Full reference-shaped pipeline on the driver testdata: props.k acts
     as item_id, category = item mod 20, 'purchase' acts as add-to-cart.
+
+    ``split``: ``"train"`` anchors in [2024-01-01, train_cutoff);
+    ``"valid"`` anchors in [train_cutoff, end) — but EVERY feature dim
+    (popularity, user stats, affinity, embeddings) still cuts off at
+    train_cutoff, mirroring the reference's deliberate
+    only-≤train-end-history rule for the valid matrix (py:629-630,
+    README:246-251; SURVEY §4.4).
 
     ``observe``: optional ``pyspark.sql.Observation`` — attaches the
     reference's printed stage invariants (feature rows, positive labels,
@@ -584,8 +592,14 @@ def run_events_pipeline(
         .select("session_id", "user_id", "ts", "item_id", "category_id")
         .cache()
     )
+    if split == "train":
+        a_start, a_end = "2024-01-01", train_cutoff
+    elif split == "valid":
+        a_start, a_end = train_cutoff, end
+    else:
+        raise ValueError(f"split must be 'train' or 'valid', got {split!r}")
     anchors = extract_anchors(
-        events_sess, item_cat, start="2024-01-01", end=train_cutoff
+        events_sess, item_cat, start=a_start, end=a_end
     ).cache()
     # the anchor-prefix theta join feeds 3 candidate strategies + 2 feature
     # dims — compute the SortMergeJoin once, cache, reuse (SURVEY §7.3)

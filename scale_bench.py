@@ -68,18 +68,32 @@ def main() -> None:
         .select("session_id", "user_id", "ts", "item_id", "category_id")
         .cache()
     )
-    anchors = rr.extract_anchors(
-        events_sess, item_cat, start="2024-01-01", end="2024-01-21"
-    ).cache()
-    prefix = rr.prefix_events(anchors, events_cat).cache()
-    cands = rr.build_candidates(anchors, events_cat, cfg, prefix=prefix).cache()
-    feats = rr.build_features(
-        anchors, cands, events_cat, train_cutoff="2024-01-21", cfg=cfg, prefix=prefix
-    )
+    # BOTH matrices, like the reference's 444 s run (py:629-630): train
+    # anchors before the cutoff, valid anchors after — valid features
+    # still use only ≤cutoff history (leak rule, SURVEY §4.4)
+    cutoff, end = "2024-01-21", "2024-02-01"
+
+    def build_split(a_start: str, a_end: str):
+        anchors = rr.extract_anchors(
+            events_sess, item_cat, start=a_start, end=a_end
+        ).cache()
+        prefix = rr.prefix_events(anchors, events_cat).cache()
+        cands = rr.build_candidates(
+            anchors, events_cat, cfg, prefix=prefix
+        ).cache()
+        return rr.build_features(
+            anchors, cands, events_cat, train_cutoff=cutoff, cfg=cfg,
+            prefix=prefix,
+        )
+
+    feats_train = build_split("2024-01-01", cutoff)
+    feats_valid = build_split(cutoff, end)
     emb = rr.train_category_embeddings(
-        events_cat.filter(F.col("ts") < F.lit("2024-01-21").cast("timestamp")), cfg
+        events_cat.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")), cfg
     )
-    out = rr.attach_embeddings(feats, emb, cfg)
+    out = rr.attach_embeddings(
+        feats_train.unionByName(feats_valid), emb, cfg
+    )
     out.write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
 

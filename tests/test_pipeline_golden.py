@@ -133,3 +133,37 @@ def test_pipeline_golden_counts(fixture_frames):
     assert r2.cat_count_in_prefix == 1
     assert r2.recency_sec == 1800
     assert r2.session_age_sec == 1800
+
+
+def test_valid_split_uses_only_train_history(spark):
+    """The valid feature matrix anchors strictly AFTER the cutoff, yet its
+    popularity dim is computed from strictly-before-cutoff events only —
+    the reference's leak-prevention rule (py:629-630, README:246-251):
+    any category first seen after the cutoff must carry the null-fill
+    default popularity (=1), never a computed count."""
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.pipelines.retailrocket import (
+        run_events_pipeline,
+    )
+
+    cutoff = "2024-01-21"
+    spark.catalog.clearCache()
+    valid = run_events_pipeline(
+        spark,
+        "/root/testdata/sf0.001",
+        train_cutoff=cutoff,
+        with_embeddings=False,
+        split="valid",
+    ).cache()
+    n = valid.count()
+    assert n > 0
+    cutoff_us = valid.select(
+        F.unix_micros(F.lit(cutoff).cast("timestamp")).alias("c")
+    ).first()["c"]
+    # every anchor is at-or-after the cutoff (half-open valid window)
+    assert valid.filter(F.col("atc_ts_us") < cutoff_us).count() == 0
+    # both labels occur — the valid matrix is a real labeled set
+    labels = {r.y for r in valid.select("y").distinct().collect()}
+    assert labels == {0, 1}
+    spark.catalog.clearCache()
