@@ -2204,3 +2204,103 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", key).alias("bottom_event"),
         F.max("value").cast("double").alias("max_value"),
     )
+
+
+@query(
+    "q_sql_cte_window_join",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment, c.c_name, s.n_orders, s.total_spend FROM (
+        SELECT c_custkey, c_name, c_mktsegment,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_custkey) AS rn
+        FROM customer
+    ) c JOIN spend s ON c.c_custkey = s.o_custkey
+    WHERE c.rn <= 10
+    """,
+)
+def q_sql_cte_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door, grammar breadth: CTE + window + join + rank filter
+    in ONE spark.sql string (complements q_sql_tpch_q6's scan-agg shape)
+    — the parser/analyzer path produces the same Catalyst plan the
+    DataFrame API would (WindowGroupLimit fires on the rn filter)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("bdrr_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("bdrr_orders")
+    return spark.sql(
+        """
+        WITH spend AS (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_spend
+            FROM bdrr_orders GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment, c.c_name, s.n_orders, s.total_spend FROM (
+            SELECT c_custkey, c_name, c_mktsegment,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_custkey) AS rn
+            FROM bdrr_customer
+        ) c JOIN spend s ON c.c_custkey = s.o_custkey
+        WHERE c.rn <= 10
+        """
+    )
+
+
+@query(
+    "q_agg_salted_twophase",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation: groupBy(key, salt) spreads a hot
+    key's rows over 16 reducers, then a second (cheap, 5-row) groupBy
+    merges the partials — the manual skew-agg pattern for when one key
+    owns most of the table (map-side partial aggregation usually hides
+    this; the salt guards the pathological all-rows-distinct-payload
+    case, e.g. countDistinct-heavy aggs). Value-identical to the direct
+    aggregate because count/decimal-sum partials are associative. Salt is
+    deterministic (xxhash64 of the row id % 16), not rand() — replayable
+    and engine-independent."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "q_agg_distinct_twophase",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact countDistinct as two phases: dedup on (key, value) first —
+    a shuffle where every reducer holds only its hash slice, no
+    per-group set in memory — then count per key. What Spark's planner
+    does internally for one COUNT(DISTINCT) (Expand-based rewrite), made
+    explicit as the scalable building block for multi-distinct skew
+    (pair it with q_agg_salted_twophase's salt on a hot key). Identical
+    result to the direct aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
