@@ -390,3 +390,67 @@ def semi(df: DataFrame, other: DataFrame, on: list[str]) -> DataFrame:
 def anti(df: DataFrame, other: DataFrame, on: list[str]) -> DataFrame:
     """LEFT ANTI — rows of df with no match in other (SQL NOT EXISTS)."""
     return df.join(other, on, "left_anti")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    cell: int,
+    key_cols: list[str] | None = None,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Interval overlap join: pairs where ``a.start < b.end AND b.start <
+    a.end`` (half-open [start, end) on both sides), optionally also equal
+    on ``key_cols``.
+
+    The naive form is a cross join with a residual theta predicate —
+    BroadcastNestedLoopJoin, quadratic, dead at scale. This grid-buckets
+    time into ``cell``-sized cells: every interval explodes to the cells
+    it touches (``sequence(start DIV cell, (end-1) DIV cell)``), the join
+    is a plain equi join on (key, cell), and each overlapping pair is
+    emitted EXACTLY once — only in the first cell both intervals share,
+    ``greatest(a.start, b.start) DIV cell`` — so no post-join distinct is
+    needed. The exact overlap predicate is re-applied after the equi
+    join.
+
+    Pick ``cell`` near the typical interval length: explode fan-out per
+    row is ``len/cell + 1`` while cell population stays low — both sides
+    of the quadratic risk stay bounded. Same family as band_join
+    (ε-band ≡ fixed-length intervals).
+
+    Output: left columns aliased ``a_*``, right columns ``b_*``.
+    """
+    key_cols = key_cols or []
+
+    def cells(df: DataFrame, side: str) -> DataFrame:
+        # integer cell ids: DIV keeps everything bigint (no double floor)
+        grid = F.expr(
+            f"sequence(CAST({start_col} AS BIGINT) DIV {cell}, "
+            f"CAST({end_col} - 1 AS BIGINT) DIV {cell})"
+        )
+        return df.select(
+            *[F.col(c).alias(f"{side}_{c}") for c in df.columns],
+            F.explode(grid).alias("__cell"),
+        )
+
+    l = cells(left, "a")
+    r = cells(right, "b")
+    cond = l["__cell"] == r["__cell"]
+    for c in key_cols:
+        cond = cond & (l[f"a_{c}"] == r[f"b_{c}"])
+    a_s, a_e = F.col(f"a_{start_col}"), F.col(f"a_{end_col}")
+    b_s, b_e = F.col(f"b_{start_col}"), F.col(f"b_{end_col}")
+    overlap = (a_s < b_e) & (b_s < a_e)
+    first_shared = F.expr(
+        f"CAST(greatest(a_{start_col}, b_{start_col}) AS BIGINT) DIV {cell}"
+    )
+    out = (
+        l.join(r, cond, "inner")
+        .filter(overlap & (l["__cell"] == first_shared))
+    )
+    if extra_cond is not None:
+        out = out.filter(extra_cond)
+    return out.drop("__cell")

@@ -8,6 +8,9 @@ multimodal plumbing. Registered into the same QUERIES registry.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2303,4 +2306,105 @@ def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               MIN(epoch_us(ts)) AS start_us,
+               MAX(epoch_us(ts)) + 1 AS end_us
+        FROM events
+        WHERE event_type = 'purchase' AND user_id < 40
+        GROUP BY user_id, day
+    )
+    SELECT a.user_id AS a_user_id, b.user_id AS b_user_id,
+           epoch_us(a.day) AS day_us,
+           a.start_us AS a_start_us, b.start_us AS b_start_us
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.start_us < b.end_us AND b.start_us < a.end_us
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (concurrent-activity detection): per-user
+    daily purchase-activity intervals, pairs of users active at
+    overlapping times. Grid-bucketed into 1-hour cells → plain equi join
+    on (day, cell); each pair emitted exactly once via the
+    first-shared-cell rule — NO BroadcastNestedLoopJoin, no post-join
+    distinct (operators/joins.interval_overlap_join; the oracle is the
+    naive theta form)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    iv = (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 40))
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            (F.max(F.unix_micros("ts")) + 1).alias("end_us"),
+        )
+    )
+    out = interval_overlap_join(
+        iv,
+        iv,
+        start_col="start_us",
+        end_col="end_us",
+        cell=3_600_000_000,  # 1-hour cells ≈ typical interval length
+        key_cols=["day"],
+        extra_cond=F.col("a_user_id") < F.col("b_user_id"),
+    )
+    return out.select(
+        "a_user_id",
+        "b_user_id",
+        F.unix_micros("a_day").alias("day_us"),
+        "a_start_us",
+        "b_start_us",
+    )
+
+
+@query(
+    "q_sink_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT event_id, user_id, value FROM events WHERE user_id < 50
+    ), updates AS (
+        SELECT event_id, user_id, value * 2.0 AS value
+        FROM events WHERE user_id >= 25 AND user_id < 75
+    )
+    SELECT event_id, user_id, value FROM updates
+    UNION ALL
+    SELECT t.event_id, t.user_id, t.value FROM target t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM updates u WHERE u.event_id = t.event_id)
+    """,
+)
+def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE over plain parquet: updates replace matching
+    keys, new keys append, survivors carry over — written as a NEW
+    snapshot directory and re-read (sources/writers.upsert_parquet; the
+    Delta/Iceberg MERGE primitive, pruned-partition-rewrite at scale).
+    left_anti + unionByName, no full-outer fan-out."""
+    from bigdata_retailrocket_recsys_spark.sources.writers import (
+        upsert_parquet,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base_dir = os.path.join(tempfile.gettempdir(), "bdrr_upsert")
+    target_path = os.path.join(base_dir, "v1")
+    out_path = os.path.join(base_dir, "v2")
+    ev.filter(F.col("user_id") < 50).select(
+        "event_id", "user_id", "value"
+    ).write.mode("overwrite").parquet(target_path)
+    updates = ev.filter(
+        (F.col("user_id") >= 25) & (F.col("user_id") < 75)
+    ).select(
+        "event_id", "user_id", (F.col("value") * F.lit(2.0)).alias("value")
+    )
+    return upsert_parquet(
+        spark, target_path, updates, key_cols=["event_id"], out_path=out_path
     )

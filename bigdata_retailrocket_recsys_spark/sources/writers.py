@@ -95,3 +95,33 @@ def write_range_clustered(
     clustered = df.repartitionByRange(num_files, *range_by)
     clustered = clustered.sortWithinPartitions(*(sort_by or range_by))
     clustered.write.mode(mode).parquet(path)
+
+
+def upsert_parquet(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    out_path: str,
+) -> DataFrame:
+    """Copy-on-write MERGE (upsert) for plain parquet: rows from
+    ``updates`` replace target rows with the same key, unmatched update
+    rows append, untouched target rows carry over — written as a NEW
+    snapshot directory (``out_path``), never in place. This is the
+    primitive under Delta/Iceberg MERGE: at 100 TB you pair it with
+    partition pruning so only partitions containing touched keys are
+    rewritten; readers atomically switch snapshots by path (or catalog
+    pointer swap).
+
+    Plan: one left_anti join (target minus touched keys — broadcast when
+    updates are small, the common CDC case) + unionByName + write.
+    Returns the re-read snapshot.
+    """
+    from pyspark.sql import functions as F2  # noqa: F401
+
+    target = spark.read.parquet(target_path)
+    survivors = target.join(updates, key_cols, "left_anti")
+    merged = survivors.unionByName(updates)
+    merged.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

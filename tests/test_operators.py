@@ -892,3 +892,62 @@ def test_chunk_binary_reassembles(spark):
     c1 = {r.chunk_idx: bytes(r.chunk) for r in chunks.collect() if r.asset_id == 1}
     for i in range(1, len(c1)):
         assert c1[i - 1][-1:] == c1[i][:1] or len(c1[i - 1]) < 4
+
+
+def test_interval_overlap_join_exact_once(spark):
+    """A pair sharing MANY grid cells is still emitted exactly once
+    (first-shared-cell rule); non-overlapping and wrong-key pairs drop;
+    touching-at-boundary half-open intervals do NOT overlap."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        ("k1", 1, 0, 1000),     # spans 10 cells at cell=100
+        ("k1", 2, 50, 950),     # overlaps 1 across many cells
+        ("k1", 3, 1000, 1100),  # touches 1 at 1000 → no overlap (half-open)
+        ("k2", 4, 0, 1000),     # different key
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, iid bigint, start_us bigint, end_us bigint"
+    )
+    out = interval_overlap_join(
+        df,
+        df,
+        start_col="start_us",
+        end_col="end_us",
+        cell=100,
+        key_cols=["key"],
+        extra_cond=__import__("pyspark.sql.functions", fromlist=["col"]).col(
+            "a_iid"
+        )
+        < __import__("pyspark.sql.functions", fromlist=["col"]).col("b_iid"),
+    )
+    pairs = sorted((r.a_iid, r.b_iid) for r in out.collect())
+    assert pairs == [(1, 2)]
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    """Updates replace matching keys, new keys append, survivors carry
+    over — and the target snapshot is untouched (copy-on-write)."""
+    from bigdata_retailrocket_recsys_spark.sources.writers import (
+        upsert_parquet,
+    )
+
+    t = str(tmp_path / "v1")
+    o = str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    ).write.parquet(t)
+    updates = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k bigint, v string"
+    )
+    merged = {
+        r.k: r.v
+        for r in upsert_parquet(
+            spark, t, updates, key_cols=["k"], out_path=o
+        ).collect()
+    }
+    assert merged == {1: "a", 2: "B", 3: "c", 4: "D"}
+    original = {r.k: r.v for r in spark.read.parquet(t).collect()}
+    assert original == {1: "a", 2: "b", 3: "c"}

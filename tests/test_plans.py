@@ -162,3 +162,12 @@ def test_markov_transitions_two_data_shuffles(spark):
     plan = plan_str(QUERIES["q_markov_transitions"].fn(spark, SF_DIR))
     tree = plan[: plan.index("(1) Scan")] if "(1) Scan" in plan else plan
     assert tree.count("Exchange") == 3, tree
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    """The grid-cell rewrite must plan as an equi join — never the naive
+    theta form's BroadcastNestedLoopJoin/Cartesian."""
+    plan = plan_str(QUERIES["q_join_interval_overlap"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
