@@ -2408,3 +2408,69 @@ def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_parquet(
         spark, target_path, updates, key_cols=["event_id"], out_path=out_path
     )
+
+
+@query(
+    "q_window_trailing_range",
+    oracle="""
+    SELECT event_id,
+           COUNT(*) OVER w AS n_7d,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_7d
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def q_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing bounded RANGE frame: per event, count/sum of the SAME
+    user's events in the strictly-prior 7 days — the rolling-feature
+    window (bounded twin of the W5 unbounded prefix counts; the window
+    form of q_features_multi_horizon's 7d theta join, computed for EVERY
+    event in one shuffle instead of per anchor). Value-based frame over
+    exact epoch-µs ⇒ deterministic at same-timestamp ties; 1-PRECEDING
+    upper bound keeps the half-open strictly-before rule."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604_800_000_000, -1)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_7d"),
+    )
+
+
+@query(
+    "q_json_typed",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS cat
+    FROM events WHERE json_valid(props)
+    """,
+)
+def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with an explicit schema → struct
+    field access (the schema-enforced complement of q_json_extract's
+    per-path get_json_object — ONE parse per row regardless of how many
+    fields are consumed, and corrupt documents become NULL structs
+    instead of silent per-path misses)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "p", F.from_json("props", schema)
+    )
+    return ev.filter(F.col("p").isNotNull()).select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 20).alias("cat"),
+    )
