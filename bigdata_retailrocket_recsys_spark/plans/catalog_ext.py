@@ -2474,3 +2474,60 @@ def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         (F.col("p.k") % 20).alias("cat"),
     )
+
+
+@query(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'event_id' AS col, COUNT(*) AS n,
+           COUNT(*) - COUNT(event_id) AS n_null,
+           COUNT(DISTINCT event_id) AS n_distinct,
+           CAST(MIN(event_id) AS DOUBLE) AS min_d,
+           CAST(MAX(event_id) AS DOUBLE) AS max_d
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+           COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           COUNT(DISTINCT value),
+           CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
+    FROM events
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (count / nulls / exact distinct / min / max) for
+    three numeric columns in ONE aggregation job — the data-quality
+    sweep every ingest runs. All 15 aggregates ride a single pass
+    (Spark rewrites the multi-distinct with one Expand), then unpivot to
+    long form via a struct array explode — vs the oracle's 3-scan UNION
+    ALL shape. At 100 TB swap countDistinct for approx_count_distinct
+    (q_agg_approx_distinct) and the same plan becomes Expand-free."""
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "value"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.countDistinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = ev.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n").alias("n"),
+                F.col(f"{c}__n_null").alias("n_null"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_d"),
+                F.col(f"{c}__max").alias("max_d"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
