@@ -348,3 +348,53 @@ def test_pagerank_invariants(spark):
         r = (1 - d) / n + d * (M @ r + dangling / n)
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+
+
+@given(
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),     # key
+            st.integers(min_value=0, max_value=500),   # start
+            st.integers(min_value=1, max_value=400),   # length
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_interval_overlap_equals_bruteforce(spark, intervals):
+    """The grid-cell interval join must equal the quadratic definition —
+    each overlapping pair exactly once, on adversarial inputs (nested,
+    identical, touching, and many-cell-spanning intervals; cell size
+    deliberately smaller than max interval length)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        (k, i, s, s + ln) for i, (k, s, ln) in enumerate(intervals)
+    ]
+    df = spark.createDataFrame(
+        rows, "key bigint, iid bigint, start_us bigint, end_us bigint"
+    )
+    got = sorted(
+        (r.a_iid, r.b_iid)
+        for r in interval_overlap_join(
+            df,
+            df,
+            start_col="start_us",
+            end_col="end_us",
+            cell=64,
+            key_cols=["key"],
+            extra_cond=F.col("a_iid") < F.col("b_iid"),
+        ).collect()
+    )
+    want = sorted(
+        (a[1], b[1])
+        for a in rows
+        for b in rows
+        if a[1] < b[1] and a[0] == b[0] and a[2] < b[3] and b[2] < a[3]
+    )
+    assert got == want
