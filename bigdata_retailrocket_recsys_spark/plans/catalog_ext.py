@@ -2531,3 +2531,38 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@query(
+    "q_stream_late_drop",
+    oracle="""
+    WITH hourly AS (
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    ), wm AS (
+        SELECT MAX(epoch_us(ts)) - 1800000000 AS final_wm FROM events
+    )
+    SELECT window_start_us,
+           window_start_us + 3600000000 AS window_end_us,
+           n
+    FROM hourly, wm
+    WHERE window_start_us + 3600000000 <= final_wm
+    """,
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop, made deterministic: three staged
+    micro-batches; the last replays day-one events as late data — by
+    then the watermark has evicted their windows, so every replay is
+    dropped and the streamed hourly counts equal the ORIGINAL events'
+    counts exactly; append mode emits each closed window once (windows
+    still open at stream end are cut — the oracle applies the same
+    final-watermark rule). The contract a production ingest relies on:
+    bounded state + deterministic lateness policy
+    (streaming/sessionize_stream.run_streaming_late_drop, which also
+    documents the still-in-state late-merge subtlety)."""
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        run_streaming_late_drop,
+    )
+
+    return run_streaming_late_drop(spark, sf_dir)

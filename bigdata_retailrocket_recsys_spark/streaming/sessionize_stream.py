@@ -153,3 +153,97 @@ def run_streaming_sessionize(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_streaming_late_drop(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    split_at: str = "2024-01-16",
+    delay: str = "30 minutes",
+    sink_table: str = "bdrr_stream_late_drop",
+) -> DataFrame:
+    """Watermark late-data semantics, demonstrated deterministically.
+
+    Three staged files processed as three micro-batches
+    (``maxFilesPerTrigger=1``): file 0 holds events before ``split_at``,
+    file 1 the rest, file 2 late replays of day-one events (same event
+    time, re-tagged ids). By the replay batch the watermark stands at
+    ``max(all ts) − delay`` and the day-one windows are long evicted —
+    the stateful aggregation DROPS every replay (verified via the
+    ``numRowsDroppedByWatermark`` metric), so every hourly count equals
+    the ORIGINAL data's count (the oracle proves exactly this). Append
+    mode emits each window once, when the watermark passes its end;
+    windows still open at stream end (within ``delay`` of the last
+    event) are never emitted — the oracle cuts the same tail.
+
+    Found empirically (Spark 4.1): a late row whose window is still IN
+    state (the watermark passed its end only this batch, eviction
+    pending) is merged, not dropped — the watermark is a lower bound on
+    eviction, not an input filter per se. Hence the replays ride a
+    THIRD batch, after eviction has demonstrably happened.
+
+    This is the semantic contract a 100 TB streaming ingest runs on:
+    bounded state (closed windows evicted), deterministic late-data
+    policy (drop beyond watermark), exactly-once window emission.
+    """
+    import os as _os
+    import tempfile as _tmp
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = (
+        spark.read.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(_os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_id", "ts")
+    )
+    cut = F.lit(split_at).cast("timestamp")
+    stage = _os.path.join(_tmp.gettempdir(), "bdrr_late_drop_stage")
+    early = src.filter(F.col("ts") < cut)
+    late_replays = (
+        early.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    # three files, written oldest-first so the source processes them in
+    # order: early, rest, then the late replays as their own batch
+    early.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(stage, "f=0")
+    )
+    src.filter(F.col("ts") >= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(stage, "f=1"))
+    late_replays.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(stage, "f=2")
+    )
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage + "/f=*")
+    )
+    out = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.unix_micros(F.col("w.end")).alias("window_end_us"),
+            "n",
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # distinct: a sink table re-registered in the same session could
+    # retain rows from a previous run of this query
+    return spark.table(sink_table).distinct()
