@@ -167,3 +167,30 @@ def test_valid_split_uses_only_train_history(spark):
     labels = {r.y for r in valid.select("y").distinct().collect()}
     assert labels == {0, 1}
     spark.catalog.clearCache()
+
+
+def test_candidate_recall_matches_reference_claim(spark):
+    """The reference claims '95%+ recall' of the true category within the
+    candidate pool (README:244). Assert the same bound on our pipeline:
+    fraction of anchors whose true category appears among their
+    candidates (= mean of per-anchor max(y)). On the 20-category
+    synthetic domain it is exactly 1.0; the bound locks the reference's
+    claim as a regression."""
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.pipelines.retailrocket import (
+        run_events_pipeline,
+    )
+
+    spark.catalog.clearCache()
+    f = run_events_pipeline(
+        spark, "/root/testdata/sf0.001", with_embeddings=False
+    )
+    rec = (
+        f.groupBy("session_id", "atc_ts_us")
+        .agg(F.max("y").alias("hit"))
+        .agg(F.avg("hit").alias("recall"))
+        .first()["recall"]
+    )
+    assert rec >= 0.95, rec
+    spark.catalog.clearCache()
