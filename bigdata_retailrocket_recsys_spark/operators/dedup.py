@@ -275,6 +275,10 @@ def ngram_jaccard_pairs(
     if block_cols:
         blocks = df.select(F.col(id_col).alias("doc"), *block_cols)
         tok = tok.join(blocks, "doc")
+    # cache: three consumers (sizes + both self-join sides) would each
+    # re-run tokenize→shingle→distinct; at warehouse scale persist the
+    # shingle table once instead
+    tok = tok.cache()
     sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = tok.alias("a")
     b = tok.alias("b")
@@ -351,6 +355,9 @@ def ngram_jaccard_pairs_prefix(
         <= F.col("n_sh") - F.ceil(F.lit(min_jaccard) * F.col("n_sh")) + 1
     ).select("doc", "shingle", *block_cols)
 
+    # cache: both self-join sides read the ranked-prefix subtree (window
+    # over global shingle frequencies) — twice the cost uncached
+    prefix = prefix.cache()
     a = prefix.alias("a")
     b = prefix.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
