@@ -951,3 +951,44 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     assert merged == {1: "a", 2: "B", 3: "c", 4: "D"}
     original = {r.k: r.v for r in spark.read.parquet(t).collect()}
     assert original == {1: "a", 2: "b", 3: "c"}
+
+
+def test_minhash_estimates_jaccard(spark):
+    """MinHash contract: identical docs share the full signature (always
+    bucketed together); disjoint docs agree only by hash collision; and
+    signature agreement ≈ Jaccard similarity for overlapping docs (the
+    reason LSH banding finds near-dups). Deterministic (xxhash64 seeds,
+    no RNG)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"  # high Jaccard
+    far = "completely different tokens nothing shared at all here truly"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)],
+        "doc_id bigint, text string",
+    )
+    sigs = {
+        r.doc: r.sig
+        for r in minhash_signatures(
+            docs, id_col="doc_id", text_col="text", shingle_n=3, num_hashes=16
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    agree_near = sum(a == b for a, b in zip(sigs[1], sigs[3])) / 16
+    agree_far = sum(a == b for a, b in zip(sigs[1], sigs[4])) / 16
+    assert agree_near > agree_far
+    assert agree_far == 0.0
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text", shingle_n=3,
+            num_hashes=16, bands=4,
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 4  # identical docs share every band
+    assert (1, 4) not in pairs and (2, 4) not in pairs
