@@ -398,3 +398,29 @@ def test_interval_overlap_equals_bruteforce(spark, intervals):
         if a[1] < b[1] and a[0] == b[0] and a[2] < b[3] and b[2] < a[3]
     )
     assert got == want
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL++ at rsd=0.02 must land within a conservative 5× the relative
+    standard deviation of the exact distinct count on the oracle SF."""
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.plans import QUERIES
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q_agg_approx_distinct"].fn(spark, SF_ORACLE).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et in exact:
+        rel_err = abs(approx[et] - exact[et]) / exact[et]
+        assert rel_err <= 0.10, (et, approx[et], exact[et])
