@@ -2566,3 +2566,47 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_late_drop(spark, sf_dir)
+
+
+@query("q_scan_csv_corrupt", oracle=None)
+def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record ingestion policy: PERMISSIVE CSV read with an
+    explicit schema routes malformed lines into ``_corrupt_record``
+    instead of failing the 100 TB job (FAILFAST) or silently dropping
+    them (DROPMALFORMED) — the quarantine-and-continue pattern. Output:
+    one row per parse outcome with counts; the staged file deliberately
+    contains both malformed and valid lines (exact counts asserted in
+    tests/test_operators.py — rows-only here because the staged corrupt
+    file is engine-side state DuckDB does not see)."""
+    import os as _os
+    import tempfile as _tmp
+
+    out = _os.path.join(_tmp.gettempdir(), "bdrr_corrupt_csv")
+    _os.makedirs(out, exist_ok=True)
+    with open(_os.path.join(out, "part-0.csv"), "w") as f:
+        f.write("event_id,user_id,value\n")
+        f.write("1,10,1.5\n")
+        f.write("2,eleven,2.5\n")  # malformed: non-numeric user_id
+        f.write("3,12,3.5\n")
+        f.write("totally,broken\n")  # malformed: wrong arity + types
+        f.write("4,13,not_a_double\n")  # malformed: non-numeric value
+    schema = (
+        "event_id bigint, user_id bigint, value double, "
+        "_corrupt_record string"
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # cache before splitting on _corrupt_record — Spark requires the
+    # raw parse to materialize before the corrupt column is referenced
+    df = df.cache()
+    return df.groupBy(
+        F.col("_corrupt_record").isNull().alias("parsed_ok")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("event_id").alias("n_event_id_present"),
+    )

@@ -1030,3 +1030,19 @@ def test_cosine_topk_lsh_bucket_containment(spark):
         ).collect()
     }
     assert degraded == exact
+
+
+def test_corrupt_csv_quarantine_counts(spark):
+    """PERMISSIVE parse: 2 fully-valid lines parse clean; 3 malformed
+    lines land in the quarantine bucket with the raw line preserved —
+    nothing dropped, nothing fatal (the 100 TB ingest policy)."""
+    from bigdata_retailrocket_recsys_spark.plans import QUERIES
+
+    out = {
+        r.parsed_ok: (r.n_rows, r.n_event_id_present)
+        for r in QUERIES["q_scan_csv_corrupt"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert out[True][0] == 2  # rows 1 and 3
+    assert out[False][0] == 3  # the three malformed lines
