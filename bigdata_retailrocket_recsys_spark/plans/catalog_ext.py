@@ -2610,3 +2610,30 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("event_id").alias("n_event_id_present"),
     )
+
+
+@query("q_sink_compaction", oracle=None)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the 100 TB metadata-death fix): a
+    deliberately fragmented 64-file write rewrites to ceil(rows/target)
+    evenly-sized files via one narrow read + round-robin repartition
+    (sources/writers.compact_parquet). Returns the before/after file
+    counts — deterministic, exact counts unit-tested; rows-only here
+    because the staged directories are engine-side state."""
+    import os as _os
+    import tempfile as _tmp
+
+    from bigdata_retailrocket_recsys_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    base = _os.path.join(_tmp.gettempdir(), "bdrr_compaction")
+    frag, out = _os.path.join(base, "frag"), _os.path.join(base, "out")
+    (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(frag)
+    )
+    return compact_parquet(spark, frag, out, target_rows_per_file=5000)

@@ -125,3 +125,43 @@ def upsert_parquet(
     merged = survivors.unionByName(updates)
     merged.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+def compact_parquet(
+    spark,
+    in_path: str,
+    out_path: str,
+    *,
+    target_rows_per_file: int,
+) -> "DataFrame":
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ``ceil(rows / target)`` evenly-sized files. The small-files problem
+    is the classic death-by-metadata failure at 100 TB (a streaming sink
+    or over-parallel write leaves millions of KB-sized files; every
+    downstream scan pays per-file open + footer + scheduling costs).
+    Compaction = one narrow read → round-robin repartition → write; run
+    it partition-by-partition behind the same snapshot-swap pattern as
+    :func:`upsert_parquet`. Returns a 1-row stats DataFrame
+    (files_before, files_after, n_rows).
+    """
+    import math
+
+    from pyspark.sql import functions as F2
+
+    df = spark.read.parquet(in_path)
+    n_rows = df.count()
+    files_before = df.select(
+        F2.input_file_name().alias("f")
+    ).distinct().count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    files_after = (
+        spark.read.parquet(out_path)
+        .select(F2.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [(files_before, files_after, n_rows)],
+        "files_before bigint, files_after bigint, n_rows bigint",
+    )

@@ -1046,3 +1046,24 @@ def test_corrupt_csv_quarantine_counts(spark):
     }
     assert out[True][0] == 2  # rows 1 and 3
     assert out[False][0] == 3  # the three malformed lines
+
+
+def test_compact_parquet_file_counts(spark, tmp_path):
+    """64 tiny files compact to exactly ceil(rows/target); row multiset
+    survives the rewrite."""
+    from bigdata_retailrocket_recsys_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    df.repartition(64).write.parquet(frag)
+    stats = compact_parquet(
+        spark, frag, out, target_rows_per_file=300
+    ).first()
+    assert stats.files_before == 64
+    assert stats.files_after == 4  # ceil(1000/300)
+    assert stats.n_rows == 1000
+    got = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert got == list(range(1000))
