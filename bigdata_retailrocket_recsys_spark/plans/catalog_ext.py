@@ -2637,3 +2637,69 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(frag)
     )
     return compact_parquet(spark, frag, out, target_rows_per_file=5000)
+
+
+@query(
+    "q_vector_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT))
+                AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 1e9 AS centroid_v
+    FROM dims GROUP BY label, dim
+    """,
+)
+def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (the mean vector each few-shot /
+    nearest-centroid classifier and every clustering QA step needs):
+    posexplode dims → exact integer sums of floor(v·1e9) per
+    (label, dim) → ONE IEEE division chain (the catalog's floor rule —
+    float→decimal casts round differently across engines, learned the
+    hard way; floor of an exact double product does not). One explode +
+    one agg shuffle; at 100 TB this is the map-side-combinable way to
+    average vectors (vs collecting arrays)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("v").cast("double") * F.lit(1e9)).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e9)
+            ).alias("centroid_v")
+        )
+    )
+
+
+@query(
+    "q_agg_bitops",
+    oracle="""
+    SELECT user_id,
+           bit_and(event_id) AS all_bits,
+           bit_or(event_id) AS any_bits,
+           bit_xor(event_id) AS parity_bits
+    FROM events WHERE user_id < 20 GROUP BY user_id
+    """,
+)
+def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — the flag-mask
+    rollup primitives (permission masks, feature-presence bitmaps,
+    xor-parity checksums). Exact integers, order-independent →
+    engine-identical; map-side combinable like any algebraic agg."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return ev.groupBy("user_id").agg(
+        F.bit_and("event_id").alias("all_bits"),
+        F.bit_or("event_id").alias("any_bits"),
+        F.bit_xor("event_id").alias("parity_bits"),
+    )
