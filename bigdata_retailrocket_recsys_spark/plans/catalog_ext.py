@@ -2703,3 +2703,46 @@ def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("event_id").alias("any_bits"),
         F.bit_xor("event_id").alias("parity_bits"),
     )
+
+
+@query(
+    "q_window_zscore",
+    oracle="""
+    WITH m AS (
+        SELECT event_id, value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS ss,
+               CAST(COUNT(*) OVER w AS DOUBLE) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+    )
+    SELECT event_id,
+           (value - s / n) / sqrt((ss - s * s / n) / n) AS z
+    FROM m
+    """,
+)
+def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (the feature-scaling step every
+    numeric model input takes): group mean/stddev from EXACT decimal
+    window sums (whole-partition frame — map-side no, but single
+    shuffle), then one shared IEEE expression tree → bit-identical
+    cross-engine, unlike stddev()'s order-dependent streaming moments.
+    Population σ; groups are events.event_type (5 groups, |g| ≫ 1)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    dec = F.col("value").cast("decimal(18,2)")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.sum(dec).over(w).cast("double").alias("s"),
+        F.sum(dec * dec).over(w).cast("double").alias("ss"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+    )
+    s, ss, n, v = F.col("s"), F.col("ss"), F.col("n"), F.col("value")
+    return ev.select(
+        "event_id",
+        ((v - s / n) / F.sqrt((ss - s * s / n) / n)).alias("z"),
+    )
