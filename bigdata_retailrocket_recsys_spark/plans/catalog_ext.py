@@ -2746,3 +2746,27 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         ((v - s / n) / F.sqrt((ss - s * s / n) / n)).alias("z"),
     )
+
+
+@query(
+    "q_stream_upsert_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot maintenance: UPDATE-mode streaming aggregation
+    + foreachBatch MERGE (copy-on-write upsert_parquet) across two
+    staged micro-batches — each batch folds only its changed keys into a
+    new snapshot version; the final snapshot equals the batch aggregate
+    over all events (full oracle). The incremental serving-table loop
+    for stores without a native streaming sink
+    (streaming/stream_join.run_stream_upsert_merge)."""
+    from bigdata_retailrocket_recsys_spark.streaming.stream_join import (
+        run_stream_upsert_merge,
+    )
+
+    return run_stream_upsert_merge(spark, sf_dir)

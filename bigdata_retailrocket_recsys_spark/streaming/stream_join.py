@@ -138,3 +138,95 @@ def run_stream_foreach_batch(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def run_stream_upsert_merge(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    split_at: str = "2024-01-16",
+    base_path: str | None = None,
+) -> DataFrame:
+    """CDC-style serving-table maintenance: a streaming aggregation in
+    UPDATE mode + foreachBatch MERGE keeps a parquet snapshot current —
+    each micro-batch delivers only the keys whose aggregate changed, and
+    :func:`sources.writers.upsert_parquet` folds them into a NEW
+    snapshot version (copy-on-write, replay-idempotent: re-merging the
+    same batch's cumulative rows is a no-op). Two staged files →
+    two batches (``maxFilesPerTrigger=1``); the final snapshot equals
+    the batch aggregate over ALL events → full DuckDB oracle.
+
+    This is the production loop for "keep a dashboard/feature table
+    fresh from a stream" when the store has no native streaming sink —
+    the incremental complement of run_stream_foreach_batch's
+    complete-mode overwrite.
+    """
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from bigdata_retailrocket_recsys_spark.sources.writers import (
+        upsert_parquet,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base_path = base_path or _os.path.join(
+        _tmp.gettempdir(), "bdrr_stream_upsert"
+    )
+    _sh.rmtree(base_path, ignore_errors=True)
+    stage = _os.path.join(base_path, "stage")
+
+    src = (
+        spark.read.schema(
+            "event_id bigint, ts bigint, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .parquet(_os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_type", "ts", "value")
+    )
+    cut = F.lit(split_at).cast("timestamp")
+    src.filter(F.col("ts") < cut).coalesce(1).write.parquet(
+        _os.path.join(stage, "f=0")
+    )
+    src.filter(F.col("ts") >= cut).coalesce(1).write.parquet(
+        _os.path.join(stage, "f=1")
+    )
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage + "/f=*")
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+    versions: list[str] = []
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = _os.path.join(base_path, f"v{batch_id}")
+        if not versions:
+            batch_df.write.mode("overwrite").parquet(out)
+        else:
+            upsert_parquet(
+                spark,
+                versions[-1],
+                batch_df,
+                key_cols=["event_type"],
+                out_path=out,
+            )
+        versions.append(out)
+
+    q = (
+        agg.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(versions[-1])
