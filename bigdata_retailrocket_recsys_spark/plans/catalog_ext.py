@@ -2770,3 +2770,27 @@ def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_stream_upsert_merge(spark, sf_dir)
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS types_csv
+    FROM events WHERE user_id < 25 GROUP BY user_id
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg — the report-
+    formatting aggregate): distinct event types per user as a sorted
+    CSV. Deterministic because the intra-group order is EXPLICIT
+    (WITHIN GROUP ORDER BY) — the same §4.4 discipline as
+    q_agg_collect_seq; Spark 4's listagg ≡ DuckDB's ordered
+    string_agg."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
+    return ev.groupBy("user_id").agg(
+        F.expr(
+            "listagg(DISTINCT event_type, ',') WITHIN GROUP (ORDER BY event_type)"
+        ).alias("types_csv")
+    )
