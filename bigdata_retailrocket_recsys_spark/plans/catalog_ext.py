@@ -2794,3 +2794,67 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "listagg(DISTINCT event_type, ',') WITHIN GROUP (ORDER BY event_type)"
         ).alias("types_csv")
     )
+
+
+@query(
+    "q_fn_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+           value / NULLIF(CAST(user_id % 7 AS DOUBLE), 0.0) AS safe_div,
+           CASE WHEN user_id % 7 = 0 THEN NULL
+                ELSE CAST(event_id // (user_id % 7) AS BIGINT) END
+               AS safe_intdiv
+    FROM events WHERE event_id < 3000
+    """,
+)
+def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (try_divide): division by zero yields NULL
+    instead of ±Inf (doubles) or a runtime error (ANSI integer division)
+    — the guard every derived-ratio feature needs at 100 TB where SOME
+    row always has a zero denominator (≡ the reference's greatest()
+    divide guard, py:567-568, as a function instead of a clamp).
+    Oracle: the NULLIF/CASE formulation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    den = (F.col("user_id") % 7).cast("double")
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), den).alias("safe_div"),
+        F.try_divide(F.col("event_id"), F.col("user_id") % 7)
+        .cast("bigint")
+        .alias("safe_intdiv"),
+    )
+
+
+@query(
+    "q_fn_string_breadth",
+    oracle="""
+    SELECT doc_id,
+           upper(substr(text, 1, 12)) AS head_up,
+           lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_pad,
+           replace(substr(text, 1, 20), ' ', '_') AS head_snake,
+           split_part(trim(text), ' ', 1) AS first_word,
+           reverse(split_part(trim(text), ' ', 1)) AS first_word_rev,
+           length(text) AS n_chars,
+           contains(lower(text), 'the') AS has_the
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q_fn_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth (the ingest-normalization toolkit beyond
+    q_fn_string's concat): case mapping, substring, padding, replace,
+    token extraction, reverse, length, containment — all JVM built-ins
+    with identical semantics in DuckDB."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    first_word = F.split_part(F.trim("text"), F.lit(" "), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("head_up"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("id_pad"),
+        F.replace(
+            F.substring("text", 1, 20), F.lit(" "), F.lit("_")
+        ).alias("head_snake"),
+        first_word.alias("first_word"),
+        F.reverse(first_word).alias("first_word_rev"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.contains(F.lower("text"), F.lit("the")).alias("has_the"),
+    )
