@@ -25,6 +25,7 @@ hashes match — keep them when adding queries):
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -70,10 +71,51 @@ class CatalogQuery:
 
 QUERIES: dict[str, CatalogQuery] = {}
 
+#: The engine reads ``events.ts`` (physically TIMESTAMP(NANOS)) floored to
+#: µs (`sources/readers.py` load_table: ``ts div 1000`` on the ns bigint).
+#: DuckDB's parquet scan behavior for TIMESTAMP_NS *differs by version*
+#: (1.0 truncates to µs at scan; newer versions preserve ns) — so every
+#: oracle that touches ``events`` is rewritten at registration time to read
+#: through a CTE that floors ts to µs with exact integer arithmetic:
+#: ``epoch_ns`` is exact in both representations and ``//`` matches Spark's
+#: ``div`` (truncation toward zero) for the positive epochs in play. After
+#: the CTE, oracle ts semantics (comparisons, ORDER BY, epoch_us, windows)
+#: are identical to the engine's µs view in ANY DuckDB version.
+_EVENTS_US_CTE = (
+    "events_us AS (SELECT * REPLACE "
+    "(make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)"
+)
+
+_EVENTS_REF = re.compile(r"\bevents\b")
+
+
+def _normalize_oracle(sql: str | None) -> str | None:
+    """Prepend the µs-floor events CTE to any oracle referencing ``events``.
+
+    Rewrites table references ``events`` → ``events_us`` (word-boundary, so
+    aliases like ``n_events`` are untouched) and splices the CTE into an
+    existing WITH list when present (incl. WITH RECURSIVE — non-recursive
+    members in a recursive list are legal)."""
+    if sql is None or not _EVENTS_REF.search(sql):
+        return sql
+    body = _EVENTS_REF.sub("events_us", sql)
+    stripped = body.lstrip()
+    lead_ws = body[: len(body) - len(stripped)]
+    low = stripped.lower()
+    if low.startswith("with recursive"):
+        rest = stripped[len("with recursive") :]
+        return f"{lead_ws}WITH RECURSIVE {_EVENTS_US_CTE},{rest}"
+    if low.startswith("with"):
+        rest = stripped[len("with") :]
+        return f"{lead_ws}WITH {_EVENTS_US_CTE},{rest}"
+    return f"{lead_ws}WITH {_EVENTS_US_CTE}\n{stripped}"
+
 
 def query(name: str, oracle: str | None = None, *, headline: bool = False):
     def deco(fn: SparkQuery) -> SparkQuery:
-        QUERIES[name] = CatalogQuery(name, fn, oracle, headline, fn.__doc__ or "")
+        QUERIES[name] = CatalogQuery(
+            name, fn, _normalize_oracle(oracle), headline, fn.__doc__ or ""
+        )
         return fn
 
     return deco
@@ -511,12 +553,17 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(CASE WHEN value >= 5 THEN value END) AS n_notnull,
-           SUM(CASE WHEN value < 5 THEN 1 ELSE 0 END) AS n_null
+           SUM(CASE WHEN value < 5 OR value IS NULL THEN 1 ELSE 0 END) AS n_null
     FROM events GROUP BY event_type
     """,
 )
 def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 — isNull/isNotNull discipline (ref py:106,114 NULL lag rows)."""
+    """P6 — isNull/isNotNull discipline (ref py:106,114 NULL lag rows).
+
+    Engine's n_null counts rows where ``when(value>=5, value)`` is NULL —
+    i.e. value < 5 OR value IS NULL (NaN >= 5 is TRUE in both Spark and
+    DuckDB total ordering, so NaN lands in n_notnull on both engines); the
+    oracle spells exactly that predicate."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "v", F.when(F.col("value") >= 5, F.col("value"))
     )
@@ -1131,18 +1178,23 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_days,
            SUM(n) AS n_events,
            CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_events_per_day
-    FROM (SELECT user_id, DATE_TRUNC('day', ts) AS d, COUNT(*) AS n
-          FROM events GROUP BY user_id, DATE_TRUNC('day', ts))
+    FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS d, COUNT(*) AS n
+          FROM events GROUP BY user_id, epoch_us(ts) // 86400000000)
     GROUP BY user_id
     """,
 )
 def q_agg_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — two-level re-aggregation (ref py:524-529: per-(user,session)
-    duration → per-user avg)."""
+    duration → per-user avg).
+
+    Day bucket is a tz-independent integer (epoch-µs div 86.4e9) on BOTH
+    engines — Spark's date_trunc is session-timezone-sensitive and DuckDB's
+    is naive, so a truncated-timestamp key can shift day buckets whenever
+    the driver's session tz differs; integer division cannot."""
     ev = _t(spark, sf_dir, "events")
     return two_level_agg(
         ev,
-        fine_keys=["user_id", F.date_trunc("day", "ts").alias("d")],
+        fine_keys=["user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")],
         fine_aggs=[F.count(F.lit(1)).alias("n")],
         coarse_keys=["user_id"],
         coarse_aggs=[
