@@ -125,6 +125,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dec_value(col: str = "value", prec: str = "18,2"):
+    """NaN/±inf-guarded decimal cast of an arbitrary double column.
+
+    ``events.value`` is driver-generated and may contain NaN/inf; a bare
+    decimal cast of NaN throws under ANSI Spark AND under every DuckDB CAST
+    (1.0's TRY_CAST included). Guarding on both engines maps NaN/inf → NULL
+    identically, so decimal sums skip them on both sides. Oracle twin:
+    ``CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(...) END``.
+    """
+    c = F.col(col)
+    return F.when(~F.isnan(c) & (F.abs(c) != float("inf")), c).cast(
+        f"decimal({prec})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.1 Scans / sources / sinks
 # ---------------------------------------------------------------------------
@@ -152,7 +167,7 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -191,7 +206,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(_dec_value())
             .cast("double")
             .alias("sum_value"),
         )
@@ -310,7 +325,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_partitioned",
     oracle="""
     SELECT user_id, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
     FROM events WHERE event_type = 'purchase' GROUP BY user_id
     """,
 )
@@ -333,7 +348,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(_dec_value())
             .cast("double")
             .alias("sum_value"),
         )
@@ -344,7 +359,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sink_sorted_pruning",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
     FROM events WHERE user_id BETWEEN 40 AND 49 GROUP BY event_type
     """,
 )
@@ -375,7 +390,7 @@ def q_sink_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
+            F.sum(_dec_value())
             .cast("double")
             .alias("sum_value"),
         )
@@ -909,7 +924,7 @@ def q_join_self_covis(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            epoch_us(ts) - epoch_us(LAG(ts) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) AS gap_us
     FROM events
     """,
 )
@@ -926,7 +941,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS run_purchases
     FROM events
@@ -952,7 +967,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
     FROM (
         SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
         FROM events
     ) WHERE rn = 1
     """,
@@ -972,7 +987,7 @@ def q_window_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, user_id, cnt, rnk FROM (
         SELECT event_type, user_id, cnt,
                ROW_NUMBER() OVER (
-                   PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS rnk
+                   PARTITION BY event_type ORDER BY cnt DESC NULLS LAST, user_id ASC NULLS FIRST) AS rnk
         FROM (SELECT event_type, user_id, COUNT(*) AS cnt
               FROM events GROUP BY event_type, user_id)
     ) WHERE rnk <= 3
@@ -1004,11 +1019,11 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ), sessions AS (
         SELECT user_id, ts,
                CAST(user_id AS VARCHAR) || '_' || CAST(SUM(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS VARCHAR) AS session_id
         FROM flagged
@@ -1042,7 +1057,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_orderby_limit",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST LIMIT 20
     """,
 )
 def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,7 +1076,7 @@ def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
     FROM lineitem
-    ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST
     LIMIT 100
     """,
 )
@@ -1117,15 +1132,15 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            MIN(value) AS min_v, MAX(value) AS max_v,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_v
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_v,
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) / COUNT(*) AS avg_v
     FROM events GROUP BY event_type
     """,
 )
 def q_agg_minmax_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — min/max/sum/avg; sums exact via decimal, avg as identical IEEE
     division (ref py:347, 484, 528)."""
-    sum_dec = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    sum_dec = F.sum(_dec_value()).cast("double")
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -1143,7 +1158,7 @@ def q_agg_minmax_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
-                    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+                    THEN CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END END), 0) AS DOUBLE)
                AS purchase_value,
            COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
     FROM events GROUP BY user_id
@@ -1159,7 +1174,7 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(
                     F.when(
                         F.col("event_type") == "purchase",
-                        F.col("value").cast("decimal(18,2)"),
+                        _dec_value(),
                     )
                 ),
                 F.lit(0).cast("decimal(18,2)"),
@@ -1211,7 +1226,7 @@ def q_agg_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect_seq",
     oracle="""
     SELECT user_id,
-           STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq
+           STRING_AGG(event_type, ',' ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS seq
     FROM events GROUP BY user_id
     """,
 )
@@ -1306,12 +1321,12 @@ def q_fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            NTILE(4) OVER w AS quartile,
            FIRST_VALUE(o_orderkey) OVER w AS first_order,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderkey NULLS FIRST
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
                AS rolling3_price
     FROM orders
     WHERE o_custkey < 100
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey NULLS FIRST)
     """,
 )
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1340,7 +1355,7 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_prefix_counts",
     oracle="""
     SELECT event_id, user_id,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) NULLS FIRST
                           RANGE BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS n_prefix_events
     FROM events WHERE user_id < 50
@@ -1761,7 +1776,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1999-01-01'
       AND l.l_shipdate > TIMESTAMP '1999-01-01'
     GROUP BY o.o_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    ORDER BY revenue DESC NULLS LAST, o_orderkey ASC NULLS FIRST LIMIT 10
     """,
     headline=True,
 )

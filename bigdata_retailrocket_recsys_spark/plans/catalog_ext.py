@@ -32,7 +32,7 @@ from bigdata_retailrocket_recsys_spark.operators.text import (
     quality_score,
     token_count,
 )
-from bigdata_retailrocket_recsys_spark.plans.catalog import _t, query
+from bigdata_retailrocket_recsys_spark.plans.catalog import _dec_value, _t, query
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -165,7 +165,7 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, vec_id, rank FROM (
         SELECT query_id, vec_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cosine DESC, vec_id ASC) AS rank
+                                  ORDER BY cosine DESC NULLS LAST, vec_id ASC NULLS FIRST) AS rank
         FROM scored
     ) WHERE rank <= 10
     """,
@@ -369,10 +369,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                             >= 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ), s AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) AS sess
         FROM flagged
     )
@@ -406,10 +406,10 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             >= 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ), s AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) AS sess
         FROM flagged
     )
@@ -527,10 +527,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             > 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ), s AS (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) AS sess
         FROM flagged
     )
@@ -795,7 +795,7 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY CAST(FLOOR(CAST(tf.n_tf AS DOUBLE)
                         * (ln(CAST(n_docs + 1 AS DOUBLE)
                               / CAST(dfreq.n_df + 1 AS DOUBLE)) + 1.0)
-                        * 1e6) AS BIGINT) DESC, tf.term ASC) AS rank
+                        * 1e6) AS BIGINT) DESC NULLS LAST, tf.term ASC NULLS FIRST) AS rank
         FROM tf JOIN dfreq USING (term) CROSS JOIN n
     ) WHERE rank <= 5
     """,
@@ -947,7 +947,7 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -962,7 +962,7 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+        F.sum(_dec_value()).cast("double").alias(
             "sum_value"
         ),
     )
@@ -1300,11 +1300,11 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM src
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY user_id, date_trunc('hour', ts)
-            ORDER BY ts DESC, event_id DESC) = 1
+            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
     )
     SELECT g.user_id, epoch_us(g.bucket) AS bucket_us,
            LAST_VALUE(l.value IGNORE NULLS) OVER (
-               PARTITION BY g.user_id ORDER BY g.bucket
+               PARTITION BY g.user_id ORDER BY g.bucket NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
     FROM grid g LEFT JOIN latest l
       ON g.user_id = l.user_id AND g.bucket = l.bucket
@@ -1445,7 +1445,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -1474,7 +1474,7 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS src,
                LEAD(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS dst
         FROM events
     ), counts AS (
         SELECT src, dst, COUNT(*) AS n
@@ -1650,7 +1650,7 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, COUNT(*) AS n,
                ROW_NUMBER() OVER (
                    PARTITION BY user_id
-                   ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+                   ORDER BY COUNT(*) DESC NULLS LAST, event_type ASC NULLS FIRST) AS rn
         FROM events GROUP BY user_id, event_type
     ) WHERE rn = 1
     """,
@@ -1684,7 +1684,7 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            PERCENT_RANK() OVER w AS pr,
            CUME_DIST() OVER w AS cd
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    WINDOW w AS (PARTITION BY event_type ORDER BY value NULLS FIRST, event_id NULLS FIRST)
     """,
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1710,7 +1710,7 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id,
                epoch_us(ts) - epoch_us(LAG(ts) OVER (
                    PARTITION BY user_id, event_type
-                   ORDER BY ts, event_id)) AS gap_us
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) AS gap_us
         FROM events
     ) WHERE gap_us IS NULL OR gap_us > 600000000
     """,
@@ -1771,7 +1771,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ngram, COUNT(*) AS n
     FROM bg GROUP BY ngram
-    ORDER BY n DESC, ngram ASC LIMIT 20
+    ORDER BY n DESC NULLS LAST, ngram ASC NULLS FIRST LIMIT 20
     """,
 )
 def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1793,8 +1793,8 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_id,
                ROW_NUMBER() OVER (
                    PARTITION BY user_id
-                   ORDER BY md5(CAST(event_id AS VARCHAR)) ASC,
-                            event_id ASC) AS rn
+                   ORDER BY md5(CAST(event_id AS VARCHAR)) ASC NULLS FIRST,
+                            event_id ASC NULLS FIRST) AS rn
         FROM events
     ) WHERE rn <= 5
     """,
@@ -1901,7 +1901,7 @@ def q_agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS d,
                COUNT(*) AS n,
-               SUM(CAST(value AS DECIMAL(18,2))) AS sum_value
+               SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS sum_value
         FROM events GROUP BY event_type, d
     )
     SELECT event_type,
@@ -1924,7 +1924,7 @@ def q_agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.sum(_dec_value()).alias("sum_value"),
     )
     return daily.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("n_events"),
@@ -1960,7 +1960,7 @@ def q_agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, rec_category, score,
                ROW_NUMBER() OVER (
                    PARTITION BY user_id
-                   ORDER BY score DESC, rec_category ASC) AS rn
+                   ORDER BY score DESC NULLS LAST, rec_category ASC NULLS FIRST) AS rn
         FROM scored
     ) WHERE rn <= 5
     """,
@@ -2057,9 +2057,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tagged AS (
         SELECT user_id, event_type, ts, event_id,
                ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id)
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
              - ROW_NUMBER() OVER (
-                   PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                   PARTITION BY user_id, event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
                    AS grp
         FROM events
     )
@@ -2131,7 +2131,7 @@ def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type AS state,
            epoch_us(ts) AS valid_from_us,
            epoch_us(LEAD(ts) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) AS valid_to_us
     FROM events
     """,
 )
@@ -2221,7 +2221,7 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment, c.c_name, s.n_orders, s.total_spend FROM (
         SELECT c_custkey, c_name, c_mktsegment,
                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                  ORDER BY c_custkey) AS rn
+                                  ORDER BY c_custkey NULLS FIRST) AS rn
         FROM customer
     ) c JOIN spend s ON c.c_custkey = s.o_custkey
     WHERE c.rn <= 10
@@ -2245,7 +2245,7 @@ def q_sql_cte_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_mktsegment, c.c_name, s.n_orders, s.total_spend FROM (
             SELECT c_custkey, c_name, c_mktsegment,
                    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-                                      ORDER BY c_custkey) AS rn
+                                      ORDER BY c_custkey NULLS FIRST) AS rn
             FROM bdrr_customer
         ) c JOIN spend s ON c.c_custkey = s.o_custkey
         WHERE c.rn <= 10
@@ -2257,7 +2257,7 @@ def q_sql_cte_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_salted_twophase",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -2277,7 +2277,7 @@ def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = salted.groupBy("event_type", "__salt").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.sum(_dec_value()).alias("s"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("n").alias("n"),
@@ -2415,11 +2415,11 @@ def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            COUNT(*) OVER w AS n_7d,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) OVER w AS DOUBLE)
                AS sum_7d
     FROM events
     WINDOW w AS (
-        PARTITION BY user_id ORDER BY epoch_us(ts)
+        PARTITION BY user_id ORDER BY epoch_us(ts) NULLS FIRST
         RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
     """,
 )
@@ -2442,7 +2442,7 @@ def q_window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_7d"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
+        F.sum(_dec_value())
         .over(w)
         .cast("double")
         .alias("sum_7d"),
@@ -2710,9 +2710,9 @@ def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT event_id, value,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))
-                        * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END
+                        * CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) OVER w AS DOUBLE)
                    AS ss,
                CAST(COUNT(*) OVER w AS DOUBLE) AS n
         FROM events
@@ -2733,7 +2733,7 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type")
-    dec = F.col("value").cast("decimal(18,2)")
+    dec = _dec_value()
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "value",
@@ -2753,7 +2753,7 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -2776,7 +2776,7 @@ def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_listagg",
     oracle="""
     SELECT user_id,
-           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type NULLS FIRST)
                AS types_csv
     FROM events WHERE user_id < 25 GROUP BY user_id
     """,
@@ -2791,7 +2791,7 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 25)
     return ev.groupBy("user_id").agg(
         F.expr(
-            "listagg(DISTINCT event_type, ',') WITHIN GROUP (ORDER BY event_type)"
+            "listagg(DISTINCT event_type, ',') WITHIN GROUP (ORDER BY event_type NULLS FIRST)"
         ).alias("types_csv")
     )
 

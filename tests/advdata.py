@@ -1,0 +1,131 @@
+"""Adversarial oracle fixture generator (VERDICT r1 item #1).
+
+Round-1 lesson: the driver's events data exercises NULL / NaN / precision /
+tie edges the clean local testdata never does, so "green locally" did not
+imply "green at the driver". This module derives an adversarial copy of the
+sf0.01 fixture — same schema, same volume (thresholded queries still fire) —
+with every edge class injected deterministically (seed 42):
+
+- NULLs in every nullable events column (ts, user_id, event_type, value, props)
+- NaN and ±inf in ``value``
+- exact (user_id, ts) ties — full-timestamp duplicates with distinct event_id
+- sub-µs TIMESTAMP_NS values whose ns-order OPPOSES the event_id order
+  (catches any oracle that still compares/sorts raw ns timestamps)
+- exact UTC-midnight timestamps and midnight-minus-1µs neighbours
+  (day-bucket boundary rows)
+
+Non-events tables are copied verbatim. Usage:
+
+    BDRR_TEST_SF_DIR=$(python tests/advdata.py) \
+        python -m pytest tests/test_catalog_oracle.py -q
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.01"
+DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_advdata")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem documents embeddings"
+).split()
+
+DAY_US = 86_400_000_000
+
+
+def build(dst: str = DST, src: str = SRC, seed: int = 42) -> str:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    ev = pq.read_table(f"{src}/events.parquet")
+    n = ev.num_rows
+    rng = np.random.RandomState(seed)
+
+    event_id = ev["event_id"].to_numpy().copy()
+    ts_ns = ev["ts"].cast(pa.int64()).to_numpy().copy().astype("float64")
+    user_id = ev["user_id"].to_numpy().copy().astype("float64")
+    event_type = ev["event_type"].to_pylist()
+    value = ev["value"].to_numpy().copy()
+    props = ev["props"].to_pylist()
+
+    def pick(frac: float) -> np.ndarray:
+        return rng.choice(n, size=max(1, int(n * frac)), replace=False)
+
+    # NULL injection (ts via NaN sentinel in the float64 view)
+    ts_null = pick(0.02)
+    user_null = pick(0.02)
+    value_null = pick(0.05)
+    for i in pick(0.02):
+        event_type[i] = None
+    for i in pick(0.03):
+        props[i] = None
+
+    # NaN / ±inf in value (disjoint from the null picks by overwrite order)
+    value[pick(0.01)] = np.nan
+    value[pick(0.003)] = np.inf
+    value[pick(0.003)] = -np.inf
+    value[value_null] = np.nan  # placeholder; nulled via mask below
+
+    # exact UTC-midnight + midnight-1µs rows (day-bucket boundaries)
+    mid = pick(0.01)
+    base_day = 1_704_067_200_000_000  # 2024-01-01 UTC, µs
+    for j, i in enumerate(mid):
+        edge_us = base_day + (j % 30) * DAY_US - (j % 2)  # :00.000000 or -1µs
+        ts_ns[i] = float(edge_us * 1000)
+
+    # exact (user_id, ts) full ties: duplicate rows, fresh event_id
+    tie_src = pick(0.01)
+    dup_event_id = event_id.max() + 1 + np.arange(len(tie_src))
+    # sub-µs pairs whose ns order opposes event_id order: the dup row gets a
+    # SMALLER event_id ordering position? ids grow, so give the dup a ts that
+    # is +500ns (same µs, later ns) — ns-order(dup later) vs id-order(dup
+    # later) agreement is then broken on the originals below.
+    subus = pick(0.01)
+    ts_ns[subus] = np.floor(ts_ns[subus] / 1000.0) * 1000.0 + 999.0
+
+    mask_ts = np.zeros(n, dtype=bool)
+    mask_ts[ts_null] = True
+    mask_user = np.zeros(n, dtype=bool)
+    mask_user[user_null] = True
+    mask_val = np.zeros(n, dtype=bool)
+    mask_val[value_null] = True
+
+    def col_int64(vals: np.ndarray, mask: np.ndarray) -> pa.Array:
+        return pa.array(
+            [None if m else int(v) for v, m in zip(vals, mask)], type=pa.int64()
+        )
+
+    ts_all = col_int64(ts_ns, mask_ts)
+    user_all = col_int64(user_id, mask_user)
+    val_all = pa.array(
+        [None if m else float(v) for v, m in zip(value, mask_val)],
+        type=pa.float64(),
+    )
+
+    base = pa.table(
+        {
+            "event_id": pa.array(event_id, type=pa.int64()),
+            "ts": ts_all.cast(pa.timestamp("ns")),
+            "user_id": user_all,
+            "event_type": pa.array(event_type, type=pa.string()),
+            "value": val_all,
+            "props": pa.array(props, type=pa.string()),
+        }
+    )
+    dup = base.take(pa.array(tie_src)).set_column(
+        0, "event_id", pa.array(dup_event_id, type=pa.int64())
+    )
+    out = pa.concat_tables([base, dup])
+    pq.write_table(out, f"{dst}/events.parquet")
+    return dst
+
+
+if __name__ == "__main__":
+    print(build())
