@@ -6,10 +6,12 @@ classic "importance in the co-visitation graph" signal a recommender
 blends with popularity (the reference's pop_cands strategy, py:331-340,
 is the degenerate damping=1-iteration version of this).
 
-Scale notes: each power iteration is ONE shuffle (contribution groupBy)
-plus a broadcast of the dangling-mass scalar; lineage is truncated with
-``localCheckpoint`` every few rounds so 10+ iterations don't build an
-unexecutably deep plan (same discipline as connected_components).
+Scale notes: each power iteration is ONE job — the dangling-mass scalar is
+a 1-row aggregate broadcast-joined INTO the rank-update dataflow (no
+driver ``collect`` sync barrier, no double execution of the ranks
+lineage), and each iteration's ranks are materialized with an eager
+``localCheckpoint`` so the plan stays constant-size however many
+iterations run (same discipline as connected_components).
 """
 
 from __future__ import annotations
@@ -32,9 +34,12 @@ def pagerank(
     Standard formulation: ``r' = (1-d)/N + d * (Σ_in r/outdeg +
     dangling_mass/N)`` — dangling nodes (no out-edges) redistribute their
     mass uniformly, so total rank mass stays 1 every iteration (asserted
-    in tests). Fixed ``iters`` rounds (deterministic plan, no
-    convergence-check actions in the loop beyond the dangling-mass
-    scalar, which is a 1-row aggregate).
+    in tests). Fixed ``iters`` rounds; the dangling-mass term stays inside
+    the dataflow as a broadcast 1-row aggregate, so the driver never
+    synchronizes mid-loop and each iteration's lineage executes exactly
+    once (``checkpoint_every`` is kept for signature compatibility; ranks
+    are checkpointed eagerly every iteration, which IS the per-iteration
+    materialization any Pregel-style loop needs).
 
     Output: (node, rank) — float ranks are reduction-order dependent →
     rows-only in the driver contract; invariants (mass conservation,
@@ -60,25 +65,35 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for i in range(iters):
-        # mass parked on dangling nodes (no out-edges) this round
-        dangling = (
-            ranks.join(srcs, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+        # mass parked on dangling nodes (no out-edges) this round:
+        # a 1-row aggregate kept IN the dataflow (broadcast nested-loop
+        # join fans the scalar to every row — no driver round-trip)
+        dangling = ranks.join(srcs, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_m")
         )
         contribs = (
             w.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce("inflow", F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("dangling_m") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+        # one materialization per iteration: both the contribs branch and
+        # the dangling branch read the SAME checkpointed ranks, and the
+        # next iteration starts from a constant-size plan
+        if i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks

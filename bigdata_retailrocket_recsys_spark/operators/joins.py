@@ -120,7 +120,15 @@ def covis_pairs(
 
     Both strategies are value-identical (items are distinct per group, so a
     pair occurs once per group either way).
+
+    NULL discipline (SQL-join parity): the relational form's
+    ``a.group = b.group AND a.item < b.item`` never matches NULL groups or
+    NULL items; the array form's groupBy WOULD form a NULL-group row and
+    pair its items, so both paths drop NULL group/item rows up front.
     """
+    df = df.filter(
+        F.col(group_col).isNotNull() & F.col(item_col).isNotNull()
+    )
     if count_distinct_col not in (None, group_col):
         pair_strategy = "selfjoin"  # array path can't count a third column
     elif pair_strategy == "auto":
@@ -256,8 +264,20 @@ def asof_join(
 
     Output: all anchor columns + ``prefix + value_col`` for each value col
     + ``prefix + event_ts``.
+
+    NULL discipline (SQL-join parity): event rows with a NULL key or NULL
+    ``event_ts`` can never satisfy ``e.key = a.key AND e.ts < a.ts`` in the
+    relational formulation, so they are filtered before the union —
+    otherwise the window partitioning (which groups NULL keys together,
+    unlike a join) would fabricate matches. NULL-key/NULL-ts ANCHORS are
+    kept and come out unmatched (left-join semantics): a NULL-ts anchor
+    sorts before every event in its partition (NULLS FIRST) and a NULL-key
+    anchor shares its partition only with other NULL-key anchors.
     """
     a_cols = anchors.columns
+    for k in key_cols:
+        events = events.filter(F.col(k).isNotNull())
+    events = events.filter(F.col(event_ts).isNotNull())
     payload = F.struct(
         *[F.col(c).alias(c) for c in value_cols],
         F.col(event_ts).alias("__ets"),
@@ -320,7 +340,23 @@ def band_join(
     after the equi join.
 
     Output: left columns aliased ``a_*``, right columns ``b_*``.
+
+    Non-finite discipline: NULL/NaN/±inf values can never satisfy
+    ``|a - b| <= eps`` (NaN comparisons are false, inf-inf is NaN), but
+    they DO break the bucketing — ``floor(±inf / eps)`` saturates to
+    Long.MAX/MIN and the ±1 neighbour arithmetic overflows under ANSI.
+    Both sides filter to finite values first: value-identical to the
+    theta-join semantics, and the scan-side filter is pushed down.
     """
+
+    def _finite(df: DataFrame, val: str) -> DataFrame:
+        c = F.col(val)
+        return df.filter(
+            c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+        )
+
+    left = _finite(left, left_val)
+    right = _finite(right, right_val)
     lb = F.floor(F.col(left_val) / F.lit(eps))
     rb = F.floor(F.col(right_val) / F.lit(eps))
     key_cols = key_cols or []

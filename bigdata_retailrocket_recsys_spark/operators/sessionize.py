@@ -36,7 +36,16 @@ def sessionize(
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign 30-min-gap session ids. Adds ``session_col`` (string
-    ``"<user>_<ordinal>"``) to ``df``; keeps all input columns."""
+    ``"<user>_<ordinal>"``) to ``df``; keeps all input columns.
+
+    Rows with a NULL ``user_col`` or NULL ``ts_col`` are DROPPED: a
+    session requires an identified user and an event time (the streaming
+    variant enforces the same at ingest — a watermarked stream discards
+    NULL event-time rows). Without this rule, engines diverge on
+    degenerate rows (e.g. string-concat session ids propagate NULL in SQL
+    but skip NULL in concat_ws).
+    """
+    df = df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
     order: list[Column] = [F.col(ts_col)]
     for c in tiebreak_cols or []:
         order.append(F.col(c))
