@@ -44,10 +44,14 @@ def read_parquet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
-#: testdata columns physically stored as TIMESTAMP(NANOS) int64 — Spark reads
-#: them as LongType under ``spark.sql.legacy.parquet.nanosAsLong`` and we
-#: normalize to TimestampType here (floor ns→µs, same truncation DuckDB does).
-_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+#: testdata columns whose physical parquet encoding has varied across driver
+#: rounds: TIMESTAMP(NANOS) int64 (round 1 — Spark reads LongType under
+#: ``spark.sql.legacy.parquet.nanosAsLong``) or TIMESTAMP(MICROS,
+#: isAdjustedToUTC=false) (round 2+ — Spark reads TIMESTAMP_NTZ). Both are
+#: normalized here to a UTC-instant TimestampType so every downstream
+#: ``unix_micros`` / window / date_trunc sees ONE type and µs precision
+#: (ns case floors ns→µs, the same truncation DuckDB applies).
+_EVENT_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,11 +66,51 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, []):
-        if dict(df.dtypes).get(col) == "bigint":
+    for col in _EVENT_TS_COLS.get(name, []):
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":  # TIMESTAMP(NANOS) read as raw ns int64
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dt == "timestamp_ntz":  # TIMESTAMP(MICROS, naive) — UTC wall clock
+            df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
     return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _events_ts_unit(path: str) -> str:
+    """Physical time unit of ``events.ts`` ('ns' or 'us') from the parquet
+    footer — a driver-side metadata peek, no data read."""
+    import pyarrow.parquet as pq
+
+    typ = pq.ParquetFile(path).schema_arrow.field("ts").type
+    return getattr(typ, "unit", "us")
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table, ``ts`` normalized to a UTC
+    TIMESTAMP instant at µs precision.
+
+    File streams require an explicit schema up front, so the dtype probe
+    ``load_table`` uses is unavailable — instead the parquet footer decides
+    the layout: TIMESTAMP(NANOS) reads as raw int64 ns (floored to µs),
+    TIMESTAMP(MICROS, naive) reads as TIMESTAMP_NTZ (re-tagged as a UTC
+    instant). Both land on the exact same values as ``load_table``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
+    ts_ddl = "bigint" if unit == "ns" else "timestamp_ntz"
+    schema = (
+        f"event_id bigint, ts {ts_ddl}, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if unit == "ns":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))

@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_retailrocket_recsys_spark.sources.readers import (
+    events_stream,
+    load_table,
+)
+
 
 def streaming_session_stats(
     events: DataFrame,
@@ -98,15 +103,7 @@ def run_streaming_tumbling(
     """Events table → parquet file stream → tumbling (or, with ``slide``,
     sliding) window agg → memory sink, Trigger.AvailableNow. Returns the
     sink contents (batch-equal)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, sf_dir)
     out = streaming_tumbling_counts(stream, window=window, slide=slide)
     q = (
         out.writeStream.format("memory")
@@ -129,20 +126,7 @@ def run_streaming_sessionize(
     """Drive the events table through a real streaming query: parquet file
     source → session_window agg → memory sink, Trigger.AvailableNow (one
     bounded pass — the batch-parity mode). Returns the sink contents."""
-    from bigdata_retailrocket_recsys_spark.schemas import TESTDATA_SCHEMAS
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # streaming source needs an explicit schema; ts arrives as int64 ns
-    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-    # the file stream source wants a directory; scope it to the events
-    # table with a glob filter
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, sf_dir)
     out = streaming_session_stats(stream, gap_minutes=gap_minutes)
     q = (
         out.writeStream.format("memory")
@@ -190,17 +174,7 @@ def run_streaming_late_drop(
     import os as _os
     import tempfile as _tmp
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    src = (
-        spark.read.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .parquet(_os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_id", "ts")
-    )
+    src = load_table(spark, sf_dir, "events").select("event_id", "ts")
     cut = F.lit(split_at).cast("timestamp")
     stage = _os.path.join(_tmp.gettempdir(), "bdrr_late_drop_stage")
     early = src.filter(F.col("ts") < cut)

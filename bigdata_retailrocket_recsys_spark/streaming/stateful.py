@@ -22,6 +22,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from bigdata_retailrocket_recsys_spark.sources.readers import events_stream
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -136,15 +138,7 @@ def run_stateful_sessionize(
     (AvailableNow). The bounded source arrives as one micro-batch, so the
     update-mode upserts ARE the final sessions — value-equal to batch
     sessionization with the strict-> rule."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = events_stream(spark, sf_dir)
     out = stateful_sessionize(stream, gap_minutes=gap_minutes)
     q = (
         out.writeStream.format("memory")

@@ -17,19 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
+from bigdata_retailrocket_recsys_spark.sources.readers import (
+    events_stream as _events_stream,
 )
-
-
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+from bigdata_retailrocket_recsys_spark.sources.readers import load_table
 
 
 def run_stream_stream_join(
@@ -177,15 +168,7 @@ def run_stream_upsert_merge(
     _sh.rmtree(base_path, ignore_errors=True)
     stage = _os.path.join(base_path, "stage")
 
-    src = (
-        spark.read.schema(
-            "event_id bigint, ts bigint, user_id bigint, "
-            "event_type string, value double, props string"
-        )
-        .parquet(_os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_type", "ts", "value")
-    )
+    src = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     cut = F.lit(split_at).cast("timestamp")
     src.filter(F.col("ts") < cut).coalesce(1).write.parquet(
         _os.path.join(stage, "f=0")
