@@ -469,8 +469,13 @@ def embedding_cosine_pairs(
     min_cosine: float = 0.9,
 ) -> DataFrame:
     """Embedding near-dup pairs: all-pairs cosine within a blocking key
-    (label, LSH bucket, ...). Output: id_a, id_b, cosine. For unblocked
-    large inputs use similarity.lsh_bucket first."""
+    (label, LSH bucket, ...). Output: id_a, id_b, cosine.
+
+    EXACT but quadratic per block — a hot block with N vectors generates
+    O(N²) candidates. This is the oracle-checkable small/medium path; at
+    scale use :func:`embedding_cosine_pairs_lsh`, whose banded sign-LSH
+    bounds candidate generation by bucket size (the same candidates→verify
+    shape as :func:`minhash_lsh_candidates`)."""
     v = df.select(
         F.col(id_col).alias("vid"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
@@ -487,6 +492,101 @@ def embedding_cosine_pairs(
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    min_cosine: float = 0.9,
+    bits: int = 8,
+    tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded sign-LSH candidate
+    generation + exact cosine verify (the embedding twin of
+    :func:`minhash_lsh_candidates`, VERDICT r1 scale-killer #2).
+
+    Each of ``tables`` independent sign-LSH tables hashes a vector to a
+    ``bits``-bit bucket; candidate pairs are vectors sharing a
+    (table, bucket[, block]) cell — a shuffle bounded by cell size, never
+    all-pairs — then exact cosine keeps pairs ≥ ``min_cosine``.
+    Probabilistic recall: a pair at cosine t lands in one table's shared
+    bucket with p=(1-acos(t)/π)^bits and any of the ``tables`` tables
+    suffices (~88% at t=0.9 exactly, →1 fast above it; locked by a
+    regression test vs the exact operator). Output columns match
+    :func:`embedding_cosine_pairs` (id_a, id_b, cosine).
+
+    Plan shape (100 TB notes): the ``tables×bits`` hyperplanes are a TINY
+    literal table (seeded numpy) broadcast against the vectors — the
+    hash pass is one broadcast nested-loop join + one map-side-combinable
+    groupBy, linear in N·tables, instead of 96 nested aggregate
+    expressions per row (which parse/codegen quadratically). The banded
+    buckets are localCheckpoint-ed once and reused on both self-join
+    sides; candidates dedup on (vid_a, vid_b) BEFORE the verify so each
+    surviving pair pays exactly one exact-cosine evaluation.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    planes = np.random.RandomState(seed).randn(tables * bits, dim)
+    plane_rows = [
+        (int(i // bits), int(i % bits), [float(x) for x in planes[i]])
+        for i in range(tables * bits)
+    ]
+    pdf = spark.createDataFrame(plane_rows, "table int, bit int, w array<double>")
+
+    blk = ["blk"] if block_col else []
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+        to_double_array(vec_col).alias("vec"),
+    )
+    dot = F.aggregate(
+        F.zip_with("vec", "w", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    banded = (
+        v.crossJoin(F.broadcast(pdf))
+        .select(
+            "vid",
+            *blk,
+            "table",
+            F.when(dot > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0))
+            .alias("bitval"),
+        )
+        .groupBy("vid", *blk, "table")
+        .agg(F.sum("bitval").alias("bucket"))
+        .localCheckpoint()  # hash pass runs once, reused on both join sides
+    )
+
+    join_keys = ["table", "bucket"] + blk
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in join_keys]
+            + [F.col("a.vid") < F.col("b.vid")],
+        )
+        .select(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
+        .distinct()  # a pair may share cells in several tables — verify once
+    )
+    vecs = v.select("vid", "vec")
+    cos = cosine_similarity(F.col("va.vec"), F.col("vb.vec"))
+    return (
+        cand.join(vecs.alias("va"), F.col("vid_a") == F.col("va.vid"))
+        .join(vecs.alias("vb"), F.col("vid_b") == F.col("vb.vid"))
+        .select(
+            F.col("vid_a").alias("id_a"),
+            F.col("vid_b").alias("id_b"),
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)

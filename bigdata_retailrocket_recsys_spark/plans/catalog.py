@@ -1019,6 +1019,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ), sessions AS (
         SELECT user_id, ts,
@@ -1552,7 +1553,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(ts) AS ts_us,
            CAST(hour(ts) AS INT) AS hour_of_day,
            CAST(dayofweek(ts) + 1 AS INT) AS day_of_week,
-           CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS INT)
+           CAST(CASE WHEN ts IS NULL THEN NULL
+                     WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS INT)
                AS is_weekend,
            strftime(ts, '%Y-%m-%d') AS day_str
     FROM events WHERE event_id < 2000
@@ -1610,6 +1612,7 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            abs(value - 10.0) AS abs_dev,
            value * 2.0 - 1.0 AS affine
     FROM events WHERE event_id < 2000 AND value >= 0
+      AND NOT isnan(value) AND NOT isinf(value)
     """,
 )
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,7 +1620,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt/abs/* are IEEE-exact; ln goes through floor(x*1e6) because JVM and
     glibc libm may differ by 1 ulp."""
     ev = _t(spark, sf_dir, "events").filter(
-        (F.col("event_id") < 2000) & (F.col("value") >= 0)
+        (F.col("event_id") < 2000)
+        & (F.col("value") >= 0)
+        & ~F.isnan("value")
+        & (F.abs("value") != float("inf"))
     )
     return ev.select(
         "event_id",

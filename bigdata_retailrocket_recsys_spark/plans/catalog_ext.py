@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from bigdata_retailrocket_recsys_spark.functions.vector import to_double_array
 from bigdata_retailrocket_recsys_spark.operators.dedup import (
     embedding_cosine_pairs,
+    embedding_cosine_pairs_lsh,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -140,6 +141,23 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         block_col="label",
+        min_cosine=0.8,
+    ).select("id_a", "id_b")
+
+
+@query("q_dedup_embed_cosine_lsh")  # probabilistic recall → rows-only; the
+# exact-subset + recall invariants are locked in tests/test_operators.py
+def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, scale path: banded sign-LSH candidates +
+    exact cosine verify (candidate volume bounded by bucket size, never
+    all-pairs — VERDICT r1 scale-killer #2 remediation). Same output shape
+    as q_dedup_embed_cosine; recall ~99% at the 0.8 threshold with the
+    default 12 tables × 8 bits."""
+    return embedding_cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        dim=64,
+        id_col="vec_id",
+        vec_col="embedding",
         min_cosine=0.8,
     ).select("id_a", "id_b")
 
@@ -369,6 +387,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                             >= 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ), s AS (
         SELECT user_id, ts,
@@ -406,6 +425,7 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             >= 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ), s AS (
         SELECT user_id, ts,
@@ -446,16 +466,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, bounded by watermark in production via
     dropDuplicatesWithinWatermark) → per-type counts. Bounded source ⇒
     equals batch DISTINCT ⇒ full oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import events_stream
+
     out = (
-        stream.select("event_id", "event_type")
+        events_stream(spark, sf_dir).select("event_id", "event_type")
         .dropDuplicates(["event_id", "event_type"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -487,14 +501,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (batch) dimension per micro-batch — the streaming form of dimension
     enrichment (no state, dim re-resolved each batch). Bounded source ⇒
     equals the batch join ⇒ full oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("user_bucket", F.col("user_id") % 10)
+    from bigdata_retailrocket_recsys_spark.sources.readers import events_stream
+
+    stream = events_stream(spark, sf_dir).withColumn(
+        "user_bucket", F.col("user_id") % 10
     )
     static_dim = (
         _t(spark, sf_dir, "events")
@@ -527,6 +537,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             > 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ), s AS (
         SELECT user_id, ts,
@@ -563,6 +574,7 @@ def q_stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -874,6 +886,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                ]) AS win_start_us,
                event_type, value
         FROM events
+        WHERE ts IS NOT NULL
     )
     SELECT win_start_us, event_type, count(*) AS n_events,
            min(value) AS min_value, max(value) AS max_value
@@ -944,7 +957,8 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_histogram",
     oracle="""
-    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+    SELECT CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                ELSE CAST(FLOOR(value / 25.0) AS BIGINT) END AS bin,
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
@@ -957,8 +971,11 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, float rule 3): one map-side-combinable aggregate, the
     distributed profile/summary-stats shape for data curation."""
     ev = _t(spark, sf_dir, "events")
+    finite = ~F.isnan("value") & (F.abs("value") != float("inf"))
     return ev.groupBy(
-        F.floor(F.col("value") / F.lit(25.0)).cast("bigint").alias("bin"),
+        F.when(finite, F.floor(F.col("value") / F.lit(25.0)).cast("bigint")).alias(
+            "bin"
+        ),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
@@ -2186,12 +2203,19 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_agg_argmax",
     oracle="""
+    WITH r AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY value DESC NULLS LAST, event_id DESC) AS rmax,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY value ASC NULLS FIRST, event_id ASC) AS rmin
+        FROM events
+    )
     SELECT user_id,
-           arg_max(event_id, value * 1000000000.0 + event_id) AS top_event,
-           arg_min(event_id, value * 1000000000.0 + event_id) AS bottom_event,
+           MAX(CASE WHEN rmax = 1 THEN event_id END) AS top_event,
+           MAX(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event,
            CAST(MAX(value) AS DOUBLE) AS max_value
-    FROM events
-    GROUP BY user_id
+    FROM r GROUP BY user_id
     """,
 )
 def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2305,7 +2329,7 @@ def q_agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_users"))
+        .agg(F.count("user_id").alias("n_users"))  # count(col) skips the NULL-user row
     )
 
 
@@ -2754,7 +2778,7 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
-    FROM events GROUP BY event_type
+    FROM events WHERE ts IS NOT NULL GROUP BY event_type
     """,
 )
 def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,12 +65,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown testdata table {name!r}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # naive parquet timestamps read as LTZ (UTC instants) AT THE SCAN —
+    # keeps ts range predicates pushdown-able into row-group pruning,
+    # where a post-scan NTZ→LTZ projection would block them
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     for col in _EVENT_TS_COLS.get(name, []):
         dt = dict(df.dtypes).get(col)
         if dt == "bigint":  # TIMESTAMP(NANOS) read as raw ns int64
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-        elif dt == "timestamp_ntz":  # TIMESTAMP(MICROS, naive) — UTC wall clock
+        elif dt == "timestamp_ntz":  # fallback if inferTimestampNTZ pin is lost
             df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
     return df
 
@@ -100,8 +104,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     unit = _events_ts_unit(os.path.join(sf_dir, "events.parquet"))
-    ts_ddl = "bigint" if unit == "ns" else "timestamp_ntz"
+    ts_ddl = "bigint" if unit == "ns" else "timestamp"
     schema = (
         f"event_id bigint, ts {ts_ddl}, user_id bigint, "
         "event_type string, value double, props string"
@@ -113,4 +118,4 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if unit == "ns":
         return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return stream

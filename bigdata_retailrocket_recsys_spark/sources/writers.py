@@ -117,11 +117,18 @@ def upsert_parquet(
     Plan: one left_anti join (target minus touched keys — broadcast when
     updates are small, the common CDC case) + unionByName + write.
     Returns the re-read snapshot.
+
+    Keys match NULL-safely (``<=>``): MERGE treats two NULL keys as the
+    same key — a plain equi-anti-join would keep the stale NULL-key row
+    AND append the updated one, duplicating that group every merge.
     """
-    from pyspark.sql import functions as F2  # noqa: F401
+    from pyspark.sql import functions as F2
 
     target = spark.read.parquet(target_path)
-    survivors = target.join(updates, key_cols, "left_anti")
+    cond = [
+        target[k].eqNullSafe(updates[k]) for k in key_cols
+    ] or [F2.lit(True)]
+    survivors = target.join(updates, cond, "left_anti")
     merged = survivors.unionByName(updates)
     merged.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)

@@ -138,7 +138,11 @@ def run_stateful_sessionize(
     (AvailableNow). The bounded source arrives as one micro-batch, so the
     update-mode upserts ARE the final sessions — value-equal to batch
     sessionization with the strict-> rule."""
-    stream = events_stream(spark, sf_dir)
+    # batch-sessionize ingest policy: a session needs an identified user
+    # and an event time (operators/sessionize.py applies the same filter)
+    stream = events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     out = stateful_sessionize(stream, gap_minutes=gap_minutes)
     q = (
         out.writeStream.format("memory")

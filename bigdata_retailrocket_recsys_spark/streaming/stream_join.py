@@ -168,7 +168,13 @@ def run_stream_upsert_merge(
     _sh.rmtree(base_path, ignore_errors=True)
     stage = _os.path.join(base_path, "stage")
 
-    src = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # the staged time-split replay needs an event time to route each row —
+    # NULL-ts rows are dropped at ingest (mirrored in the oracle)
+    src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "ts", "value")
+    )
     cut = F.lit(split_at).cast("timestamp")
     src.filter(F.col("ts") < cut).coalesce(1).write.parquet(
         _os.path.join(stage, "f=0")

@@ -9,10 +9,14 @@ with every edge class injected deterministically (seed 42):
 - NULLs in every nullable events column (ts, user_id, event_type, value, props)
 - NaN and ±inf in ``value``
 - exact (user_id, ts) ties — full-timestamp duplicates with distinct event_id
-- sub-µs TIMESTAMP_NS values whose ns-order OPPOSES the event_id order
-  (catches any oracle that still compares/sorts raw ns timestamps)
 - exact UTC-midnight timestamps and midnight-minus-1µs neighbours
   (day-bucket boundary rows)
+
+The events file is written in the driver's CURRENT physical layout —
+TIMESTAMP(MICROS, isAdjustedToUTC=false), i.e. naive µs (round 1 was
+TIMESTAMP_NANOS; `sources/readers.py` handles both, and
+tests/test_operators.py covers the legacy ns path with a tiny inline
+fixture).
 
 Non-events tables are copied verbatim. Usage:
 
@@ -49,7 +53,9 @@ def build(dst: str = DST, src: str = SRC, seed: int = 42) -> str:
     rng = np.random.RandomState(seed)
 
     event_id = ev["event_id"].to_numpy().copy()
-    ts_ns = ev["ts"].cast(pa.int64()).to_numpy().copy().astype("float64")
+    # µs since epoch — ~1.7e15 fits float64's exact-integer range (2^53),
+    # so the NaN-sentinel float view below is lossless
+    ts_us = ev["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy().copy().astype("float64")
     user_id = ev["user_id"].to_numpy().copy().astype("float64")
     event_type = ev["event_type"].to_pylist()
     value = ev["value"].to_numpy().copy()
@@ -78,17 +84,11 @@ def build(dst: str = DST, src: str = SRC, seed: int = 42) -> str:
     base_day = 1_704_067_200_000_000  # 2024-01-01 UTC, µs
     for j, i in enumerate(mid):
         edge_us = base_day + (j % 30) * DAY_US - (j % 2)  # :00.000000 or -1µs
-        ts_ns[i] = float(edge_us * 1000)
+        ts_us[i] = float(edge_us)
 
     # exact (user_id, ts) full ties: duplicate rows, fresh event_id
     tie_src = pick(0.01)
     dup_event_id = event_id.max() + 1 + np.arange(len(tie_src))
-    # sub-µs pairs whose ns order opposes event_id order: the dup row gets a
-    # SMALLER event_id ordering position? ids grow, so give the dup a ts that
-    # is +500ns (same µs, later ns) — ns-order(dup later) vs id-order(dup
-    # later) agreement is then broken on the originals below.
-    subus = pick(0.01)
-    ts_ns[subus] = np.floor(ts_ns[subus] / 1000.0) * 1000.0 + 999.0
 
     mask_ts = np.zeros(n, dtype=bool)
     mask_ts[ts_null] = True
@@ -102,7 +102,7 @@ def build(dst: str = DST, src: str = SRC, seed: int = 42) -> str:
             [None if m else int(v) for v, m in zip(vals, mask)], type=pa.int64()
         )
 
-    ts_all = col_int64(ts_ns, mask_ts)
+    ts_all = col_int64(ts_us, mask_ts)
     user_all = col_int64(user_id, mask_user)
     val_all = pa.array(
         [None if m else float(v) for v, m in zip(value, mask_val)],
@@ -112,7 +112,7 @@ def build(dst: str = DST, src: str = SRC, seed: int = 42) -> str:
     base = pa.table(
         {
             "event_id": pa.array(event_id, type=pa.int64()),
-            "ts": ts_all.cast(pa.timestamp("ns")),
+            "ts": ts_all.cast(pa.timestamp("us")),
             "user_id": user_all,
             "event_type": pa.array(event_type, type=pa.string()),
             "value": val_all,

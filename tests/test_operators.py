@@ -1067,3 +1067,103 @@ def test_compact_parquet_file_counts(spark, tmp_path):
     assert stats.n_rows == 1000
     got = sorted(r.v for r in spark.read.parquet(out).collect())
     assert got == list(range(1000))
+
+
+def test_load_table_normalizes_both_ts_layouts(spark, tmp_path):
+    """events.ts physical layout has varied across driver rounds:
+    TIMESTAMP(NANOS) (round 1, read as int64 under nanosAsLong) vs
+    TIMESTAMP(MICROS, naive) (round 2+, read as TIMESTAMP_NTZ). load_table
+    must land both on identical UTC-instant µs TimestampType values, and
+    events_stream must agree with load_table on each layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_retailrocket_recsys_spark.sources.readers import (
+        events_stream,
+        load_table,
+    )
+
+    us = [1_704_067_200_000_000, 1_704_067_200_000_001, None]
+    rows = {
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([10, 10, 11], type=pa.int64()),
+        "event_type": pa.array(["view", "view", "purchase"]),
+        "value": pa.array([1.0, 2.0, None], type=pa.float64()),
+        "props": pa.array([None, "{}", None]),
+    }
+    ns_vals = [v * 1000 + 999 if v is not None else None for v in us]  # sub-µs tail
+    for unit, vals in (("ns", ns_vals), ("us", us)):
+        d = tmp_path / unit
+        d.mkdir()
+        t = pa.table(
+            {**rows, "ts": pa.array(vals, type=pa.timestamp(unit))}
+        ).select(["event_id", "ts", "user_id", "event_type", "value", "props"])
+        pq.write_table(t, str(d / "events.parquet"))
+
+    batches = {}
+    for unit in ("ns", "us"):
+        df = load_table(spark, str(tmp_path / unit), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        batches[unit] = sorted(
+            (r["event_id"], r["ts"]) for r in df.select("event_id", "ts").collect()
+        )
+    # ns floors to µs → identical instants across layouts
+    assert batches["ns"] == batches["us"]
+
+    for unit in ("ns", "us"):
+        stream = events_stream(spark, str(tmp_path / unit))
+        assert dict(stream.dtypes)["ts"] == "timestamp"
+        sink = f"t_ts_layout_{unit}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r["event_id"], r["ts"])
+            for r in spark.table(sink).select("event_id", "ts").collect()
+        )
+        assert got == batches[unit]
+
+
+def test_embedding_cosine_lsh_recall_vs_exact(spark):
+    """embedding_cosine_pairs_lsh is candidates(sign-LSH)→verify(exact
+    cosine): every emitted pair must also be an exact pair (verify step ⇒
+    precision 1.0), and recall vs the exact all-pairs operator must hold at
+    the default 12×8 banding — planted near-dups at cosine ≈0.99 and
+    mid-band pairs near the 0.8 threshold."""
+    import numpy as np
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 64
+    base = rng.randn(120, dim)
+    rows = [(i, base[i].tolist()) for i in range(len(base))]
+    nid = len(base)
+    for i in range(0, 40):  # tight near-dups, cosine ≈ 0.99+
+        rows.append((nid, (base[i] + 0.08 * rng.randn(dim)).tolist()))
+        nid += 1
+    for i in range(40, 70):  # looser copies, cosine scattered around 0.8
+        rows.append((nid, (base[i] + 0.55 * rng.randn(dim)).tolist()))
+        nid += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(df, min_cosine=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs_lsh(df, dim=dim, min_cosine=0.8).collect()
+    }
+    assert len(exact) >= 40  # the plant worked
+    assert lsh <= exact  # exact-cosine verify ⇒ no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} over {len(exact)} exact pairs"
