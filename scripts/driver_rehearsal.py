@@ -1,0 +1,64 @@
+"""Driver-style rehearsal of the FULL catalog: vanilla SparkSession (no
+engine confs — the external driver builds its own), every ``queries()``
+entry executed and compared against its ``oracle_sql()`` twin in DuckDB
+using the driver's compare (sorted column names, stringified rows).
+
+The driver samples ~50 of the catalog per round and rotates; this runs all
+of them, so a rotation can't surprise us. Usage:
+
+    python scripts/driver_rehearsal.py [sf_dir]     # default /root/testdata/sf0.01
+    python scripts/driver_rehearsal.py tests/_advdata   # adversarial fixture
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.path.abspath(sys.argv[1]) if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[8]").appName("driver-rehearsal").getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e  # noqa: E402
+
+qs, os_ = e.queries(), e.oracle_sql()
+
+import duckdb  # noqa: E402
+
+con = duckdb.connect()
+for t in (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+bad = []
+for i, name in enumerate(sorted(qs)):
+    try:
+        sdf = qs[name](spark, SF_DIR)
+        rows = sdf.collect()
+        if name not in os_:
+            print(f"{i + 1:3d} {name}: rows-only {len(rows)}", flush=True)
+            continue
+        scols = sorted(sdf.columns)
+        srows = sorted(tuple(str(r[c]) for c in scols) for r in rows)
+        rel = con.sql(os_[name])
+        idx = [rel.columns.index(c) for c in sorted(rel.columns)]
+        drows = sorted(tuple(str(r[j]) for j in idx) for r in rel.fetchall())
+        ok = srows == drows
+        print(
+            f"{i + 1:3d} {name}: {'OK' if ok else 'MISMATCH'}"
+            f" ({len(srows)} vs {len(drows)})",
+            flush=True,
+        )
+        if not ok:
+            bad.append(name)
+    except Exception as ex:  # noqa: BLE001 — rehearsal must visit every query
+        print(f"{i + 1:3d} {name}: ERROR {type(ex).__name__}: {str(ex)[:150]}", flush=True)
+        bad.append(name)
+print("BAD:", bad)
+sys.exit(1 if bad else 0)
