@@ -460,6 +460,54 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_pysource",
+    oracle="""
+    WITH g AS (
+        SELECT range AS i,
+               1704067200000000 + range * 1000000 AS ts_us,
+               (range * 2654435761) % 1000 AS user_id,
+               ['view','click','purchase','signup','error'][
+                   CAST((range * 7) % 5 AS INT) + 1] AS event_type,
+               ((range * 48271) % 100000) / 100.0 AS value
+        FROM range(50000)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+           MIN(ts_us) AS first_ts_us, MAX(ts_us) AS last_ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM g GROUP BY event_type
+    """,
+)
+def q_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 ``pyspark.sql.datasource``):
+    deterministic synthetic events generated in 8 parallel tasks with zero
+    storage (sources/generator.py) — the scale/soak-test ingest path; any
+    volume is one option away. Every column is a closed form of the row
+    index, so DuckDB reproduces the whole table from ``range(n)`` and this
+    custom source is FULLY oracle-checked (not rows-only)."""
+    from bigdata_retailrocket_recsys_spark.sources.generator import (
+        register_events_generator,
+    )
+
+    register_events_generator(spark)
+    df = (
+        spark.read.format("bdrr_events_gen")
+        .option("rows", 50_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min(F.unix_micros("ts")).alias("first_ts_us"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
     "q_stream_dedup",
     oracle="""
     SELECT event_type, COUNT(*) AS n FROM (
@@ -473,7 +521,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark) → per-type counts. Bounded source ⇒
     equals batch DISTINCT ⇒ full oracle."""
     from bigdata_retailrocket_recsys_spark.sources.readers import events_stream
+    from bigdata_retailrocket_recsys_spark.streaming import pin_streaming_confs
 
+    pin_streaming_confs(spark)
     out = (
         events_stream(spark, sf_dir).select("event_id", "event_type")
         .dropDuplicates(["event_id", "event_type"])
@@ -508,7 +558,9 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     enrichment (no state, dim re-resolved each batch). Bounded source ⇒
     equals the batch join ⇒ full oracle."""
     from bigdata_retailrocket_recsys_spark.sources.readers import events_stream
+    from bigdata_retailrocket_recsys_spark.streaming import pin_streaming_confs
 
+    pin_streaming_confs(spark)
     stream = events_stream(spark, sf_dir).withColumn(
         "user_bucket", F.col("user_id") % 10
     )

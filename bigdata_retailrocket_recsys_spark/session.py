@@ -66,11 +66,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- IO ---
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # Driver testdata stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read them as raw int64 ns and normalize to
-        # TimestampType in sources.readers (exact floor-division to µs,
-        # matching DuckDB's ns→µs truncation).
+        # Driver testdata timestamp encodings vary by round (TIMESTAMP_NANOS
+        # → int64 under nanosAsLong; TIMESTAMP_MICROS naive → LTZ with
+        # inferTimestampNTZ off). sources.readers normalizes both to UTC
+        # instants; the confs are ALSO pinned there at read time because the
+        # external driver builds a vanilla session without this factory.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- python interchange is Arrow-batched, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_retailrocket_recsys_spark.streaming import (
+    pin_streaming_confs,
+)
 from bigdata_retailrocket_recsys_spark.sources.readers import (
     events_stream,
     load_table,
@@ -103,6 +106,7 @@ def run_streaming_tumbling(
     """Events table → parquet file stream → tumbling (or, with ``slide``,
     sliding) window agg → memory sink, Trigger.AvailableNow. Returns the
     sink contents (batch-equal)."""
+    pin_streaming_confs(spark)
     stream = events_stream(spark, sf_dir)
     out = streaming_tumbling_counts(stream, window=window, slide=slide)
     q = (
@@ -126,6 +130,7 @@ def run_streaming_sessionize(
     """Drive the events table through a real streaming query: parquet file
     source → session_window agg → memory sink, Trigger.AvailableNow (one
     bounded pass — the batch-parity mode). Returns the sink contents."""
+    pin_streaming_confs(spark)
     stream = events_stream(spark, sf_dir)
     out = streaming_session_stats(stream, gap_minutes=gap_minutes)
     q = (
@@ -174,6 +179,7 @@ def run_streaming_late_drop(
     import os as _os
     import tempfile as _tmp
 
+    pin_streaming_confs(spark)
     src = load_table(spark, sf_dir, "events").select("event_id", "ts")
     cut = F.lit(split_at).cast("timestamp")
     stage = _os.path.join(_tmp.gettempdir(), "bdrr_late_drop_stage")

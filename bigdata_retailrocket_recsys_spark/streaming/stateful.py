@@ -23,6 +23,9 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_retailrocket_recsys_spark.streaming import (
+    pin_streaming_confs,
+)
 from bigdata_retailrocket_recsys_spark.sources.readers import events_stream
 from pyspark.sql.types import (
     LongType,
@@ -138,6 +141,7 @@ def run_stateful_sessionize(
     (AvailableNow). The bounded source arrives as one micro-batch, so the
     update-mode upserts ARE the final sessions — value-equal to batch
     sessionization with the strict-> rule."""
+    pin_streaming_confs(spark)
     # batch-sessionize ingest policy: a session needs an identified user
     # and an event time (operators/sessionize.py applies the same filter)
     stream = events_stream(spark, sf_dir).filter(

@@ -17,6 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_retailrocket_recsys_spark.streaming import (
+    pin_streaming_confs,
+)
 from bigdata_retailrocket_recsys_spark.sources.readers import (
     events_stream as _events_stream,
 )
@@ -37,8 +40,7 @@ def run_stream_stream_join(
     watermarks + the time-range condition, so Spark can bound and expire
     join state — the production requirement at continuous 100 TB ingest.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_streaming_confs(spark)
     views = (
         _events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
@@ -100,8 +102,7 @@ def run_stream_foreach_batch(
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_streaming_confs(spark)
     out_path = out_path or os.path.join(
         tempfile.gettempdir(), "bdrr_stream_foreach_batch"
     )
@@ -160,8 +161,7 @@ def run_stream_upsert_merge(
         upsert_parquet,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_streaming_confs(spark)
     base_path = base_path or _os.path.join(
         _tmp.gettempdir(), "bdrr_stream_upsert"
     )

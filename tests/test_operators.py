@@ -1167,3 +1167,29 @@ def test_embedding_cosine_lsh_recall_vs_exact(spark):
     assert lsh <= exact  # exact-cosine verify ⇒ no false positives
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} over {len(exact)} exact pairs"
+
+
+def test_events_generator_source_parallel_deterministic(spark):
+    """Python Data Source generator: one Spark task per declared partition,
+    exact row count on uneven splits, and bit-identical output across reads
+    (closed-form columns, no RNG state)."""
+    from bigdata_retailrocket_recsys_spark.sources.generator import (
+        register_events_generator,
+    )
+
+    register_events_generator(spark)
+
+    def gen(rows, parts):
+        return (
+            spark.read.format("bdrr_events_gen")
+            .option("rows", rows)
+            .option("partitions", parts)
+            .load()
+        )
+
+    df = gen(1003, 4)  # uneven: ceil split 251/251/251/250
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1003
+    a = sorted(map(tuple, gen(1003, 4).collect()))
+    b = sorted(map(tuple, gen(1003, 7).collect()))
+    assert a == b  # partitioning is a parallelism knob, not a semantics knob
