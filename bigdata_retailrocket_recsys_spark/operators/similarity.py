@@ -123,7 +123,7 @@ def cosine_topk_ivf(
     cosine, rank. Recall < 1 by design; calibrate against cosine_topk.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
         F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("cvec")

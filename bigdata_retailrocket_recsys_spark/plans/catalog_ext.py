@@ -508,6 +508,36 @@ def q_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_pysource",
+    oracle="""
+    WITH g AS (
+        SELECT 1704067200000000 + range * 1000000 AS ts_us,
+               (range * 2654435761) % 1000 AS user_id,
+               ['view','click','purchase','signup','error'][
+                   CAST((range * 7) % 5 AS INT) + 1] AS event_type
+        FROM range(30000)
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+           MIN(ts_us) AS first_ts_us, MAX(ts_us) AS last_ts_us
+    FROM g GROUP BY event_type
+    """,
+)
+def q_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python Data Source (SimpleDataSourceStreamReader):
+    the generator's micro-batch reader feeds 3 batches of 10k rows with the
+    offset AS the row index — exactly-once replay after failure is
+    arithmetic (restart from the checkpointed offset, regenerate identical
+    rows). Complete-mode aggregate over the exhausted stream equals the
+    batch aggregate → full DuckDB oracle (sources/generator.py)."""
+    from bigdata_retailrocket_recsys_spark.sources.generator import (
+        run_generator_stream,
+    )
+
+    return run_generator_stream(spark, rows=30_000, batch_rows=10_000)
+
+
+@query(
     "q_stream_dedup",
     oracle="""
     SELECT event_type, COUNT(*) AS n FROM (

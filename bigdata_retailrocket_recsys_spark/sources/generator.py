@@ -21,10 +21,15 @@ this is the engine's synthetic-ingest extension (SURVEY §2.11 family).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: closed-form column recipe (mirrored in the q_scan_pysource oracle):
 #:   event_id = i
@@ -59,14 +64,54 @@ class EventsGenReader(DataSourceReader):
 
     def read(self, partition: _Range) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
-            us = START_US + i * self.step_us
-            yield (
-                i,
-                datetime.fromtimestamp(us / 1e6, tz=timezone.utc),
-                (i * 2654435761) % self.n_users,
-                TYPES[(i * 7) % len(TYPES)],
-                ((i * 48271) % 100_000) / 100.0,
-            )
+            yield _row(i, self.n_users, self.step_us)
+
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _row(i: int, n_users: int, step_us: int) -> tuple:
+    us = START_US + i * step_us
+    return (
+        i,
+        # integer timedelta, not fromtimestamp(us/1e6): float seconds have
+        # ~0.5µs resolution at 2024 epochs and would round sub-second steps
+        _EPOCH + timedelta(microseconds=us),
+        (i * 2654435761) % n_users,
+        TYPES[(i * 7) % len(TYPES)],
+        ((i * 48271) % 100_000) / 100.0,
+    )
+
+
+class EventsGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch reader over the same closed-form rows: the offset IS the
+    global row index ({"i": n}), so exactly-once replay after failure is
+    arithmetic — restart from the checkpointed offset and regenerate the
+    identical rows. ``batch_rows`` rows per micro-batch until ``rows`` is
+    exhausted, then empty batches. NOTE: Python micro-batch sources do not
+    support Trigger.AvailableNow (Spark falls back to ONE batch) — bounded
+    consumers should poll the sink until sum(rows) == ``rows`` and stop
+    (see q_stream_pysource)."""
+
+    def __init__(self, options: dict) -> None:
+        self.rows = int(options.get("rows", 10_000))
+        self.batch_rows = int(options.get("batch_rows", self.rows))
+        self.n_users = int(options.get("n_users", 1_000))
+        self.step_us = int(options.get("step_us", 1_000_000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i0 = int(start["i"])
+        i1 = min(i0 + self.batch_rows, self.rows)
+        # a LIST iterator, not a generator: Spark's prefetch cache copies
+        # the iterator (copy.copy) and generators are not copyable
+        rows = iter([_row(i, self.n_users, self.step_us) for i in range(i0, i1)])
+        return rows, {"i": i1}
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class EventsGeneratorDataSource(DataSource):
@@ -87,6 +132,58 @@ class EventsGeneratorDataSource(DataSource):
     def reader(self, schema) -> EventsGenReader:
         return EventsGenReader(self.options)
 
+    def simpleStreamReader(self, schema) -> EventsGenStreamReader:
+        return EventsGenStreamReader(self.options)
+
 
 def register_events_generator(spark) -> None:
     spark.dataSource.register(EventsGeneratorDataSource)
+
+
+def run_generator_stream(
+    spark,
+    *,
+    rows: int = 30_000,
+    batch_rows: int = 10_000,
+    sink_table: str = "bdrr_gen_stream",
+    timeout_s: float = 120.0,
+):
+    """Drive the generator's micro-batch reader to exhaustion: complete-mode
+    aggregate over ``rows // batch_rows`` batches, polling the memory sink
+    until every generated row is accounted for (Python micro-batch sources
+    don't support Trigger.AvailableNow), then stop. Returns the final
+    aggregate — batch-equal, so the catalog query carries a full oracle."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    register_events_generator(spark)
+    st = (
+        spark.readStream.format("bdrr_events_gen")
+        .option("rows", rows)
+        .option("batch_rows", batch_rows)
+        .load()
+    )
+    out = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min(F.unix_micros("ts")).alias("first_ts_us"),
+        F.max(F.unix_micros("ts")).alias("last_ts_us"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        got = spark.table(sink_table).agg(F.sum("n_events")).collect()[0][0] or 0
+        if got >= rows:
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(sink_table)
