@@ -36,8 +36,18 @@ def exact_dedup(
     id_col: str,
 ) -> DataFrame:
     """Exact dedup: one surviving row id per duplicate group (deterministic
-    keeper = min id) + group size. Group key is md5(concat of key cols)."""
-    digest = F.md5(F.concat_ws("", *key_cols)).alias("dup_key")
+    keeper = min id) + group size. Group key is md5(concat of key cols).
+
+    NULL discipline (SQL-concat parity): ``a || b`` propagates NULL in SQL,
+    so any NULL key component yields dup_key NULL and those rows group
+    together — concat_ws would instead silently conflate NULL with ''."""
+    all_set = None
+    for c in key_cols:
+        nn = F.col(c).isNotNull()
+        all_set = nn if all_set is None else (all_set & nn)
+    digest = F.when(all_set, F.md5(F.concat_ws("", *key_cols))).alias(
+        "dup_key"
+    )
     return (
         df.select(digest, F.col(id_col))
         .groupBy("dup_key")
@@ -476,7 +486,7 @@ def embedding_cosine_pairs(
     scale use :func:`embedding_cosine_pairs_lsh`, whose banded sign-LSH
     bounds candidate generation by bucket size (the same candidates→verify
     shape as :func:`minhash_lsh_candidates`)."""
-    v = df.select(
+    v = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         to_double_array(vec_col).alias("vec"),
@@ -494,7 +504,13 @@ def embedding_cosine_pairs(
             F.col("b.vid").alias("id_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= min_cosine)
+        .filter(
+            # explicit NaN policy: Spark comparisons treat NaN as greater
+            # than everything (NaN >= t is TRUE) while IEEE/DuckDB say
+            # FALSE — a zero-norm or NaN-component vector must not pair
+            ~F.isnan("cosine")
+            & (F.col("cosine") >= min_cosine)
+        )
     )
 
 
@@ -544,7 +560,7 @@ def embedding_cosine_pairs_lsh(
     pdf = spark.createDataFrame(plane_rows, "table int, bit int, w array<double>")
 
     blk = ["blk"] if block_col else []
-    v = df.select(
+    v = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         *([F.col(block_col).alias("blk")] if block_col else []),
         to_double_array(vec_col).alias("vec"),
@@ -589,5 +605,11 @@ def embedding_cosine_pairs_lsh(
             F.col("vid_b").alias("id_b"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") >= min_cosine)
+        .filter(
+            # explicit NaN policy: Spark comparisons treat NaN as greater
+            # than everything (NaN >= t is TRUE) while IEEE/DuckDB say
+            # FALSE — a zero-norm or NaN-component vector must not pair
+            ~F.isnan("cosine")
+            & (F.col("cosine") >= min_cosine)
+        )
     )

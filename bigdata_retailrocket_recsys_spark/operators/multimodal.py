@@ -94,6 +94,21 @@ def extract_media_features(
         for pdf in batches:
             rows = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    # missing payload (NULL source) -> NULL features; a real
+                    # media pipeline quarantines these, it never crashes
+                    rows.append(
+                        {
+                            "asset_id": int(asset_id),
+                            "n_bytes": None,
+                            "byte_entropy": None,
+                            "feat_0": None,
+                            "feat_1": None,
+                            "feat_2": None,
+                            "feat_3": None,
+                        }
+                    )
+                    continue
                 data = bytes(payload)
                 if decode_stub == "error":
                     raise NotImplementedError(
@@ -161,7 +176,8 @@ def resize_images(
                 out.append(
                     {
                         "asset_id": int(asset_id),
-                        "payload": bytes(payload),
+                        # NULL payload passes through as NULL (quarantine row)
+                        "payload": None if payload is None else bytes(payload),
                         "width": width,
                         "height": height,
                     }
@@ -196,6 +212,8 @@ def sample_frames(
         for pdf in batches:
             out = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # missing payload -> no frames
                 data = bytes(payload)
                 if decode_stub == "error":
                     raise NotImplementedError(

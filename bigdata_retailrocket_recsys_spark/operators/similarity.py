@@ -128,6 +128,15 @@ def cosine_topk_ivf(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("cvec")
     )
+    # degenerate vectors crash the KMeans fit (NULL) or poison centroids
+    # (NaN/inf); zero vectors have no cosine -- drop all of them up front
+    sq = F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x)
+    c = c.filter(
+        F.col("cvec").isNotNull()
+        & ~F.isnan(sq)
+        & (sq != float("inf"))
+        & (sq > 0.0)
+    )
     fitted = KMeans(
         k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
     ).fit(c.select(array_to_vector("cvec").alias("features")))

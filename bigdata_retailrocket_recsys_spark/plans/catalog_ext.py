@@ -125,7 +125,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
-        FROM embeddings
+        FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -245,12 +245,18 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_vector_norm",
     oracle="""
-    SELECT vec_id,
-           CAST(len(embedding) AS INT) AS dim,
-           CAST(FLOOR(sqrt(list_aggregate(
-               list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
-               'sum')) * 1000) AS BIGINT) AS norm_e3
-    FROM embeddings
+    WITH n AS (
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               sqrt(list_aggregate(
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                   'sum')) AS norm
+        FROM embeddings
+    )
+    SELECT vec_id, dim,
+           CASE WHEN isnan(norm) OR isinf(norm) THEN NULL
+                ELSE CAST(FLOOR(norm * 1000) AS BIGINT) END AS norm_e3
+    FROM n
     """,
 )
 def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,10 +265,11 @@ def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     v = to_double_array("embedding")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    finite = ~F.isnan(norm) & (norm != float("inf"))
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.floor(norm * 1000).cast("bigint").alias("norm_e3"),
+        F.when(finite, F.floor(norm * 1000).cast("bigint")).alias("norm_e3"),
     )
 
 
@@ -327,7 +334,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id,
-           CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+           CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) IS NULL THEN 'und'
+                WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
                 WHEN h_fr = GREATEST(h_en, h_de, h_es, h_fr) THEN 'fr'
                 WHEN h_es = GREATEST(h_en, h_de, h_es, h_fr) THEN 'es'
                 WHEN h_en = GREATEST(h_en, h_de, h_es, h_fr) THEN 'en'
@@ -2761,8 +2769,9 @@ def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, dim,
-           CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT))
-                AS DOUBLE)
+           CAST(SUM(CASE WHEN isnan(v) OR isinf(v) THEN NULL
+                         ELSE CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT)
+                    END) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) / 1e9 AS centroid_v
     FROM dims GROUP BY label, dim
     """,
@@ -2783,8 +2792,11 @@ def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.floor(F.col("v").cast("double") * F.lit(1e9)).cast(
-                        "bigint"
+                    F.when(
+                        ~F.isnan("v") & (F.abs("v") != float("inf")),
+                        F.floor(F.col("v").cast("double") * F.lit(1e9)).cast(
+                            "bigint"
+                        ),
                     )
                 ).cast("double")
                 / F.count(F.lit(1)).cast("double")
@@ -2944,8 +2956,11 @@ def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(substr(text, 1, 12)) AS head_up,
            lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_pad,
            replace(substr(text, 1, 20), ' ', '_') AS head_snake,
-           split_part(trim(text), ' ', 1) AS first_word,
-           reverse(split_part(trim(text), ' ', 1)) AS first_word_rev,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE split_part(trim(text), ' ', 1) END AS first_word,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE reverse(split_part(trim(text), ' ', 1)) END
+               AS first_word_rev,
            length(text) AS n_chars,
            contains(lower(text), 'the') AS has_the
     FROM documents WHERE doc_id < 50

@@ -11,6 +11,10 @@ with every edge class injected deterministically (seed 42):
 - exact (user_id, ts) ties — full-timestamp duplicates with distinct event_id
 - exact UTC-midnight timestamps and midnight-minus-1µs neighbours
   (day-bucket boundary rows)
+- documents: NULL / empty / whitespace-only / single-token / unicode text,
+  NULL lang/source (the text+dedup family's blind spots)
+- embeddings: NULL embedding, all-zero vector (NaN cosine), NaN component,
+  NULL label (blocking key)
 
 The events file is written in the driver's CURRENT physical layout —
 TIMESTAMP(MICROS, isAdjustedToUTC=false), i.e. naive µs (round 1 was
@@ -37,16 +41,71 @@ SRC = "/root/testdata/sf0.01"
 DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_advdata")
 
 TABLES = (
-    "region nation customer supplier part orders lineitem documents embeddings"
+    "region nation customer supplier part orders lineitem"
 ).split()
 
 DAY_US = 86_400_000_000
+
+
+def _mutate_documents(src: str, dst: str) -> None:
+    """Edge-text rows in the first ~20 documents (small fraction — the
+    thresholded dedup/text queries still fire on the normal rest)."""
+    t = pq.read_table(f"{src}/documents.parquet")
+    text = t["text"].to_pylist()
+    lang = t["lang"].to_pylist()
+    source = t["source"].to_pylist()
+    edges = [
+        None,                     # NULL text
+        "",                       # empty
+        "   \t  \n ",             # whitespace-only
+        "token",                  # single token (shorter than any shingle n)
+        "naïve café 東京 данные",  # unicode tokens
+        "a  b   c",               # repeated internal whitespace
+    ]
+    for j, e in enumerate(edges):
+        text[j] = e
+    lang[1] = None
+    source[2] = None
+    n_chars = [len(x) if x is not None else None for x in text]
+    out = pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "text": pa.array(text, type=pa.string()),
+            "lang": pa.array(lang, type=pa.string()),
+            "source": pa.array(source, type=pa.string()),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+        }
+    )
+    pq.write_table(out, f"{dst}/documents.parquet")
+
+
+def _mutate_embeddings(src: str, dst: str) -> None:
+    """Degenerate vectors in the first few embeddings rows."""
+    t = pq.read_table(f"{src}/embeddings.parquet")
+    emb = t["embedding"].to_pylist()
+    label = t["label"].to_pylist()
+    dim = len(emb[3])
+    emb[0] = None                                  # NULL embedding
+    emb[1] = [0.0] * dim                           # zero vector → NaN cosine
+    emb[2] = [float("nan")] + [0.1] * (dim - 1)    # NaN component
+    label[3] = None                                # NULL blocking key
+    out = pa.table(
+        {
+            "vec_id": t["vec_id"],
+            "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+            "label": pa.array(label, type=pa.int32()),
+        }
+    )
+    pq.write_table(out, f"{dst}/embeddings.parquet")
 
 
 def build(dst: str = DST, src: str = SRC, seed: int = 42) -> str:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    _mutate_documents(src, dst)
+    _mutate_embeddings(src, dst)
 
     ev = pq.read_table(f"{src}/events.parquet")
     n = ev.num_rows
