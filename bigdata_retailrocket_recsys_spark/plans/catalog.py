@@ -12,6 +12,12 @@ hashes match — keep them when adding queries):
    (Spark ``unix_micros`` ≡ DuckDB ``epoch_us``).
 2. Sums over doubles go through DECIMAL(18,2|6) — exact, order-independent —
    then cast back to double (same rational → bit-identical double).
+   CAVEAT (learned from q_agg_corr_moments): the cast-back is bit-identical
+   ONLY while the decimal's scaled value fits in 53 bits. A sum of decimal
+   PRODUCTS (price², price·qty) can carry 17+ significant digits; there
+   Spark's BigDecimal→double and DuckDB's int128-scaled→double casts may
+   round 1 ulp apart. Either keep scaled magnitudes < 2^53 or quantize the
+   OUTPUT (floor(x·1e9) for values in [-1,1], floor(x·1e6) otherwise).
 3. Derived doubles use the *same IEEE expression tree* on both sides
    (+-*/ and sqrt are correctly-rounded per IEEE-754 → bit-identical);
    never ``round()`` (Spark HALF_UP vs DuckDB HALF_EVEN differ on ties) and
@@ -1582,7 +1588,8 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN l_quantity > 10 THEN 'mid'
                 ELSE 'small' END AS size_class,
            GREATEST(l_quantity, 10.0) AS qty_floor10,
-           CAST(CASE WHEN l_returnflag IN ('A', 'R') THEN 1 ELSE 0 END AS INT)
+           CAST(CASE WHEN l_returnflag IS NULL THEN NULL
+                     WHEN l_returnflag IN ('A', 'R') THEN 1 ELSE 0 END AS INT)
                AS is_returned
     FROM lineitem WHERE l_orderkey < 3000
     """,
@@ -1638,7 +1645,7 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_string",
     oracle="""
     SELECT c_custkey,
-           c_name || '_' || c_mktsegment AS tagged,
+           concat_ws('_', c_name, c_mktsegment) AS tagged,
            upper(c_name) AS name_upper,
            substr(c_name, 1, 8) AS name_prefix,
            CAST(length(c_name) AS INT) AS name_len

@@ -1973,9 +1973,9 @@ def q_multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (n * sxy - sx * sy)
+           CAST(FLOOR((n * sxy - sx * sy)
                / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-               AS corr_qty_price
+               * 1e9) AS BIGINT) AS corr_e9
     FROM m
     """,
 )
@@ -2005,7 +2005,16 @@ def q_agg_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * F.col("sxx") - sx * sx)
         * F.sqrt(n * F.col("syy") - sy * sy)
     )
-    return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+    # corr_e9, not the raw double: once a decimal moment needs >53 bits
+    # (price² sums do), Spark's BigDecimal→double and DuckDB's
+    # int128-scaled→double casts can round 1 ulp apart — quantizing the
+    # OUTPUT to 1e-9 absorbs it (corr ∈ [-1,1], so ~9 digits is full
+    # useful precision anyway)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.floor(corr * 1e9).cast("bigint").alias("corr_e9"),
+    )
 
 
 @query(

@@ -15,6 +15,8 @@ with every edge class injected deterministically (seed 42):
   NULL lang/source (the text+dedup family's blind spots)
 - embeddings: NULL embedding, all-zero vector (NaN cosine), NaN component,
   NULL label (blocking key)
+- orders/lineitem/customer/supplier/part: NULLs in every non-key column
+  (~1% per column — measures, dates, flags, segments), keys left intact
 
 The events file is written in the driver's CURRENT physical layout —
 TIMESTAMP(MICROS, isAdjustedToUTC=false), i.e. naive µs (round 1 was
@@ -40,11 +42,43 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.01"
 DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_advdata")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem"
-).split()
+TABLES = ("region", "nation")
+
+#: non-key columns to NULL-inject per TPC-H-ish table (~1% each, disjointly
+#: picked per column so multi-column rows stay rare but exist)
+TPCH_NULLABLE = {
+    "orders": ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ],
+    "customer": ["c_name", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_name", "s_acctbal"],
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+}
 
 DAY_US = 86_400_000_000
+
+
+def _null_inject(
+    src: str, dst: str, table: str, cols: list[str], *, rng, frac: float = 0.01
+) -> None:
+    """NULL ~frac of each listed (non-key) column, one independent row pick
+    per column."""
+    t = pq.read_table(f"{src}/{table}.parquet")
+    n = t.num_rows
+    arrays = {name: t[name] for name in t.column_names}
+    for c in cols:
+        vals = t[c].to_pylist()
+        for i in rng.choice(n, size=max(1, int(n * frac)), replace=False):
+            vals[i] = None
+        arrays[c] = pa.array(vals, type=t[c].type)
+    pq.write_table(pa.table(arrays), f"{dst}/{table}.parquet")
 
 
 def _mutate_documents(src: str, dst: str) -> None:
@@ -106,6 +140,8 @@ def build(dst: str = DST, src: str = SRC, seed: int = 42) -> str:
 
     _mutate_documents(src, dst)
     _mutate_embeddings(src, dst)
+    for t, cols in TPCH_NULLABLE.items():
+        _null_inject(src, dst, t, cols, rng=np.random.RandomState(seed + 7))
 
     ev = pq.read_table(f"{src}/events.parquet")
     n = ev.num_rows
