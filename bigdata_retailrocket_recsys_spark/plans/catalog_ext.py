@@ -516,6 +516,55 @@ def q_scan_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_pysource_pruned",
+    oracle="""
+    WITH g AS (
+        SELECT range AS i,
+               1704067200000000 + range * 1000000 AS ts_us,
+               (range * 2654435761) % 1000 AS user_id,
+               ['view','click','purchase','signup','error'][
+                   CAST((range * 7) % 5 AS INT) + 1] AS event_type,
+               ((range * 48271) % 100000) / 100.0 AS value
+        FROM range(50000)
+    )
+    SELECT i AS event_id, ts_us, user_id, event_type, value
+    FROM g WHERE i >= 20000 AND i < 20400 AND event_type <> 'error'
+    """,
+)
+def q_scan_pysource_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown INTO the custom Python source (Spark 4.1
+    ``pushFilters``): the event_id range conjuncts are consumed as
+    arithmetic partition pruning — the clipped rows are never generated,
+    the custom-source analogue of parquet row-group pruning — while the
+    event_type predicate comes back as a residual Spark evaluates
+    post-scan. The oracle applies the SAME predicates to the closed-form
+    table, so a pruning bug (off-by-one clip, dropped residual) breaks
+    the hash."""
+    from bigdata_retailrocket_recsys_spark.sources.generator import (
+        register_events_generator,
+    )
+
+    register_events_generator(spark)
+    df = (
+        spark.read.format("bdrr_events_gen")
+        .option("rows", 50_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.filter(
+        (F.col("event_id") >= 20_000)
+        & (F.col("event_id") < 20_400)
+        & (F.col("event_type") != "error")
+    ).select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@query(
     "q_stream_pysource",
     oracle="""
     WITH g AS (

@@ -27,7 +27,12 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -54,13 +59,49 @@ class EventsGenReader(DataSourceReader):
         self.n_users = int(options.get("n_users", 1_000))
         self.step_us = int(options.get("step_us", 1_000_000))
 
+        self.lo = 0  # half-open [lo, hi) row range after filter pushdown
+        self.hi = self.rows
+
+    def pushFilters(self, filters):
+        """Range/point predicates on ``event_id`` (== the global row index)
+        are CONSUMED as arithmetic partition pruning — the clipped rows are
+        never generated at all, the custom-source analogue of parquet
+        row-group pruning. Everything else is returned for Spark to
+        evaluate post-scan (the list is an AND, so consuming a conjunct is
+        always sound)."""
+        remaining = []
+        for f in filters:
+            if getattr(f, "attribute", None) == ("event_id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            remaining.append(f)
+        return remaining
+
     def partitions(self) -> list[_Range]:
-        per = -(-self.rows // self.parts)  # ceil — last partition may be short
+        lo, hi = self.lo, min(self.hi, self.rows)
+        n = max(hi - lo, 0)
+        per = -(-max(n, 1) // self.parts)  # ceil — last partition may be short
         return [
-            _Range(k * per, min((k + 1) * per, self.rows))
+            _Range(lo + k * per, min(lo + (k + 1) * per, hi))
             for k in range(self.parts)
-            if k * per < self.rows
-        ]
+            if lo + k * per < hi
+        ] or [_Range(0, 0)]
 
     def read(self, partition: _Range) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
@@ -137,6 +178,8 @@ class EventsGeneratorDataSource(DataSource):
 
 
 def register_events_generator(spark) -> None:
+    # opt-in conf gate for DataSourceReader.pushFilters (Spark 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(EventsGeneratorDataSource)
 
 

@@ -1193,3 +1193,57 @@ def test_events_generator_source_parallel_deterministic(spark):
     a = sorted(map(tuple, gen(1003, 4).collect()))
     b = sorted(map(tuple, gen(1003, 7).collect()))
     assert a == b  # partitioning is a parallelism knob, not a semantics knob
+
+
+def test_events_generator_filter_pushdown(spark):
+    """pushFilters: event_id range/point predicates clip the generated row
+    range (never generated, not post-filtered); other predicates are
+    returned as residuals for Spark. Semantics must equal post-filtering."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from bigdata_retailrocket_recsys_spark.sources.generator import (
+        EventsGenReader,
+        register_events_generator,
+    )
+
+    r = EventsGenReader({"rows": "1000", "partitions": "4"})
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("event_id",), 100),
+                LessThan(("event_id",), 260),
+                EqualTo(("event_type",), "view"),  # not consumable
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in residual] == ["EqualTo"]
+    parts = r.partitions()
+    assert parts[0].start == 100 and parts[-1].end == 260
+    assert sum(p.end - p.start for p in parts) == 160
+
+    register_events_generator(spark)
+    base = (
+        spark.read.format("bdrr_events_gen")
+        .option("rows", 5000)
+        .option("partitions", 4)
+        .load()
+    )
+    from pyspark.sql import functions as F
+
+    pred = (
+        (F.col("event_id") >= 1200)
+        & (F.col("event_id") < 1500)
+        & (F.col("event_type") == "view")
+    )
+    pushed = sorted(map(tuple, base.filter(pred).collect()))
+    # same source read fully, filtered in Spark only (fresh load, no pushdown
+    # path shares state) — must be value-identical
+    full = sorted(
+        t for t in map(tuple, base.collect())
+        if 1200 <= t[0] < 1500 and t[3] == "view"
+    )
+    assert pushed == full and len(pushed) == 60
