@@ -77,19 +77,44 @@ class CatalogQuery:
 
 QUERIES: dict[str, CatalogQuery] = {}
 
-#: The engine reads ``events.ts`` (physically TIMESTAMP(NANOS)) floored to
-#: µs (`sources/readers.py` load_table: ``ts div 1000`` on the ns bigint).
-#: DuckDB's parquet scan behavior for TIMESTAMP_NS *differs by version*
-#: (1.0 truncates to µs at scan; newer versions preserve ns) — so every
-#: oracle that touches ``events`` is rewritten at registration time to read
-#: through a CTE that floors ts to µs with exact integer arithmetic:
-#: ``epoch_ns`` is exact in both representations and ``//`` matches Spark's
-#: ``div`` (truncation toward zero) for the positive epochs in play. After
-#: the CTE, oracle ts semantics (comparisons, ORDER BY, epoch_us, windows)
-#: are identical to the engine's µs view in ANY DuckDB version.
+#: The engine reads ``events.ts`` (physically TIMESTAMP(NANOS)) FLOORED to
+#: µs (`sources/readers.py` load_table: ``(ts - pmod(ts,1000)) div 1000`` on
+#: the ns bigint). DuckDB's parquet scan behavior for TIMESTAMP_NS *differs
+#: by version* (1.0 truncates to µs at scan; newer versions preserve ns) —
+#: so every oracle that touches ``events`` is rewritten at registration time
+#: to read through a CTE that floors ts to µs with exact integer arithmetic:
+#: ``epoch_ns`` is exact in both representations, and ``_floordiv_sql``
+#: subtracts a non-negative modulus before dividing so the division is exact
+#: — where trunc ≡ floor, making the expression identical under EITHER
+#: integer-division semantics (DuckDB 1.0's ``//`` truncates; do not assume
+#: it floors). After the CTE, oracle ts semantics (comparisons, ORDER BY,
+#: epoch_us, windows) are identical to the engine's µs view in ANY DuckDB
+#: version, for ANY epoch sign.
+
+
+def _floordiv_sql(x: str, n: int) -> str:
+    """Version/sign-proof FLOOR(x/n) for DuckDB oracle SQL (n > 0).
+
+    ``((x % n) + n) % n`` is the non-negative modulus on any engine;
+    subtracting it makes the division exact, so trunc-vs-floor ``//``
+    semantics can no longer matter. Spark twin: ``(x - pmod(x, n)) div n``
+    (`_floordiv_expr`)."""
+    return f"(({x}) - ((({x}) % {n} + {n}) % {n})) // {n}"
+
+
+def _floormul_sql(x: str, n: int) -> str:
+    """FLOOR(x/n)*n — bucket start (tumbling-window form) of `_floordiv_sql`."""
+    return f"(({x}) - ((({x}) % {n} + {n}) % {n}))"
+
+
+def floordiv_expr(x: str, n: int) -> str:
+    """Spark SQL twin of `_floordiv_sql`: exact FLOOR(x/n) for any sign of x."""
+    return f"(({x}) - pmod(({x}), {n})) div {n}"
+
+
 _EVENTS_US_CTE = (
     "events_us AS (SELECT * REPLACE "
-    "(make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)"
+    f"(make_timestamp({_floordiv_sql('epoch_ns(ts)', 1000)}) AS ts) FROM events)"
 )
 
 _EVENTS_REF = re.compile(r"\bevents\b")
@@ -573,25 +598,33 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           COUNT(CASE WHEN value >= 5 THEN value END) AS n_notnull,
-           SUM(CASE WHEN value < 5 OR value IS NULL THEN 1 ELSE 0 END) AS n_null
+           COUNT(CASE WHEN value IS NOT NULL
+                       AND (isnan(value) OR value >= 5)
+                      THEN 1 END) AS n_notnull,
+           SUM(CASE WHEN value IS NULL
+                     OR (NOT isnan(value) AND value < 5)
+                    THEN 1 ELSE 0 END) AS n_null
     FROM events GROUP BY event_type
     """,
 )
 def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — isNull/isNotNull discipline (ref py:106,114 NULL lag rows).
 
-    Engine's n_null counts rows where ``when(value>=5, value)`` is NULL —
-    i.e. value < 5 OR value IS NULL (NaN >= 5 is TRUE in both Spark and
-    DuckDB total ordering, so NaN lands in n_notnull on both engines); the
-    oracle spells exactly that predicate."""
+    NaN placement is decided by EXPLICIT ``isnan`` on both engines — never
+    by a comparison against the NaN-able column. ``NaN >= 5`` is TRUE under
+    total-order semantics (Spark, DuckDB >= 1.0) but FALSE under IEEE
+    semantics (older DuckDB builds) — the exact count-flip signature of the
+    r1/r2 driver hash-fail (VERDICT r2 item #2). With isnan short-circuiting
+    first, NaN lands in n_notnull on every engine version."""
     ev = _t(spark, sf_dir, "events").withColumn(
-        "v", F.when(F.col("value") >= 5, F.col("value"))
+        "is_big",
+        F.col("value").isNotNull()
+        & (F.isnan("value") | (F.col("value") >= 5)),
     )
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.count("v").alias("n_notnull"),
-        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.count(F.when(F.col("is_big"), 1)).alias("n_notnull"),
+        F.sum(F.when(~F.col("is_big"), 1).otherwise(0)).alias("n_null"),
     )
 
 
@@ -1195,13 +1228,14 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_twolevel",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            COUNT(*) AS n_days,
            SUM(n) AS n_events,
            CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_events_per_day
-    FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS d, COUNT(*) AS n
-          FROM events GROUP BY user_id, epoch_us(ts) // 86400000000)
+    FROM (SELECT user_id, {_floordiv_sql("epoch_us(ts)", 86400000000)} AS d,
+                 COUNT(*) AS n
+          FROM events GROUP BY user_id, 2)
     GROUP BY user_id
     """,
 )
@@ -1209,14 +1243,20 @@ def q_agg_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 — two-level re-aggregation (ref py:524-529: per-(user,session)
     duration → per-user avg).
 
-    Day bucket is a tz-independent integer (epoch-µs div 86.4e9) on BOTH
-    engines — Spark's date_trunc is session-timezone-sensitive and DuckDB's
-    is naive, so a truncated-timestamp key can shift day buckets whenever
-    the driver's session tz differs; integer division cannot."""
+    Day bucket is a tz-independent integer (FLOOR(epoch-µs / 86.4e9)) on
+    BOTH engines — Spark's date_trunc is session-timezone-sensitive and
+    DuckDB's is naive, so a truncated-timestamp key can shift day buckets
+    whenever the driver's session tz differs; integer division cannot.
+    FLOOR via exact-division form (`floordiv_expr`), not `div`/`//`, so
+    pre-1970 epochs bucket identically under trunc- or floor-division
+    semantics (r2 driver-fail hazard, VERDICT r2 item #2)."""
     ev = _t(spark, sf_dir, "events")
     return two_level_agg(
         ev,
-        fine_keys=["user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")],
+        fine_keys=[
+            "user_id",
+            F.expr(floordiv_expr("unix_micros(ts)", 86400000000)).alias("d"),
+        ],
         fine_aggs=[F.count(F.lit(1)).alias("n")],
         coarse_keys=["user_id"],
         coarse_aggs=[

@@ -33,7 +33,12 @@ from bigdata_retailrocket_recsys_spark.operators.text import (
     quality_score,
     token_count,
 )
-from bigdata_retailrocket_recsys_spark.plans.catalog import _dec_value, _t, query
+from bigdata_retailrocket_recsys_spark.plans.catalog import (
+    _dec_value,
+    _floormul_sql,
+    _t,
+    query,
+)
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -452,14 +457,19 @@ def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(epoch_us(ts)) + 1800000000 AS end_us,
            COUNT(*) AS n_events
     FROM s GROUP BY user_id, sess
-    """,
+    """.replace(
+        "WHERE ts IS NOT NULL",
+        "WHERE ts IS NOT NULL AND epoch_us(ts) >= 0",
+    ),
 )
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Structured Streaming sessionization: parquet file stream →
     watermark → session_window agg → memory sink (Trigger.AvailableNow).
     The bounded source arrives as ONE micro-batch (single file), so the
     watermark drops nothing and the sink equals the batch session_window
-    result — same DuckDB oracle as q_session_window_batch."""
+    result — same DuckDB oracle as q_session_window_batch, restricted to
+    the streaming event-time domain (non-null, post-epoch ts — see
+    sources/readers.events_stream)."""
     from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
         run_streaming_sessionize,
     )
@@ -599,6 +609,7 @@ def q_stream_pysource(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, COUNT(*) AS n FROM (
         SELECT DISTINCT event_id, event_type FROM events
+        WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
     ) GROUP BY event_type
     """,
 )
@@ -636,6 +647,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.user_id % 10 AS user_bucket, COUNT(*) AS n_events
     FROM events e JOIN cat c ON e.user_id % 10 = c.user_bucket
+    WHERE e.ts IS NOT NULL AND epoch_us(e.ts) >= 0
     GROUP BY 1
     """,
 )
@@ -683,6 +695,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND epoch_us(ts) >= 0
         WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
     ), s AS (
         SELECT user_id, ts,
@@ -712,14 +725,16 @@ def q_stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_tumbling_window",
-    oracle="""
-    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us,
+    # window-start bucketing must FLOOR (Spark's window() floors) — the
+    # trunc-vs-floor-proof exact-division form, negative-epoch safe
+    oracle=f"""
+    SELECT {_floormul_sql("epoch_us(ts)", 3600000000)} AS win_start_us,
            event_type,
            count(*) AS n_events,
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
-    WHERE ts IS NOT NULL
+    WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
     GROUP BY 1, 2
     """,
 )
@@ -1023,15 +1038,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_sliding_window",
-    oracle="""
+    # slide-start bucketing must FLOOR (Spark window() floors) — see tumbling
+    oracle=f"""
     WITH w AS (
         SELECT unnest([
-                   (epoch_us(ts) // 1800000000) * 1800000000,
-                   (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000
+                   {_floormul_sql("epoch_us(ts)", 1800000000)},
+                   {_floormul_sql("epoch_us(ts)", 1800000000)} - 1800000000
                ]) AS win_start_us,
                event_type, value
         FROM events
-        WHERE ts IS NOT NULL
+        WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
     )
     SELECT win_start_us, event_type, count(*) AS n_events,
            min(value) AS min_value, max(value) AS max_value
@@ -1139,6 +1155,7 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON v.user_id = p.user_id
      AND v.event_type = 'view' AND p.event_type = 'purchase'
      AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE epoch_us(v.ts) >= 0 AND epoch_us(p.ts) >= 0
     """,
 )
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1608,7 +1625,8 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
-    FROM events GROUP BY event_type
+    FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+    GROUP BY event_type
     """,
 )
 def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2713,13 +2731,15 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_stream_late_drop",
-    oracle="""
+    # window-start bucketing must FLOOR (Spark window() floors)
+    oracle=f"""
     WITH hourly AS (
-        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+        SELECT {_floormul_sql("epoch_us(ts)", 3600000000)} AS window_start_us,
                COUNT(*) AS n
-        FROM events GROUP BY 1
+        FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0 GROUP BY 1
     ), wm AS (
         SELECT MAX(epoch_us(ts)) - 1800000000 AS final_wm FROM events
+        WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
     )
     SELECT window_start_us,
            window_start_us + 3600000000 AS window_end_us,
@@ -2936,7 +2956,8 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_value
-    FROM events WHERE ts IS NOT NULL GROUP BY event_type
+    FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+    GROUP BY event_type
     """,
 )
 def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,7 +73,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _EVENT_TS_COLS.get(name, []):
         dt = dict(df.dtypes).get(col)
         if dt == "bigint":  # TIMESTAMP(NANOS) read as raw ns int64
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+            # FLOOR(ns/1000), not `div` (trunc): pre-1970 ns would round
+            # toward zero and land 1µs above the DuckDB oracle's floor.
+            # Subtracting pmod makes the division exact, so trunc ≡ floor
+            # regardless of engine/version semantics.
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")
+                ),
+            )
         elif dt == "timestamp_ntz":  # fallback if inferTimestampNTZ pin is lost
             df = df.withColumn(col, F.to_utc_timestamp(F.col(col), "UTC"))
     return df
@@ -101,6 +110,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the layout: TIMESTAMP(NANOS) reads as raw int64 ns (floored to µs),
     TIMESTAMP(MICROS, naive) reads as TIMESTAMP_NTZ (re-tagged as a UTC
     instant). Both land on the exact same values as ``load_table``.
+
+    Event-time domain contract: rows with NULL or pre-epoch (ts < 1970)
+    event time are filtered HERE, at the source. Structured Streaming's
+    initial watermark is 0 (the epoch), so pre-epoch rows are
+    late-by-construction — measured on Spark 4.1: a stateful
+    session_window agg drops exactly the sessions whose window end < 0,
+    while a complete-mode tumbling agg keeps them, i.e. the drop is
+    OPERATOR-DEPENDENT. Filtering at the seam replaces that per-operator
+    behavior with one deterministic, DuckDB-expressible rule
+    (``ts IS NOT NULL AND epoch_us(ts) >= 0`` in every streaming oracle).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -117,5 +136,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if unit == "ns":
-        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+        # FLOOR(ns/1000) — same negative-epoch-safe form as load_table
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    return stream.filter(
+        F.col("ts").isNotNull() & (F.col("ts") >= F.timestamp_micros(F.lit(0)))
+    )

@@ -180,7 +180,16 @@ def run_streaming_late_drop(
     import tempfile as _tmp
 
     pin_streaming_confs(spark)
-    src = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    # staged files bypass events_stream — apply its event-time domain
+    # contract (non-null, post-epoch) here so both paths agree
+    src = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts")
+        .filter(
+            F.col("ts").isNotNull()
+            & (F.col("ts") >= F.timestamp_micros(F.lit(0)))
+        )
+    )
     cut = F.lit(split_at).cast("timestamp")
     stage = _os.path.join(_tmp.gettempdir(), "bdrr_late_drop_stage")
     early = src.filter(F.col("ts") < cut)

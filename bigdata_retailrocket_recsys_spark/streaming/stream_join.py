@@ -169,10 +169,14 @@ def run_stream_upsert_merge(
     stage = _os.path.join(base_path, "stage")
 
     # the staged time-split replay needs an event time to route each row —
-    # NULL-ts rows are dropped at ingest (mirrored in the oracle)
+    # NULL-ts and pre-epoch rows are dropped at ingest (the events_stream
+    # event-time domain contract, mirrored in the oracle)
     src = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("ts").isNotNull())
+        .filter(
+            F.col("ts").isNotNull()
+            & (F.col("ts") >= F.timestamp_micros(F.lit(0)))
+        )
         .select("event_type", "ts", "value")
     )
     cut = F.lit(split_at).cast("timestamp")

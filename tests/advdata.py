@@ -11,6 +11,9 @@ with every edge class injected deterministically (seed 42):
 - exact (user_id, ts) ties — full-timestamp duplicates with distinct event_id
 - exact UTC-midnight timestamps and midnight-minus-1µs neighbours
   (day-bucket boundary rows)
+- pre-1970 (negative-epoch) timestamps at day-bucket and µs-floor
+  boundaries (-1µs, -1day, -1day-1µs, ...) — the floor-vs-trunc division
+  hazard class behind the r1/r2 driver hash-fails (VERDICT r2 item #1)
 - documents: NULL / empty / whitespace-only / single-token / unicode text,
   NULL lang/source (the text+dedup family's blind spots)
 - embeddings: NULL embedding, all-zero vector (NaN cosine), NaN component,
@@ -20,13 +23,24 @@ with every edge class injected deterministically (seed 42):
 
 The events file is written in the driver's CURRENT physical layout —
 TIMESTAMP(MICROS, isAdjustedToUTC=false), i.e. naive µs (round 1 was
-TIMESTAMP_NANOS; `sources/readers.py` handles both, and
-tests/test_operators.py covers the legacy ns path with a tiny inline
-fixture).
+TIMESTAMP_NANOS; `sources/readers.py` handles both).
+
+``build_ns`` additionally derives a TIMESTAMP(NANOS)-layout variant of the
+same fixture (`tests/_advdata_ns`) with sub-µs components on positive-epoch
+rows — including ns-distinct duplicates that TIE at µs precision — so the
+engine's ns→µs floor (`load_table`), the oracle's `_EVENTS_US_CTE` floor,
+and every (ts, event_id) tiebreak are exercised under the r1 physical
+layout. Negative-epoch rows stay whole-µs in this variant: DuckDB 1.0.0
+truncates ns→µs toward zero AT SCAN (measured: -250ns → 0µs, information
+destroyed before any CTE can floor it), so negative sub-µs values are
+irreconcilable under 1.0.0 specifically; ns-preserving DuckDB (1.1+) floors
+via the CTE and matches the engine for any sign.
 
 Non-events tables are copied verbatim. Usage:
 
     BDRR_TEST_SF_DIR=$(python tests/advdata.py) \
+        python -m pytest tests/test_catalog_oracle.py -q
+    BDRR_TEST_SF_DIR=$(python tests/advdata.py ns) \
         python -m pytest tests/test_catalog_oracle.py -q
 """
 
@@ -41,6 +55,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.01"
 DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_advdata")
+DST_NS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_advdata_ns")
 
 TABLES = ("region", "nation")
 
@@ -181,6 +196,18 @@ def build(dst: str = DST, src: str = SRC, seed: int = 42) -> str:
         edge_us = base_day + (j % 30) * DAY_US - (j % 2)  # :00.000000 or -1µs
         ts_us[i] = float(edge_us)
 
+    # pre-1970 rows: negative epochs at every boundary the floor-vs-trunc
+    # hazard can flip — -1µs, -1day, -1day-1µs, -0.999999s, 1week-1µs back
+    neg_edges = [
+        -1,                      # 1969-12-31 23:59:59.999999
+        -DAY_US,                 # 1969-12-31 00:00:00 exactly
+        -DAY_US - 1,             # 1969-12-30 23:59:59.999999
+        -999_999,                # sub-second negative
+        -7 * DAY_US + 1,         # 1µs into a negative week bucket
+    ]
+    for j, i in enumerate(pick(0.005)):
+        ts_us[i] = float(neg_edges[j % len(neg_edges)] - (j % 5) * DAY_US)
+
     # exact (user_id, ts) full ties: duplicate rows, fresh event_id
     tie_src = pick(0.01)
     dup_event_id = event_id.max() + 1 + np.arange(len(tie_src))
@@ -222,5 +249,34 @@ def build(dst: str = DST, src: str = SRC, seed: int = 42) -> str:
     return dst
 
 
+def build_ns(dst: str = DST_NS, src: str = SRC, seed: int = 42) -> str:
+    """TIMESTAMP(NANOS)-layout variant of the adversarial fixture (the r1
+    driver physical layout). Positive-epoch rows get a deterministic sub-µs
+    component (0/250/500/750 ns by row index) — µs-level ties (the dup rows)
+    remain ties after the engine's ns→µs floor while being ns-distinct, so
+    a ns-naive reader would order/compare them differently. Negative rows
+    stay whole-µs (see module docstring: DuckDB 1.0.0 scan-truncates ns)."""
+    build(dst, src, seed)
+    t = pq.read_table(f"{dst}/events.parquet")
+    us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_pylist()
+    ns_vals = []
+    for k, v in enumerate(us):
+        if v is None:
+            ns_vals.append(None)
+        elif v >= 0:
+            ns_vals.append(v * 1000 + (k % 4) * 250)
+        else:
+            ns_vals.append(v * 1000)
+    ts_ns = pa.array(ns_vals, type=pa.int64()).cast(pa.timestamp("ns"))
+    out = t.set_column(t.column_names.index("ts"), "ts", ts_ns)
+    # version >= 2.6 stores timestamp[ns] natively as TIMESTAMP(NANOS)
+    pq.write_table(out, f"{dst}/events.parquet", version="2.6")
+    unit = pq.ParquetFile(f"{dst}/events.parquet").schema_arrow.field("ts").type.unit
+    assert unit == "ns", f"expected TIMESTAMP(NANOS) layout, got {unit}"
+    return dst
+
+
 if __name__ == "__main__":
-    print(build())
+    import sys
+
+    print(build_ns() if "ns" in sys.argv[1:] else build())
