@@ -38,15 +38,21 @@ def exact_dedup(
     """Exact dedup: one surviving row id per duplicate group (deterministic
     keeper = min id) + group size. Group key is md5(concat of key cols).
 
-    NULL discipline (SQL-concat parity): ``a || b`` propagates NULL in SQL,
-    so any NULL key component yields dup_key NULL and those rows group
-    together — concat_ws would instead silently conflate NULL with ''."""
+    NULL discipline: a row with ANY NULL key component is not comparable
+    to any other row (SQL NULL != NULL), so it must never share a dup
+    group — conflating all NULL-key rows into one group would delete
+    distinct records if survivors are acted on (ADVICE r2 #1). Such rows
+    get a per-row group key ("row:<id>") → always their own keeper,
+    n_dups=1. concat_ws runs only under the all-set guard, so it cannot
+    conflate NULL with ''."""
     all_set = None
     for c in key_cols:
         nn = F.col(c).isNotNull()
         all_set = nn if all_set is None else (all_set & nn)
-    digest = F.when(all_set, F.md5(F.concat_ws("", *key_cols))).alias(
-        "dup_key"
+    digest = (
+        F.when(all_set, F.md5(F.concat_ws("", *key_cols)))
+        .otherwise(F.concat(F.lit("row:"), F.col(id_col).cast("string")))
+        .alias("dup_key")
     )
     return (
         df.select(digest, F.col(id_col))
@@ -505,9 +511,13 @@ def embedding_cosine_pairs(
             cos.alias("cosine"),
         )
         .filter(
-            # explicit NaN policy: Spark comparisons treat NaN as greater
-            # than everything (NaN >= t is TRUE) while IEEE/DuckDB say
-            # FALSE — a zero-norm or NaN-component vector must not pair
+            # explicit NaN policy: BOTH engines compare NaN as greater than
+            # everything (NaN >= t is TRUE in Spark and DuckDB 1.0+), but
+            # they don't produce the same degenerate value — Spark's cosine
+            # yields NaN for a zero/NaN vector while DuckDB's
+            # list_cosine_similarity yields -1.0 (ADVICE r2 #2). The
+            # explicit isnan filter drops those rows on the Spark side so
+            # the pair sets agree on every engine version.
             ~F.isnan("cosine")
             & (F.col("cosine") >= min_cosine)
         )
@@ -560,7 +570,14 @@ def embedding_cosine_pairs_lsh(
     pdf = spark.createDataFrame(plane_rows, "table int, bit int, w array<double>")
 
     blk = ["blk"] if block_col else []
-    v = df.filter(F.col(vec_col).isNotNull()).select(
+    # size(vec) == dim guard (ADVICE r2 #3): a mismatched vector would make
+    # zip_with pad with NULLs → NULL dot → every bit 0 → ALL vectors hash
+    # to bucket 0, silently reverting candidate generation to the all-pairs
+    # blowup this operator exists to prevent. Mismatched-dim vectors cannot
+    # be hashed by fixed hyperplanes; they are excluded here.
+    v = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(to_double_array(vec_col)) == dim)
+    ).select(
         F.col(id_col).alias("vid"),
         *([F.col(block_col).alias("blk")] if block_col else []),
         to_double_array(vec_col).alias("vec"),
@@ -606,9 +623,13 @@ def embedding_cosine_pairs_lsh(
             cos.alias("cosine"),
         )
         .filter(
-            # explicit NaN policy: Spark comparisons treat NaN as greater
-            # than everything (NaN >= t is TRUE) while IEEE/DuckDB say
-            # FALSE — a zero-norm or NaN-component vector must not pair
+            # explicit NaN policy: BOTH engines compare NaN as greater than
+            # everything (NaN >= t is TRUE in Spark and DuckDB 1.0+), but
+            # they don't produce the same degenerate value — Spark's cosine
+            # yields NaN for a zero/NaN vector while DuckDB's
+            # list_cosine_similarity yields -1.0 (ADVICE r2 #2). The
+            # explicit isnan filter drops those rows on the Spark side so
+            # the pair sets agree on every engine version.
             ~F.isnan("cosine")
             & (F.col("cosine") >= min_cosine)
         )

@@ -26,6 +26,17 @@ hashes match — keep them when adding queries):
 4. Every window/top-k carries a total-order tiebreaker (SURVEY §4.4).
 5. Half-open time ranges: ``>= start AND < end``; point-in-time predicates
    strictly ``<``.
+6. RESULT TYPES must stringify identically under str(), pandas, AND arrow
+   conversion on both engines — the driver's hash may go through any of
+   them. The one asymmetry that bit us (the r1/r2 driver hash-fails on
+   q_null_handling / q_join_asof_prefix / q_window_running_sum /
+   q_agg_twolevel, root-caused in r3): DuckDB ``SUM`` over integers yields
+   HUGEINT (int128), which pandas renders as float64 ("123.0") while
+   Spark's LongType renders "123" — identical under fetchall()+str() (how
+   the local rehearsal compared, hence "passes locally, fails on driver").
+   Rule: CAST every DuckDB integer SUM (plain, windowed, or COALESCEd) to
+   BIGINT. Allowed type pairs are locked inside
+   tests/test_catalog_oracle.py::test_oracle_match (``_TYPE_OK``).
 """
 
 from __future__ import annotations
@@ -601,9 +612,9 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(CASE WHEN value IS NOT NULL
                        AND (isnan(value) OR value >= 5)
                       THEN 1 END) AS n_notnull,
-           SUM(CASE WHEN value IS NULL
+           CAST(SUM(CASE WHEN value IS NULL
                      OR (NOT isnan(value) AND value < 5)
-                    THEN 1 ELSE 0 END) AS n_null
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null
     FROM events GROUP BY event_type
     """,
 )
@@ -860,8 +871,8 @@ def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.event_id,
            COUNT(e.event_id) AS n_prefix_events,
-           COALESCE(SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END), 0)
-               AS n_prefix_views
+           CAST(COALESCE(SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_prefix_views
     FROM (SELECT event_id, user_id, ts FROM events
           WHERE event_type = 'purchase') a
     LEFT JOIN events e ON a.user_id = e.user_id AND e.ts < a.ts
@@ -979,10 +990,10 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running_sum",
     oracle="""
     SELECT event_id,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
                PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS run_purchases
+           ) AS BIGINT) AS run_purchases
     FROM events
     """,
 )
@@ -1231,7 +1242,7 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            COUNT(*) AS n_days,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_events_per_day
     FROM (SELECT user_id, {_floordiv_sql("epoch_us(ts)", 86400000000)} AS d,
                  COUNT(*) AS n

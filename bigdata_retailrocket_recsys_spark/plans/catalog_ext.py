@@ -49,15 +49,18 @@ from bigdata_retailrocket_recsys_spark.plans.catalog import (
     "q_dedup_exact",
     headline=True,
     oracle="""
-    SELECT md5(text) AS dup_key,
+    SELECT COALESCE(md5(text), 'row:' || CAST(doc_id AS VARCHAR)) AS dup_key,
            MIN(doc_id) AS keeper_id,
            COUNT(*) AS n_dups
-    FROM documents GROUP BY md5(text)
+    FROM documents
+    GROUP BY COALESCE(md5(text), 'row:' || CAST(doc_id AS VARCHAR))
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content digest; deterministic keeper = min id.
-    Shuffles 16-byte digests, not documents — the 100 TB shape."""
+    NULL-text rows are incomparable → each is its own single-row group
+    (ADVICE r2 #1). Shuffles 16-byte digests, not documents — the 100 TB
+    shape."""
     return exact_dedup(
         _t(spark, sf_dir, "documents"), key_cols=["text"], id_col="doc_id"
     )
@@ -1518,10 +1521,10 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.event_id, a.user_id, epoch_us(a.ts) AS ts_us,
            COUNT(e.event_id) AS n_all,
-           COALESCE(SUM(CASE WHEN e.ts >= a.ts - INTERVAL 1 DAY
-                             THEN 1 ELSE 0 END), 0) AS n_1d,
-           COALESCE(SUM(CASE WHEN e.ts >= a.ts - INTERVAL 7 DAY
-                             THEN 1 ELSE 0 END), 0) AS n_7d
+           CAST(COALESCE(SUM(CASE WHEN e.ts >= a.ts - INTERVAL 1 DAY
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_1d,
+           CAST(COALESCE(SUM(CASE WHEN e.ts >= a.ts - INTERVAL 7 DAY
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_7d
     FROM (SELECT * FROM events WHERE event_type = 'purchase') a
     LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') e
       ON a.user_id = e.user_id AND e.ts < a.ts
@@ -1761,7 +1764,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_keys,
            MIN(n) AS min_rows_per_key,
            MAX(n) AS max_rows_per_key,
-           SUM(n) AS rows_total,
+           CAST(SUM(n) AS BIGINT) AS rows_total,
            CAST(SUM(n) AS DOUBLE) / CAST(n_total AS DOUBLE) AS row_share
     FROM pk, tot
     GROUP BY magnitude, n_total

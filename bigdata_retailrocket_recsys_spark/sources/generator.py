@@ -253,6 +253,7 @@ def run_generator_stream(
         .start()
     )
     deadline = time.time() + timeout_s
+    got = 0
     while time.time() < deadline:
         got = spark.table(sink_table).agg(F.sum("n_events")).collect()[0][0] or 0
         if got >= rows:
@@ -260,4 +261,11 @@ def run_generator_stream(
         time.sleep(0.3)
     q.stop()
     q.awaitTermination()
+    if got < rows:
+        # A partial aggregate must be a loud timeout, not a confusing oracle
+        # hash mismatch downstream (ADVICE r2 #4).
+        raise TimeoutError(
+            f"run_generator_stream: sink reached {got}/{rows} rows within "
+            f"{timeout_s}s — raise timeout_s or reduce rows"
+        )
     return spark.table(sink_table)

@@ -50,12 +50,28 @@ for i, name in enumerate(sorted(qs)):
         idx = [rel.columns.index(c) for c in sorted(rel.columns)]
         drows = sorted(tuple(str(r[j]) for j in idx) for r in rel.fetchall())
         ok = srows == drows
+        # Second compare through the PANDAS conversion path: the driver's
+        # hash may stringify pandas frames, where type asymmetries invisible
+        # to fetchall()+str() surface (DuckDB HUGEINT → float64 "123.0" vs
+        # Spark int64 "123" — the r1/r2 driver hash-fail root cause).
+        pdf_s = sdf.toPandas()
+        pdf_d = con.sql(os_[name]).df()
+        prows_s = sorted(
+            tuple(str(v) for v in t)
+            for t in pdf_s[scols].itertuples(index=False, name=None)
+        )
+        prows_d = sorted(
+            tuple(str(v) for v in t)
+            for t in pdf_d[scols].itertuples(index=False, name=None)
+        )
+        pok = prows_s == prows_d
         print(
             f"{i + 1:3d} {name}: {'OK' if ok else 'MISMATCH'}"
+            f"{'' if pok else ' PANDAS-MISMATCH'}"
             f" ({len(srows)} vs {len(drows)})",
             flush=True,
         )
-        if not ok:
+        if not (ok and pok):
             bad.append(name)
     except Exception as ex:  # noqa: BLE001 — rehearsal must visit every query
         print(f"{i + 1:3d} {name}: ERROR {type(ex).__name__}: {str(ex)[:150]}", flush=True)

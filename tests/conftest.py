@@ -13,9 +13,22 @@ SF_ORACLE = os.environ.get("BDRR_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
-    from bigdata_retailrocket_recsys_spark.session import get_spark
+    # VANILLA session, like the external driver's (VERDICT r2 #4): no engine
+    # semantic confs (no UTC tz pin, no nanosAsLong, no inferTimestampNTZ) —
+    # the engine must self-pin those at read time (sources/readers). Only
+    # perf-neutral knobs are set so "pytest green" means "green under driver
+    # conditions".
+    from pyspark.sql import SparkSession
 
-    s = get_spark("bdrr-tests", shuffle_partitions=8, driver_memory="4g")
+    s = (
+        SparkSession.builder.master("local[8]")
+        .appName("bdrr-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "4g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
     yield s
 
 

@@ -46,6 +46,29 @@ def test_oracle_match(spark, duck, name):
     duck_cols = sorted(rel.columns)
     assert spark_cols == duck_cols, f"{name}: schema mismatch {spark_cols} vs {duck_cols}"
 
+    # Type-pair lock (catalog.py docstring rule 6): both engines' result
+    # columns must stringify identically under str(), pandas AND arrow
+    # conversion. DuckDB HUGEINT (integer SUM) → pandas float64 ("123.0")
+    # was the root cause of the r1/r2 driver hash-fails; only these pairs
+    # are stringification-safe under every conversion path.
+    _TYPE_OK = {
+        ("bigint", "BIGINT"), ("bigint", "INTEGER"),
+        ("int", "INTEGER"), ("int", "BIGINT"),
+        ("double", "DOUBLE"), ("string", "VARCHAR"),
+        ("boolean", "BOOLEAN"), ("date", "DATE"),
+    }
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    dtypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    bad_types = [
+        (c, stypes[c], dtypes[c])
+        for c in stypes
+        if (stypes[c], dtypes[c]) not in _TYPE_OK
+    ]
+    assert not bad_types, (
+        f"{name}: cross-engine type pairs outside the stringification-safe "
+        f"whitelist (col, spark, duckdb): {bad_types}"
+    )
+
     srows = [
         tuple(_norm(r[c]) for c in spark_cols) for r in sdf.collect()
     ]

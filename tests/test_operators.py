@@ -164,12 +164,15 @@ def test_exact_dedup_keeper(spark):
     from bigdata_retailrocket_recsys_spark.operators.dedup import exact_dedup
 
     df = spark.createDataFrame(
-        [(3, "x"), (1, "x"), (2, "y")], "doc_id bigint, text string"
+        [(3, "x"), (1, "x"), (2, "y"), (4, None), (5, None)],
+        "doc_id bigint, text string",
     )
     out = {r.keeper_id: r.n_dups for r in exact_dedup(
         df, key_cols=["text"], id_col="doc_id"
     ).collect()}
-    assert out == {1: 2, 2: 1}
+    # NULL-key rows are incomparable: each is its OWN group (never merged
+    # with other NULL-key rows — ADVICE r2 #1).
+    assert out == {1: 2, 2: 1, 4: 1, 5: 1}
 
 
 def test_shingle_rows_matches_array_form(spark):
