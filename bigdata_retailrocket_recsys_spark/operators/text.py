@@ -237,3 +237,118 @@ def ngram_counts(
     if top_k:
         out = out.orderBy(F.col("n").desc(), F.col("ngram").asc()).limit(top_k)
     return out
+
+
+#: PII patterns chosen for identical semantics in Java regex (Spark) and
+#: RE2 (DuckDB): plain character classes + counted repetition only — no
+#: lookaround or backreferences (RE2 has neither).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}",
+}
+
+
+def redact_patterns(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[REDACTED]",
+) -> DataFrame:
+    """PII redaction: replace every regex match with ``replacement`` and
+    count matches per pattern — the scrub step of a training-data pipeline.
+
+    Narrow, shuffle-free, whole-stage-codegen (regexp_replace/regexp_count
+    are JVM built-ins); patterns apply in sorted-name order so the output
+    is deterministic. NULL text propagates NULL (counted as 0 matches on
+    neither engine — both yield NULL counts, stringified identically)."""
+    pats = patterns or PII_PATTERNS
+    red = F.col(text_col)
+    counts = []
+    for name in sorted(pats):
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pats[name]))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pats[name], replacement)
+    return df.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Token-window chunking with overlap — the context-window splitter of
+    a RAG / LLM-pretraining pipeline: document → whitespace tokens →
+    chunks of ``size`` tokens advancing by ``size - overlap`` (the last
+    chunk may be partial; every token belongs to ≥1 chunk).
+
+    Pure array ops (split → sequence of starts → explode → slice): narrow
+    until the explode, no shuffle at all, output rows ~ n_tokens/stride per
+    doc. NULL-text docs are dropped (nothing to chunk).
+    Output: id, chunk_idx (0-based), chunk_text, n_tokens."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    toks = ws_tokens(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("toks"), F.explode(starts).alias("st")
+    )
+    chunk = F.slice(F.col("toks"), F.col("st"), size)
+    return base.select(
+        id_col,
+        # starts are 1 + k*stride, so integer div is exact; div (not /)
+        # keeps the arithmetic integral end-to-end
+        F.expr(f"(st - 1) div {stride}").cast("bigint").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )
+
+
+def token_repetition(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-repetition profile — the quality signal that catches
+    boilerplate/spam documents (a handful of tokens repeated many times):
+    per document, total tokens, distinct tokens, and the highest single
+    token's count, plus an integer-arithmetic repetitive flag
+    (top_token_count·5 > n_tokens ⇔ one token exceeds 20% of the document).
+
+    Relational shape (explode → two map-side-combinable aggs) so the
+    distinct count never builds a per-doc set in driver memory; both
+    shuffles key on doc id. Integer outputs only — cross-engine-exact."""
+    tok = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), F.explode(ws_tokens(text_col)).alias("tok")
+    )
+    per_tok = tok.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_tok.groupBy("doc")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("cnt").alias("top_token_count"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            "n_distinct_tokens",
+            "top_token_count",
+            (F.col("top_token_count") * 5 > F.col("n_tokens"))
+            .cast("int")
+            .alias("is_repetitive"),
+        )
+    )

@@ -28,10 +28,13 @@ from bigdata_retailrocket_recsys_spark.operators.similarity import (
     cosine_topk_lsh,
 )
 from bigdata_retailrocket_recsys_spark.operators.text import (
+    chunk_tokens,
     fingerprint,
     lang_id,
     quality_score,
+    redact_patterns,
     token_count,
+    token_repetition,
 )
 from bigdata_retailrocket_recsys_spark.plans.catalog import (
     _dec_value,
@@ -392,6 +395,92 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality features + composite score (identical IEEE
     expression tree on both engines — no rounding needed)."""
     return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[REDACTED]', 'g'),
+               '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[REDACTED]', 'g')
+               AS redacted,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS BIGINT) AS n_phone
+    FROM documents
+    """,
+)
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (SURVEY §2.11 text analysis): regex scrub + per-pattern
+    match counts, narrow and codegen'd (operators/text.redact_patterns).
+    Patterns use only RE2∩Java-regex constructs (char classes + counted
+    repetition, no lookaround) so both engines match identical spans;
+    DuckDB needs the 'g' flag to match Spark's replace-all default."""
+    return redact_patterns(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_chunk",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, GREATEST(len(toks) - 8, 1), 24))
+                   AS st
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((st - 1) // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, st, st + 31), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, st, st + 31)) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (size=32, overlap=8 → stride 24)
+    — the RAG/pretraining context-window splitter
+    (operators/text.chunk_tokens). No shuffle at all: split → sequence of
+    starts → explode → slice, all narrow. Oracle mirrors with
+    generate_series + list_slice (both inclusive-stop, 1-based — same
+    clipping on the final partial chunk)."""
+    return chunk_tokens(
+        _t(spark, sf_dir, "documents"), size=32, overlap=8
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct_tokens,
+           MAX(cnt) AS top_token_count,
+           CAST(CASE WHEN MAX(cnt) * 5 > SUM(cnt) THEN 1 ELSE 0 END AS INT)
+               AS is_repetitive
+    FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE text IS NOT NULL)
+        GROUP BY doc_id, tok
+    )
+    GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition boilerplate/spam profile
+    (operators/text.token_repetition): total / distinct / top-token counts
+    + integer-arithmetic repetitive flag (top·5 > total ⇔ one token exceeds
+    20% of the doc — no float division, cross-engine-exact). Two
+    map-side-combinable aggs, both keyed on doc id."""
+    return token_repetition(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -1129,7 +1129,12 @@ def test_load_table_normalizes_both_ts_layouts(spark, tmp_path):
             (r["event_id"], r["ts"])
             for r in spark.table(sink).select("event_id", "ts").collect()
         )
-        assert got == batches[unit]
+        # Event-time domain contract (readers.events_stream): the STREAM
+        # seam filters NULL/pre-epoch ts (Structured Streaming's initial
+        # watermark is epoch 0, so such rows would be dropped
+        # operator-dependently otherwise); batch load_table keeps them.
+        expected = [(e, t) for (e, t) in batches[unit] if t is not None]
+        assert got == expected
 
 
 def test_embedding_cosine_lsh_recall_vs_exact(spark):
@@ -1250,3 +1255,61 @@ def test_events_generator_filter_pushdown(spark):
         if 1200 <= t[0] < 1500 and t[3] == "view"
     )
     assert pushed == full and len(pushed) == 60
+
+
+def test_redact_patterns(spark):
+    from bigdata_retailrocket_recsys_spark.operators.text import redact_patterns
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.org or x@y.io thanks"),
+            (2, "call +1 555-123-4567 or 555-987-6543 now"),
+            (3, "clean text"),
+            (4, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in redact_patterns(df).collect()}
+    assert out[1].n_email == 2 and "[REDACTED]" in out[1].redacted
+    assert "@" not in out[1].redacted
+    assert out[2].n_phone == 2 and "4567" not in out[2].redacted
+    assert out[3].redacted == "clean text" and out[3].n_email == 0
+    assert out[4].redacted is None and out[4].n_email is None
+
+
+def test_chunk_tokens_overlap_and_clip(spark):
+    from bigdata_retailrocket_recsys_spark.operators.text import chunk_tokens
+
+    toks = " ".join(str(i) for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, None)], "doc_id bigint, text string"
+    )
+    rows = chunk_tokens(df, size=5, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1,4,7 (stride 3, last start ≤ len-overlap=8)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in c1] == ["0 1 2 3 4", "3 4 5 6 7", "6 7 8 9"]
+    assert [r.n_tokens for r in c1] == [5, 5, 4]  # final chunk clipped
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
+    # doc 2: shorter than size → single partial chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+    # NULL text dropped
+    assert 3 not in by_doc
+    # every token appears in ≥1 chunk
+    covered = set(t for r in c1 for t in r.chunk_text.split())
+    assert covered == set(toks.split())
+
+
+def test_token_repetition_flag(spark):
+    from bigdata_retailrocket_recsys_spark.operators.text import token_repetition
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"), (2, "all tokens here differ fully")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in token_repetition(df).collect()}
+    assert out[1].n_tokens == 5 and out[1].n_distinct_tokens == 2
+    assert out[1].top_token_count == 4 and out[1].is_repetitive == 1
+    assert out[2].n_distinct_tokens == 5 and out[2].is_repetitive == 0
