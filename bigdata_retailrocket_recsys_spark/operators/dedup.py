@@ -634,3 +634,45 @@ def embedding_cosine_pairs_lsh(
             & (F.col("cosine") >= min_cosine)
         )
     )
+
+
+def contamination_check(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination check: for every eval document, the share
+    of its distinct ``shingle_n``-gram shingles that appear ANYWHERE in the
+    training corpus — the n-gram-containment test used to purge eval/test
+    overlap from LLM training data.
+
+    Relational shape: distinct train shingles (one corpus-wide set, the
+    only big shuffle) LEFT-SEMI-joined against per-eval-doc shingles, then
+    two counts per eval doc. ``contaminated`` is integer arithmetic
+    (matched·2 ≥ total ⇔ ≥50% containment) — no float division, so the
+    flag is cross-engine-exact. At 100 TB, join on ``xxhash64(shingle)``
+    (8-byte keys) instead of the raw shingle string and the semi-join
+    shuffles hashes, not text; the string join here keeps DuckDB oracle
+    parity. Output: id, n_shingles, n_matched, contaminated."""
+    tr = (
+        shingle_rows(train_df, id_col=id_col, text_col=text_col, n=shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    ev = shingle_rows(eval_df, id_col=id_col, text_col=text_col, n=shingle_n)
+    tot = ev.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (
+        ev.join(tr, "shingle", "left_semi")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    matched = F.coalesce(F.col("n_matched"), F.lit(0))
+    return tot.join(hit, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        "n_shingles",
+        matched.alias("n_matched"),
+        (matched * 2 >= F.col("n_shingles")).cast("int").alias("contaminated"),
+    )

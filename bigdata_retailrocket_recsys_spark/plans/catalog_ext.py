@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from bigdata_retailrocket_recsys_spark.functions.vector import to_double_array
 from bigdata_retailrocket_recsys_spark.operators.dedup import (
+    contamination_check,
     embedding_cosine_pairs,
     embedding_cosine_pairs_lsh,
     exact_dedup,
@@ -128,6 +129,52 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["lang", "source"],
         shingle_n=1,
         min_jaccard=0.5,
+    )
+
+
+@query(
+    "q_text_decontaminate",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, source, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM t)
+    ), train AS (
+        SELECT DISTINCT shingle FROM sh WHERE source <> 'src0'
+    ), ev AS (
+        SELECT doc_id, shingle FROM sh WHERE source = 'src0'
+    ), tot AS (
+        SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id
+    ), hit AS (
+        SELECT doc_id, COUNT(*) AS n_matched
+        FROM ev WHERE shingle IN (SELECT shingle FROM train)
+        GROUP BY doc_id
+    )
+    SELECT tot.doc_id,
+           n_shingles,
+           COALESCE(n_matched, 0) AS n_matched,
+           CAST(CASE WHEN COALESCE(n_matched, 0) * 2 >= n_shingles
+                     THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+    """,
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (SURVEY §2.11): eval docs (source='src0')
+    checked for 3-gram containment against the rest of the corpus as
+    training data (operators/dedup.contamination_check). One corpus-wide
+    distinct-shingle shuffle + a left-semi join; the contaminated flag is
+    integer arithmetic (matched·2 ≥ total), cross-engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        shingle_n=3,
     )
 
 

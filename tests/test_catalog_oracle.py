@@ -51,11 +51,15 @@ def test_oracle_match(spark, duck, name):
     # conversion. DuckDB HUGEINT (integer SUM) → pandas float64 ("123.0")
     # was the root cause of the r1/r2 driver hash-fails; only these pairs
     # are stringification-safe under every conversion path.
+    # NOTE deliberately NO ("date", "DATE") pair: DuckDB DATE converts to
+    # pandas datetime64 ("2024-01-01 00:00:00") while Spark DateType stays
+    # datetime.date ("2024-01-01") — route dates through epoch-day ints or
+    # ISO strings instead. Same for timestamps (epoch-µs bigint, rule 1).
     _TYPE_OK = {
         ("bigint", "BIGINT"), ("bigint", "INTEGER"),
         ("int", "INTEGER"), ("int", "BIGINT"),
         ("double", "DOUBLE"), ("string", "VARCHAR"),
-        ("boolean", "BOOLEAN"), ("date", "DATE"),
+        ("boolean", "BOOLEAN"),
     }
     stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     dtypes = dict(zip(rel.columns, [str(t) for t in rel.types]))

@@ -1313,3 +1313,28 @@ def test_token_repetition_flag(spark):
     assert out[1].n_tokens == 5 and out[1].n_distinct_tokens == 2
     assert out[1].top_token_count == 4 and out[1].is_repetitive == 1
     assert out[2].n_distinct_tokens == 5 and out[2].is_repetitive == 0
+
+
+def test_contamination_check(spark):
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "lorem ipsum dolor sit amet")],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps high"),  # 3/4 shingles in train
+            (11, "completely novel eval content here"),  # 0 matched
+            (12, None),  # no shingles → absent from output
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in contamination_check(train, ev).collect()}
+    assert out[10].n_shingles == 4 and out[10].n_matched == 3
+    assert out[10].contaminated == 1
+    assert out[11].n_matched == 0 and out[11].contaminated == 0
+    assert 12 not in out
