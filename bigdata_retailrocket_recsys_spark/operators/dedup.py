@@ -657,8 +657,14 @@ def contamination_check(
     (8-byte keys) instead of the raw shingle string and the semi-join
     shuffles hashes, not text; the string join here keeps DuckDB oracle
     parity. Output: id, n_shingles, n_matched, contaminated."""
+    # distinct=False: the train side only needs the corpus-wide shingle SET,
+    # so the per-doc (doc, shingle) distinct would be a wasted exchange —
+    # one distinct on the shingle alone suffices (and combines map-side).
     tr = (
-        shingle_rows(train_df, id_col=id_col, text_col=text_col, n=shingle_n)
+        shingle_rows(
+            train_df, id_col=id_col, text_col=text_col, n=shingle_n,
+            distinct=False,
+        )
         .select("shingle")
         .distinct()
     )

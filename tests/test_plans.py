@@ -171,3 +171,18 @@ def test_interval_overlap_join_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_text_chunk_and_redact_zero_shuffle(spark):
+    """Chunking and redaction are pure narrow maps — a 100 TB corpus chunks
+    with NO Exchange anywhere in either plan."""
+    for q in ("q_text_chunk", "q_text_redact_pii"):
+        plan = plan_str(QUERIES[q].fn(spark, SF_DIR))
+        assert "Exchange" not in plan, q
+
+
+def test_decontaminate_is_semi_join(spark):
+    """Eval shingles probe the train set with a LEFT-SEMI join (existence
+    only — never materializes the pair fan-out a full join would)."""
+    plan = plan_str(QUERIES["q_text_decontaminate"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan
