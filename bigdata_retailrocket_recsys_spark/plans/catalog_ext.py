@@ -3180,7 +3180,7 @@ def q_fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE reverse(split_part(trim(text), ' ', 1)) END
                AS first_word_rev,
            length(text) AS n_chars,
-           contains(lower(text), 'the') AS has_the
+           CAST(contains(lower(text), 'the') AS INT) AS has_the
     FROM documents WHERE doc_id < 50
     """,
 )
@@ -3201,5 +3201,8 @@ def q_fn_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_word.alias("first_word"),
         F.reverse(first_word).alias("first_word_rev"),
         F.length("text").cast("bigint").alias("n_chars"),
-        F.contains(F.lower("text"), F.lit("the")).alias("has_the"),
+        # int flag, not boolean: a NULL boolean stringifies differently
+        # under pandas conversion (DuckDB 'nan' vs Spark 'None') — NULL
+        # ints agree ('nan' both). Type rule 6, catalog.py docstring.
+        F.contains(F.lower("text"), F.lit("the")).cast("int").alias("has_the"),
     )

@@ -55,11 +55,13 @@ def test_oracle_match(spark, duck, name):
     # pandas datetime64 ("2024-01-01 00:00:00") while Spark DateType stays
     # datetime.date ("2024-01-01") — route dates through epoch-day ints or
     # ISO strings instead. Same for timestamps (epoch-µs bigint, rule 1).
+    # And NO ("boolean", "BOOLEAN"): a NULL boolean renders 'nan' from
+    # DuckDB pandas conversion but 'None' from Spark's — flags must be INT
+    # (NULL ints agree: both sides go float64/'nan').
     _TYPE_OK = {
         ("bigint", "BIGINT"), ("bigint", "INTEGER"),
         ("int", "INTEGER"), ("int", "BIGINT"),
         ("double", "DOUBLE"), ("string", "VARCHAR"),
-        ("boolean", "BOOLEAN"),
     }
     stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     dtypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
