@@ -110,6 +110,15 @@ def _mutate_documents(src: str, dst: str) -> None:
         "token",                  # single token (shorter than any shingle n)
         "naïve café 東京 данные",  # unicode tokens
         "a  b   c",               # repeated internal whitespace
+        # PII-bearing rows: exercise redaction match+replace (regex must
+        # fire identically in Java regex and RE2 — q_text_redact_pii)
+        "contact a.b+c@ex-ample.org or x@y.io call +1 555-123-4567 now",
+        "edge email@sub.domain.co at end 555-987-6543",
+        # long doc: multiple overlapping token chunks incl. a clipped tail
+        # (q_text_chunk stride-24 windows; 80 tokens → starts 1,25,49,73)
+        " ".join(f"w{i}" for i in range(80)),
+        # boilerplate: one token >20% of the doc (q_text_repetition flag)
+        "spam spam spam spam spam filler filler end",
     ]
     for j, e in enumerate(edges):
         text[j] = e
