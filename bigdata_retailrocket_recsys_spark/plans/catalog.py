@@ -439,6 +439,49 @@ def q_sink_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_sink_zorder_pruning",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n
+    FROM (SELECT event_type,
+                 user_id,
+                 {_floordiv_sql("epoch_us(ts)", 86400000000)} AS d
+          FROM events)
+    WHERE user_id BETWEEN 40 AND 49 AND d BETWEEN 19723 AND 19730
+    GROUP BY event_type
+    """,
+)
+def q_sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered sink + MULTI-column data-skipping re-read: the
+    Morton curve interleaves (user_id, epoch-day) bits so each output file
+    covers a small hyper-rectangle of the key space — predicates on EITHER
+    or BOTH columns skip files via parquet min/max stats, where
+    range-clustering (q_sink_sorted_pruning) only skips on the sort-key
+    prefix. Layout-only: the oracle is the plain filtered scan. The
+    locality invariant (per-file hypervolume ≪ random layout) is
+    unit-tested; PushedFilters asserted in tests/test_plans.py."""
+    from bigdata_retailrocket_recsys_spark.sources.writers import (
+        write_zordered,
+    )
+
+    out = os.path.join(tempfile.gettempdir(), "bdrr_parquet_zordered")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(floordiv_expr("unix_micros(ts)", 86400000000)).alias("d"),
+    )
+    write_zordered(ev, out, zorder_by=["user_id", "d"], num_files=8)
+    return (
+        spark.read.parquet(out)
+        .filter(
+            F.col("user_id").between(40, 49) & F.col("d").between(19723, 19730)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 Set operations
 # ---------------------------------------------------------------------------

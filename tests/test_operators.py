@@ -1380,3 +1380,39 @@ def test_w2v_embeddings_invariants(spark):
     import math
 
     assert all(math.isfinite(x) for r in rows for x in r.vector)
+
+
+def test_zorder_files_cover_small_hyperrectangles(spark, tmp_path):
+    """Z-order layout invariant: each output file covers a small
+    hyper-rectangle of the (a, b) key space, so the SUM of per-file
+    hypervolumes is far below the full-space volume × #files that a
+    key-agnostic layout would give — this is exactly why min/max stats can
+    skip files on EITHER column's predicate."""
+    from pyspark.sql import functions as F2
+
+    from bigdata_retailrocket_recsys_spark.sources.writers import write_zordered
+
+    n, side = 4096, 64  # 64×64 grid, one row per cell
+    df = spark.range(n).select(
+        (F2.col("id") % side).alias("a"),
+        (F2.col("id") / side).cast("bigint").alias("b"),
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, zorder_by=["a", "b"], bits=6, num_files=16)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F2.input_file_name().alias("f"))
+        .agg(
+            (F2.max("a") - F2.min("a") + 1).alias("wa"),
+            (F2.max("b") - F2.min("b") + 1).alias("wb"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 8
+    vol = sum(r.wa * r.wb for r in per_file)
+    # ideal: 16 disjoint rectangles totalling 4096; random layout: every
+    # file spans the full 64×64 space → 16×4096. Z-order must land within
+    # 2× of ideal.
+    assert vol <= 2 * n, f"hypervolume {vol} vs ideal {n}"
+    # and every row survives the layout round-trip
+    assert spark.read.parquet(out).count() == n

@@ -186,3 +186,12 @@ def test_decontaminate_is_semi_join(spark):
     only — never materializes the pair fan-out a full join would)."""
     plan = plan_str(QUERIES["q_text_decontaminate"].fn(spark, SF_DIR))
     assert "LeftSemi" in plan
+
+
+def test_zorder_sink_pushes_both_filters(spark):
+    """The re-read of the z-ordered sink must push BOTH column predicates
+    to the parquet scan (that is what turns the layout's per-file min/max
+    locality into actual file/row-group skipping)."""
+    plan = plan_str(QUERIES["q_sink_zorder_pruning"].fn(spark, SF_DIR))
+    scan = plan[plan.index("PushedFilters"):].splitlines()[0]
+    assert "user_id" in scan and "d" in scan, scan
