@@ -647,7 +647,8 @@ def contamination_check(
     """Benchmark-decontamination check: for every eval document, the share
     of its distinct ``shingle_n``-gram shingles that appear ANYWHERE in the
     training corpus — the n-gram-containment test used to purge eval/test
-    overlap from LLM training data.
+    overlap from LLM training data. North-star extension (SURVEY §2.11) —
+    no reference counterpart.
 
     Relational shape: distinct train shingles (one corpus-wide set, the
     only big shuffle) LEFT-SEMI-joined against per-eval-doc shingles, then

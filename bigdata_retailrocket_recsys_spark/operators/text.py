@@ -258,12 +258,13 @@ def redact_patterns(
 ) -> DataFrame:
     """PII redaction: replace every regex match with ``replacement`` and
     count matches per pattern — the scrub step of a training-data pipeline.
+    North-star extension (SURVEY §2.11) — no reference counterpart.
 
     Narrow, shuffle-free, whole-stage-codegen (regexp_replace/regexp_count
     are JVM built-ins); patterns apply in sorted-name order so the output
     is deterministic. NULL text propagates NULL (counted as 0 matches on
     neither engine — both yield NULL counts, stringified identically)."""
-    pats = patterns or PII_PATTERNS
+    pats = patterns if patterns is not None else PII_PATTERNS
     red = F.col(text_col)
     counts = []
     for name in sorted(pats):
@@ -285,7 +286,8 @@ def chunk_tokens(
     overlap: int = 8,
 ) -> DataFrame:
     """Token-window chunking with overlap — the context-window splitter of
-    a RAG / LLM-pretraining pipeline: document → whitespace tokens →
+    a RAG / LLM-pretraining pipeline (north-star extension, SURVEY §2.11 —
+    no reference counterpart): document → whitespace tokens →
     chunks of ``size`` tokens advancing by ``size - overlap`` (the last
     chunk may be partial; every token belongs to ≥1 chunk).
 
@@ -323,7 +325,8 @@ def token_repetition(
     text_col: str = "text",
 ) -> DataFrame:
     """Token-repetition profile — the quality signal that catches
-    boilerplate/spam documents (a handful of tokens repeated many times):
+    boilerplate/spam documents (north-star extension, SURVEY §2.11 — no
+    reference counterpart) (a handful of tokens repeated many times):
     per document, total tokens, distinct tokens, and the highest single
     token's count, plus an integer-arithmetic repetitive flag
     (top_token_count·5 > n_tokens ⇔ one token exceeds 20% of the document).

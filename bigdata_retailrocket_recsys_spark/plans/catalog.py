@@ -457,7 +457,11 @@ def q_sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers a small hyper-rectangle of the key space — predicates on EITHER
     or BOTH columns skip files via parquet min/max stats, where
     range-clustering (q_sink_sorted_pruning) only skips on the sort-key
-    prefix. Layout-only: the oracle is the plain filtered scan. The
+    prefix. Both keys here fit 16 bits (1.5k users, epoch-day ~19.7k);
+    at 100 TB a key with cardinality above 2^bits must be bucketed/ranked
+    first or it aliases across the curve and locality erodes
+    (zorder_value masks with pmod, so results stay correct either way).
+    Layout-only: the oracle is the plain filtered scan. The
     locality invariant (per-file hypervolume ≪ random layout) is
     unit-tested; PushedFilters asserted in tests/test_plans.py."""
     from bigdata_retailrocket_recsys_spark.sources.writers import (

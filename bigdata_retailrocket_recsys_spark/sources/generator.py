@@ -262,6 +262,10 @@ def run_generator_stream(
     q.stop()
     q.awaitTermination()
     if got < rows:
+        # the stream may have delivered the remaining rows between the last
+        # poll and the deadline — re-read once after stop before deciding
+        got = spark.table(sink_table).agg(F.sum("n_events")).collect()[0][0] or 0
+    if got < rows:
         # A partial aggregate must be a loud timeout, not a confusing oracle
         # hash mismatch downstream (ADVICE r2 #4).
         raise TimeoutError(

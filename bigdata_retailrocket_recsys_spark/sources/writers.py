@@ -180,18 +180,30 @@ def zorder_value(cols: list[str], *, bits: int = 16):
     j, j+k, j+2k, ... (k = number of columns). Pure JVM bit arithmetic
     (shifts/AND/OR unrolled — whole-stage-codegen, no UDF).
 
-    Columns must already be normalized to [0, 2^bits): pass rank/bucket
-    expressions, not raw values (e.g. ``user_id % 65536``, epoch-day).
-    NULLs sort first (NULL z-value)."""
+    Each column is first reduced ``pmod(col, 2^bits)`` so the interleave is
+    well-defined for ANY input sign/magnitude. Values 2^bits apart alias to
+    the same curve position — harmless for correctness (layout-only) but it
+    erodes locality, so for keys with cardinality above 2^bits pass a
+    rank/bucket expression (or raise ``bits``) rather than the raw value.
+    NULLs sort first (NULL z-value). ``len(cols)·bits`` must fit a bigint
+    (≤ 63) — Spark's shiftleft wraps shift counts mod 64, which would
+    silently corrupt the interleave otherwise."""
     from pyspark.sql import functions as F
 
     k = len(cols)
+    if k * bits > 63:
+        raise ValueError(
+            f"zorder_value: {k} cols × {bits} bits = {k * bits} bit positions"
+            " exceeds bigint (max 63) — lower bits or drop a column"
+        )
+    m = 1 << bits
     terms = []
     for j, c in enumerate(cols):
         for i in range(bits):
             # bit i of column j → bit (i*k + j) of the z-value
             terms.append(
-                f"(shiftleft((CAST(`{c}` AS BIGINT) >> {i}) & 1, {i * k + j}))"
+                f"(shiftleft((pmod(CAST(`{c}` AS BIGINT), {m}) >> {i}) & 1,"
+                f" {i * k + j}))"
             )
     return F.expr(" | ".join(terms))
 
@@ -206,6 +218,7 @@ def write_zordered(
     mode: str = "overwrite",
 ) -> None:
     """Z-order-clustered parquet — MULTI-dimensional data skipping.
+    North-star extension (SURVEY §2.11) — no reference counterpart.
 
     ``write_range_clustered`` gives tight min/max stats on a prefix of the
     sort key only; the Morton curve interleaves the key bits so EVERY

@@ -115,8 +115,9 @@ def _mutate_documents(src: str, dst: str) -> None:
         "contact a.b+c@ex-ample.org or x@y.io call +1 555-123-4567 now",
         "edge email@sub.domain.co at end 555-987-6543",
         # long doc: multiple overlapping token chunks incl. a clipped tail
-        # (q_text_chunk stride-24 windows; 80 tokens → starts 1,25,49,73)
-        " ".join(f"w{i}" for i in range(80)),
+        # (q_text_chunk stride-24 windows; 85 tokens → starts 1,25,49,73,
+        # final chunk 73..85 = 13 tokens, exercising the slice clip)
+        " ".join(f"w{i}" for i in range(85)),
         # boilerplate: one token >20% of the doc (q_text_repetition flag)
         "spam spam spam spam spam filler filler end",
     ]
