@@ -500,3 +500,109 @@ def test_nan_placement_never_decided_by_comparison(spark):
         ).fetchall()
     )
     assert duck == {1: 1, 2: 1, 3: 0, 4: 0}
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "y2"]),
+        min_size=0,
+        max_size=90,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=texts_strategy)
+@settings(**PROP_SETTINGS)
+def test_chunk_tokens_covers_and_reconstructs(spark, docs):
+    """Chunking properties for any doc length: (a) every token index lands
+    in ≥1 chunk; (b) consecutive chunks overlap by exactly ``overlap``
+    tokens (except a short tail); (c) dropping the first ``overlap`` tokens
+    of every chunk after the first reconstructs the document exactly."""
+    from bigdata_retailrocket_recsys_spark.operators.text import chunk_tokens
+
+    size, overlap = 16, 4
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = chunk_tokens(df, size=size, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, toks in enumerate(docs):
+        # split('') yields [''] — a doc with zero tokens still produces the
+        # single empty chunk (matches ws_tokens semantics)
+        expected_tokens = toks if toks else [""]
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert chunks[0].chunk_idx == 0
+        assert [r.chunk_idx for r in chunks] == list(range(len(chunks)))
+        rebuilt = chunks[0].chunk_text.split(" ")
+        for c in chunks[1:]:
+            rebuilt += c.chunk_text.split(" ")[overlap:]
+        assert rebuilt == expected_tokens, (toks, [c.chunk_text for c in chunks])
+        assert all(r.n_tokens <= size for r in chunks)
+        assert all(r.n_tokens >= 1 for r in chunks)
+
+
+@given(
+    bodies=st.lists(
+        st.sampled_from(
+            [
+                "plain words only",
+                "mail a@b.io now",
+                "x@y.org and c.d+e@f-g.com twice",
+                "call 555-123-4567 ok",
+                "+1 555-000-1111 and text",
+                "",
+            ]
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**PROP_SETTINGS)
+def test_redact_idempotent_and_complete(spark, bodies):
+    """Redaction properties: no pattern matches survive one pass (so a
+    second pass is a no-op and counts drop to zero), and counts equal the
+    matches present in the input."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        PII_PATTERNS,
+        redact_patterns,
+    )
+
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bodies)], "doc_id bigint, text string"
+    )
+    once = redact_patterns(df)
+    again = redact_patterns(
+        once.select(F2.col("doc_id"), F2.col("redacted").alias("text"))
+    )
+    for r in again.collect():
+        assert r.n_email == 0 and r.n_phone == 0, r
+    import re
+
+    got = {r.doc_id: r for r in once.collect()}
+    for i, b in enumerate(bodies):
+        assert got[i].n_email == len(re.findall(PII_PATTERNS["email"], b))
+        assert got[i].n_phone == len(re.findall(PII_PATTERNS["phone"], b))
+
+
+def test_contamination_extremes(spark):
+    """Eval corpus identical to train → every eval doc 100% contaminated;
+    disjoint vocabulary → zero matches on every doc."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "ff gg hh ii")], "doc_id bigint, text string"
+    )
+    same = contamination_check(train, train).collect()
+    assert all(r.n_matched == r.n_shingles and r.contaminated == 1 for r in same)
+    disjoint = spark.createDataFrame(
+        [(9, "zz yy xx ww vv")], "doc_id bigint, text string"
+    )
+    out = contamination_check(train, disjoint).collect()
+    assert len(out) == 1 and out[0].n_matched == 0 and out[0].contaminated == 0
