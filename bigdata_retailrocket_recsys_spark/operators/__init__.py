@@ -18,11 +18,17 @@ from bigdata_retailrocket_recsys_spark.operators.aggregates import (
     two_level_agg,
 )
 from bigdata_retailrocket_recsys_spark.operators.dedup import (
+    contamination_check,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash,
+)
+from bigdata_retailrocket_recsys_spark.operators.text import (
+    chunk_tokens,
+    redact_patterns,
+    token_repetition,
 )
 from bigdata_retailrocket_recsys_spark.operators.similarity import (
     cosine_topk,
@@ -45,8 +51,12 @@ __all__ = [
     "semi",
     "collect_ordered_seq",
     "two_level_agg",
+    "chunk_tokens",
+    "contamination_check",
     "embedding_cosine_pairs",
     "exact_dedup",
+    "redact_patterns",
+    "token_repetition",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash",

@@ -779,6 +779,46 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_dedup_watermarked",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM (
+        SELECT DISTINCT event_id, event_type FROM events
+        WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+    ) GROUP BY event_type
+    """,
+)
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    evicts seen-key state once the watermark passes — the production form
+    of q_stream_dedup, whose plain ``dropDuplicates`` state grows without
+    bound on an infinite stream. With the bounded source arriving as one
+    micro-batch, no key can be evicted before its duplicate arrives, so
+    the result equals batch DISTINCT and the same oracle applies (the
+    semantic difference is purely the state-store eviction contract)."""
+    from bigdata_retailrocket_recsys_spark.sources.readers import events_stream
+    from bigdata_retailrocket_recsys_spark.streaming import pin_streaming_confs
+
+    pin_streaming_confs(spark)
+    out = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bdrr_stream_dedup_wm")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("bdrr_stream_dedup_wm")
+
+
+@query(
     "q_stream_static_join",
     oracle="""
     WITH cat AS (
