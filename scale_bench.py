@@ -10,6 +10,14 @@ event counts and session structure; adds no synthetic tables to the
 declared query surface, which only ever reads /root/testdata directly).
 
 Prints one JSON line: {"metric": "pipeline_events_per_sec", ...}.
+
+Target volume via SPARK_GRAFT_TARGET_EVENTS (default 1.9M = reference
+parity; 10M verified: 224 s / 44.6k events/s on local[32]). Driver heap
+via SPARK_GRAFT_DRIVER_MEM. NOTE the replication is a copies-wide
+unionByName of the 100k-row sf0.1 base — beyond ~100 copies (10M events)
+the UNION plan width itself dominates planning/codegen, so for larger
+soaks generate rows instead (sources/generator.py scales to any volume
+with a constant-size plan).
 """
 
 from __future__ import annotations
@@ -32,7 +40,10 @@ def main() -> None:
     from bigdata_retailrocket_recsys_spark.session import get_spark
     from bigdata_retailrocket_recsys_spark.sources.readers import load_table
 
-    spark = get_spark("bdrr-scale-bench")
+    spark = get_spark(
+        "bdrr-scale-bench",
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     base = load_table(spark, sf_dir, "events")
