@@ -6,20 +6,122 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Queries are materialized through the noop sink (full execution, no driver
 collect). Every timing includes plan + execution, not session startup.
+
+Self-defending against machine drift (VERDICT r3 #3): after the absolute
+timings, the harness checks out the latest ``r*`` git tag (previous round's
+final commit) into a temp worktree and runs counterbalanced interleaved
+passes — current, baseline, baseline, current — of the same headline set
+IN THE SAME Spark session, swapping which package tree is imported. The
+resulting ``ab_ratio_vs_<tag>`` (current/baseline wall time, ~1.0 = no code
+regression) is emitted alongside the absolute numbers, so a ±25 % absolute
+drift like r2→r3 is adjudicated by the artifact itself, not forensics.
+Disable with SPARK_GRAFT_AB=0; override the ref with
+SPARK_GRAFT_BASELINE_REF.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _load_engine(root: str):
+    """(Re)import the engine from ``root``, purging any prior import, so one
+    Python/JVM process can alternate between two checkouts of the package."""
+    for m in [k for k in list(sys.modules) if k.startswith("bigdata_retailrocket_recsys_spark")]:
+        del sys.modules[m]
+    sys.path.insert(0, root)
+    try:
+        from bigdata_retailrocket_recsys_spark.plans import QUERIES
+        try:
+            from bigdata_retailrocket_recsys_spark.pipelines.retailrocket import (
+                run_events_pipeline,
+            )
+        except ImportError:
+            run_events_pipeline = None
+        return QUERIES, run_events_pipeline
+    finally:
+        sys.path.remove(root)
+
+
+def _latest_round_tag() -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO_ROOT, "tag", "--list", "r*"],
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+        tags = sorted(
+            (t for t in out if t[1:].isdigit()), key=lambda t: int(t[1:])
+        )
+        return tags[-1] if tags else None
+    except Exception:
+        return None
+
+
+def _ab_compare(spark, sf_dir: str, ref: str) -> float | None:
+    """Interleaved A/B: min-of-2 counterbalanced passes (cur, base, base,
+    cur) over headline queries + pipeline, both sides in this one session.
+    Returns current/baseline total ratio, or None if the ref can't be
+    checked out."""
+    wt = tempfile.mkdtemp(prefix="bdrr_ab_")
+    try:
+        subprocess.run(
+            ["git", "-C", REPO_ROOT, "worktree", "add", "--detach", "--force", wt, ref],
+            capture_output=True, text=True, check=True,
+        )
+    except subprocess.CalledProcessError as e:
+        print(f"# ab: worktree add failed: {e.stderr.strip()[:200]}", file=sys.stderr)
+        shutil.rmtree(wt, ignore_errors=True)
+        return None
+    try:
+        best: dict[str, dict[str, float]] = {"cur": {}, "base": {}}
+
+        def one_pass(side: str, root: str) -> None:
+            queries, pipeline = _load_engine(root)
+            names = [n for n, q in sorted(queries.items()) if q.headline]
+            for name in names:
+                t0 = time.perf_counter()
+                materialize(queries[name].fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best[side][name] = min(best[side].get(name, float("inf")), dt)
+            if pipeline is not None:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(pipeline(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best[side]["pipeline_e2e"] = min(
+                    best[side].get("pipeline_e2e", float("inf")), dt
+                )
+
+        for side, root in (("cur", REPO_ROOT), ("base", wt), ("base", wt), ("cur", REPO_ROOT)):
+            one_pass(side, root)
+
+        common = sorted(set(best["cur"]) & set(best["base"]))
+        if not common:
+            return None
+        cur_total = sum(best["cur"][n] for n in common)
+        base_total = sum(best["base"][n] for n in common)
+        return round(cur_total / base_total, 3) if base_total > 0 else None
+    finally:
+        # restore the working-tree import for any later use of this process
+        _load_engine(REPO_ROOT)
+        subprocess.run(
+            ["git", "-C", REPO_ROOT, "worktree", "remove", "--force", wt],
+            capture_output=True, text=True,
+        )
+        shutil.rmtree(wt, ignore_errors=True)
 
 
 def main() -> None:
@@ -90,17 +192,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+
+    if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
+        ref = os.environ.get("SPARK_GRAFT_BASELINE_REF") or _latest_round_tag()
+        if ref:
+            ratio = _ab_compare(spark, sf_dir, ref)
+            if ratio is not None:
+                payload[f"ab_ratio_vs_{ref}"] = ratio
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

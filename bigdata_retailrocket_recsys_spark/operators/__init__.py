@@ -22,6 +22,7 @@ from bigdata_retailrocket_recsys_spark.operators.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_candidates,
+    minhash_signatures_table,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "redact_patterns",
     "token_repetition",
     "minhash_lsh_candidates",
+    "minhash_signatures_table",
     "ngram_jaccard_pairs",
     "simhash",
     "cosine_topk",

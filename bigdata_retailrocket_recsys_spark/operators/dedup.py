@@ -175,9 +175,36 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_signatures_table(
     df: DataFrame,
+    path: str,
     *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+) -> None:
+    """Write-once persisted MinHash signature table: (doc, sig array<bigint>)
+    parquet at ``path``. The warehouse-scale companion to the in-operator
+    ``.cache()`` in :func:`minhash_lsh_candidates` — at 100 TB you compute
+    signatures ONCE per corpus snapshot, persist them (docs × 16 bigints —
+    a few thousandths of the corpus size), and every subsequent LSH pass
+    (re-banding with different thresholds, incremental joins against new
+    batches) scans the table with zero shingle recompute
+    (``minhash_lsh_candidates(signatures=...)``)."""
+    minhash_signatures(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+    ).write.mode("overwrite").parquet(path)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame | None = None,
+    *,
+    signatures: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
@@ -189,15 +216,31 @@ def minhash_lsh_candidates(
     signature (num_hashes) → ``bands`` bands of num_hashes/bands values;
     docs sharing any full band land in one bucket; pairs emitted per bucket
     with ``a < b``. Output: doc_a, doc_b, n_shared_bands.
+
+    Two input modes:
+
+    - ``df=`` raw documents: signatures are computed in-flight and the
+      banded subtree is ``.cache()``d (both self-join sides read it).
+    - ``signatures=`` a (doc, sig) DataFrame — typically a scan of the
+      table written by :func:`minhash_signatures_table`. No tokenize, no
+      shingle window, no cache: both join sides re-scan the persisted
+      columnar table directly (the at-rest layout IS the materialization).
+      Value-identical to the df= path for the same corpus (locked in
+      tests/test_operators.py).
     """
+    if (df is None) == (signatures is None):
+        raise ValueError("pass exactly one of df= or signatures=")
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures(
-        df,
-        id_col=id_col,
-        text_col=text_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-    )
+    if signatures is None:
+        with_sig = minhash_signatures(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+        )
+    else:
+        with_sig = signatures
     banded = with_sig.select(
         "doc",
         F.explode(
@@ -220,12 +263,14 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # cache: BOTH sides of the self-join read this subtree — without the
-    # cache Spark executes the whole tokenize→signature→band pipeline
-    # twice (~35% slower at sf0.1). The cached set is tiny (docs × bands
-    # rows of (id, band, md5)); at warehouse scale you'd persist
-    # signatures to a table once and join against that instead.
-    banded = banded.cache()
+    # cache (df= mode only): BOTH sides of the self-join read this subtree —
+    # without the cache Spark executes the whole tokenize→signature→band
+    # pipeline twice (~35% slower at sf0.1). The cached set is tiny (docs ×
+    # bands rows of (id, band, md5)). The signatures= mode IS the
+    # warehouse-scale alternative: the persisted parquet table is the
+    # materialization, so both sides just re-scan it — no cache needed.
+    if signatures is None:
+        banded = banded.cache()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

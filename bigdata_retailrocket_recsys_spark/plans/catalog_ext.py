@@ -84,6 +84,34 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_minhash_persisted", oracle=None)
+def q_dedup_minhash_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates against a PERSISTED signature table — the
+    warehouse-scale path the in-memory variant's docstring promises: write
+    (doc, sig) parquet once via minhash_signatures_table, then band+join
+    reading ONLY that table (plan has no tokenize/shingle stage — locked in
+    tests/test_plans.py). Value-identical to q_dedup_minhash (locked in
+    tests/test_operators.py)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_signatures_table,
+    )
+
+    sig_path = os.path.join(tempfile.gettempdir(), "bdrr_minhash_sigs")
+    minhash_signatures_table(
+        _t(spark, sf_dir, "documents"),
+        sig_path,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=3,
+        num_hashes=16,
+    )
+    return minhash_lsh_candidates(
+        signatures=spark.read.parquet(sig_path),
+        num_hashes=16,
+        bands=4,
+    )
+
+
 @query("q_dedup_simhash", oracle=None)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (explode/groupBy bit-vote formulation,

@@ -65,13 +65,32 @@ for i, name in enumerate(sorted(qs)):
             for t in pdf_d[scols].itertuples(index=False, name=None)
         )
         pok = prows_s == prows_d
+        # Third compare through the ARROW conversion path: catalog rule 6
+        # (plans/catalog.py docstring) names str(), pandas AND arrow as the
+        # paths a driver hash may take; r1/r2 proved an unrehearsed path can
+        # hide a type asymmetry for rounds. Spark 4 DataFrame.toArrow() vs
+        # DuckDB .arrow(), both flattened via to_pylist() and stringified.
+        at_s = sdf.toArrow()
+        at_d = con.sql(os_[name]).arrow()
+
+        def _arrow_rows(tbl, cols):
+            data = {c: tbl.column(c).to_pylist() for c in cols}
+            return sorted(
+                tuple(str(data[c][j]) for c in cols)
+                for j in range(tbl.num_rows)
+            )
+
+        arows_s = _arrow_rows(at_s, scols)
+        arows_d = _arrow_rows(at_d, scols)
+        aok = arows_s == arows_d
         print(
             f"{i + 1:3d} {name}: {'OK' if ok else 'MISMATCH'}"
             f"{'' if pok else ' PANDAS-MISMATCH'}"
+            f"{'' if aok else ' ARROW-MISMATCH'}"
             f" ({len(srows)} vs {len(drows)})",
             flush=True,
         )
-        if not (ok and pok):
+        if not (ok and pok and aok):
             bad.append(name)
     except Exception as ex:  # noqa: BLE001 — rehearsal must visit every query
         print(f"{i + 1:3d} {name}: ERROR {type(ex).__name__}: {str(ex)[:150]}", flush=True)

@@ -997,6 +997,42 @@ def test_minhash_estimates_jaccard(spark):
     assert (1, 4) not in pairs and (2, 4) not in pairs
 
 
+def test_minhash_persisted_signatures_identical(spark, tmp_path):
+    """The persisted-signature path (write (doc, sig) parquet once, band+
+    join the table — the warehouse-scale form) is value-identical to the
+    in-flight df= path on the same corpus, and rejects ambiguous input."""
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures_table,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kw = dict(id_col="doc_id", text_col="text", shingle_n=3, num_hashes=16)
+
+    in_memory = sorted(
+        tuple(r) for r in minhash_lsh_candidates(docs, bands=4, **kw).collect()
+    )
+
+    sig_path = str(tmp_path / "sigs")
+    minhash_signatures_table(docs, sig_path, **kw)
+    persisted = sorted(
+        tuple(r)
+        for r in minhash_lsh_candidates(
+            signatures=spark.read.parquet(sig_path), num_hashes=16, bands=4
+        ).collect()
+    )
+    assert persisted == in_memory
+    assert len(persisted) > 0
+
+    with _pytest.raises(ValueError):
+        minhash_lsh_candidates(docs, signatures=docs)
+    with _pytest.raises(ValueError):
+        minhash_lsh_candidates()
+
+
 def test_cosine_topk_lsh_bucket_containment(spark):
     """Sign-LSH search contract: well-formed per-query ranks, no self
     match, every returned neighbor shares the query's bucket (the

@@ -9,6 +9,8 @@ row-at-a-time Python UDF sneaks into a hot path.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from bigdata_retailrocket_recsys_spark.plans import QUERIES
@@ -188,10 +190,27 @@ def test_decontaminate_is_semi_join(spark):
     assert "LeftSemi" in plan
 
 
+def test_minhash_persisted_no_shingle_recompute(spark):
+    """The persisted-signature LSH plan reads ONLY the signature table:
+    no documents scan, no tokenize window, no posexplode of tokens — the
+    whole shingle→minhash pipeline is absent (that is the point of
+    persisting signatures at warehouse scale). The only Generate left is
+    the cheap band explode over the 16-element sig array."""
+    plan = plan_str(QUERIES["q_dedup_minhash_persisted"].fn(spark, SF_DIR))
+    assert "bdrr_minhash_sigs" in plan
+    assert "documents" not in plan
+    assert "Window" not in plan  # the lead()-window shingle stage
+    assert "posexplode" not in plan  # the tokenizer
+
+
 def test_zorder_sink_pushes_both_filters(spark):
     """The re-read of the z-ordered sink must push BOTH column predicates
     to the parquet scan (that is what turns the layout's per-file min/max
     locality into actual file/row-group skipping)."""
     plan = plan_str(QUERIES["q_sink_zorder_pruning"].fn(spark, SF_DIR))
     scan = plan[plan.index("PushedFilters"):].splitlines()[0]
-    assert "user_id" in scan and "d" in scan, scan
+    # Match the d-column predicate specifically: a comparison filter renders
+    # as "...(d,value)" — a bare substring "d" would be vacuously true
+    # whenever user_id (which contains a 'd') is pushed.
+    assert "user_id" in scan, scan
+    assert re.search(r"\(d,", scan), scan
