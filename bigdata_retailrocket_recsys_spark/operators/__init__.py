@@ -34,7 +34,9 @@ from bigdata_retailrocket_recsys_spark.operators.text import (
 from bigdata_retailrocket_recsys_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_ivf,
+    cosine_topk_ivf_at_rest,
     cosine_topk_lsh,
+    ivf_write_at_rest,
     lsh_bucket,
 )
 
@@ -64,6 +66,8 @@ __all__ = [
     "simhash",
     "cosine_topk",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_at_rest",
     "cosine_topk_lsh",
+    "ivf_write_at_rest",
     "lsh_bucket",
 ]

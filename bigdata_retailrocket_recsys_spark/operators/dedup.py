@@ -528,6 +528,7 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     min_cosine: float = 0.9,
+    max_block_rows: int | None = 20_000,
 ) -> DataFrame:
     """Embedding near-dup pairs: all-pairs cosine within a blocking key
     (label, LSH bucket, ...). Output: id_a, id_b, cosine.
@@ -536,12 +537,33 @@ def embedding_cosine_pairs(
     O(N²) candidates. This is the oracle-checkable small/medium path; at
     scale use :func:`embedding_cosine_pairs_lsh`, whose banded sign-LSH
     bounds candidate generation by bucket size (the same candidates→verify
-    shape as :func:`minhash_lsh_candidates`)."""
+    shape as :func:`minhash_lsh_candidates`).
+
+    ``max_block_rows`` is the guard that keeps this calibration tier from
+    being pointed at a warehouse corpus by accident: one cheap id-only
+    count per block up front, and a ``ValueError`` if any block exceeds it
+    (N=20k already means ~2×10⁸ pairs in that block). Pass ``None`` to
+    disable, explicitly, once you have decided the quadratic cost is what
+    you want."""
     v = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         to_double_array(vec_col).alias("vec"),
     )
+    if max_block_rows is not None:
+        counts = (
+            v.groupBy("blk") if block_col else v.groupBy()
+        ).agg(F.count("*").alias("n"))
+        worst = counts.agg(F.max("n")).first()[0] or 0
+        if worst > max_block_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs: largest block has {worst} rows "
+                f"(> max_block_rows={max_block_rows}); quadratic pair "
+                f"generation would emit ~{worst * (worst - 1) // 2} "
+                "candidates in that block alone. Use "
+                "embedding_cosine_pairs_lsh (bounded sign-LSH buckets), a "
+                "finer block_col, or pass max_block_rows=None to override."
+            )
     a = v.alias("a")
     b = v.alias("b")
     cond = F.col("a.vid") < F.col("b.vid")

@@ -194,6 +194,111 @@ def cosine_topk_ivf(
     )
 
 
+def ivf_write_at_rest(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Materialize the IVF index AT REST: fit KMeans once, write the corpus
+    cell-partitioned parquet (``{path}/vectors`` with ``partitionBy("cell")``)
+    plus the tiny centroid table (``{path}/centroids``). This is the pay-once
+    layout ``cosine_topk_ivf``'s docstring promises: a probe afterwards reads
+    nprobe/n_cells of the data via directory pruning, never the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), to_double_array(vec_col).alias("cvec")
+    )
+    sq = F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x)
+    c = c.filter(
+        F.col("cvec").isNotNull()
+        & ~F.isnan(sq)
+        & (sq != float("inf"))
+        & (sq > 0.0)
+    )
+    fitted = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", predictionCol="cell"
+    ).fit(c.select(array_to_vector("cvec").alias("features")))
+    assigned = fitted.transform(
+        c.select("vec_id", "cvec", array_to_vector("cvec").alias("features"))
+    ).select("vec_id", "cvec", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path + "/vectors")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(fitted.clusterCenters())],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def cosine_topk_ivf_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a persisted IVF index (see ``ivf_write_at_rest``): pick each
+    query's ``nprobe`` nearest centroids, then scan ONLY those cell
+    partitions — the probe cells become a literal ``cell IN (...)`` so the
+    parquet scan carries a PartitionFilter (directory pruning, plan-locked
+    in tests/test_plans.py). The one driver-side collect is the distinct
+    probe-cell set — ≤ nprobe × n_queries ints by construction, the same
+    bounded class as KMeans ``clusterCenters()``.
+    """
+    cent_df = spark.read.parquet(path + "/centroids")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), to_double_array(vec_col).alias("qvec")
+    )
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(cent_df)).select(
+            "query_id",
+            "qvec",
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("dist2"),
+        ),
+        group_cols=["query_id"],
+        order_by=[F.col("dist2").asc(), F.col("cell").asc()],
+        k=nprobe,
+        rank_col="probe_rank",
+    ).select("query_id", "qvec", "cell")
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    assigned = spark.read.parquet(path + "/vectors").filter(
+        F.col("cell").isin(cells)
+    )
+    pairs = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    return topk_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_by=[F.col("cosine").desc(), F.col("vec_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -328,6 +328,33 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank")
 
 
+@query("q_sim_topk_ivf_at_rest", oracle=None)
+def q_sim_topk_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the PERSISTED cell-partitioned index: write the
+    corpus once via ivf_write_at_rest (partitionBy("cell") parquet +
+    centroid table), then a probe that scans only the nprobe nearest cells
+    per query — the scan carries a PartitionFilter on cell (plan-locked in
+    tests/test_plans.py). Value-identical to q_sim_topk_ivf at the same
+    seed (locked in tests/test_operators.py). KMeans assignment isn't
+    DuckDB-expressible → rows-only."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        cosine_topk_ivf_at_rest,
+        ivf_write_at_rest,
+    )
+
+    idx_path = os.path.join(tempfile.gettempdir(), "bdrr_ivf_index")
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf_write_at_rest(
+        emb, idx_path, n_cells=8, id_col="vec_id", vec_col="embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf_at_rest(
+        spark, idx_path, queries, k=10, nprobe=3, vec_col="embedding"
+    ).select("query_id", "vec_id", "rank")
+
+
 @query(
     "q_vector_norm",
     oracle="""

@@ -1452,3 +1452,72 @@ def test_zorder_files_cover_small_hyperrectangles(spark, tmp_path):
     assert vol <= 2 * n, f"hypervolume {vol} vs ideal {n}"
     # and every row survives the layout round-trip
     assert spark.read.parquet(out).count() == n
+
+
+def test_ivf_at_rest_matches_in_memory(spark, tmp_path):
+    """The persisted cell-partitioned IVF index (write once, probe with
+    partition pruning) returns the SAME neighbors as the in-memory
+    cosine_topk_ivf at the same seed/n_cells/nprobe — the layout changes
+    where the bytes live, not the answer."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_at_rest,
+        ivf_write_at_rest,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    in_memory = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in cosine_topk_ivf(
+            emb, queries, k=10, n_cells=8, nprobe=3
+        ).collect()
+    )
+
+    idx = str(tmp_path / "ivf")
+    ivf_write_at_rest(emb, idx, n_cells=8)
+    at_rest = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in cosine_topk_ivf_at_rest(
+            spark, idx, queries, k=10, nprobe=3
+        ).collect()
+    )
+    assert at_rest == in_memory
+    assert len(at_rest) > 0
+
+
+def test_embed_cosine_all_pairs_guard_trips(spark):
+    """The calibration-tier all-pairs cosine must REFUSE a block larger
+    than max_block_rows (quadratic blowup guard) — and still run when the
+    guard is explicitly disabled or the blocks are under the limit."""
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    rows = [(i, "hot" if i < 8 else "cold", [1.0, float(i)]) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id int, label string, embedding array<double>"
+    )
+
+    with _pytest.raises(ValueError, match="max_block_rows"):
+        embedding_cosine_pairs(
+            df, block_col="label", min_cosine=-1.0, max_block_rows=5
+        )
+    # ungrouped (single global block) must trip on total rows too
+    with _pytest.raises(ValueError, match="max_block_rows"):
+        embedding_cosine_pairs(df, min_cosine=-1.0, max_block_rows=5)
+
+    ok = embedding_cosine_pairs(
+        df, block_col="label", min_cosine=-1.0, max_block_rows=8
+    )
+    n_under = ok.count()
+    assert n_under == 8 * 7 // 2 + 2 * 1 // 2
+    disabled = embedding_cosine_pairs(
+        df, block_col="label", min_cosine=-1.0, max_block_rows=None
+    )
+    assert disabled.count() == n_under

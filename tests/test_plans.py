@@ -203,6 +203,21 @@ def test_minhash_persisted_no_shingle_recompute(spark):
     assert "posexplode" not in plan  # the tokenizer
 
 
+def test_ivf_at_rest_probe_prunes_partitions(spark):
+    """The persisted-IVF probe must scan ONLY the nprobe cell partitions:
+    the probe-cell predicate becomes a PartitionFilter on the
+    cell-partitioned vectors parquet (directory pruning), so at 100 TB a
+    query reads nprobe/n_cells of the corpus, never all of it."""
+    df = QUERIES["q_sim_topk_ivf_at_rest"].fn(spark, SF_DIR)
+    plan = plan_str(df)
+    assert "bdrr_ivf_index" in plan
+    pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "cell" in pf, pf
+    # the filter must be partition-level, not a post-scan data filter:
+    # an IN/equality over the partition column inside PartitionFilters
+    assert "cell#" in pf or "cell IN" in pf or "(cell" in pf, pf
+
+
 def test_zorder_sink_pushes_both_filters(spark):
     """The re-read of the z-ordered sink must push BOTH column predicates
     to the parquet scan (that is what turns the layout's per-file min/max
