@@ -24,8 +24,14 @@ from bigdata_retailrocket_recsys_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_signatures_table,
     ngram_jaccard_pairs,
+    shingle_table,
     simhash,
 )
+from bigdata_retailrocket_recsys_spark.operators.features import (
+    feature_hash_index,
+    target_encode_oof,
+)
+from bigdata_retailrocket_recsys_spark.operators.splits import kfold_assign
 from bigdata_retailrocket_recsys_spark.operators.text import (
     chunk_tokens,
     redact_patterns,
@@ -63,7 +69,11 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_signatures_table",
     "ngram_jaccard_pairs",
+    "shingle_table",
     "simhash",
+    "feature_hash_index",
+    "target_encode_oof",
+    "kfold_assign",
     "cosine_topk",
     "cosine_topk_ivf",
     "cosine_topk_ivf_at_rest",

@@ -316,9 +316,34 @@ def simhash(
     )
 
 
-def ngram_jaccard_pairs(
+def shingle_table(
     df: DataFrame,
+    path: str,
     *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+    block_cols: list[str] | None = None,
+) -> None:
+    """Write-once persisted distinct-shingle table: (doc, shingle
+    [, blocks]) parquet at ``path`` — the warehouse-scale companion to the
+    in-operator ``.cache()`` in :func:`ngram_jaccard_pairs` (same move as
+    :func:`minhash_signatures_table`). At 100 TB you tokenize the corpus
+    ONCE per snapshot; every subsequent Jaccard pass (different
+    thresholds, incremental batches) scans this table with zero tokenize
+    recompute (``ngram_jaccard_pairs(shingles=...)``)."""
+    block_cols = block_cols or []
+    tok = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+    if block_cols:
+        blocks = df.select(F.col(id_col).alias("doc"), *block_cols)
+        tok = tok.join(blocks, "doc")
+    tok.write.mode("overwrite").parquet(path)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame | None = None,
+    *,
+    shingles: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     block_cols: list[str] | None = None,
@@ -330,16 +355,31 @@ def ngram_jaccard_pairs(
     tokens → distinct shingles per doc → self-join on shingle within the
     blocking key (a.doc < b.doc) → |A∩B| per pair; |A∪B| from per-doc
     distinct counts. Output: doc_a, doc_b, n_common, n_a, n_b, jaccard.
+
+    Two input modes (same contract as :func:`minhash_lsh_candidates`):
+
+    - ``df=`` raw documents: shingles are computed in-flight and cached
+      (three consumers — sizes + both self-join sides).
+    - ``shingles=`` a (doc, shingle[, blocks]) DataFrame — typically a
+      scan of the table written by :func:`shingle_table`. No tokenize, no
+      cache: every consumer re-scans the persisted columnar table (the
+      at-rest layout IS the materialization). Value-identical to the
+      df= path for the same corpus (locked in tests/test_operators.py).
     """
+    if (df is None) == (shingles is None):
+        raise ValueError("pass exactly one of df= or shingles=")
     block_cols = block_cols or []
-    tok = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
-    if block_cols:
-        blocks = df.select(F.col(id_col).alias("doc"), *block_cols)
-        tok = tok.join(blocks, "doc")
-    # cache: three consumers (sizes + both self-join sides) would each
-    # re-run tokenize→shingle→distinct; at warehouse scale persist the
-    # shingle table once instead
-    tok = tok.cache()
+    if shingles is not None:
+        tok = shingles
+    else:
+        tok = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n)
+        if block_cols:
+            blocks = df.select(F.col(id_col).alias("doc"), *block_cols)
+            tok = tok.join(blocks, "doc")
+        # cache: three consumers (sizes + both self-join sides) would each
+        # re-run tokenize→shingle→distinct; at warehouse scale persist the
+        # shingle table once instead (shingle_table + shingles=)
+        tok = tok.cache()
     sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = tok.alias("a")
     b = tok.alias("b")

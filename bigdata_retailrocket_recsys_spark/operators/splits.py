@@ -65,6 +65,34 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def kfold_assign(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    k: int,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment (0..k-1) by content hash — the
+    cross-validation / out-of-fold building block. A row's fold depends
+    only on its key values (stable across runs, engines, partitionings;
+    new rows never move old rows), so out-of-fold feature computations are
+    leakage-safe by construction.
+
+    fold = Σ_j [h ≥ bound_j] over the k-1 equal-fraction cumulative
+    thresholds — pure fixed-width-hex string comparisons, expressible
+    identically in any SQL dialect (no hex→int parsing needed). Narrow,
+    no shuffle, whole-stage codegen.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    bounds = split_thresholds([1.0 / k] * k)
+    h = _bucket_hex(key_cols)
+    fold = sum(
+        ((h >= F.lit(b)).cast("int") for b in bounds), F.lit(0)
+    )
+    return df.withColumn(fold_col, fold.cast("int"))
+
+
 def hash_sample(
     df: DataFrame,
     *,

@@ -160,6 +160,31 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_ngram_jaccard_persisted", oracle=None)
+def q_dedup_ngram_jaccard_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs against a PERSISTED shingle table — the
+    warehouse-scale path: tokenize the corpus once (shingle_table), then
+    every Jaccard pass reads ONLY that table (plan has no tokenize
+    posexplode — locked in tests/test_plans.py). Value-identical to
+    q_dedup_ngram_jaccard (locked in tests/test_operators.py)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import shingle_table
+
+    sh_path = os.path.join(tempfile.gettempdir(), "bdrr_shingles")
+    shingle_table(
+        _t(spark, sf_dir, "documents"),
+        sh_path,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=1,
+        block_cols=["lang", "source"],
+    )
+    return ngram_jaccard_pairs(
+        shingles=spark.read.parquet(sh_path),
+        block_cols=["lang", "source"],
+        min_jaccard=0.5,
+    )
+
+
 @query(
     "q_text_decontaminate",
     oracle=r"""
@@ -1175,6 +1200,121 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["event_id"],
         splits=[("valid", 0.1), ("test", 0.1), ("train", 0.8)],
     )
+
+
+@query(
+    "q_split_kfold",
+    oracle="""
+    SELECT doc_id,
+           CAST(CAST((substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '3333') AS INT)
+              + CAST((substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '6666') AS INT)
+              + CAST((substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '999a') AS INT)
+              + CAST((substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccd') AS INT)
+             AS INT) AS fold
+    FROM documents
+    """,
+)
+def q_split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment by content hash
+    (operators/splits.kfold_assign): fold = Σ[h ≥ boundᵢ] over equal
+    16-bit thresholds — pure fixed-width-hex string compares, so the same
+    expression runs in any engine; membership survives reruns and
+    repartitioning (the leakage-safe CV building block)."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return kfold_assign(docs, key_cols=["doc_id"], k=5)
+
+
+@query(
+    "q_feature_hash",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(CAST('0x' || substr(md5(lang), 1, 8) AS BIGINT) % 64 AS INT)
+               AS feat_idx
+    FROM documents
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick categorical index (operators/features
+    .feature_hash_index): first 32 md5 bits mod n_buckets — no fitted
+    vocabulary, no OOV, content-defined so indices are stable across
+    engines/runs/corpus growth. Narrow JVM expression (conv+pmod), no
+    shuffle. Oracle parses the same 8 hex chars via '0x'-cast."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        feature_hash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        feature_hash_index("lang", n_buckets=64).alias("feat_idx"),
+    )
+
+
+@query(
+    "q_target_encode_oof",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(CAST((substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '3333') AS INT)
+                  + CAST((substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '6666') AS INT)
+                  + CAST((substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '999a') AS INT)
+                  + CAST((substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= 'cccd') AS INT)
+                 AS INT) AS fold
+        FROM documents
+    ), s AS (
+        SELECT lang, fold,
+               CAST(SUM(n_chars) AS BIGINT) AS fs,
+               CAST(COUNT(n_chars) AS BIGINT) AS fc
+        FROM f GROUP BY lang, fold
+    ), ct AS (
+        SELECT lang, CAST(SUM(fs) AS BIGINT) AS cs,
+               CAST(SUM(fc) AS BIGINT) AS cc
+        FROM s GROUP BY lang
+    ), gf AS (
+        SELECT fold, CAST(SUM(fs) AS BIGINT) AS gfs,
+               CAST(SUM(fc) AS BIGINT) AS gfc
+        FROM s GROUP BY fold
+    ), g AS (
+        SELECT CAST(SUM(fs) AS BIGINT) AS gs, CAST(SUM(fc) AS BIGINT) AS gc
+        FROM s
+    )
+    SELECT f.doc_id, f.fold,
+           CASE WHEN (COALESCE(ct.cc, 0) - COALESCE(s.fc, 0)) > 0
+                THEN CAST(COALESCE(ct.cs, 0) - COALESCE(s.fs, 0) AS DOUBLE)
+                     / CAST(COALESCE(ct.cc, 0) - COALESCE(s.fc, 0) AS DOUBLE)
+                WHEN (g.gc - COALESCE(gf.gfc, 0)) > 0
+                THEN CAST(g.gs - COALESCE(gf.gfs, 0) AS DOUBLE)
+                     / CAST(g.gc - COALESCE(gf.gfc, 0) AS DOUBLE)
+                ELSE NULL END AS te
+    FROM f
+    LEFT JOIN s ON f.lang = s.lang AND f.fold = s.fold
+    LEFT JOIN ct ON f.lang = ct.lang
+    LEFT JOIN gf ON f.fold = gf.fold
+    CROSS JOIN g
+    """,
+)
+def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding (operators/features
+    .target_encode_oof): mean n_chars per lang computed EXCLUDING the
+    row's own hash-assigned fold; lang-in-one-fold-only rows fall back to
+    the global OOF mean. One map-side partial agg to the tiny (lang,
+    fold) table, broadcast-joined back — the fact rows never shuffle.
+    Exact BIGINT sums + one IEEE division → cross-engine bit-stable."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        target_encode_oof,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return target_encode_oof(
+        docs,
+        cat_col="lang",
+        target_col="n_chars",
+        key_cols=["doc_id"],
+        k=5,
+    ).select("doc_id", "fold", "te")
 
 
 @query(

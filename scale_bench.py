@@ -13,11 +13,16 @@ Prints one JSON line: {"metric": "pipeline_events_per_sec", ...}.
 
 Target volume via SPARK_GRAFT_TARGET_EVENTS (default 1.9M = reference
 parity; 10M verified: 224 s / 44.6k events/s on local[32]). Driver heap
-via SPARK_GRAFT_DRIVER_MEM. NOTE the replication is a copies-wide
-unionByName of the 100k-row sf0.1 base — beyond ~100 copies (10M events)
-the UNION plan width itself dominates planning/codegen, so for larger
-soaks generate rows instead (sources/generator.py scales to any volume
-with a constant-size plan).
+via SPARK_GRAFT_DRIVER_MEM.
+
+Replication is a CONSTANT-WIDTH plan: explode(sequence(0, copies-1))
+fans every base row out to `copies` shifted-user copies inside the
+executors — same result as a copies-wide unionByName of shifted copies
+(identical per-user event counts and session structure), but the plan
+size never grows with the target volume. The old unionByName form hit a
+hard planning/codegen cliff at ~500 copies (50M events): >20 min of
+94%-system-CPU plan processing before the first task finished (measured
+r4); the explode form planned and ran the same volume immediately.
 """
 
 from __future__ import annotations
@@ -49,12 +54,31 @@ def main() -> None:
     base = load_table(spark, sf_dir, "events")
     per_copy = base.count()
     copies = max(1, target_events // per_copy)
-    rep = None
-    for i in range(copies):
-        shifted = base.withColumn(
-            "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+    # the 100k-row base scan is 1-2 parquet splits — repartition the SMALL
+    # side first so the explode fans out with full-width parallelism.
+    base = base.repartition(spark.sparkContext.defaultParallelism)
+    if os.environ.get("SPARK_GRAFT_REPL_MODE", "explode") == "union":
+        # legacy copies-wide plan — planning cost grows with `copies`
+        # (cliff measured at ~500); kept for A/B only
+        rep = None
+        for i in range(copies):
+            shifted = base.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * 10_000_000)
+            )
+            rep = shifted if rep is None else rep.unionByName(shifted)
+    else:
+        rep = (
+            base.select(
+                "*",
+                F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__copy"),
+            )
+            .withColumn(
+                "user_id",
+                F.col("user_id")
+                + F.col("__copy").cast("bigint") * F.lit(10_000_000),
+            )
+            .drop("__copy")
         )
-        rep = shifted if rep is None else rep.unionByName(shifted)
     n_events = per_copy * copies
 
     cfg = rr.PipelineConfig()

@@ -21,7 +21,7 @@ _SLOW_MODULES = {
     "test_properties",       # hypothesis sweeps + iterative algorithms
 }
 _SLOW_NAME_RE = re.compile(
-    r"stream|w2v|word2vec|pagerank|ivf|kmeans|zorder|minhash_persisted"
+    r"stream|w2v|word2vec|pagerank|ivf|kmeans|zorder|persisted"
     r"|compaction|upsert|connected|clusters|skew|soak"
     # whole-catalog sweep (156 plans) + individually-measured >2.5 s tests —
     # keeps `-m fast` under 90 s; all still run in the full gate

@@ -1521,3 +1521,133 @@ def test_embed_cosine_all_pairs_guard_trips(spark):
         df, block_col="label", min_cosine=-1.0, max_block_rows=None
     )
     assert disabled.count() == n_under
+
+
+def test_kfold_assign_stable_balanced_exhaustive(spark):
+    """Fold ids cover 0..k-1, depend only on the key (two computations
+    agree), and are roughly balanced; k<2 is refused."""
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.splits import kfold_assign
+
+    df = spark.range(2000).selectExpr("id")
+    a = {r.id: r.fold for r in kfold_assign(df, key_cols=["id"], k=5).collect()}
+    b = {r.id: r.fold for r in kfold_assign(df, key_cols=["id"], k=5).collect()}
+    assert a == b
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    for fold, n in sizes.items():
+        assert 300 <= n <= 500, (fold, n)  # ~400 expected per fold
+    # membership is content-defined: a subset keeps identical assignments
+    sub = {
+        r.id: r.fold
+        for r in kfold_assign(
+            df.filter("id < 100"), key_cols=["id"], k=5
+        ).collect()
+    }
+    assert all(a[i] == f for i, f in sub.items())
+    with _pytest.raises(ValueError):
+        kfold_assign(df, key_cols=["id"], k=1)
+
+
+def test_feature_hash_index_range_null_salt(spark):
+    """Indices land in [0, n); NULL category stays NULL (not bucket 0);
+    salts decorrelate; values are deterministic."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        feature_hash_index,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(200)] + [(None,)], "v string"
+    )
+    out = df.select(
+        "v",
+        feature_hash_index("v", n_buckets=16).alias("i0"),
+        feature_hash_index("v", n_buckets=16, salt="s1").alias("i1"),
+    ).collect()
+    nulls = [r for r in out if r.v is None]
+    assert len(nulls) == 1 and nulls[0].i0 is None and nulls[0].i1 is None
+    vals = [r for r in out if r.v is not None]
+    assert all(0 <= r.i0 < 16 and 0 <= r.i1 < 16 for r in vals)
+    assert len({r.i0 for r in vals}) == 16  # 200 values fill 16 buckets
+    assert any(r.i0 != r.i1 for r in vals)  # salt changes the mapping
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    """Every row's encoding equals the mean target of its category over
+    the OTHER folds, recomputed independently in Python; categories seen
+    in only one fold take the global out-of-fold mean."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        target_encode_oof,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = target_encode_oof(
+        docs, cat_col="lang", target_col="n_chars", key_cols=["doc_id"], k=3
+    ).select("doc_id", "lang", "n_chars", "fold", "te").collect()
+
+    by_cat_fold: dict = {}
+    by_fold: dict = {}
+    for r in rows:
+        by_cat_fold.setdefault((r.lang, r.fold), [0, 0])
+        by_cat_fold[(r.lang, r.fold)][0] += r.n_chars
+        by_cat_fold[(r.lang, r.fold)][1] += 1
+        by_fold.setdefault(r.fold, [0, 0])
+        by_fold[r.fold][0] += r.n_chars
+        by_fold[r.fold][1] += 1
+    tot = [sum(v[0] for v in by_fold.values()), sum(v[1] for v in by_fold.values())]
+    for r in rows:
+        cs = sum(v[0] for (c, _), v in by_cat_fold.items() if c == r.lang)
+        cc = sum(v[1] for (c, _), v in by_cat_fold.items() if c == r.lang)
+        fs, fc = by_cat_fold[(r.lang, r.fold)]
+        if cc - fc > 0:
+            expect = (cs - fs) / (cc - fc)
+        else:
+            gs, gc = by_fold[r.fold]
+            expect = (tot[0] - gs) / (tot[1] - gc)
+        assert r.te == expect, (r.doc_id, r.te, expect)
+
+
+def test_jaccard_persisted_shingles_identical(spark, tmp_path):
+    """The persisted-shingle path (shingle_table once, shingles= scan) is
+    value-identical to the in-flight df= path, and ambiguous input is
+    rejected."""
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kw = dict(block_cols=["lang", "source"], min_jaccard=0.5)
+
+    in_memory = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, id_col="doc_id", text_col="text", shingle_n=1, **kw
+        ).collect()
+    )
+    sh_path = str(tmp_path / "shingles")
+    shingle_table(
+        docs, sh_path, id_col="doc_id", text_col="text", shingle_n=1,
+        block_cols=["lang", "source"],
+    )
+    persisted = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            shingles=spark.read.parquet(sh_path), **kw
+        ).collect()
+    )
+    assert persisted == in_memory
+    assert len(persisted) > 0
+
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs()
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, shingles=spark.read.parquet(sh_path))

@@ -203,6 +203,16 @@ def test_minhash_persisted_no_shingle_recompute(spark):
     assert "posexplode" not in plan  # the tokenizer
 
 
+def test_jaccard_persisted_no_tokenize_recompute(spark):
+    """The persisted-shingle Jaccard plan reads ONLY the shingle table:
+    no documents scan, no tokenizer posexplode — tokenize-once is the
+    point of persisting shingles at warehouse scale."""
+    plan = plan_str(QUERIES["q_dedup_ngram_jaccard_persisted"].fn(spark, SF_DIR))
+    assert "bdrr_shingles" in plan
+    assert "documents" not in plan
+    assert "posexplode" not in plan  # the tokenizer
+
+
 def test_ivf_at_rest_probe_prunes_partitions(spark):
     """The persisted-IVF probe must scan ONLY the nprobe cell partitions:
     the probe-cell predicate becomes a PartitionFilter on the
