@@ -18,6 +18,9 @@ from bigdata_retailrocket_recsys_spark.operators.aggregates import (
     two_level_agg,
 )
 from bigdata_retailrocket_recsys_spark.operators.dedup import (
+    content_digest_table,
+    incremental_exact_dedup,
+    minhash_lsh_candidates_vs_corpus,
     contamination_check,
     embedding_cosine_pairs,
     exact_dedup,
@@ -29,6 +32,7 @@ from bigdata_retailrocket_recsys_spark.operators.dedup import (
 )
 from bigdata_retailrocket_recsys_spark.operators.features import (
     feature_hash_index,
+    popularity_negative_samples,
     target_encode_oof,
 )
 from bigdata_retailrocket_recsys_spark.operators.splits import kfold_assign
@@ -67,11 +71,15 @@ __all__ = [
     "redact_patterns",
     "token_repetition",
     "minhash_lsh_candidates",
+    "minhash_lsh_candidates_vs_corpus",
     "minhash_signatures_table",
     "ngram_jaccard_pairs",
     "shingle_table",
     "simhash",
+    "content_digest_table",
+    "incremental_exact_dedup",
     "feature_hash_index",
+    "popularity_negative_samples",
     "target_encode_oof",
     "kfold_assign",
     "cosine_topk",

@@ -61,6 +61,122 @@ def exact_dedup(
     )
 
 
+def content_digest_table(
+    df: DataFrame,
+    path: str,
+    *,
+    key_cols: list[str],
+) -> None:
+    """Write-once persisted corpus digest table: one `dup_key` (md5 hex of
+    the content key) per DISTINCT all-keys-set row, parquet at ``path`` —
+    the exact-dedup companion to :func:`minhash_signatures_table`. NULL-key
+    rows are not stored: they are incomparable (SQL NULL != NULL, see
+    :func:`exact_dedup`), so nothing in a future batch can ever collide
+    with them. At 100 TB the table is 16 bytes × distinct rows, and every
+    incremental batch dedups against it without touching corpus text."""
+    all_set = None
+    for c in key_cols:
+        nn = F.col(c).isNotNull()
+        all_set = nn if all_set is None else (all_set & nn)
+    (
+        df.filter(all_set)
+        .select(F.md5(F.concat_ws("", *key_cols)).alias("dup_key"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    *,
+    corpus_digests: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-deduped corpus — the
+    warehouse-scale daily-delta path: the corpus is represented ONLY by its
+    persisted digest table (:func:`content_digest_table`), so corpus text
+    is never read, never shuffled, never re-hashed.
+
+    Two layers, same NULL discipline as :func:`exact_dedup`:
+    1. drop batch rows whose digest already exists in the corpus
+       (left-anti on the 16-byte digest — the only corpus-touching step);
+    2. within-batch exact dedup of the survivors (keeper = min id).
+
+    Output: ``dup_key, keeper_id, n_dups`` for the rows that should be
+    APPENDED to the corpus (their digests then appended to the digest
+    table, keeping the next increment exact).
+    """
+    all_set = None
+    for c in key_cols:
+        nn = F.col(c).isNotNull()
+        all_set = nn if all_set is None else (all_set & nn)
+    digest = (
+        F.when(all_set, F.md5(F.concat_ws("", *key_cols)))
+        .otherwise(F.concat(F.lit("row:"), F.col(id_col).cast("string")))
+        .alias("dup_key")
+    )
+    keyed = batch.select(digest, F.col(id_col))
+    fresh = keyed.join(
+        corpus_digests.select("dup_key"), "dup_key", "left_anti"
+    )
+    return fresh.groupBy("dup_key").agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def minhash_lsh_candidates_vs_corpus(
+    batch: DataFrame,
+    *,
+    corpus_signatures: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-dup candidates BETWEEN a new batch and an existing corpus —
+    the incremental companion to :func:`minhash_lsh_candidates` (which is
+    within-one-set). The corpus side is ONLY its persisted signature table
+    (:func:`minhash_signatures_table`): no corpus text scan, no corpus
+    shuffle — the banded corpus signatures stream past a broadcast of the
+    banded batch (a daily delta is small by definition; set
+    ``broadcast_batch=False`` for backfill-sized batches and the join
+    falls back to a shuffle on (band, bucket)).
+
+    Signatures/banding must use the same ``num_hashes``/``bands`` the
+    corpus table was built with. Output: ``batch_doc, corpus_doc,
+    n_shared_bands`` (no a<b constraint — the two sides are disjoint sets).
+    """
+    batch_sig = minhash_signatures(
+        batch,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+    )
+    bb = _band_rows(batch_sig, num_hashes=num_hashes, bands=bands)
+    cb = _band_rows(corpus_signatures, num_hashes=num_hashes, bands=bands)
+    if broadcast_batch:
+        bb = F.broadcast(bb)
+    return (
+        cb.alias("c")
+        .join(
+            bb.alias("b"),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+            "inner",
+        )
+        .groupBy(
+            F.col("b.doc").alias("batch_doc"),
+            F.col("c.doc").alias("corpus_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array of strings (distinct).
 
@@ -201,6 +317,35 @@ def minhash_signatures_table(
     ).write.mode("overwrite").parquet(path)
 
 
+def _band_rows(with_sig: DataFrame, *, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, sig) → one row per (doc, band, bucket): the signature is cut
+    into ``bands`` equal slices, each md5-fingerprinted into a bucket id.
+    Shared by the within-set and batch-vs-corpus LSH joins."""
+    rows_per_band = num_hashes // bands
+    return with_sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                "_",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame | None = None,
     *,
@@ -230,7 +375,6 @@ def minhash_lsh_candidates(
     """
     if (df is None) == (signatures is None):
         raise ValueError("pass exactly one of df= or signatures=")
-    rows_per_band = num_hashes // bands
     if signatures is None:
         with_sig = minhash_signatures(
             df,
@@ -241,28 +385,7 @@ def minhash_lsh_candidates(
         )
     else:
         with_sig = signatures
-    banded = with_sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                "_",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_rows(with_sig, num_hashes=num_hashes, bands=bands)
     # cache (df= mode only): BOTH sides of the self-join read this subtree —
     # without the cache Spark executes the whole tokenize→signature→band
     # pipeline twice (~35% slower at sf0.1). The cached set is tiny (docs ×

@@ -13,6 +13,12 @@ here as engine-portable, leakage-aware operators:
   the mean target of its category computed EXCLUDING the row's own fold,
   the standard leakage-safe form (in-fold means leak the row's own label
   into its feature; naive whole-data means leak every row's).
+- :func:`popularity_negative_samples` — deterministic popularity-
+  proportional negative sampling for implicit-feedback recsys training
+  (the reference's training matrix `prepare_training_data_pyspark.py:
+  441-626` carries positives only; every ranking-loss trainer downstream
+  needs negatives). Hash-derived draws, so the sample is reproducible
+  across runs/engines/partitionings — no RNG state, no seed plumbing.
 
 Scale shape: feature hashing is a narrow JVM expression (no shuffle, no
 fitted state). Target encoding aggregates to a (category × fold) table —
@@ -28,10 +34,10 @@ encoding itself is ONE identical IEEE division of exact integers.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bigdata_retailrocket_recsys_spark.operators.splits import kfold_assign
+from bigdata_retailrocket_recsys_spark.operators.splits import _SEP, kfold_assign
 
 
 def feature_hash_index(
@@ -120,4 +126,132 @@ def target_encode_oof(
     )
     return joined.withColumn(out_col, te).drop(
         "__fs", "__fc", "__cs", "__cc", "__gfs", "__gfc", "__gs", "__gc"
+    )
+
+
+def popularity_negative_samples(
+    positives: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    k: int = 4,
+    weights: DataFrame | None = None,
+    j_col: str = "j",
+    neg_col: str = "neg_item",
+) -> DataFrame:
+    """Deterministic popularity-proportional negative sampling.
+
+    For each positive ``(user, item)`` pair and draw index ``j`` in
+    ``0..k-1``, draw a candidate item with probability proportional to its
+    popularity weight, then drop candidates the user actually interacted
+    with (strict negatives — includes the self-collision case). Output:
+    ``user_col, item_col, j_col, neg_col`` — so a positive yields AT MOST
+    ``k`` negatives (dense users lose more draws; that is the standard
+    semantics, not a bug).
+
+    Draw mechanics (cross-engine reproducible, no RNG): ``target =
+    first-32-md5-bits(user ⟂ item ⟂ j) mod total_weight``; items own
+    contiguous ``[lo, lo+w)`` intervals of the cumulative-weight line
+    (ordered by item id — any deterministic total order works, it only
+    fixes WHICH item maps to which hash values); the draw picks the
+    interval containing ``target``.
+
+    Plan shape at scale: the interval lookup is NOT a nested-loop range
+    join — intervals are exploded into fixed-width buckets (integer
+    ``div``) and the draw joins its single bucket equi-wise with a
+    residual ``lo <= target < hi``, then the exploded catalog (items ×
+    ~2 rows) is broadcast, so the fact-sized draw stream never shuffles
+    for the lookup. The only fact shuffles are the ``distinct`` on
+    positives and the map-side-combined popularity count; the final
+    not-interacted filter is a left-anti join back to the (distinct)
+    positive set. One 2-scalar driver action (total weight + item count)
+    sizes the buckets — same precedent as KMeans ``clusterCenters()``.
+    The cumulative-weight line is a single-reducer window sort over the
+    item catalog — catalog ≪ facts is the operating assumption here, the
+    same one that justifies broadcasting it.
+
+    ``weights``: optional ``(item_col, weight)`` DataFrame (positive
+    bigint weights, one row per item). Default: interaction counts from
+    ``positives`` itself. Items present only in ``weights`` can be drawn;
+    items absent from it can never be drawn.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = positives.select(user_col, item_col).distinct()
+    if weights is None:
+        w = pos.groupBy(item_col).agg(F.count(F.lit(1)).alias("__w"))
+    else:
+        w = weights.select(
+            F.col(item_col), F.col([c for c in weights.columns if c != item_col][0]).cast("bigint").alias("__w")
+        )
+    total, n_items = w.agg(
+        F.sum("__w").cast("bigint"), F.count(F.lit(1))
+    ).first()
+    if not total:
+        raise ValueError("empty or zero-weight item catalog")
+    bucket_w = max(1, total // (2 * n_items))
+    cum = w.select(
+        F.col(item_col).alias("__neg_candidate"),
+        F.coalesce(
+            F.sum("__w").over(
+                Window.orderBy(item_col).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("__lo"),
+        F.col("__w").cast("bigint"),
+    ).withColumn("__hi", F.col("__lo") + F.col("__w"))
+    catalog = cum.select(
+        "__neg_candidate",
+        "__lo",
+        "__hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"__lo div {bucket_w}"),
+                F.expr(f"(__hi - 1) div {bucket_w}"),
+            )
+        ).alias("__b"),
+    )
+    draws = pos.select(
+        user_col,
+        item_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias(j_col),
+    ).withColumn(
+        "__target",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            _SEP,
+                            F.col(user_col).cast("string"),
+                            F.col(item_col).cast("string"),
+                            F.col(j_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(total),
+        ),
+    ).withColumn("__b", F.expr(f"__target div {bucket_w}"))
+    matched = draws.join(
+        F.broadcast(catalog),
+        (draws["__b"] == catalog["__b"])
+        & (F.col("__target") >= F.col("__lo"))
+        & (F.col("__target") < F.col("__hi")),
+        "inner",
+    )
+    interacted = pos.select(
+        F.col(user_col), F.col(item_col).alias("__neg_candidate")
+    )
+    return (
+        matched.select(user_col, item_col, j_col, "__neg_candidate")
+        .join(interacted, [user_col, "__neg_candidate"], "left_anti")
+        .withColumnRenamed("__neg_candidate", neg_col)
+        .select(user_col, item_col, j_col, neg_col)
     )

@@ -186,6 +186,91 @@ def q_dedup_ngram_jaccard_persisted(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "q_dedup_incremental_exact",
+    oracle="""
+    WITH c AS (
+        SELECT DISTINCT md5(text) AS dup_key
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+    ), b AS (
+        SELECT COALESCE(md5(text), 'row:' || CAST(doc_id AS VARCHAR)) AS dup_key,
+               doc_id
+        FROM documents
+        WHERE doc_id % 5 = 0
+    )
+    SELECT b.dup_key, MIN(b.doc_id) AS keeper_id, COUNT(*) AS n_dups
+    FROM b
+    LEFT JOIN c ON b.dup_key = c.dup_key
+    WHERE c.dup_key IS NULL
+    GROUP BY b.dup_key
+    """,
+)
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of a NEW batch (doc_id % 5 = 0) against an existing
+    corpus represented ONLY by its persisted digest table
+    (operators/dedup.content_digest_table + incremental_exact_dedup) —
+    the daily-delta path: corpus text is never read or shuffled, the
+    anti-join moves 16-byte digests. Survivors are the rows to append.
+    NULL-text batch rows are incomparable → always survive as their own
+    group (same discipline as q_dedup_exact)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        content_digest_table,
+        incremental_exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dig_path = os.path.join(tempfile.gettempdir(), "bdrr_corpus_digests")
+    content_digest_table(
+        docs.filter(F.col("doc_id") % 5 != 0), dig_path, key_cols=["text"]
+    )
+    return incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        corpus_digests=spark.read.parquet(dig_path),
+        key_cols=["text"],
+        id_col="doc_id",
+    )
+
+
+@query("q_dedup_incremental_minhash", oracle=None)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup of a NEW batch (doc_id % 5 = 0) against the corpus's
+    persisted MinHash signature table (operators/dedup
+    .minhash_lsh_candidates_vs_corpus): banded batch signatures are
+    BROADCAST past a scan of the corpus signature table — no corpus text
+    read, no corpus shuffle. Returns batch survivors (docs sharing no LSH
+    band with any corpus doc). xxhash64 → rows-only; batch⊂corpus-copy
+    drop/keep semantics + full-LSH equivalence locked in
+    tests/test_operators.py."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_lsh_candidates_vs_corpus,
+        minhash_signatures_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig_path = os.path.join(tempfile.gettempdir(), "bdrr_corpus_sigs")
+    minhash_signatures_table(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        sig_path,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=3,
+        num_hashes=16,
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    cands = minhash_lsh_candidates_vs_corpus(
+        batch,
+        corpus_signatures=spark.read.parquet(sig_path),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+    )
+    dupes = cands.select(F.col("batch_doc").alias("doc_id")).distinct()
+    return batch.select("doc_id").join(dupes, "doc_id", "left_anti")
+
+
+@query(
     "q_text_decontaminate",
     oracle=r"""
     WITH t AS (
@@ -1315,6 +1400,74 @@ def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["doc_id"],
         k=5,
     ).select("doc_id", "fold", "te")
+
+
+@query(
+    "q_negative_sample",
+    oracle="""
+    WITH pos AS (
+        SELECT DISTINCT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE event_type = 'view'
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), w AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS wt FROM pos GROUP BY item
+    ), cum AS (
+        SELECT item, wt,
+               CAST(COALESCE(SUM(wt) OVER (ORDER BY item
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS lo
+        FROM w
+    ), tot AS (
+        SELECT CAST(SUM(wt) AS BIGINT) AS total FROM w
+    ), draws AS (
+        SELECT p.user_id, p.item, CAST(g.j AS INT) AS j,
+               CAST(('0x' || substr(md5(
+                   CAST(p.user_id AS VARCHAR) || chr(31) ||
+                   CAST(p.item AS VARCHAR) || chr(31) ||
+                   CAST(g.j AS VARCHAR)), 1, 8))::BIGINT % t.total
+                 AS BIGINT) AS target
+        FROM pos p
+        CROSS JOIN tot t
+        CROSS JOIN generate_series(0, 2) g(j)
+    )
+    SELECT d.user_id, d.item, d.j, c.item AS neg_item
+    FROM draws d
+    JOIN cum c ON d.target >= c.lo AND d.target < c.lo + c.wt
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pos p2
+        WHERE p2.user_id = d.user_id AND p2.item = c.item
+    )
+    """,
+)
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic popularity-proportional negative sampling
+    (operators/features.popularity_negative_samples) over view positives —
+    the training-example op the reference's positives-only matrix
+    (prepare_training_data_pyspark.py:441-626) hands off to the trainer.
+    Draws come from md5 bits mod total-weight; item intervals on the
+    cumulative-popularity line; interval lookup is a bucketed broadcast
+    equi-join (no nested-loop range join); negatives that collide with
+    ANY of the user's positives are dropped (≤ k per positive). Oracle
+    uses the naive range join — value-identical, just not the plan you'd
+    run at scale."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        popularity_negative_samples,
+    )
+
+    pos = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    return popularity_negative_samples(
+        pos, user_col="user_id", item_col="item", k=3
+    )
 
 
 @query(

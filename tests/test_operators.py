@@ -1651,3 +1651,157 @@ def test_jaccard_persisted_shingles_identical(spark, tmp_path):
         ngram_jaccard_pairs()
     with _pytest.raises(ValueError):
         ngram_jaccard_pairs(docs, shingles=spark.read.parquet(sh_path))
+
+
+def test_negative_samples_match_python_recompute(spark):
+    """The full draw pipeline — popularity intervals over item-ordered
+    cumulative weights, md5-mod draws, strict positive filtering —
+    reproduced independently in Python must give the exact same set."""
+    import hashlib
+
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        popularity_negative_samples,
+    )
+
+    pairs = [(1, 10), (1, 11), (2, 10), (2, 12), (3, 13), (3, 10), (4, 11)]
+    df = spark.createDataFrame(pairs + pairs[:2], "user bigint, item bigint")
+    got = {
+        (r.user, r.item, r.j, r.neg_item)
+        for r in popularity_negative_samples(
+            df, user_col="user", item_col="item", k=4
+        ).collect()
+    }
+
+    pos = set(pairs)
+    from collections import Counter
+
+    wt = Counter(i for _, i in pos)
+    items = sorted(wt)
+    lo, acc = {}, 0
+    for it in items:
+        lo[it] = acc
+        acc += wt[it]
+    exp = set()
+    for u, i in pos:
+        for j in range(4):
+            h = (
+                int(
+                    hashlib.md5(f"{u}\x1f{i}\x1f{j}".encode()).hexdigest()[:8],
+                    16,
+                )
+                % acc
+            )
+            neg = next(it for it in items if lo[it] <= h < lo[it] + wt[it])
+            if (u, neg) not in pos:
+                exp.add((u, i, j, neg))
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_negative_samples_weights_and_strictness(spark):
+    """Explicit weights= steer the draw distribution (a 998/1000-weight
+    item dominates); negatives never collide with any of the user's
+    positives; at most k draws per positive; k<1 refused."""
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        popularity_negative_samples,
+    )
+
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(1, 21) for i in (1, 2)],
+        "user bigint, item bigint",
+    )
+    w = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 998)], "item bigint, weight bigint"
+    )
+    rows = popularity_negative_samples(
+        pos, user_col="user", item_col="item", k=5, weights=w
+    ).collect()
+    assert rows
+    pos_set = {(r[0], r[1]) for r in pos.collect()}
+    per_pos: dict = {}
+    for r in rows:
+        assert 0 <= r.j < 5
+        assert (r.user, r.neg_item) not in pos_set
+        per_pos[(r.user, r.item)] = per_pos.get((r.user, r.item), 0) + 1
+    assert all(n <= 5 for n in per_pos.values())
+    frac_heavy = sum(1 for r in rows if r.neg_item == 3) / len(rows)
+    assert frac_heavy > 0.9, frac_heavy
+    with _pytest.raises(ValueError):
+        popularity_negative_samples(pos, user_col="user", item_col="item", k=0)
+
+
+def test_incremental_exact_dedup_python_recompute(spark, tmp_path):
+    """Batch rows whose digest is in the corpus are dropped; survivors
+    dedup within-batch (keeper=min id); NULL-key rows always survive as
+    their own group."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        content_digest_table,
+        incremental_exact_dedup,
+    )
+
+    cdf = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, None)], "doc_id bigint, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(10, "a"), (11, "c"), (12, "c"), (13, None), (14, None), (15, "b")],
+        "doc_id bigint, text string",
+    )
+    p = str(tmp_path / "dig")
+    content_digest_table(cdf, p, key_cols=["text"])
+    out = incremental_exact_dedup(
+        bdf,
+        corpus_digests=spark.read.parquet(p),
+        key_cols=["text"],
+        id_col="doc_id",
+    ).collect()
+    # "a"/"b" exist in the corpus → dropped; "c" dedups to keeper 11 (n=2);
+    # each NULL-text row is its own survivor (corpus NULL at id 4 is NOT in
+    # the digest table and cannot collide).
+    assert {(r.keeper_id, r.n_dups) for r in out} == {(11, 2), (13, 1), (14, 1)}
+
+
+def test_incremental_minhash_vs_corpus_equiv_full_lsh(spark, tmp_path):
+    """A batch doc that copies a corpus doc is flagged; a fresh doc is
+    not; and the batch-vs-corpus candidates equal the cross-set subset of
+    a full within-union LSH run with the same parameters."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_vs_corpus,
+        minhash_signatures_table,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "pack my box with five dozen liquor jugs before the long voyage"),
+        (3, "how vexingly quick daft zebras jump across the frozen canal ice"),
+    ]
+    batch_rows = [
+        (101, corpus_rows[0][1]),  # exact copy → must be flagged
+        (102, "completely different unrelated sentence about orbital mechanics and tidal forces"),
+    ]
+    kw = dict(id_col="doc_id", text_col="text", shingle_n=3, num_hashes=16)
+    cdf = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    bdf = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    p = str(tmp_path / "sigs")
+    minhash_signatures_table(cdf, p, **kw)
+    cands = {
+        (r.batch_doc, r.corpus_doc, r.n_shared_bands)
+        for r in minhash_lsh_candidates_vs_corpus(
+            bdf, corpus_signatures=spark.read.parquet(p), bands=4, **kw
+        ).collect()
+    }
+    assert 101 in {b for b, _, _ in cands}
+    assert 102 not in {b for b, _, _ in cands}
+
+    full = minhash_lsh_candidates(
+        cdf.unionByName(bdf), bands=4, **kw
+    ).collect()
+    corpus_ids = {r[0] for r in corpus_rows}
+    cross = {
+        (r.doc_b, r.doc_a, r.n_shared_bands)
+        for r in full
+        if r.doc_a in corpus_ids and r.doc_b not in corpus_ids
+    }
+    assert cands == cross

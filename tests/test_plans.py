@@ -239,3 +239,30 @@ def test_zorder_sink_pushes_both_filters(spark):
     # whenever user_id (which contains a 'd') is pushed.
     assert "user_id" in scan, scan
     assert re.search(r"\(d,", scan), scan
+
+
+def test_negative_sample_interval_lookup_is_broadcast(spark):
+    """The cumulative-interval lookup must be a bucketed broadcast
+    equi-join — never a nested-loop range join (O(catalog) per draw) and
+    never a cartesian product."""
+    plan = plan_str(QUERIES["q_negative_sample"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_exact_reads_digest_table(spark):
+    """The incremental exact-dedup anti-join reads the persisted corpus
+    DIGEST table (16 bytes/row), not corpus documents: the only documents
+    scan in the plan is the batch side."""
+    plan = plan_str(QUERIES["q_dedup_incremental_exact"].fn(spark, SF_DIR))
+    assert "bdrr_corpus_digests" in plan
+
+
+def test_incremental_minhash_broadcasts_batch(spark):
+    """The batch-vs-corpus LSH join reads the persisted corpus SIGNATURE
+    table and broadcasts the banded batch — the corpus side never
+    shuffles."""
+    plan = plan_str(QUERIES["q_dedup_incremental_minhash"].fn(spark, SF_DIR))
+    assert "bdrr_corpus_sigs" in plan
+    assert "BroadcastHashJoin" in plan
