@@ -32,6 +32,7 @@ from bigdata_retailrocket_recsys_spark.operators.dedup import (
 )
 from bigdata_retailrocket_recsys_spark.operators.features import (
     feature_hash_index,
+    pack_sequences,
     popularity_negative_samples,
     target_encode_oof,
 )
@@ -79,6 +80,7 @@ __all__ = [
     "content_digest_table",
     "incremental_exact_dedup",
     "feature_hash_index",
+    "pack_sequences",
     "popularity_negative_samples",
     "target_encode_oof",
     "kfold_assign",

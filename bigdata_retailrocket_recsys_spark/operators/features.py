@@ -19,6 +19,12 @@ here as engine-portable, leakage-aware operators:
   441-626` carries positives only; every ranking-loss trainer downstream
   needs negatives). Hash-derived draws, so the sample is reproducible
   across runs/engines/partitionings — no RNG state, no seed plumbing.
+- :func:`pack_sequences` — GPT-style pretraining sequence packing:
+  concatenate documents in a deterministic order and cut the token
+  stream into fixed-length training sequences, documents spanning
+  boundaries. Expressed RELATIONALLY (cumulative sums + interval
+  arithmetic), not as a stateful loop — so it scales shard-parallel and
+  is exactly reproducible in any engine.
 
 Scale shape: feature hashing is a narrow JVM expression (no shuffle, no
 fitted state). Target encoding aggregates to a (category × fold) table —
@@ -254,4 +260,90 @@ def popularity_negative_samples(
         .join(interacted, [user_col, "__neg_candidate"], "left_anti")
         .withColumnRenamed("__neg_candidate", neg_col)
         .select(user_col, item_col, j_col, neg_col)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    n_tokens_col: str,
+    seq_len: int,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """GPT-style pretraining sequence packing as a relational plan.
+
+    Documents are laid end-to-end on a token line in deterministic order
+    (ascending ``id_col``) and the line is cut every ``seq_len`` tokens;
+    a document crossing a cut contributes one segment to each sequence it
+    touches (concat-then-chunk packing — zero padding waste except the
+    final sequence). Output, one row per (document × sequence) segment::
+
+        shard, seq_id, <id_col>, doc_offset, seq_offset, seg_len
+
+    where ``doc_offset`` is the segment's start within the document and
+    ``seq_offset`` its start within the sequence; per sequence the
+    segments tile [0, seq_len) exactly (the shard's last sequence may be
+    short), and per document they tile [0, n_tokens) — both locked in
+    tests.
+
+    The sequential-looking "running total" is ONE window cumulative sum;
+    the doc→sequences fan-out is interval arithmetic (integer ``div``)
+    exploded per touched sequence — no loop, no UDF, no driver state.
+    With ``n_shards`` set, documents are first bucketed by a content hash
+    (md5, engine-stable) and packing runs per shard: each shard is an
+    independent token line, so the window sort parallelizes across
+    shards — the 100 TB form (one global sort would serialize). With
+    ``n_shards=None`` the whole input is one shard (single-reducer sort —
+    calibration/small-corpus tier). Docs with NULL or non-positive token
+    counts are dropped (nothing to pack).
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    d = df.filter(
+        F.col(n_tokens_col).isNotNull() & (F.col(n_tokens_col) > 0)
+    ).select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("bigint").alias("__nt"),
+    )
+    if n_shards is not None:
+        shard = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+            ).cast("bigint"),
+            F.lit(n_shards),
+        ).cast("int")
+    else:
+        shard = F.lit(0)
+    d = d.withColumn("__shard", shard)
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn(
+        "__start", F.coalesce(F.sum("__nt").over(w), F.lit(0)).cast("bigint")
+    ).withColumn("__end", F.col("__start") + F.col("__nt"))
+    seg = c.select(
+        "__shard",
+        id_col,
+        "__start",
+        "__end",
+        F.explode(
+            F.sequence(
+                F.expr(f"__start div {seq_len}"),
+                F.expr(f"(__end - 1) div {seq_len}"),
+            )
+        ).alias("__seq"),
+    )
+    seq_base = F.col("__seq") * seq_len
+    seg_from = F.greatest(F.col("__start"), seq_base)
+    seg_to = F.least(F.col("__end"), seq_base + seq_len)
+    return seg.select(
+        F.col("__shard").alias("shard"),
+        F.col("__seq").alias("seq_id"),
+        F.col(id_col),
+        (seg_from - F.col("__start")).alias("doc_offset"),
+        (seg_from - seq_base).alias("seq_offset"),
+        (seg_to - seg_from).alias("seg_len"),
     )

@@ -1471,6 +1471,54 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pack_sequences",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS nt,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 8 AS INT) AS shard
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    ), c AS (
+        SELECT shard, doc_id, nt,
+               CAST(COALESCE(SUM(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS s
+        FROM d
+    ), seg AS (
+        SELECT shard, doc_id, s, s + nt AS e,
+               unnest(generate_series(s // 4096, (s + nt - 1) // 4096)) AS seq_id
+        FROM c
+    )
+    SELECT shard, seq_id, doc_id,
+           GREATEST(s, seq_id * 4096) - s AS doc_offset,
+           GREATEST(s, seq_id * 4096) - seq_id * 4096 AS seq_offset,
+           LEAST(e, seq_id * 4096 + 4096) - GREATEST(s, seq_id * 4096) AS seg_len
+    FROM seg
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style pretraining sequence packing (operators/features
+    .pack_sequences): documents concatenated per content-hash shard in
+    doc_id order, the token line cut every 4096 tokens (n_chars standing
+    in for token counts — the operator only sees a length column), docs
+    spanning cuts. One window cumsum + interval-arithmetic explode — no
+    loop, no UDF; shards parallelize the sort at 100 TB. Segments tile
+    both every sequence and every document exactly (property-tested)."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        pack_sequences,
+    )
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        n_tokens_col="n_chars",
+        seq_len=4096,
+        n_shards=8,
+    )
+
+
+@query(
     "q_tfidf",
     oracle="""
     WITH tok AS (

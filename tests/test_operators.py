@@ -1805,3 +1805,49 @@ def test_incremental_minhash_vs_corpus_equiv_full_lsh(spark, tmp_path):
         if r.doc_a in corpus_ids and r.doc_b not in corpus_ids
     }
     assert cands == cross
+
+
+def test_pack_sequences_tiles_docs_and_sequences(spark):
+    """Per (shard, seq_id) the segments tile [0, seq_len) exactly (the
+    shard's last sequence may be short); per doc the segments tile
+    [0, n_tokens) contiguously across consecutive sequences; zero/NULL-
+    length docs are dropped; seq_len<1 refused."""
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        pack_sequences,
+    )
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(200)] + [(500, 0), (501, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, nt int")
+    L = 64
+    segs = pack_sequences(
+        df, id_col="doc_id", n_tokens_col="nt", seq_len=L, n_shards=4
+    ).collect()
+
+    nt = {i: n for i, n in rows if n}
+    assert {r.doc_id for r in segs} == set(nt)
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for r in segs:
+        assert 0 <= r.seq_offset < L and 0 < r.seg_len <= L
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for (shard, seq_id), ss in by_seq.items():
+        ss.sort(key=lambda r: r.seq_offset)
+        pos = 0
+        for r in ss:
+            assert r.seq_offset == pos, (shard, seq_id, r)
+            pos += r.seg_len
+        last_seq = max(s for sh, s in by_seq if sh == shard)
+        if seq_id != last_seq:
+            assert pos == L, (shard, seq_id, pos)
+    for doc, ss in by_doc.items():
+        ss.sort(key=lambda r: r.doc_offset)
+        pos = 0
+        for r in ss:
+            assert r.doc_offset == pos, (doc, r)
+            pos += r.seg_len
+        assert pos == nt[doc], (doc, pos)
+    with _pytest.raises(ValueError):
+        pack_sequences(df, id_col="doc_id", n_tokens_col="nt", seq_len=0)
