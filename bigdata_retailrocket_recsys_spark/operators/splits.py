@@ -166,3 +166,83 @@ def per_group_hash_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mixture_temperature_sample(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    domain_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based domain mixture sampling — the standard LLM-corpus
+    rebalancing op (mBERT/XLM-R style): sample domain ``i`` in proportion
+    to ``n_i^alpha`` instead of ``n_i``, so ``alpha < 1`` upweights rare
+    domains (languages, sources) relative to their raw frequency. Given a
+    total row ``budget`` B, each domain keeps
+    ``min(1, B * w_i / n_i)`` of its rows where
+    ``w_i = n_i^alpha / sum_j n_j^alpha`` — membership decided per-row by
+    the same content-hash trick as :func:`hash_split` (md5 16-bit bucket
+    vs a per-domain threshold), so the sample is stable across reruns,
+    partitionings, and engines. The reference has no sampling op at all
+    (its matrices keep every row, prepare_training_data_pyspark.py:441);
+    at corpus scale this is the op that sets the training mixture.
+
+    Plan shape: one map-side-combinable count per domain (#domains rows),
+    weight arithmetic on that tiny table, broadcast join back, then a
+    narrow content-hash filter — the fact rows never shuffle. Two scans of
+    ``df`` (counts + filter); at warehouse scale feed ``n_i`` from table
+    stats or a persisted profile instead.
+
+    Cross-engine determinism: ``n_i^alpha`` is quantized to
+    ``floor(n_i^alpha * 1e9)`` BIGINTs so the weight sum is exact, and the
+    keep-rate is derived by IEEE divisions of those exact integers (each
+    correctly rounded, so bit-identical on identical inputs). That makes
+    the whole pipeline bit-stable across engines for ``alpha = 0.5``
+    (IEEE sqrt is required correctly-rounded everywhere) and ``alpha = 1``
+    (exact); other alphas ride ``pow``, which libms round differently by
+    up to 1 ulp — fine in production, not for bit-exact oracle replay.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if alpha == 1.0:
+        s = F.col("_n").cast("double") * 1e9
+    elif alpha == 0.5:
+        s = F.sqrt(F.col("_n").cast("double")) * 1e9
+    else:
+        s = F.pow(F.col("_n").cast("double"), F.lit(alpha)) * 1e9
+    weights = (
+        df.groupBy(F.col(domain_col).alias("_dom"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_s", F.floor(s).cast("bigint"))
+    )
+    tot = weights.agg(F.sum("_s").alias("_tot"))
+    rates = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget))
+                * F.col("_s").cast("double")
+                / F.col("_tot").cast("double")
+                / F.col("_n").cast("double"),
+            ),
+        )
+        .withColumn(
+            "_thresh", F.floor(F.col("_rate") * F.lit(65536.0)).cast("bigint")
+        )
+        .select("_dom", "_rate", "_thresh")
+    )
+    bucket = F.conv(_bucket_hex(key_cols), 16, 10).cast("bigint")
+    out = (
+        df.join(
+            F.broadcast(rates), F.col(domain_col) == F.col("_dom"), "inner"
+        )
+        .filter(bucket < F.col("_thresh"))
+    )
+    if rate_col is not None:
+        out = out.withColumn(rate_col, F.col("_rate"))
+    return out.drop("_dom", "_rate", "_thresh")

@@ -3642,3 +3642,55 @@ def q_fn_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ints agree ('nan' both). Type rule 6, catalog.py docstring.
         F.contains(F.lower("text"), F.lit("the")).cast("int").alias("has_the"),
     )
+
+
+@query(
+    "q_mixture_sample",
+    oracle="""
+    WITH n AS (
+        SELECT lang AS dom, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang
+    ), w AS (
+        SELECT dom, n,
+               CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS s
+        FROM n
+    ), t AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS tot FROM w
+    ), r AS (
+        SELECT dom,
+               CAST(FLOOR(LEAST(1.0,
+                   CAST(200 AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(t.tot AS DOUBLE) / CAST(n AS DOUBLE)
+               ) * 65536.0) AS BIGINT) AS thresh
+        FROM w CROSS JOIN t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    JOIN r ON d.lang = r.dom
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+          < r.thresh
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture sampling (operators/splits
+    .mixture_temperature_sample, alpha=0.5): resample the corpus so each
+    language's share follows n^0.5 instead of n — the mBERT/XLM-R
+    rare-domain upweighting that sets an LLM training mixture. The
+    reference keeps every row (prepare_training_data_pyspark.py:441); at
+    corpus scale this op decides what the model sees. Per-domain keep
+    rates come from exact floor(sqrt(n)*1e9) BIGINT weights (IEEE sqrt is
+    correctly rounded — bit-stable cross-engine, catalog rule set) and
+    membership is the md5 16-bit bucket vs a per-domain threshold:
+    one tiny count agg, broadcast join back, narrow hash filter — fact
+    rows never shuffle."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        mixture_temperature_sample,
+    )
+
+    return mixture_temperature_sample(
+        _t(spark, sf_dir, "documents"),
+        key_cols=["doc_id"],
+        domain_col="lang",
+        budget=200,
+        alpha=0.5,
+    ).select("doc_id", "lang")

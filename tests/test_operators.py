@@ -1851,3 +1851,55 @@ def test_pack_sequences_tiles_docs_and_sequences(spark):
         assert pos == nt[doc], (doc, pos)
     with _pytest.raises(ValueError):
         pack_sequences(df, id_col="doc_id", n_tokens_col="nt", seq_len=0)
+
+
+def test_mixture_temperature_sample_rebalances_and_is_stable(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        mixture_temperature_sample,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "lang"
+    )
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(base.values())
+
+    out = mixture_temperature_sample(
+        docs, key_cols=["doc_id"], domain_col="lang", budget=200, alpha=0.5
+    )
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = sum(got.values())
+    # hits the budget up to binomial hash noise
+    assert abs(kept - 200) < 40
+    # alpha<1 upweights the rarest domain relative to its raw share
+    rare = min(base, key=base.get)
+    assert got[rare] / kept > base[rare] / total
+    # membership is content-defined: repartitioning changes nothing
+    again = mixture_temperature_sample(
+        docs.repartition(13), key_cols=["doc_id"], domain_col="lang",
+        budget=200, alpha=0.5,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+    # budget >= corpus keeps every row (rate capped at 1.0)
+    allkept = mixture_temperature_sample(
+        docs, key_cols=["doc_id"], domain_col="lang", budget=10 * total,
+        alpha=0.5,
+    )
+    assert allkept.count() == total
+
+    # alpha=1 degenerates to uniform budget-proportional sampling: every
+    # domain gets the same keep rate B/N
+    rates = (
+        mixture_temperature_sample(
+            docs, key_cols=["doc_id"], domain_col="lang", budget=200,
+            alpha=1.0, rate_col="rate",
+        )
+        .select("lang", "rate").distinct().collect()
+    )
+    vals = {round(r.rate, 9) for r in rates}
+    assert len(vals) == 1
+    assert abs(next(iter(vals)) - 200 / total) < 1e-6
