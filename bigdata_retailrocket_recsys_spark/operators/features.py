@@ -183,11 +183,20 @@ def popularity_negative_samples(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    pos = positives.select(user_col, item_col).distinct()
+    # NULL user/item positives are discarded UP FRONT: they are not valid
+    # training pairs, and they must not influence the popularity weights
+    # either. (Also removes a cross-engine trap: Spark's concat_ws SKIPS
+    # nulls while SQL `||` nullifies, so a NULL-keyed draw would silently
+    # survive here and vanish in a SQL twin — caught by the advdata sweep.)
+    pos = (
+        positives.select(user_col, item_col)
+        .filter(F.col(user_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
     if weights is None:
         w = pos.groupBy(item_col).agg(F.count(F.lit(1)).alias("__w"))
     else:
-        w = weights.select(
+        w = weights.filter(F.col(item_col).isNotNull()).select(
             F.col(item_col), F.col([c for c in weights.columns if c != item_col][0]).cast("bigint").alias("__w")
         )
     total, n_items = w.agg(

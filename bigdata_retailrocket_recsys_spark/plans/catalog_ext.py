@@ -1411,6 +1411,7 @@ def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE event_type = 'view'
           AND json_extract_string(props, '$.k') IS NOT NULL
+          AND user_id IS NOT NULL
     ), w AS (
         SELECT item, CAST(COUNT(*) AS BIGINT) AS wt FROM pos GROUP BY item
     ), cum AS (
