@@ -3695,3 +3695,61 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=200,
         alpha=0.5,
     ).select("doc_id", "lang")
+
+
+@query(
+    "q_dedup_clusters_bigstar",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id AS doc, lang, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM tok GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+         AND a.lang = b.lang AND a.source = b.source
+        GROUP BY a.doc, b.doc
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(s, d) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+    """,
+)
+def q_dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering, scale tier: alternating large-star/small-star
+    connected components (operators/dedup.connected_components_bigstar,
+    Kiveris et al. SoCC'14) over the same Jaccard>=0.5 near-dup edge set as
+    q_dedup_clusters. O(log^2 n) rounds independent of graph diameter —
+    the variant that survives chain-shaped crawl-mirror corpora where
+    min-label propagation is O(diameter). Oracle: identical recursive-CTE
+    transitive closure; output must bit-match q_dedup_clusters."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components_bigstar,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_n=1,
+        min_jaccard=0.5,
+    ).select("doc_a", "doc_b")
+    return connected_components_bigstar(
+        docs, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )

@@ -1903,3 +1903,55 @@ def test_mixture_temperature_sample_rebalances_and_is_stable(spark):
     vals = {round(r.rate, 9) for r in rates}
     assert len(vals) == 1
     assert abs(next(iter(vals)) - 200 / total) < 1e-6
+
+
+def test_connected_components_bigstar_chain_rounds(spark):
+    """Large-star/small-star must label a 64-deep chain correctly in
+    O(log² n) rounds — min-label propagation needs 63 rounds here; the
+    star algorithm must stay under 12. Also: pair + singletons, and
+    bit-equality with the min-label operator on the same graph."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n + 3)], "node bigint")
+    # chain 0-1-...-63, pair 64-65, singleton 66
+    chain = [(i, i + 1) for i in range(n - 1)] + [(64, 65)]
+    edges = spark.createDataFrame(chain, "src bigint, dst bigint")
+    stats: dict = {}
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_bigstar(
+            nodes, edges, stats=stats
+        ).collect()
+    }
+    expect = {i: 0 for i in range(n)} | {64: 64, 65: 64, 66: 66}
+    assert got == expect
+    assert stats["rounds"] <= 12, stats["rounds"]
+    ref = {
+        r.node: r.cluster_id
+        for r in connected_components(nodes, edges, max_iter=70).collect()
+    }
+    assert got == ref
+
+
+def test_connected_components_bigstar_string_ids(spark):
+    """Star hooking relies only on a total order — string doc ids (the
+    documents-table case) must work identically."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components_bigstar,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "node string"
+    )
+    edges = spark.createDataFrame(
+        [("c", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_bigstar(nodes, edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}

@@ -606,3 +606,49 @@ def test_contamination_extremes(spark):
     )
     out = contamination_check(train, disjoint).collect()
     assert len(out) == 1 and out[0].n_matched == 0 and out[0].contaminated == 0
+
+
+@given(
+    n_nodes=st.integers(min_value=1, max_value=12),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        max_size=15,
+    ),
+)
+@settings(**PROP_SETTINGS)
+def test_connected_components_bigstar_equals_union_find(spark, n_nodes, edges):
+    """Large-star/small-star must produce the same partition as a
+    driver-side union-find on arbitrary graphs (self-loops, duplicate
+    edges, clipped out-of-range endpoints) — the same contract the
+    min-label operator is held to."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components_bigstar,
+    )
+
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edges]
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "node bigint")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_bigstar(nodes, edf).collect()
+    }
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(n_nodes)}
+    assert got == expect
