@@ -144,6 +144,7 @@ def popularity_negative_samples(
     weights: DataFrame | None = None,
     j_col: str = "j",
     neg_col: str = "neg_item",
+    n_shards: int = 32,
 ) -> DataFrame:
     """Deterministic popularity-proportional negative sampling.
 
@@ -172,9 +173,15 @@ def popularity_negative_samples(
     not-interacted filter is a left-anti join back to the (distinct)
     positive set. One 2-scalar driver action (total weight + item count)
     sizes the buckets — same precedent as KMeans ``clusterCenters()``.
-    The cumulative-weight line is a single-reducer window sort over the
-    item catalog — catalog ≪ facts is the operating assumption here, the
-    same one that justifies broadcasting it.
+    The cumulative-weight line is SHARDED: the catalog is range-
+    partitioned on ``item_col`` into ``n_shards`` order-contiguous
+    shards, the prefix sum runs per shard (partitioned window), and a
+    tiny ``n_shards``-row offset table (itself a bounded-size window)
+    is broadcast back — so a billion-item catalog never funnels through
+    one reducer. Because shards are contiguous in item order, each
+    item's ``[lo, hi)`` interval is the GLOBAL prefix sum exactly, so
+    the output is bit-identical for any ``n_shards`` (locked in a
+    test).
 
     ``weights``: optional ``(item_col, weight)`` DataFrame (positive
     bigint weights, one row per item). Default: interaction counts from
@@ -205,18 +212,50 @@ def popularity_negative_samples(
     if not total:
         raise ValueError("empty or zero-weight item catalog")
     bucket_w = max(1, total // (2 * n_items))
-    cum = w.select(
-        F.col(item_col).alias("__neg_candidate"),
-        F.coalesce(
-            F.sum("__w").over(
-                Window.orderBy(item_col).rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).cast("bigint").alias("__lo"),
-        F.col("__w").cast("bigint"),
-    ).withColumn("__hi", F.col("__lo") + F.col("__w"))
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # Sharded cumulative-weight line: range-partition the catalog on
+    # item_col (shards are CONTIGUOUS in item order), prefix-sum per shard,
+    # then add each shard's offset (= total weight of all preceding
+    # shards). The offset table is n_shards rows — its own cumsum window is
+    # bounded-size by construction, and it broadcasts. The per-item [lo,hi)
+    # intervals equal the global prefix sums for ANY n_shards.
+    part = w.repartitionByRange(n_shards, F.col(item_col)).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    local_win = (
+        Window.partitionBy("__shard")
+        .orderBy(item_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy("__shard")
+        .agg(F.sum("__w").cast("bigint").alias("__stot"))
+        .select(
+            "__shard",
+            F.coalesce(
+                F.sum("__stot").over(
+                    Window.orderBy("__shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("__off"),
+        )
+    )
+    cum = (
+        part.withColumn(
+            "__loc_lo",
+            F.coalesce(F.sum("__w").over(local_win), F.lit(0)).cast("bigint"),
+        )
+        .join(F.broadcast(offsets), "__shard")
+        .select(
+            F.col(item_col).alias("__neg_candidate"),
+            (F.col("__loc_lo") + F.col("__off")).alias("__lo"),
+            F.col("__w").cast("bigint"),
+        )
+        .withColumn("__hi", F.col("__lo") + F.col("__w"))
+    )
     catalog = cum.select(
         "__neg_candidate",
         "__lo",
@@ -278,7 +317,7 @@ def pack_sequences(
     id_col: str,
     n_tokens_col: str,
     seq_len: int,
-    n_shards: int | None = None,
+    n_shards: int | None = 32,
 ) -> DataFrame:
     """GPT-style pretraining sequence packing as a relational plan.
 
@@ -299,12 +338,14 @@ def pack_sequences(
     The sequential-looking "running total" is ONE window cumulative sum;
     the doc→sequences fan-out is interval arithmetic (integer ``div``)
     exploded per touched sequence — no loop, no UDF, no driver state.
-    With ``n_shards`` set, documents are first bucketed by a content hash
-    (md5, engine-stable) and packing runs per shard: each shard is an
-    independent token line, so the window sort parallelizes across
-    shards — the 100 TB form (one global sort would serialize). With
-    ``n_shards=None`` the whole input is one shard (single-reducer sort —
-    calibration/small-corpus tier). Docs with NULL or non-positive token
+    Documents are first bucketed by a content hash (md5, engine-stable)
+    into ``n_shards`` shards (default 32) and packing runs per shard:
+    each shard is an independent token line, so the window sort
+    parallelizes across shards — the 100 TB form (one global sort would
+    serialize). ``n_shards=None`` is an EXPLICIT opt-in to a single
+    global token line (single-reducer sort — calibration/small-corpus
+    tier only; same opt-in precedent as ``max_block_rows=None`` in
+    ``embedding_cosine_pairs``). Docs with NULL or non-positive token
     counts are dropped (nothing to pack).
     """
     if seq_len < 1:

@@ -190,6 +190,11 @@ def mixture_temperature_sample(
     (its matrices keep every row, prepare_training_data_pyspark.py:441);
     at corpus scale this is the op that sets the training mixture.
 
+    NULL domains: rows whose ``domain_col`` is NULL are dropped before
+    counting — they neither appear in the output nor consume budget
+    (see the in-body comment; coalesce to a catch-all domain upstream to
+    keep them).
+
     Plan shape: one map-side-combinable count per domain (#domains rows),
     weight arithmetic on that tiny table, broadcast join back, then a
     narrow content-hash filter — the fact rows never shuffle. Two scans of
@@ -207,6 +212,13 @@ def mixture_temperature_sample(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    # NULL-domain policy: rows with a NULL domain are EXCLUDED up front —
+    # from the output (an unlabeled-domain row has no mixture weight) AND
+    # from the per-domain counts (otherwise NULL mass inflates `_tot` and
+    # silently deflates every real domain's keep rate, undershooting the
+    # budget — the r4 advisor finding). Callers who want unlabeled rows
+    # sampled should coalesce the domain to a catch-all value first.
+    df = df.filter(F.col(domain_col).isNotNull())
     if alpha == 1.0:
         s = F.col("_n").cast("double") * 1e9
     elif alpha == 0.5:

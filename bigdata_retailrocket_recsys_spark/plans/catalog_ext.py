@@ -3649,8 +3649,10 @@ def q_fn_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_mixture_sample",
     oracle="""
     WITH n AS (
+        -- NULL-domain rows are excluded from counts AND output (operator
+        -- policy: they must not deflate real domains' keep rates)
         SELECT lang AS dom, CAST(COUNT(*) AS BIGINT) AS n
-        FROM documents GROUP BY lang
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang
     ), w AS (
         SELECT dom, n,
                CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS s

@@ -1955,3 +1955,90 @@ def test_connected_components_bigstar_string_ids(spark):
         for r in connected_components_bigstar(nodes, edges).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_negative_samples_shard_invariance(spark):
+    """The sharded cumulative-weight line must be BIT-identical to the
+    single-shard (legacy single-reducer) line for any n_shards: shards
+    are order-contiguous ranges, so per-item [lo,hi) intervals equal the
+    global prefix sums regardless of sharding. Also: a partitioned window
+    must appear in the plan (no global-sort single reducer)."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        popularity_negative_samples,
+    )
+
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(40) for i in range(u % 7 + 1)],
+        "user bigint, item bigint",
+    )
+    outs = []
+    for ns in (1, 4, 32):
+        df = popularity_negative_samples(
+            pos, user_col="user", item_col="item", k=3, n_shards=ns
+        )
+        outs.append(sorted(map(tuple, df.collect())))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
+    # plan: the catalog cumsum window is PARTITIONED by __shard (no
+    # global-sort single reducer on the item catalog)
+    df = popularity_negative_samples(
+        pos, user_col="user", item_col="item", k=3, n_shards=4
+    )
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "windowspecdefinition(__shard" in plan, plan
+
+
+def test_mixture_temperature_sample_null_domain_policy(spark):
+    """NULL-domain rows are excluded up front: none appear in the output,
+    AND they do not consume budget — the realized sample over the real
+    domains is identical whether or not NULL-domain rows are present
+    (the r4 advisor finding: NULL mass must not deflate keep rates)."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        mixture_temperature_sample,
+    )
+
+    base = [(f"k{i}", "en" if i % 3 else "de") for i in range(300)]
+    clean = spark.createDataFrame(base, "k string, dom string")
+    dirty = spark.createDataFrame(
+        base + [(f"n{i}", None) for i in range(200)], "k string, dom string"
+    )
+    kw = dict(key_cols=["k"], domain_col="dom", budget=100, alpha=0.5)
+    out_clean = sorted(
+        map(tuple, mixture_temperature_sample(clean, **kw).collect())
+    )
+    out_dirty = sorted(
+        map(tuple, mixture_temperature_sample(dirty, **kw).collect())
+    )
+    assert out_clean == out_dirty
+    assert all(dom is not None for _, dom in out_dirty)
+    assert len(out_dirty) > 0
+
+
+def test_pack_sequences_sharded_by_default(spark):
+    """The default must be the sharded (scale) tier, not the global
+    single-reducer sort: with no n_shards argument, output spreads over
+    multiple shards; n_shards=None remains the explicit single-line
+    opt-in (all rows shard 0)."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(300)], "doc_id bigint, nt int"
+    )
+    default_shards = {
+        r.shard
+        for r in pack_sequences(
+            df, id_col="doc_id", n_tokens_col="nt", seq_len=16
+        ).collect()
+    }
+    assert len(default_shards) > 1
+    single = {
+        r.shard
+        for r in pack_sequences(
+            df, id_col="doc_id", n_tokens_col="nt", seq_len=16, n_shards=None
+        ).collect()
+    }
+    assert single == {0}
