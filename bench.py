@@ -70,11 +70,13 @@ def _latest_round_tag() -> str | None:
         return None
 
 
-def _ab_compare(spark, sf_dir: str, ref: str) -> float | None:
+def _ab_compare(spark, sf_dir: str, ref: str) -> tuple[float, dict] | None:
     """Interleaved A/B: min-of-2 counterbalanced passes (cur, base, base,
     cur) over headline queries + pipeline, both sides in this one session.
-    Returns current/baseline total ratio, or None if the ref can't be
-    checked out."""
+    Returns (current/baseline total ratio, {query: per-query ratio}) —
+    per-query ratios surface a single-query plan regression that the
+    total can hide (VERDICT r4 #5) — or None if the ref can't be checked
+    out."""
     wt = tempfile.mkdtemp(prefix="bdrr_ab_")
     try:
         subprocess.run(
@@ -113,7 +115,14 @@ def _ab_compare(spark, sf_dir: str, ref: str) -> float | None:
             return None
         cur_total = sum(best["cur"][n] for n in common)
         base_total = sum(best["base"][n] for n in common)
-        return round(cur_total / base_total, 3) if base_total > 0 else None
+        if base_total <= 0:
+            return None
+        per_query = {
+            n: round(best["cur"][n] / best["base"][n], 3)
+            for n in common
+            if best["base"][n] > 0
+        }
+        return round(cur_total / base_total, 3), per_query
     finally:
         # restore the working-tree import for any later use of this process
         _load_engine(REPO_ROOT)
@@ -203,9 +212,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_AB", "1") != "0":
         ref = os.environ.get("SPARK_GRAFT_BASELINE_REF") or _latest_round_tag()
         if ref:
-            ratio = _ab_compare(spark, sf_dir, ref)
-            if ratio is not None:
+            ab = _ab_compare(spark, sf_dir, ref)
+            if ab is not None:
+                ratio, per_query = ab
                 payload[f"ab_ratio_vs_{ref}"] = ratio
+                payload[f"ab_per_query_vs_{ref}"] = per_query
 
     print(json.dumps(payload))
 
