@@ -153,17 +153,38 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_images(
-    assets: DataFrame, *, width: int, height: int, decode_stub: str = "fake"
+    assets: DataFrame, *, width: int, height: int, decode_stub: str = "auto"
 ) -> DataFrame:
-    """Image resize over ``mapInPandas`` — the PIL/libvips call site is
-    stubbed (``'error'`` raises NotImplementedError where
-    ``Image.open(...).resize(...)`` would run; ``'fake'`` passes the
-    payload through and stamps the target dims) but the distributed
-    plumbing — Arrow batches of binary payloads in, binary out, schema
-    contract — is real and tested."""
+    """Image resize over ``mapInPandas``. Three decode tiers:
+
+    - ``'pil'`` — REAL decode: ``PIL.Image.open(...).resize(...)``,
+      re-encoded as PNG (importability checked up front on the driver so
+      a missing Pillow fails fast, not per-task).
+    - ``'fake'`` — payload passes through, target dims stamped; the
+      distributed plumbing (Arrow batches of binary in/out, schema
+      contract, NULL quarantine) is real and tested.
+    - ``'error'`` — raises NotImplementedError at the decode call site.
+
+    Default ``'auto'`` resolves to ``'pil'`` when Pillow is importable,
+    else ``'fake'`` — so the same code upgrades itself on a cluster whose
+    image has Pillow installed."""
+    if decode_stub == "auto":
+        try:
+            import PIL.Image  # noqa: F401
+
+            decode_stub = "pil"
+        except ImportError:
+            decode_stub = "fake"
+    elif decode_stub == "pil":
+        import PIL.Image  # noqa: F401  (fail fast on the driver)
 
     def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
+
+        if decode_stub == "pil":
+            import io
+
+            from PIL import Image
 
         for pdf in batches:
             out = []
@@ -173,11 +194,27 @@ def resize_images(
                         "image resize requires PIL/libvips; plug the real "
                         "decoder in here"
                     )
+                if payload is None:
+                    # NULL payload passes through as NULL (quarantine row)
+                    out.append(
+                        {
+                            "asset_id": int(asset_id),
+                            "payload": None,
+                            "width": width,
+                            "height": height,
+                        }
+                    )
+                    continue
+                data = bytes(payload)
+                if decode_stub == "pil":
+                    img = Image.open(io.BytesIO(data)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    data = buf.getvalue()
                 out.append(
                     {
                         "asset_id": int(asset_id),
-                        # NULL payload passes through as NULL (quarantine row)
-                        "payload": None if payload is None else bytes(payload),
+                        "payload": data,
                         "width": width,
                         "height": height,
                     }

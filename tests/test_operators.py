@@ -412,7 +412,12 @@ def test_multimodal_resize_and_frames(spark):
     )
     assets = attach_fake_media(df, id_col="doc_id", payload_from="text")
 
-    resized = {r.asset_id: r for r in resize_images(assets, width=64, height=64).collect()}
+    resized = {
+        r.asset_id: r
+        for r in resize_images(
+            assets, width=64, height=64, decode_stub="fake"
+        ).collect()
+    }
     assert resized[1].width == 64 and resized[1].height == 64
     assert bytes(resized[2].payload) == b"abc"  # fake path: pass-through
 
@@ -2042,3 +2047,33 @@ def test_pack_sequences_sharded_by_default(spark):
         ).collect()
     }
     assert single == {0}
+
+
+def test_resize_images_pil_real_decode(spark):
+    """Integration: a real generated PNG decoded, resized, and re-encoded
+    through mapInPandas when Pillow is importable (skips where it isn't —
+    the sandbox has no codecs; a cluster image with Pillow runs this)."""
+    import io
+
+    import pytest as _pytest
+
+    PIL_Image = _pytest.importorskip("PIL.Image")
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (8, 4), color=(10, 20, 30)).save(buf, format="PNG")
+    assets = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, None)],
+        "asset_id bigint, payload binary",
+    )
+    out = {
+        r.asset_id: r
+        for r in resize_images(
+            assets, width=16, height=16, decode_stub="pil"
+        ).collect()
+    }
+    img = PIL_Image.open(io.BytesIO(bytes(out[1].payload)))
+    assert img.size == (16, 16)
+    assert out[2].payload is None  # NULL quarantine survives the pil tier
