@@ -57,3 +57,55 @@ def conditional_agg(when_cond: Column, value: Column, agg: str = "sum") -> Colum
     (reference: cat_count_in_prefix / recency at py:479-483)."""
     fn = getattr(F, agg)
     return fn(F.when(when_cond, value))
+
+
+def time_decay_popularity(
+    events: DataFrame,
+    *,
+    item_col: str,
+    ts_col: str,
+    half_life_days: int = 1,
+    cap_half_lives: int = 30,
+) -> DataFrame:
+    """Exponentially time-decayed popularity with EXACT integer
+    arithmetic — the recency-weighted complement of the reference's raw
+    popularity candidates (prepare_training_data_pyspark.py:195-205): an
+    event ``a`` half-lives old contributes weight ``2^(cap - a)`` (cap at
+    ``cap_half_lives``; older events contribute the floor weight 1), so
+    ratios between scores follow exact exponential decay with the chosen
+    half-life and NOTHING is floating point: the per-event weight is a
+    bigint shift, the per-item score a bigint sum — bit-identical across
+    engines, partitionings, and summation orders (the float form
+    ``sum(0.5^age)`` is partition-order dependent).
+
+    The reference date is ``max(date(ts))`` over the input, computed as a
+    1-row aggregate and broadcast (no driver collect, no wall-clock
+    dependence — reruns on the same data give the same scores). NULL ts
+    or NULL item rows are dropped (no age / no identity). Output:
+    ``item_col``, ``decay_score`` (bigint), ``n_events`` (bigint).
+
+    Plan: one 1-row agg broadcast back + one map-side-combinable groupBy —
+    the fact rows shuffle once, as 16-byte (item, weight) partials.
+    """
+    if half_life_days < 1 or cap_half_lives < 1:
+        raise ValueError("half_life_days and cap_half_lives must be >= 1")
+    ev = events.filter(
+        F.col(ts_col).isNotNull() & F.col(item_col).isNotNull()
+    ).select(F.col(item_col), F.to_date(ts_col).alias("__d"))
+    ref = ev.agg(F.max("__d").alias("__ref"))
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .withColumn(
+            "__w",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {cap_half_lives} - "
+                f"CAST(least(datediff(__ref, __d) DIV {half_life_days}, "
+                f"{cap_half_lives}) AS INT))"
+            ),
+        )
+        .groupBy(item_col)
+        .agg(
+            F.sum("__w").cast("bigint").alias("decay_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )

@@ -490,3 +490,33 @@ def interval_overlap_join(
     if extra_cond is not None:
         out = out.filter(extra_cond)
     return out.drop("__cell")
+
+
+def dim_prefiltered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Manual runtime-filter join: broadcast the (already filtered) dim
+    side's DISTINCT join keys as a left-semi prune of the fact table
+    BEFORE the wide join — the explicit form of Spark's own
+    InjectRuntimeFilter (``spark.sql.optimizer.runtime.bloomFilter.*``),
+    usable at any size and for joins the optimizer's thresholds decline
+    (creation side > 10 MB / application side < 10 GB at defaults).
+
+    Why it matters at 100 TB: a selective dim predicate means most fact
+    rows have no match, yet a plain shuffle join still shuffles ALL of
+    them. The broadcast semi-join drops unmatched fact rows map-side, at
+    the scan, so the big exchange only carries survivors. The dim
+    distinct is dim-sized (tiny by assumption — same broadcastability
+    assumption the join itself makes); exactness of the semi filter
+    (vs bloom's false positives) costs the distinct but never re-checks.
+
+    Plan shape (asserted in tests/test_plans.py): BroadcastHashJoin
+    LeftSemi BELOW the fact-side Exchange of the main join.
+    """
+    keys = dim.select(*on).distinct()
+    pruned = fact.join(F.broadcast(keys), on, "left_semi")
+    return pruned.join(dim, on, how)

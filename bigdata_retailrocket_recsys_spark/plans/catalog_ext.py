@@ -3755,3 +3755,94 @@ def q_dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_bigstar(
         docs, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )
+
+
+@query(
+    "q_join_dim_prefiltered",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_orderpriority, o.o_totalprice
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 200000
+    """,
+)
+def q_join_dim_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual runtime-filter join (operators/joins.dim_prefiltered_join):
+    the selective dim side's distinct keys broadcast as a left-semi prune
+    of the fact BEFORE the wide join — unmatched fact rows die map-side
+    at the scan instead of riding the shuffle. The explicit form of
+    Spark's InjectRuntimeFilter, usable below its 10 GB application-side
+    threshold and exact (no bloom false positives). The main join is
+    merge-hinted so the prune is observable at toy SF (at real scale the
+    planner picks SMJ on its own). Plan shape asserted in test_plans."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import (
+        dim_prefiltered_join,
+    )
+
+    fact = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000)
+        )
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+    )
+    return dim_prefiltered_join(
+        fact, dim.hint("merge"), on=["l_orderkey"]
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+
+
+@query(
+    "q_popularity_decay",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+               CAST(ts AS DATE) AS d
+        FROM events
+        WHERE ts IS NOT NULL
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), ref AS (
+        SELECT MAX(d) AS ref_d FROM ev
+    )
+    SELECT item,
+           CAST(SUM(CAST(1 AS BIGINT) << (30 - LEAST(
+               CAST(date_diff('day', d, ref_d) AS INT), 30))) AS BIGINT)
+               AS decay_score,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ev CROSS JOIN ref
+    GROUP BY item
+    """,
+)
+def q_popularity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed item popularity with EXACT bigint
+    arithmetic (operators/aggregates.time_decay_popularity): weight =
+    2^(30 - age_days) per event (floor 1 past 30 days), so scores are
+    bit-identical across engines and summation orders — the
+    recency-weighted complement of the reference's raw popularity
+    candidates (py:195-205). Reference date = max event date, a 1-row
+    broadcast agg; one map-side-combinable shuffle of (item, weight)
+    partials."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        time_decay_popularity,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.get_json_object("props", "$.k").cast("bigint").alias("item")
+    )
+    return time_decay_popularity(
+        ev, item_col="item", ts_col="ts", half_life_days=1, cap_half_lives=30
+    )

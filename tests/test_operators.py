@@ -2077,3 +2077,44 @@ def test_resize_images_pil_real_decode(spark):
     img = PIL_Image.open(io.BytesIO(bytes(out[1].payload)))
     assert img.size == (16, 16)
     assert out[2].payload is None  # NULL quarantine survives the pil tier
+
+
+def test_time_decay_popularity_hand_computed(spark):
+    """Weights are exact bigint shifts: ref date = max event date; an
+    event a days old scores 2^(cap-a), floored at 1 beyond cap. NULL
+    ts/item rows are dropped."""
+    from datetime import datetime
+
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        time_decay_popularity,
+    )
+
+    rows = [
+        (1, datetime(2024, 3, 10, 5)),   # age 0 -> 2^30
+        (1, datetime(2024, 3, 9, 23)),   # age 1 -> 2^29
+        (2, datetime(2024, 2, 1, 0)),    # age 38 > cap -> 2^0 = 1
+        (2, datetime(2024, 3, 8, 0)),    # age 2 -> 2^28
+        (None, datetime(2024, 3, 10, 0)),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "item bigint, ts timestamp")
+    got = {
+        r.item: (r.decay_score, r.n_events)
+        for r in time_decay_popularity(
+            df, item_col="item", ts_col="ts", cap_half_lives=30
+        ).collect()
+    }
+    assert got == {
+        1: (2**30 + 2**29, 2),
+        2: (2**28 + 1, 2),
+    }
+
+    # half_life_days=2: ages 0,1 -> unit 0; age 2 -> unit 1
+    got2 = {
+        r.item: r.decay_score
+        for r in time_decay_popularity(
+            df, item_col="item", ts_col="ts", half_life_days=2,
+            cap_half_lives=10,
+        ).collect()
+    }
+    assert got2[1] == 2**10 + 2**10 and got2[2] == 2**9 + 1

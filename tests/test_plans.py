@@ -266,3 +266,29 @@ def test_incremental_minhash_broadcasts_batch(spark):
     plan = plan_str(QUERIES["q_dedup_incremental_minhash"].fn(spark, SF_DIR))
     assert "bdrr_corpus_sigs" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dim_prefiltered_join_prunes_before_shuffle(spark):
+    """The manual runtime filter must appear as a LeftSemi
+    BroadcastHashJoin on the fact side BELOW the merge-hinted main join —
+    unmatched fact rows die before the wide Exchange."""
+    plan = plan_str(QUERIES["q_join_dim_prefiltered"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" in plan  # main join honored the merge hint
+    semi_at = plan.find("LeftSemi")
+    assert semi_at != -1 and "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_negative_sample_catalog_window_is_sharded(spark):
+    """The negative-sampling cumulative-weight window must be partitioned
+    (by __shard) — never a global single-reducer sort over the catalog."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        popularity_negative_samples,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_DIR, "events").selectExpr(
+        "user_id", "CAST(get_json_object(props, '$.k') AS BIGINT) AS item"
+    )
+    df = popularity_negative_samples(ev, user_col="user_id", item_col="item")
+    plan = plan_str(df)
+    assert "windowspecdefinition(__shard" in plan
