@@ -630,10 +630,17 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over near-dup
     candidate pairs (the step after any pairwise dedup — LSH/Jaccard pairs
     only say "a~b"; picking one canonical doc per GROUP needs components).
+
+    ``strict`` (default): raise RuntimeError if labels have not converged
+    after ``max_iter`` rounds instead of silently returning a partial
+    (over-segmented) clustering — a graph deeper than ``max_iter`` should
+    use :func:`connected_components_bigstar` (O(log² n) rounds), which the
+    error message points at. ``strict=False`` restores best-effort labels.
 
     Iterative min-label propagation: every node starts labeled with its own
     id; each round a node takes the min of its label and its neighbors'
@@ -679,6 +686,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds (graph diameter exceeds max_iter) — returning "
+                "labels here would silently over-segment clusters. Use "
+                "connected_components_bigstar (O(log^2 n) rounds) or "
+                "raise max_iter / pass strict=False."
+            )
     return labels.select(
         F.col("__n").alias(node_col), F.col("__lbl").alias("cluster_id")
     )

@@ -2118,3 +2118,23 @@ def test_time_decay_popularity_hand_computed(spark):
         ).collect()
     }
     assert got2[1] == 2**10 + 2**10 and got2[2] == 2**9 + 1
+
+
+def test_connected_components_strict_nonconvergence_raises(spark):
+    """A chain deeper than max_iter must raise loudly (silent partial
+    labels over-segment clusters); strict=False restores best-effort."""
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(RuntimeError, match="bigstar"):
+        connected_components(nodes, edges, max_iter=3)
+    out = connected_components(nodes, edges, max_iter=3, strict=False)
+    assert out.count() == n  # partial labels still produced on opt-out
