@@ -48,6 +48,22 @@ def main() -> None:
     spark = get_spark(
         "bdrr-scale-bench",
         driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # 32 partitions is right for sf0.1 (see session.py note) but at
+        # >=100M events one partition's sort working set reaches GBs; scale
+        # partition count with volume so spills are many-small not few-huge
+        # (AQE coalesces the small-stage excess back down).
+        shuffle_partitions=max(32, target_events // 500_000),
+        extra_conf={
+            # Spill-bound at >=100M events on one box: the covis/feature
+            # shuffles exceed local-disk capacity under lz4 (measured r5:
+            # 100M died SPILL_OUT_OF_MEMORY / no-space on an ~80 GB /tmp).
+            # zstd shrinks shuffle+spill bytes ~2x for ~equal CPU here —
+            # the standard config for spill-bound jobs; override with
+            # SPARK_GRAFT_IO_CODEC=lz4 to A/B.
+            "spark.io.compression.codec": os.environ.get(
+                "SPARK_GRAFT_IO_CODEC", "zstd"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
