@@ -2138,3 +2138,46 @@ def test_connected_components_strict_nonconvergence_raises(spark):
         connected_components(nodes, edges, max_iter=3)
     out = connected_components(nodes, edges, max_iter=3, strict=False)
     assert out.count() == n  # partial labels still produced on opt-out
+
+
+def test_connected_components_bigstar_large_random_graph(spark):
+    """5k-node random graph (mixed chains + hubs + singletons): bigstar
+    must agree with a driver-side union-find exactly, and converge well
+    under max_iter. Deterministic generator (no RNG seed plumbing)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components_bigstar,
+    )
+
+    n = 5000
+    # deterministic edge mix: local chains, long-range hops, hub spokes
+    edges = (
+        [(i, i + 1) for i in range(0, n - 1, 3)]
+        + [(i, (i * 7919) % n) for i in range(0, n, 11)]
+        + [((i * 104729) % n, (i * 15485863) % n) for i in range(0, n, 17)]
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node bigint")
+    edf = spark.createDataFrame(edges, "src bigint, dst bigint")
+    stats: dict = {}
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components_bigstar(
+            nodes, edf, stats=stats
+        ).collect()
+    }
+    assert stats["rounds"] <= 15, stats["rounds"]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {i: find(i) for i in range(n)}
+    assert got == expect
