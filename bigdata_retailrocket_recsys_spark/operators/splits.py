@@ -258,3 +258,82 @@ def mixture_temperature_sample(
     if rate_col is not None:
         out = out.withColumn(rate_col, F.col("_rate"))
     return out.drop("_dom", "_rate", "_thresh")
+
+
+def mixture_temperature_resample(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    domain_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    rep_col: str = "rep",
+) -> DataFrame:
+    """Temperature mixture with UPSAMPLING — the other half of
+    :func:`mixture_temperature_sample`: that op caps every domain's keep
+    rate at 1 (pure downsampling), but a true temperature mixture REPEATS
+    rare-domain rows when ``B * w_i / n_i > 1`` (the repetition-factor /
+    epoch-count knob every LLM mixture spec carries). Each row is emitted
+    ``floor(rate)`` times plus one more when its md5 16-bit bucket falls
+    under the fractional remainder — deterministic across engines, runs,
+    and partitionings, no RNG. Output: input columns + ``rep_col``
+    (1..copies, so downstream shuffles can spread the copies).
+
+    Expected output size is ``budget`` rows exactly in expectation, per
+    domain ``n_i * rate_i``. NULL domains are dropped up front (same
+    policy, and same reason, as the downsampling op). Rows whose copy
+    count is 0 are dropped before the explode (Spark's ``sequence(1,0)``
+    would DESCEND, not return empty — the guard is semantic, not just an
+    optimization).
+
+    Plan shape: identical to the downsampler (tiny domain-count agg,
+    broadcast back, narrow hash arithmetic) plus one Generate (explode) —
+    fact rows still never shuffle; output fan-out is bounded by
+    ``ceil(max rate)`` copies per row.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    df = df.filter(F.col(domain_col).isNotNull())
+    if alpha == 1.0:
+        s = F.col("_n").cast("double") * 1e9
+    elif alpha == 0.5:
+        s = F.sqrt(F.col("_n").cast("double")) * 1e9
+    else:
+        s = F.pow(F.col("_n").cast("double"), F.lit(alpha)) * 1e9
+    weights = (
+        df.groupBy(F.col(domain_col).alias("_dom"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_s", F.floor(s).cast("bigint"))
+    )
+    tot = weights.agg(F.sum("_s").alias("_tot"))
+    rates = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_rate",
+            F.lit(float(budget))
+            * F.col("_s").cast("double")
+            / F.col("_tot").cast("double")
+            / F.col("_n").cast("double"),
+        )
+        .withColumn("_base", F.floor(F.col("_rate")).cast("bigint"))
+        .withColumn(
+            "_fthresh",
+            F.floor(
+                (F.col("_rate") - F.floor(F.col("_rate"))) * F.lit(65536.0)
+            ).cast("bigint"),
+        )
+        .select("_dom", "_base", "_fthresh")
+    )
+    bucket = F.conv(_bucket_hex(key_cols), 16, 10).cast("bigint")
+    return (
+        df.join(F.broadcast(rates), F.col(domain_col) == F.col("_dom"), "inner")
+        .withColumn(
+            "_copies",
+            F.col("_base") + (bucket < F.col("_fthresh")).cast("bigint"),
+        )
+        .filter(F.col("_copies") >= 1)
+        .withColumn(
+            rep_col, F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("_copies")))
+        )
+        .drop("_dom", "_base", "_fthresh", "_copies")
+    )

@@ -3846,3 +3846,61 @@ def q_popularity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_decay_popularity(
         ev, item_col="item", ts_col="ts", half_life_days=1, cap_half_lives=30
     )
+
+
+@query(
+    "q_mixture_resample",
+    oracle="""
+    WITH n AS (
+        SELECT lang AS dom, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ), w AS (
+        SELECT dom, n,
+               CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS s
+        FROM n
+    ), t AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS tot FROM w
+    ), r AS (
+        SELECT dom,
+               CAST(FLOOR(rate) AS BIGINT) AS base,
+               CAST(FLOOR((rate - FLOOR(rate)) * 65536.0) AS BIGINT)
+                   AS fthresh
+        FROM (
+            SELECT dom,
+                   CAST(600 AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(t.tot AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+            FROM w CROSS JOIN t
+        )
+    ), c AS (
+        SELECT d.doc_id, d.lang,
+               r.base + CASE WHEN
+                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                       ::BIGINT < r.fthresh
+                   THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN r ON d.lang = r.dom
+    )
+    SELECT doc_id, lang,
+           CAST(unnest(generate_series(1, copies)) AS BIGINT) AS rep
+    FROM c WHERE copies >= 1
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture with UPSAMPLING (operators/splits
+    .mixture_temperature_resample, alpha=0.5, budget=600): rare languages
+    get rate > 1 and their rows are REPEATED floor(rate) times plus a
+    hash-thinned fractional copy — the repetition-factor half of the
+    mixture spec that q_mixture_sample's capped keep-rate can't express.
+    Deterministic (md5 16-bit fractional draw, no RNG); per-row copy
+    fan-out bounded by ceil(max rate). Oracle: identical IEEE rate
+    arithmetic + generate_series unnest."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        mixture_temperature_resample,
+    )
+
+    return mixture_temperature_resample(
+        _t(spark, sf_dir, "documents"),
+        key_cols=["doc_id"],
+        domain_col="lang",
+        budget=600,
+        alpha=0.5,
+    ).select("doc_id", "lang", "rep")

@@ -2181,3 +2181,38 @@ def test_connected_components_bigstar_large_random_graph(spark):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {i: find(i) for i in range(n)}
     assert got == expect
+
+
+def test_mixture_temperature_resample_upsamples_rare_domains(spark):
+    """Rare domains with rate > 1 get repeated rows (rep up to
+    ceil(rate)); realized total tracks the budget in expectation; NULL
+    domains are dropped; membership is repartition-stable."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        mixture_temperature_resample,
+    )
+
+    rows = (
+        [(f"c{i}", "common") for i in range(900)]
+        + [(f"r{i}", "rare") for i in range(100)]
+        + [(f"x{i}", None) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "k string, dom string")
+    kw = dict(key_cols=["k"], domain_col="dom", budget=1000, alpha=0.5)
+    out = mixture_temperature_resample(df, **kw)
+    rows_out = out.collect()
+    # w_common = 30/(30+10); rate_common = 1000*0.75/900 = 0.833;
+    # rate_rare = 1000*0.25/100 = 2.5 -> every rare row appears >= 2 times
+    per_dom = {}
+    for r in rows_out:
+        per_dom.setdefault(r.dom, []).append(r)
+    assert None not in per_dom
+    assert max(r.rep for r in per_dom["rare"]) >= 2
+    assert all(r.rep == 1 for r in per_dom["common"])
+    n_rare = len(per_dom["rare"])
+    assert abs(n_rare - 250) <= 30, n_rare        # 100 * 2.5
+    n_common = len(per_dom["common"])
+    assert abs(n_common - 750) <= 60, n_common    # 900 * 0.833
+    again = sorted(
+        map(tuple, mixture_temperature_resample(df.repartition(13), **kw).collect())
+    )
+    assert sorted(map(tuple, rows_out)) == again
