@@ -355,3 +355,74 @@ def token_repetition(
             .alias("is_repetitive"),
         )
     )
+
+
+def lm_bigram_score(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM document quality score — the CCNet/Gopher-style "language
+    model perplexity" filter expressed relationally: train a bigram LM on
+    the corpus ITSELF (conditional P(w2|w1) = c(w1,w2) / c(w1,·)) and
+    score each document by its mean bigram log-probability. Documents full
+    of corpus-typical word transitions score high; boilerplate/gibberish
+    with rare transitions scores low — the standard pretraining-curation
+    signal, with no external model artifact to ship.
+
+    Output: ``id_col``, ``n_bigrams`` (bigint), ``lm_logprob_u`` (bigint —
+    the sum of per-bigram ``floor(ln(p)*1e6)`` quanta; exact, mergeable),
+    ``lm_score`` (double — ONE IEEE division ``lm_logprob_u/n_bigrams``,
+    bit-stable cross-engine per the catalog float rules). Docs with no
+    bigrams (<2 tokens or NULL text) are absent from the output.
+
+    Plan shape at scale: bigrams are assembled INSIDE the token array
+    (zip_with over shifted slices — no posexplode/window) then exploded
+    once; the bigram-count table is one map-side-combinable agg of that
+    explode; the left-context totals c(w1,·) come from RE-AGGREGATING the
+    count table (no second pass over the fact bigrams — the
+    target_encode_oof move); the probability join shuffles fact bigrams
+    once against the one-row-per-bigram count table (AQE skew split
+    handles hot function words); the per-doc rollup is the second and
+    last fact shuffle.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    sz = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(sz - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(sz - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        docs.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("__n12").alias("__n1"))
+    q = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            F.log(
+                F.col("__n12").cast("double") / F.col("__n1").cast("double")
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("__q"),
+    )
+    return (
+        bg.join(q, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("__q").cast("bigint").alias("lm_logprob_u"),
+        )
+        .withColumn(
+            "lm_score",
+            F.col("lm_logprob_u").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+    )

@@ -3904,3 +3904,49 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=600,
         alpha=0.5,
     ).select("doc_id", "lang", "rep")
+
+
+@query(
+    "q_lm_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+    ), c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+        FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1
+    ), q AS (
+        SELECT w1, w2,
+               CAST(FLOOR(ln(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                    * 1e6) AS BIGINT) AS qv
+        FROM c12 JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(qv) AS BIGINT) AS lm_logprob_u,
+           CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS lm_score
+    FROM bg JOIN q USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM quality score (operators/text.lm_bigram_score):
+    the CCNet/Gopher LM-perplexity curation filter with the LM trained on
+    the corpus itself — mean bigram conditional log-prob per document,
+    µ-floored per bigram (float rule 3) then ONE IEEE division. No
+    external model artifact; two fact shuffles total (bigram-prob join +
+    per-doc rollup), counts map-side combined, left-context totals
+    re-aggregated from the count table instead of a second corpus pass."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        lm_bigram_score,
+    )
+
+    return lm_bigram_score(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )

@@ -2216,3 +2216,32 @@ def test_mixture_temperature_resample_upsamples_rare_domains(spark):
         map(tuple, mixture_temperature_resample(df.repartition(13), **kw).collect())
     )
     assert sorted(map(tuple, rows_out)) == again
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    """Bigram LM on a 3-doc corpus, hand-checked: P(w2|w1) = c12/c1 over
+    corpus bigrams; doc score = mean of floor(ln(p)*1e6). Docs with < 2
+    tokens are absent."""
+    import math
+
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        lm_bigram_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "a c"), (4, "x"), (5, None)],
+        "doc_id bigint, text string",
+    )
+    # corpus bigrams: d1: (a,b),(b,a),(a,b); d2: (a,b); d3: (a,c)
+    # c(a,b)=3 c(b,a)=1 c(a,c)=1; c(a,.)=4 c(b,.)=1
+    q_ab = math.floor(math.log(3 / 4) * 1e6)
+    q_ba = math.floor(math.log(1 / 1) * 1e6)  # = 0
+    q_ac = math.floor(math.log(1 / 4) * 1e6)
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_logprob_u, r.lm_score)
+        for r in lm_bigram_score(df).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3, 2 * q_ab + q_ba, (2 * q_ab + q_ba) / 3)
+    assert got[2] == (1, q_ab, float(q_ab))
+    assert got[3] == (1, q_ac, float(q_ac))
