@@ -97,3 +97,81 @@ def pagerank(
         if i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list.
+
+    Input edges may be directed/duplicated either way; they are first
+    canonicalized to distinct undirected ``(u < v)`` pairs. Enumeration
+    uses the degree-orientation optimization (Schank/Wagner; the
+    MapReduce form is Suri & Vassilvitskii's "Counting triangles and the
+    curse of the last reducer", WWW'11): every undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher one, so
+    wedges are only built at each triangle's *lowest-order* apex. That
+    bounds the wedge fan-out by O(m^1.5) overall instead of Σ deg(v)²
+    — the hub vertex of a star graph generates ZERO wedges because all
+    its edges point inward. Each triangle is found exactly once, then
+    exploded to its three vertices for the per-vertex rollup.
+
+    Shuffle shape: degree agg (map-side combinable) + two self-joins on
+    vertex keys + one final groupBy — all hash-partitioned on vertex /
+    edge keys; no driver collection, no iteration.
+
+    Returns ``(vtx, n_tri)`` — vertices in ≥1 triangle only.
+    Complements the reference's popularity/co-visitation signals
+    (py:331-340) with a cohesion signal; oracle-checked against the
+    naive a<b<c enumeration in DuckDB (orientation changes which join
+    finds a triangle, never the triangle set).
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("vtx"))
+        .unionAll(und.select(F.col("v").alias("vtx")))
+        .groupBy("vtx")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge low→high in the (deg, id) total order
+    with_deg = (
+        und.join(deg.withColumnRenamed("vtx", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("vtx", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("d"),
+    ).select("s", F.col("d.v").alias("d"), F.col("d.dv").alias("dd"))
+    # wedges at the apex: two out-neighbors a<b in the (deg, id) order
+    e1 = oriented.select(F.col("s"), F.col("d").alias("a"), F.col("dd").alias("da"))
+    e2 = oriented.select(F.col("s"), F.col("d").alias("b"), F.col("dd").alias("db"))
+    wedges = e1.join(e2, "s").filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    # close the wedge: an oriented a→b edge exists (inner join cannot
+    # duplicate — oriented edges are distinct)
+    closed = wedges.join(
+        oriented.select(F.col("s").alias("a"), F.col("d").alias("b")),
+        ["a", "b"],
+        "inner",
+    )
+    tri_vertices = closed.select(
+        F.explode(F.array("s", "a", "b")).alias("vtx")
+    )
+    return tri_vertices.groupBy("vtx").agg(
+        F.count("*").cast("bigint").alias("n_tri")
+    )

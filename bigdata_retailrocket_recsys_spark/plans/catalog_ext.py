@@ -3950,3 +3950,166 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_bigram_score(
         _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery surface + graph cohesion (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-03-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-06-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: EXISTS correlated subquery → left-semi join.
+
+    Adapted to this schema (no l_commitdate/l_receiptdate): "late" means a
+    lineitem shipped >30 days after the order date. Expressed through the
+    SQL front door so Catalyst's subquery decorrelation (RewritePredicate
+    Subquery → LeftSemi) is exercised, not hand-rewritten: the plan shows
+    a semi join with the date residual as its join condition, orders-side
+    date filter pushed to the scan. Counts are exact ints."""
+    load = _t  # ensure both tables registered through the pinned readers
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM v_orders o
+        WHERE o.o_orderdate >= TIMESTAMP'1996-03-01'
+          AND o.o_orderdate <  TIMESTAMP'1996-06-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_nationkey
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+              * (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+          < (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+             WHERE c3.c_nationkey = c.c_nationkey)
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery: customers with above-nation-
+    average balance. Catalyst decorrelates to a per-nation aggregate +
+    equi-join (25 nation rows broadcast back onto the fact side) — the
+    classic decorrelation rewrite, left to the optimizer rather than
+    hand-written. Two scalar subqueries because Spark requires outer
+    references to sit in the subquery WHERE, not its select list. Float
+    trap avoided by comparing ``n·balᵢ < Σ bal`` in exact DECIMAL
+    arithmetic instead of dividing (cross-engine AVG of doubles is
+    reduction-order dependent; see plans/catalog.py rules). NULL
+    balances drop out identically on both engines (NULL comparison →
+    filtered)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_nationkey
+        FROM v_customer c
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+                  * (SELECT CAST(COUNT(*) AS BIGINT) FROM v_customer c2
+                     WHERE c2.c_nationkey = c.c_nationkey)
+              < (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2)))
+                 FROM v_customer c3
+                 WHERE c3.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "q_subquery_not_in",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT o.o_custkey FROM orders o
+                              WHERE o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a possibly-NULL subquery column — the null-aware anti
+    join. Distinct from `q_join_anti` (NOT EXISTS): if ANY subquery row
+    is NULL, three-valued logic makes every NOT IN row UNKNOWN and the
+    result is EMPTY — Spark plans a null-aware BroadcastNestedLoopJoin
+    rather than a plain anti join to honor that. Both engines implement
+    the same SQL-standard trap, so the oracle matches on the clean
+    fixture (non-trivial rows) AND the adversarial fixture (NULL
+    custkeys legally empty the result)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM v_customer c
+        WHERE c.c_custkey NOT IN (SELECT o.o_custkey FROM v_orders o
+                                  WHERE o.o_orderpriority = '1-URGENT')
+        """
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT vtx, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM (SELECT a AS vtx FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY vtx
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the co-purchase graph (parts linked
+    when they appear in the same order). Spark side enumerates with the
+    degree-orientation optimization (operators/graph.triangle_counts —
+    wedges only at each triangle's lowest-(deg,id) apex, O(m^1.5) wedge
+    bound, hub vertices generate zero wedges); the oracle enumerates
+    naively with a<b<c. Orientation changes which join FINDS a triangle,
+    never the triangle set, so the counts must agree exactly — that
+    equivalence is the correctness check."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_counts(edges)

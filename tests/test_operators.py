@@ -2245,3 +2245,42 @@ def test_lm_bigram_score_hand_computed(spark):
     assert got[1] == (3, 2 * q_ab + q_ba, (2 * q_ab + q_ba) / 3)
     assert got[2] == (1, q_ab, float(q_ab))
     assert got[3] == (1, q_ac, float(q_ac))
+
+
+def test_triangle_counts_hand_graphs(spark):
+    """K4: 4 triangles, every vertex in 3. Chain: none. Input edges may be
+    duplicated/reversed/self-looped — canonicalization must absorb them."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    # add noise: duplicates + self loop
+    edges = spark.createDataFrame(
+        k4 + [(1, 2), (2, 1), (3, 3)], "src bigint, dst bigint"
+    )
+    got = {r.vtx: r.n_tri for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    assert triangle_counts(chain).count() == 0
+
+
+def test_triangle_counts_star_plus_one(spark):
+    """Hub star + one rim edge = exactly 1 triangle; hub's high degree
+    must not blow up wedge fan-out (degree-orientation points star edges
+    INTO the hub, so the hub generates zero wedges)."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    star = [(0, i) for i in range(1, 40)] + [(1, 2)]
+    got = {
+        r.vtx: r.n_tri
+        for r in triangle_counts(
+            spark.createDataFrame(star, "src bigint, dst bigint")
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
