@@ -426,3 +426,130 @@ def lm_bigram_score(
             / F.col("n_bigrams").cast("double"),
         )
     )
+
+
+#: BM25 per-(doc,term) contribution, µ-floored (float rule 3). ONE template
+#: formatted with column names for BOTH engines, so Spark's F.expr and the
+#: DuckDB oracle parse the exact same IEEE expression tree (left-assoc
+#: *,/ — bit-identical; ln carries the same 1-ulp-then-floor contract as
+#: tfidf/lm_bigram_score). avgdl never materializes: b*dl/avgdl is written
+#: b*dl*N/totdl to stay in exact-int numerators as long as possible.
+BM25_CONTRIB_SQL = (
+    "CAST(FLOOR(ln((CAST({N} AS DOUBLE) - CAST({df} AS DOUBLE) + 0.5)"
+    " / (CAST({df} AS DOUBLE) + 0.5) + 1.0)"
+    " * (CAST({tf} AS DOUBLE) * CAST({k1p1} AS DOUBLE))"
+    " / (CAST({tf} AS DOUBLE) + CAST({k1_1mb} AS DOUBLE)"
+    "    + CAST({k1b} AS DOUBLE) * CAST({dl} AS DOUBLE)"
+    "      * CAST({N} AS DOUBLE) / CAST({totdl} AS DOUBLE))"
+    " * 1e6) AS BIGINT)"
+)
+
+
+def _bag_tokens(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, term) bag: whitespace split of trim(lower(text)), empties
+    dropped; NULL text yields no rows (explode(NULL) ≡ unnest(NULL))."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Build a term → posting-list inverted index (the text-search-at-rest
+    primitive; also the exchange format for distributed retrieval).
+
+    Returns ``(term, n_df, postings)`` where ``postings`` is the first
+    ``max_postings`` doc ids in ascending order, comma-joined. The df
+    count is over ALL matching docs; only the materialized list is
+    capped — at 100 TB a stopword's full posting list is the corpus
+    itself, so unbounded collect_list is exactly the skew trap the cap
+    exists for (pair with `min_df` to drop hapax noise). One shuffle:
+    per-doc distinct terms reuse the doc partitioning; the groupBy(term)
+    is the only data exchange; collect_set is bounded by the cap only
+    after sorting, so ties are impossible (ids are distinct).
+    """
+    tok = _bag_tokens(docs, id_col, text_col).select(
+        F.col(id_col), "term"
+    ).distinct()
+    postings = F.array_join(
+        F.transform(
+            F.slice(F.sort_array(F.collect_set(id_col)), 1, max_postings),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_df"),
+            postings.alias("postings"),
+        )
+        .filter(F.col("n_df") >= min_df)
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranking of documents against a fixed term query (Robertson/
+    Sparck Jones; the Lucene-default scoring function) as a pure
+    relational plan.
+
+    Per-(doc,term) contributions are µ-floored bigints (BM25_CONTRIB_SQL
+    — identical tree in the DuckDB oracle), summed exactly per doc, so
+    the ranking is deterministic cross-engine. Shuffle shape: token bag
+    → per-doc lengths (map-side combinable) + per-(doc,term) tf for the
+    query terms only (term filter pushed before the shuffle); df and
+    corpus stats are tiny aggregates broadcast back. Global top-k
+    compiles to TakeOrderedAndProject — no full sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tok = _bag_tokens(docs, id_col, text_col)
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_dl").cast("bigint").alias("tot_dl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(query_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_df"))
+    contrib = F.expr(
+        BM25_CONTRIB_SQL.format(
+            N="n_docs", df="n_df", tf="n_tf", dl="n_dl", totdl="tot_dl",
+            k1p1=repr(k1 + 1.0), k1_1mb=repr(k1 * (1.0 - b)), k1b=repr(k1 * b),
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum(contrib).cast("bigint").alias("bm25_u"),
+        )
+        .orderBy(F.col("bm25_u").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

@@ -190,3 +190,73 @@ def resample_ffill(
     return grid.join(latest, [*key_cols, "bucket"], "left").withColumn(
         "value_ffill", F.last(value_col, ignorenulls=True).over(w_ffill)
     ).drop(value_col)
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: list[Column],
+    k: int,
+    *,
+    n_shards: int = 32,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """SQL ``NTILE(k) OVER (ORDER BY ...)`` without the single-reducer
+    window a global ORDER BY normally compiles to.
+
+    Range-partition on the order columns (shards are order-contiguous),
+    ``row_number`` per shard, then add each shard's offset from a
+    broadcast ``n_shards``-row count table — the same shard+offset move
+    as ``features.popularity_negative_samples`` / ``pack_sequences``.
+    The global rank is exact, so the closed-form NTILE bucket
+    (first ``n % k`` buckets get ``n div k + 1`` rows, the rest
+    ``n div k``) is bit-identical to the SQL function for ANY
+    ``n_shards``.
+
+    ``order_by`` must be a TOTAL order (include a unique tiebreaker) —
+    with ties the rank, and therefore the bucket, would be
+    partitioner-dependent. At 100 TB this is the quantile-bucketing
+    primitive (RFM scores, decile features): facts flow through one
+    range exchange instead of funnelling into one task.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    part = df.repartitionByRange(n_shards, *order_by).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("__shard").orderBy(*order_by)),
+    )
+    counts = local.groupBy("__shard").agg(F.count(F.lit(1)).alias("__cnt"))
+    offs = counts.select(
+        "__shard",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy("__shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("__off"),
+        F.sum("__cnt")
+        .over(
+            Window.orderBy("__shard").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("__n"),
+    )
+    res = local.join(F.broadcast(offs), "__shard")
+    # NTILE closed form over global rank r in [1, n]:
+    #   q = n div k, m = n % k; first m buckets hold q+1 rows.
+    r = "(__rn + __off)"
+    q = f"(__n div {k})"
+    m = f"(__n % {k})"
+    bucket = F.expr(
+        f"CASE WHEN {r} <= ({q} + 1) * {m} THEN ({r} - 1) div ({q} + 1) + 1 "
+        f"ELSE {m} + ({r} - ({q} + 1) * {m} - 1) div {q} + 1 END"
+    ).cast("int")
+    return res.withColumn(out_col, bucket).drop("__shard", "__rn", "__off", "__n")

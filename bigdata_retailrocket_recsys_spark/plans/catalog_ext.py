@@ -4113,3 +4113,214 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# Text search at rest + vector quantization + RFM (round 5)
+# ---------------------------------------------------------------------------
+
+from bigdata_retailrocket_recsys_spark.operators.text import (  # noqa: E402
+    BM25_CONTRIB_SQL,
+    bm25_scores,
+    inverted_index,
+)
+
+_BM25_ORACLE_CONTRIB = BM25_CONTRIB_SQL.format(
+    N="n_docs", df="n_df", tf="n_tf", dl="n_dl", totdl="tot_dl",
+    k1p1=repr(2.2), k1_1mb=repr(1.2 * 0.25), k1b=repr(1.2 * 0.75),
+)
+
+
+@query(
+    "q_text_inverted_index",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_df,
+           array_to_string(
+               list_slice(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),
+                          1, 20), ',') AS postings
+    FROM tok WHERE term <> ''
+    GROUP BY term HAVING COUNT(*) >= 2
+    """,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → posting-list inverted index (operators/text.inverted_index):
+    the text-search-at-rest primitive. df counted over ALL docs; the
+    materialized list capped at 20 ids (a stopword's full posting list IS
+    the corpus — the cap is the skew guard). One data shuffle."""
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=2, max_postings=20
+    )
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dl
+        FROM tok2 GROUP BY doc_id
+    ), st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_dl) AS BIGINT) AS tot_dl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_tf
+        FROM tok2 WHERE term IN ('join', 'hash', 'spark')
+        GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_df FROM tf GROUP BY term
+    ), c AS (
+        SELECT doc_id, {_BM25_ORACLE_CONTRIB} AS u
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(SUM(u) AS BIGINT) AS bm25_u
+    FROM c GROUP BY doc_id
+    ORDER BY bm25_u DESC NULLS LAST, doc_id ASC LIMIT 10
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 docs for a 3-term query (operators/text.bm25_scores,
+    k1=1.2 b=0.75 — the Lucene defaults). Per-(doc,term) contributions
+    are µ-floored through ONE expression template shared verbatim with
+    the oracle (BM25_CONTRIB_SQL), summed exactly; term filter pushed
+    below the tf shuffle; corpus stats broadcast; top-k is
+    TakeOrderedAndProject."""
+    return bm25_scores(
+        _t(spark, sf_dir, "documents"), ["join", "hash", "spark"], top_k=10
+    )
+
+
+@query(
+    "q_vector_quantize",
+    oracle="""
+    WITH el AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), f AS (
+        SELECT * FROM el
+        WHERE v IS NOT NULL AND NOT isnan(v) AND NOT isinf(v)
+    ), st AS (
+        SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM f GROUP BY i
+    )
+    SELECT vec_id, i,
+           CAST(CASE WHEN mx > mn
+                     THEN FLOOR((v - mn) * CAST(255 AS DOUBLE) / (mx - mn))
+                     ELSE 0 END AS INTEGER) AS code
+    FROM f JOIN st USING (i)
+    """,
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus —
+    the 4× at-rest compression step before ANN indexing (IVF/PQ family).
+    Per-dim min/max are EXACT double aggregates (no reduction-order
+    dependence), broadcast back (dim-count rows); the code formula is
+    one shared IEEE tree so floor() agrees bit-for-bit cross-engine.
+    NaN/±inf/NULL elements are excluded from both range and output
+    identically on both engines. Facts shuffle once (groupBy dim on a
+    64-row key space is the broadcast side, not the fact side)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode(to_double_array("embedding")).alias("i0", "v")
+    )
+    v = F.col("v")
+    f = el.select(
+        "vec_id", (F.col("i0") + 1).cast("bigint").alias("i"), v
+    ).filter(v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf")))
+    st = f.groupBy("i").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor((v - F.col("mn")) * F.lit(255.0) / (F.col("mx") - F.col("mn"))),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return f.join(F.broadcast(st), "i").select("vec_id", "i", code.alias("code"))
+
+
+@query(
+    "q_rfm",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MAX(epoch_us(ts)) AS last_us,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                        ELSE CAST(value AS DECIMAL(18,2)) END) AS mon_dec
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), m AS (SELECT MAX(last_us) AS mx FROM u)
+    SELECT user_id,
+           mx - last_us AS recency_us,
+           frequency,
+           CAST(mon_dec AS DOUBLE) AS monetary,
+           CAST(NTILE(4) OVER (ORDER BY mx - last_us ASC NULLS LAST,
+                               user_id ASC) AS INTEGER) AS r_score,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC NULLS LAST,
+                               user_id ASC) AS INTEGER) AS f_score,
+           CAST(NTILE(4) OVER (ORDER BY mon_dec DESC NULLS LAST,
+                               user_id ASC) AS INTEGER) AS m_score
+    FROM u CROSS JOIN m
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartiles) — the
+    classic CRM scoring query. Each NTILE goes through operators/windows.
+    global_ntile: range-shard + per-shard row_number + broadcast offset
+    table, NO single-reducer global window (the oracle's NTILE is the
+    semantic spec, not the plan). Orders are total (user_id tiebreak)
+    with explicit NULLS LAST on both engines (Spark's asc default is
+    nulls-FIRST — the cross-engine trap). Monetary sums are NaN-guarded
+    decimals cast to double only for output."""
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_ntile,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(_dec_value("value")).alias("mon_dec"),
+    )
+    mx = u.agg(F.max("last_us").alias("mx"))
+    rfm = u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.col("mx") - F.col("last_us")).alias("recency_us"),
+        "frequency",
+        "mon_dec",
+    )
+    rfm = global_ntile(
+        rfm,
+        [F.col("recency_us").asc_nulls_last(), F.col("user_id").asc()],
+        4,
+        out_col="r_score",
+    )
+    rfm = global_ntile(
+        rfm,
+        [F.col("frequency").desc_nulls_last(), F.col("user_id").asc()],
+        4,
+        out_col="f_score",
+    )
+    rfm = global_ntile(
+        rfm,
+        [F.col("mon_dec").desc_nulls_last(), F.col("user_id").asc()],
+        4,
+        out_col="m_score",
+    )
+    return rfm.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        F.col("mon_dec").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+    )

@@ -2284,3 +2284,31 @@ def test_triangle_counts_star_plus_one(spark):
         ).collect()
     }
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    """Sharded global_ntile must equal the single-reducer SQL NTILE for
+    every k and any shard count — including n not divisible by k."""
+    from pyspark.sql import Window
+
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_ntile,
+    )
+
+    df = spark.range(0, 103).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("metric")
+    )
+    order = [F.col("metric").asc(), F.col("id").asc()]
+    for k in (1, 2, 4, 7):
+        for shards in (1, 5, 32):
+            got = {
+                r.id: r.ntile
+                for r in global_ntile(df, order, k, n_shards=shards).collect()
+            }
+            want = {
+                r.id: r.ntile
+                for r in df.withColumn(
+                    "ntile", F.ntile(k).over(Window.orderBy(*order))
+                ).collect()
+            }
+            assert got == want, (k, shards)
