@@ -337,3 +337,67 @@ def mixture_temperature_resample(
         )
         .drop("_dom", "_base", "_fthresh", "_copies")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Greedy per-domain head sample under a token budget — "take docs in
+    a reproducible shuffled order until each domain has spent its token
+    allowance", the deterministic form of corpus-mixture token capping
+    (the operation behind "X billion tokens of web, Y of code").
+
+    Order within a domain is content-defined (md5 of the id, id
+    tiebreak), so the selected set is stable across runs/engines and
+    adding documents never reorders the survivors before the cut. A doc
+    is kept iff the RUNNING total (its own tokens included) fits the
+    budget; docs larger than the remaining allowance are skipped only if
+    they appear after the cut — greedy head, not knapsack, by design
+    (the oracle is a plain cumulative window).
+
+    NULL-domain docs form their own budget pool (they group together);
+    NULL-text docs count 0 tokens. One partitioned window (domains are
+    the parallelism unit); at 100 TB a single hot domain can pre-prune
+    with a hash-prefix bound before the sort — the budget cut only ever
+    keeps a prefix, so a cheap ``count*avg_len``-calibrated filter on
+    the leading hash bytes bounds the window input without changing the
+    result.
+
+    Returns kept docs: (id, domain, n_tok, cum_tok).
+    """
+    from pyspark.sql import Window
+
+    # NULL ids are dropped up front: the order key is md5(id), and a NULL
+    # hash would sort nulls-first on Spark but nulls-last on DuckDB —
+    # the CLAUDE.md hash-key rule (non-null or filtered, both sides).
+    toks = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        toks.withColumn("cum_tok", F.sum("n_tok").over(w).cast("bigint"))
+        .filter(F.col("cum_tok") <= budget_tokens)
+        .select(id_col, "domain", "n_tok", "cum_tok")
+    )

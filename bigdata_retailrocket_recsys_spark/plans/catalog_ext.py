@@ -4324,3 +4324,195 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_score",
         "m_score",
     )
+
+
+@query(
+    "q_token_budget_sample",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source AS domain,
+               CAST(len(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE doc_id IS NOT NULL
+    ), c AS (
+        SELECT doc_id, domain, COALESCE(n_tok, 0) AS n_tok,
+               CAST(SUM(COALESCE(n_tok, 0)) OVER (
+                   PARTITION BY domain ORDER BY h ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM toks
+    )
+    SELECT doc_id, domain, n_tok, cum_tok FROM c WHERE cum_tok <= 800
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget head sample (operators/splits.
+    token_budget_sample): docs taken in content-defined md5 order until
+    each domain spends its 800-token allowance — the deterministic
+    corpus-mixture capping step ("N tokens of web, M of code").
+    Partitioned cumulative window (domains are the parallelism unit);
+    the budget cut keeps only a prefix, so a hot domain can hash-prefix
+    prune before the sort without changing the result."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        token_budget_sample,
+    )
+
+    return token_budget_sample(_t(spark, sf_dir, "documents"), 800)
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH f AS (
+        SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+          AND NOT isinf(CAST(l_extendedprice AS DOUBLE))
+    ), o AS (
+        SELECT l_returnflag, v,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY v ASC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        FROM f
+    ), b AS (
+        SELECT l_returnflag,
+               MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS lo,
+               MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS hi
+        FROM o GROUP BY l_returnflag
+    )
+    SELECT f.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CASE WHEN f.v < b.lo THEN b.lo
+                              WHEN f.v > b.hi THEN b.hi
+                              ELSE f.v END AS DECIMAL(18,2)))
+                AS DOUBLE) AS winsorized_sum,
+           CAST(SUM(CASE WHEN f.v < b.lo OR f.v > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+    FROM f JOIN b USING (l_returnflag)
+    GROUP BY f.l_returnflag
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group sum (outlier clipping at the 5th/95th
+    percentile) — the training-data numeric-feature clipping step.
+    Thresholds are EXACT order statistics (the ceil(q·n)-th smallest
+    VALUE, row_number + rank join), not interpolated percentiles: an
+    interpolated threshold is float arithmetic whose 1-ulp cross-engine
+    wobble can flip a clamp decision at the boundary, while a data value
+    compares exactly. Prices are few-decimal → DECIMAL(18,2) sums are
+    exact (float rule 1). NULL/NaN/inf rows excluded identically up
+    front (NaN would rank differently nulls-first vs nulls-last)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    v = F.col("l_extendedprice").cast("double")
+    f = li.select("l_returnflag", v.alias("v")).filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
+    )
+    grp = Window.partitionBy("l_returnflag")
+    o = f.select(
+        "l_returnflag",
+        "v",
+        F.row_number().over(grp.orderBy(F.col("v").asc())).alias("rn"),
+        F.count(F.lit(1)).over(grp).cast("bigint").alias("n"),
+    )
+    b = o.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("v"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("v"))
+        ).alias("hi"),
+    )
+    clamped = (
+        F.when(F.col("v") < F.col("lo"), F.col("lo"))
+        .when(F.col("v") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("v"))
+    )
+    return (
+        f.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(clamped.cast("decimal(18,2)"))
+            .cast("double")
+            .alias("winsorized_sum"),
+            F.sum(
+                F.when(
+                    (F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clamped"),
+        )
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+               MAX(epoch_us(ts)) AS last_us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts < TIMESTAMP '2024-01-15'
+        GROUP BY user_id
+    ), b AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+               MAX(epoch_us(ts)) AS last_us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts < TIMESTAMP '2024-01-25'
+        GROUP BY user_id
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           a.cnt AS cnt_a, b.cnt AS cnt_b,
+           CASE WHEN a.user_id IS NULL THEN 'inserted'
+                WHEN b.user_id IS NULL THEN 'deleted'
+                WHEN a.cnt = b.cnt AND a.last_us = b.last_us THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: per-user state at two as-of cuts, full
+    outer join, row status inserted/deleted/changed/unchanged — the diff
+    step of an incremental materialization (what a MERGE source feed
+    looks like). Both snapshots derive from ONE events scan (two
+    filtered aggregates); the join keys are the aggregate keys, so the
+    fact table shuffles twice on user_id and never at event grain.
+    'deleted' is structurally impossible with append-only snapshots
+    (T1 < T2) — the branch exists for reversed cuts; correctness locked
+    by the oracle, not by the fixture's shape."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    def snap(cut: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.max(F.unix_micros("ts")).alias("last_us"),
+            )
+        )
+
+    a = snap("2024-01-15").alias("a")
+    b = snap("2024-01-25").alias("b")
+    status = (
+        F.when(F.col("a.user_id").isNull(), "inserted")
+        .when(F.col("b.user_id").isNull(), "deleted")
+        .when(
+            (F.col("a.cnt") == F.col("b.cnt"))
+            & (F.col("a.last_us") == F.col("b.last_us")),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer").select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.col("a.cnt").alias("cnt_a"),
+        F.col("b.cnt").alias("cnt_b"),
+        status.alias("status"),
+    )

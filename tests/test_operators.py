@@ -2312,3 +2312,36 @@ def test_global_ntile_matches_sql_ntile(spark):
                 ).collect()
             }
             assert got == want, (k, shards)
+
+
+def test_token_budget_sample_greedy_head(spark):
+    """Budget cut is a strict prefix in md5 order: an oversized doc at
+    the head consumes budget and blocks everything after it (greedy
+    head, not knapsack — pinned semantics). NULL text = 0 tokens; NULL
+    ids dropped."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        token_budget_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "x"),
+            (2, "d e", "x"),
+            (3, " ".join(["w"] * 50), "x"),
+            (4, None, "x"),
+            (None, "q q q", "x"),
+            (5, "z", "y"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = token_budget_sample(docs, 6).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert None not in by_id
+    assert by_id[5].n_tok == 1 and by_id[5].cum_tok == 1  # own domain
+    # within domain x: order is md5-based; whatever the order, every kept
+    # row's cum_tok <= 6 and the kept set is a prefix (cum monotone)
+    xs = sorted(
+        (r for r in out if r.domain == "x"), key=lambda r: r.cum_tok
+    )
+    assert all(r.cum_tok <= 6 for r in xs)
+    assert 3 not in by_id  # 50-token doc can never fit a 6-token budget
