@@ -121,7 +121,12 @@ def triangle_counts(
 
     Shuffle shape: degree agg (map-side combinable) + two self-joins on
     vertex keys + one final groupBy — all hash-partitioned on vertex /
-    edge keys; no driver collection, no iteration.
+    edge keys; no driver collection, no iteration. The canonical edge
+    list is referenced 4× (degrees, orientation, both wedge sides via
+    `oriented`) and Spark's ReuseExchange does NOT dedupe it (verified
+    on the executed plan), so `und` and `oriented` are cached — the S7
+    shared-subtree discipline; without it the upstream edge derivation
+    (often itself a self-join) recomputes ~6×.
 
     Returns ``(vtx, n_tri)`` — vertices in ≥1 triangle only.
     Complements the reference's popularity/co-visitation signals
@@ -136,6 +141,7 @@ def triangle_counts(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .cache()
     )
     deg = (
         und.select(F.col("u").alias("vtx"))
@@ -154,7 +160,7 @@ def triangle_counts(
     oriented = with_deg.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("d"),
-    ).select("s", F.col("d.v").alias("d"), F.col("d.dv").alias("dd"))
+    ).select("s", F.col("d.v").alias("d"), F.col("d.dv").alias("dd")).cache()
     # wedges at the apex: two out-neighbors a<b in the (deg, id) order
     e1 = oriented.select(F.col("s"), F.col("d").alias("a"), F.col("dd").alias("da"))
     e2 = oriented.select(F.col("s"), F.col("d").alias("b"), F.col("dd").alias("db"))
