@@ -553,3 +553,64 @@ def bm25_scores(
         .orderBy(F.col("bm25_u").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+#: Per-term KL contribution p_s·ln(p_s/p_c), µ-floored, in count-ratio
+#: form (c_st/c_s)·ln((c_st·c_c)/(c_s·c_ct)) — one template, one IEEE
+#: tree on both engines (int counts cast to double; products may exceed
+#: 2^53 at corpus scale but round identically under the shared tree).
+KL_CONTRIB_SQL = (
+    "CAST(FLOOR((CAST({cst} AS DOUBLE) / CAST({cs} AS DOUBLE))"
+    " * ln((CAST({cst} AS DOUBLE) * CAST({cc} AS DOUBLE))"
+    "      / (CAST({cs} AS DOUBLE) * CAST({cct} AS DOUBLE)))"
+    " * 1e6) AS BIGINT)"
+)
+
+
+def domain_divergence(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """KL(domain ‖ corpus) over unigram distributions — the drift /
+    contamination monitor for corpus mixtures ("did src17's language
+    shift vs the blend?"). High KL = the domain's token distribution
+    diverges from the pooled corpus.
+
+    Pure count algebra: per-(domain,term) counts (map-side combinable),
+    per-domain and per-term totals RE-AGGREGATED from that table (the
+    token bag is scanned once), corpus total broadcast. Every term seen
+    in a domain is in the corpus by construction, so the log argument is
+    always positive and finite. Per-term contributions are µ-floored
+    (KL_CONTRIB_SQL — tree shared with the oracle) and summed exactly.
+
+    Returns (domain, n_terms, n_tokens, kl_u). NULL domains form their
+    own row (grouped together) — they are a real slice of the corpus.
+    """
+    tok = docs.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    cst = tok.groupBy("domain", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_st")
+    )
+    cs = cst.groupBy("domain").agg(F.sum("c_st").cast("bigint").alias("c_s"))
+    cct = cst.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_ct"))
+    cc = cct.agg(F.sum("c_ct").cast("bigint").alias("c_c"))
+    contrib = F.expr(
+        KL_CONTRIB_SQL.format(cst="c_st", cs="c_s", cc="c_c", cct="c_ct")
+    )
+    return (
+        cst.join(cs, "domain")
+        .join(cct, "term")
+        .crossJoin(F.broadcast(cc))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("c_st").cast("bigint").alias("n_tokens"),
+            F.sum(contrib).cast("bigint").alias("kl_u"),
+        )
+    )

@@ -4516,3 +4516,132 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.cnt").alias("cnt_b"),
         status.alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Offline recsys evaluation + corpus drift (round 5)
+# ---------------------------------------------------------------------------
+
+from bigdata_retailrocket_recsys_spark.operators.evaluation import (  # noqa: E402
+    DCG_GAIN_SQL,
+    next_item_eval,
+    popularity_topk,
+)
+from bigdata_retailrocket_recsys_spark.operators.text import (  # noqa: E402
+    KL_CONTRIB_SQL,
+    domain_divergence,
+)
+
+_EVAL_GAIN = DCG_GAIN_SQL.format(rank="rank")
+_KL_ORACLE_CONTRIB = KL_CONTRIB_SQL.format(
+    cst="c_st", cs="c_s", cc="c_c", cct="c_ct"
+)
+
+
+@query(
+    "q_eval_nextitem",
+    oracle=f"""
+    WITH it AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 AS item
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), pop AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n
+        FROM it WHERE ts < TIMESTAMP '2024-01-25' GROUP BY item
+    ), topk AS (
+        SELECT item,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, item ASC)
+                    AS BIGINT) AS rank
+        FROM pop QUALIFY rank <= 10
+    ), test AS (
+        SELECT event_type, item FROM (
+            SELECT event_type, item,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM it WHERE ts >= TIMESTAMP '2024-01-25'
+        ) WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS hitrate_e6,
+           CAST(SUM(CASE WHEN rank IS NOT NULL THEN {_EVAL_GAIN}
+                         ELSE 0 END) AS BIGINT) AS dcg_u
+    FROM test LEFT JOIN topk USING (item)
+    GROUP BY event_type
+    """,
+)
+def q_eval_nextitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline next-item evaluation (operators/evaluation): popularity
+    top-10 trained on events before the cut, scored by hit-rate@10 and
+    DCG@10 on each user's FIRST event after the cut (temporal holdout —
+    the reference's train/valid split semantics, py:117-132, with a real
+    metric instead of eyeballed counts). The 10-row model broadcasts;
+    the only window over facts is the per-user first-test-event
+    row_number (one shuffle on user_id); metrics are exact ints / the
+    µ-floored DCG gain tree shared with the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    it = ev.filter(
+        F.col("user_id").isNotNull() & k.isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        (k % 50).alias("item"),
+    )
+    cut = F.lit("2024-01-25").cast("timestamp")
+    topk = popularity_topk(it.filter(F.col("ts") < cut), item_col="item", k=10)
+    from pyspark.sql import Window
+
+    test = (
+        it.filter(F.col("ts") >= cut)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").asc(), F.col("event_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", "item")
+    )
+    return next_item_eval(test, topk, item_col="item", group_col="event_type")
+
+
+@query(
+    "q_domain_kl",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source AS domain,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), cst AS (
+        SELECT domain, term, CAST(COUNT(*) AS BIGINT) AS c_st
+        FROM tok WHERE term <> '' GROUP BY domain, term
+    ), cs AS (
+        SELECT domain, CAST(SUM(c_st) AS BIGINT) AS c_s FROM cst GROUP BY domain
+    ), cct AS (
+        SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_ct FROM cst GROUP BY term
+    ), cc AS (SELECT CAST(SUM(c_ct) AS BIGINT) AS c_c FROM cct)
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+           CAST(SUM({_KL_ORACLE_CONTRIB}) AS BIGINT) AS kl_u
+    FROM cst JOIN cs USING (domain) JOIN cct USING (term) CROSS JOIN cc
+    GROUP BY domain
+    """,
+)
+def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain KL divergence vs the pooled corpus unigram distribution
+    (operators/text.domain_divergence) — the mixture drift monitor. One
+    token-bag scan; totals re-aggregated from the (domain,term) count
+    table; corpus total broadcast; per-term µ-floored contributions
+    (tree shared with the oracle) summed exactly."""
+    return domain_divergence(_t(spark, sf_dir, "documents"))

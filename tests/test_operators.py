@@ -2345,3 +2345,54 @@ def test_token_budget_sample_greedy_head(spark):
     )
     assert all(r.cum_tok <= 6 for r in xs)
     assert 3 not in by_id  # 50-token doc can never fit a 6-token budget
+
+
+def test_next_item_eval_hand_computed(spark):
+    """3 test cases vs a 3-item candidate list: hits at ranks 1 and 3,
+    one miss. DCG gains: rank1 → 1e6, rank3 → floor(1e6/log2(4)) = 5e5."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        next_item_eval,
+        popularity_topk,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "a") for i in range(5)]
+        + [(i, "b") for i in range(3)]
+        + [(i, "c") for i in range(2)]
+        + [(0, None)],
+        "u int, item string",
+    )
+    topk = popularity_topk(train, item_col="item", k=3)
+    assert {(r.item, r.rank) for r in topk.collect()} == {
+        ("a", 1), ("b", 2), ("c", 3)
+    }
+    test = spark.createDataFrame(
+        [("t1", "a"), ("t1", "c"), ("t2", "zzz")], "event_type string, item string"
+    )
+    got = {r.event_type: r for r in next_item_eval(test, topk).collect()}
+    assert (got["t1"].n_test, got["t1"].n_hits) == (2, 2)
+    assert got["t1"].hitrate_e6 == 1000000
+    assert got["t1"].dcg_u == 1000000 + 500000
+    assert (got["t2"].n_test, got["t2"].n_hits, got["t2"].dcg_u) == (1, 0, 0)
+
+
+def test_domain_divergence_nonneg_and_zero_for_identical(spark):
+    """KL ≥ 0 (up to µ-floor slack) and ≈0 when a domain's distribution
+    equals the corpus distribution (two identical domains)."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        domain_divergence,
+    )
+
+    same = spark.createDataFrame(
+        [(1, "a a b", "x"), (2, "a a b", "y")], "doc_id bigint, text string, source string"
+    )
+    rows = domain_divergence(same).collect()
+    # both domains identical to corpus → per-term ln(1)=0 → kl_u = 0
+    assert {r.domain: r.kl_u for r in rows} == {"x": 0, "y": 0}
+    skewed = spark.createDataFrame(
+        [(1, "a a a a", "x"), (2, "b b b b", "y")],
+        "doc_id bigint, text string, source string",
+    )
+    for r in domain_divergence(skewed).collect():
+        # KL(domain‖corpus) = ln 2 per token here → floor(ln2·1e6) each
+        assert r.kl_u == 693147, r
