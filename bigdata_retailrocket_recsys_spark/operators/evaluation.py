@@ -76,3 +76,62 @@ def next_item_eval(
         .cast("bigint")
         .alias("dcg_u"),
     )
+
+
+def binary_auc(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "y",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Exact ROC-AUC of a score column against binary labels via the
+    rank (Mann-Whitney U) identity — tie-aware, no pair enumeration.
+
+    ``AUC = (Σ_pos avgrank − n_pos(n_pos+1)/2) / (n_pos·n_neg)`` with
+    average ranks for tied scores. Ranks come from `windows.global_rank`
+    (shard+offset, no single-reducer window); within a tie group the
+    row_number is partitioner-dependent, but only the group's
+    ``min+max`` enters the statistic (= 2·avgrank — rank ranges are
+    contiguous because range partitioning keeps equal keys together),
+    so the result is deterministic and engine-exact: all-integer until
+    ONE final IEEE division. NULL/NaN/inf scores and NULL labels are
+    excluded (NaN would rank differently across engines).
+
+    Returns one row: (n_pos, n_neg, auc_num2, auc) where
+    ``auc_num2 = 2·n_pos·n_neg·AUC`` exactly.
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
+
+    s = F.col(score_col).cast("double")
+    clean = scored.select(
+        s.alias("__s"), F.col(label_col).cast("int").alias("__y")
+    ).filter(
+        s.isNotNull()
+        & ~F.isnan(s)
+        & (F.abs(s) != float("inf"))
+        & F.col(label_col).isNotNull()
+    )
+    r = global_rank(clean, [F.col("__s").asc()], n_shards=n_shards)
+    g = r.groupBy("__s").agg(
+        (F.min("rank") + F.max("rank")).cast("bigint").alias("r2"),
+        F.sum("__y").cast("bigint").alias("npos_g"),
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+    )
+    t = g.agg(
+        F.sum("npos_g").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n_g") - F.col("npos_g")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("npos_g") * F.col("r2")).cast("bigint").alias("s2"),
+    )
+    num2 = (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("bigint")
+    return t.select(
+        "n_pos",
+        "n_neg",
+        num2.alias("auc_num2"),
+        (
+            num2.cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

@@ -201,3 +201,61 @@ def key_skew_profile(
             ).alias("row_share"),
         )
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """Skip-gram (center, context) pair counts — the training-pair
+    generation step of Word2Vec/item2vec (what gensim does inside its C
+    loop, py:403-431, expressed relationally so it runs at corpus
+    scale and feeds ANY embedding trainer).
+
+    In-array assembly: per-document token array → nested ``transform``
+    emits forward pairs (center, each of the next ``window`` tokens)
+    WITHOUT a positional self-join (the lm_bigram_score precedent —
+    zero extra shuffle for pair generation, fan-out bounded by
+    window·len). Symmetric orientation via the both-directions
+    struct-array explode (the association_rules trick — no second
+    corpus scan). The only data shuffle is the final (center, context)
+    count, map-side combinable.
+    """
+    toks = docs.select(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ).alias("__t")
+    )
+    arr = F.col("__t")
+    fwd = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, window),
+                lambda y: F.struct(x.alias("c"), y.alias("x")),
+            ),
+        )
+    )
+    pairs = toks.select(F.explode(fwd).alias("p")).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p.c").alias("center"), F.col("p.x").alias("context")
+                ),
+                F.struct(
+                    F.col("p.x").alias("center"), F.col("p.c").alias("context")
+                ),
+            )
+        ).alias("q")
+    )
+    return (
+        pairs.select("q.center", "q.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

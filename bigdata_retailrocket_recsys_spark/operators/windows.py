@@ -220,6 +220,26 @@ def global_ntile(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    res = _sharded_global_rank(df, order_by, n_shards)
+    # NTILE closed form over global rank r in [1, n]:
+    #   q = n div k, m = n % k; first m buckets hold q+1 rows.
+    r = "(__rn + __off)"
+    q = f"(__n div {k})"
+    m = f"(__n % {k})"
+    bucket = F.expr(
+        f"CASE WHEN {r} <= ({q} + 1) * {m} THEN ({r} - 1) div ({q} + 1) + 1 "
+        f"ELSE {m} + ({r} - ({q} + 1) * {m} - 1) div {q} + 1 END"
+    ).cast("int")
+    return res.withColumn(out_col, bucket).drop("__shard", "__rn", "__off", "__n")
+
+
+def _sharded_global_rank(
+    df: DataFrame, order_by: list[Column], n_shards: int
+) -> DataFrame:
+    """Internal: df + ``__rn``/``__off``/``__n`` such that ``__rn+__off``
+    is the global ROW_NUMBER over ``order_by`` and ``__n`` the total —
+    one range exchange + a broadcast n_shards-row offset table, never a
+    single-reducer window. Shared by `global_ntile` / `global_rank`."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     part = df.repartitionByRange(n_shards, *order_by).withColumn(
@@ -249,14 +269,24 @@ def global_ntile(
         .cast("bigint")
         .alias("__n"),
     )
-    res = local.join(F.broadcast(offs), "__shard")
-    # NTILE closed form over global rank r in [1, n]:
-    #   q = n div k, m = n % k; first m buckets hold q+1 rows.
-    r = "(__rn + __off)"
-    q = f"(__n div {k})"
-    m = f"(__n % {k})"
-    bucket = F.expr(
-        f"CASE WHEN {r} <= ({q} + 1) * {m} THEN ({r} - 1) div ({q} + 1) + 1 "
-        f"ELSE {m} + ({r} - ({q} + 1) * {m} - 1) div {q} + 1 END"
-    ).cast("int")
-    return res.withColumn(out_col, bucket).drop("__shard", "__rn", "__off", "__n")
+    return local.join(F.broadcast(offs), "__shard")
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    *,
+    n_shards: int = 32,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Global ``ROW_NUMBER() OVER (ORDER BY ...)`` via the shard+offset
+    move (see `global_ntile`) — exact, and identical for any
+    ``n_shards``. ``order_by`` should be a total order; with ties the
+    rank WITHIN a tie group is partitioner-dependent (rank-range
+    aggregates per tie group — min/max/sum — remain deterministic, which
+    is what tie-aware consumers like AUC use)."""
+    res = _sharded_global_rank(df, order_by, n_shards)
+    return (
+        res.withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("bigint"))
+        .drop("__shard", "__rn", "__off", "__n")
+    )

@@ -4645,3 +4645,92 @@ def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; corpus total broadcast; per-term µ-floored contributions
     (tree shared with the oracle) summed exactly."""
     return domain_divergence(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_skipgram_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT ROW_NUMBER() OVER () AS d,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), pos AS (
+        SELECT d, i, t[i] AS term
+        FROM (SELECT d, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+    ), fw AS (
+        SELECT a.term AS c, b.term AS x
+        FROM pos a JOIN pos b
+          ON a.d = b.d AND b.i - a.i BETWEEN 1 AND 2
+    ), bothdir AS (
+        SELECT c, x FROM fw UNION ALL SELECT x AS c, c AS x FROM fw
+    )
+    SELECT c AS center, x AS context, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bothdir GROUP BY c, x HAVING COUNT(*) >= 2
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair counts, window=2 (operators/
+    sequences.skipgram_pairs) — the Word2Vec training-pair generation
+    the reference hides inside gensim's C loop (py:403-431), as a
+    relational plan: in-array nested-transform pair assembly (no
+    positional self-join), both-directions struct explode (no second
+    scan), ONE map-side-combinable count shuffle. The oracle builds the
+    same pairs with a positional self-join — two shapes, one result."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        skipgram_pairs,
+    )
+
+    return skipgram_pairs(
+        _t(spark, sf_dir, "documents"), window=2, min_count=2
+    )
+
+
+@query(
+    "q_eval_auc",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS sc,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+        WHERE label IS NOT NULL AND embedding[1] IS NOT NULL
+          AND NOT isnan(CAST(embedding[1] AS DOUBLE))
+          AND NOT isinf(CAST(embedding[1] AS DOUBLE))
+    ), r AS (
+        SELECT sc, y, ROW_NUMBER() OVER (ORDER BY sc ASC) AS rn FROM s
+    ), g AS (
+        SELECT sc, CAST(MIN(rn) + MAX(rn) AS BIGINT) AS r2,
+               CAST(SUM(y) AS BIGINT) AS npos_g,
+               CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM r GROUP BY sc
+    ), t AS (
+        SELECT CAST(SUM(npos_g) AS BIGINT) AS n_pos,
+               CAST(SUM(n_g - npos_g) AS BIGINT) AS n_neg,
+               CAST(SUM(npos_g * r2) AS BIGINT) AS s2
+        FROM g
+    )
+    SELECT n_pos, n_neg,
+           CAST(s2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num2,
+           CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM t
+    """,
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (operators/evaluation.binary_auc) of a
+    1-dim embedding 'score' against a binarized label — the Mann-
+    Whitney rank identity, all-integer until one final IEEE division.
+    Ranks via the sharded global_rank (no single-reducer window); tie
+    groups contribute min+max rank, which is partitioner-independent.
+    A near-0.5 AUC on synthetic data is expected — the point is the
+    exact metric plumbing, not the model."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        binary_auc,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    ).filter(F.col("label").isNotNull())
+    return binary_auc(scored, score_col="score", label_col="y")

@@ -2396,3 +2396,43 @@ def test_domain_divergence_nonneg_and_zero_for_identical(spark):
     for r in domain_divergence(skewed).collect():
         # KL(domain‖corpus) = ln 2 per token here → floor(ln2·1e6) each
         assert r.kl_u == 693147, r
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    """Doc 'a b c' window=2 → fwd (a,b),(a,c),(b,c); symmetric counts."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        skipgram_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "x")], "doc_id bigint, text string"
+    )
+    got = {
+        (r.center, r.context): r.n for r in skipgram_pairs(docs).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1,
+        ("a", "c"): 1, ("c", "a"): 1,
+        ("b", "c"): 1, ("c", "b"): 1,
+    }
+
+
+def test_binary_auc_known_values(spark):
+    """Perfect separation → 1.0; all-tied scores → 0.5 exactly; NaN and
+    NULL-label rows excluded."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        binary_auc,
+    )
+
+    perfect = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1), (float("nan"), 1)],
+        "score double, y int",
+    )
+    r = binary_auc(perfect).first()
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+
+    tied = spark.createDataFrame(
+        [(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)], "score double, y int"
+    )
+    r = binary_auc(tied).first()
+    assert r.auc == 0.5 and r.auc_num2 == 2 * r.n_pos * r.n_neg // 2 * 1
