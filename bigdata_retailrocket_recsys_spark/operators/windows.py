@@ -239,7 +239,14 @@ def _sharded_global_rank(
     """Internal: df + ``__rn``/``__off``/``__n`` such that ``__rn+__off``
     is the global ROW_NUMBER over ``order_by`` and ``__n`` the total —
     one range exchange + a broadcast n_shards-row offset table, never a
-    single-reducer window. Shared by `global_ntile` / `global_rank`."""
+    single-reducer window. Shared by `global_ntile` / `global_rank`.
+
+    The ranked table is CACHED: the offset table derives from it, so the
+    plan references it twice, and Spark does not reuse the subtree
+    (verified — no ReusedExchange even under AQE). Without the cache
+    every chained call doubles the upstream compute (a 3-metric RFM
+    would re-run its input aggregate 8×). One materialization is the
+    structural price of data-dependent offsets — S7 discipline."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     part = df.repartitionByRange(n_shards, *order_by).withColumn(
@@ -248,7 +255,7 @@ def _sharded_global_rank(
     local = part.withColumn(
         "__rn",
         F.row_number().over(Window.partitionBy("__shard").orderBy(*order_by)),
-    )
+    ).cache()
     counts = local.groupBy("__shard").agg(F.count(F.lit(1)).alias("__cnt"))
     offs = counts.select(
         "__shard",
