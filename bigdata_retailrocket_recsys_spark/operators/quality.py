@@ -1,0 +1,118 @@
+"""Declarative data-quality expectations (dbt-tests / Great-Expectations
+shape) as ONE aggregate pass.
+
+A production ingest pipeline gates every batch on assertions — null rate,
+uniqueness, value ranges, referential membership. Naively that is one
+scan per rule; here every rule compiles to a conditional aggregate over
+the SAME single scan (count-if is map-side combinable), plus one
+grouped-distinct pass for uniqueness rules, so a 100-TB table pays one
+read for its whole contract. Results are exact integers → trivially
+cross-engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One rule: ``name`` + a boolean ``violated`` expression (row-level).
+    NULL predicate results count as violations (three-valued logic made
+    explicit — an unevaluable rule is a failing rule)."""
+
+    name: str
+    violated: Column
+
+
+def expect_not_null(col: str) -> Expectation:
+    return Expectation(f"not_null_{col}", F.col(col).isNull())
+
+
+def expect_between(col: str, lo, hi) -> Expectation:
+    c = F.col(col)
+    return Expectation(
+        f"between_{col}",
+        ~((c >= F.lit(lo)) & (c <= F.lit(hi))) | c.isNull(),
+    )
+
+
+def expect_finite(col: str) -> Expectation:
+    c = F.col(col).cast("double")
+    return Expectation(
+        f"finite_{col}",
+        c.isNull() | F.isnan(c) | (F.abs(c) == float("inf")),
+    )
+
+
+def expect_matches(col: str, pattern: str) -> Expectation:
+    c = F.col(col)
+    return Expectation(
+        f"matches_{col}", c.isNull() | ~c.rlike(pattern)
+    )
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: list[Expectation],
+    *,
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Evaluate all rules in one scan; returns the violations report
+    ``(rule, n_violations, n_rows, passed)`` (passed as INT — NULL-free
+    flags stay cross-engine stringify-safe, see catalog type rules).
+
+    Row-level rules share a single aggregate (one scan, map-side
+    combined). A ``unique_cols`` rule needs its own grouped pass by
+    nature (count rows in key groups of size > 1 — counts every row of
+    a duplicated key, NULL keys exempt as SQL UNIQUE does); it is the
+    only extra shuffle.
+    """
+    if not rules and not unique_cols:
+        raise ValueError("no expectations given")
+    aggs = [
+        F.sum(F.when(r.violated, 1).otherwise(0))
+        .cast("bigint")
+        .alias(r.name)
+        for r in rules
+    ] + [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {pairs}) AS (rule, n_violations)".format(
+                n=len(rules),
+                pairs=", ".join(f"'{r.name}', {r.name}" for r in rules),
+            )
+        ),
+        F.col("__n").alias("n_rows"),
+    )
+    if unique_cols:
+        key = [F.col(c) for c in unique_cols]
+        nn = df
+        for c in unique_cols:
+            nn = nn.filter(F.col(c).isNotNull())
+        dup = (
+            nn.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("__k") > 1, F.col("__k"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_violations")
+            )
+            .select(
+                F.lit("unique_" + "_".join(unique_cols)).alias("rule"),
+                "n_violations",
+            )
+            .crossJoin(
+                F.broadcast(df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")))
+            )
+        )
+        stacked = stacked.unionByName(dup)
+    return stacked.withColumn(
+        "passed", F.when(F.col("n_violations") == 0, 1).otherwise(0)
+    )

@@ -4734,3 +4734,73 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
     ).filter(F.col("label").isNotNull())
     return binary_auc(scored, score_col="score", label_col="y")
+
+
+@query(
+    "q_quality_expectations",
+    oracle="""
+    WITH w AS (
+        SELECT
+            CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_nn,
+            CAST(SUM(CASE WHEN NOT (value >= -1e6 AND value <= 1e6)
+                            OR value IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_rng,
+            CAST(SUM(CASE WHEN value IS NULL OR isnan(value)
+                            OR isinf(value) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS v_fin,
+            CAST(SUM(CASE WHEN event_type IS NULL
+                            OR NOT regexp_matches(event_type, '^[a-z_]+$')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+            CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events
+    ), uq AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN k > 1 THEN k END), 0)
+                    AS BIGINT) AS v
+        FROM (SELECT COUNT(*) AS k FROM events
+              WHERE event_id IS NOT NULL GROUP BY event_id)
+    ), st AS (
+        SELECT 'not_null_user_id' AS rule, v_nn AS n_violations, n_rows
+        FROM w
+        UNION ALL SELECT 'between_value', v_rng, n_rows FROM w
+        UNION ALL SELECT 'finite_value', v_fin, n_rows FROM w
+        UNION ALL SELECT 'matches_event_type', v_re, n_rows FROM w
+        UNION ALL SELECT 'unique_event_id', uq.v,
+                         (SELECT n_rows FROM w) FROM uq
+    )
+    SELECT rule, n_violations, n_rows,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS passed
+    FROM st
+    """,
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative batch-gate contract over events (operators/quality):
+    null-rate, range, finiteness, regex shape, uniqueness — every
+    row-level rule a conditional aggregate over ONE scan (map-side
+    combined, then stack()-unpivoted); uniqueness is the single extra
+    grouped pass. NULL predicate results count as violations on both
+    engines (explicit three-valued logic). Exact integers throughout."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        check_expectations,
+        expect_between,
+        expect_finite,
+        expect_matches,
+        expect_not_null,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rep = check_expectations(
+        ev,
+        [
+            expect_not_null("user_id"),
+            expect_between("value", -1e6, 1e6),
+            expect_finite("value"),
+            expect_matches("event_type", "^[a-z_]+$"),
+        ],
+        unique_cols=["event_id"],
+    )
+    return rep.select(
+        "rule", "n_violations", "n_rows",
+        F.col("passed").cast("int").alias("passed"),
+    )

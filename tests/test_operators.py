@@ -2436,3 +2436,31 @@ def test_binary_auc_known_values(spark):
     )
     r = binary_auc(tied).first()
     assert r.auc == 0.5 and r.auc_num2 == 2 * r.n_pos * r.n_neg // 2 * 1
+
+
+def test_check_expectations_hand_computed(spark):
+    """NULL predicate results are violations; uniqueness counts every
+    row of a duplicated key; NULL keys exempt from uniqueness."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        check_expectations,
+        expect_between,
+        expect_not_null,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, None), (2, 50.0), (None, 3.0), (3, 7.0)],
+        "k int, v double",
+    )
+    rep = {
+        r.rule: (r.n_violations, r.n_rows, r.passed)
+        for r in check_expectations(
+            df,
+            [expect_not_null("k"), expect_between("v", 0.0, 10.0)],
+            unique_cols=["k"],
+        ).collect()
+    }
+    assert rep["not_null_k"] == (1, 5, 0)
+    # violations: NULL v (unevaluable) + 50.0 out of range = 2
+    assert rep["between_v"] == (2, 5, 0)
+    # k=1 duplicated → both rows count; NULL k exempt
+    assert rep["unique_k"] == (2, 5, 0)
