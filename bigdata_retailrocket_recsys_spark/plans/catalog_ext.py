@@ -4804,3 +4804,44 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule", "n_violations", "n_rows",
         F.col("passed").cast("int").alias("passed"),
     )
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag difference — each left occurrence
+    cancels ONE right occurrence; the DISTINCT variant is `q_except`).
+    Compiles to a count-compare aggregation, not a join explosion."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey").exceptAll(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    )
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (min of per-side multiplicities — SQL bag
+    semantics; the DISTINCT variant is `q_intersect`)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+        .intersectAll(
+            o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                "o_custkey"
+            )
+        )
+    )
