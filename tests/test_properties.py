@@ -652,3 +652,72 @@ def test_connected_components_bigstar_equals_union_find(spark, n_nodes, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {i: find(i) for i in range(n_nodes)}
     assert got == expect
+
+
+def test_triangle_counts_random_graph_equivalence(spark):
+    """Degree-oriented enumeration ≡ naive a<b<c enumeration on a random
+    graph (seeded LCG edges, dense enough for many triangles)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    seed, edges = 0x2545F491, []
+    for _ in range(400):
+        seed = (1103515245 * seed + 12345) % (2**31)
+        a = (seed >> 16) % 40  # high bits — LCG low bits correlate
+        seed = (1103515245 * seed + 12345) % (2**31)
+        b = (seed >> 16) % 40
+        edges.append((a, b))
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.vtx: r.n_tri for r in triangle_counts(df).collect()}
+
+    und = (
+        df.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    naive = {
+        r.vtx: r.n_tri
+        for r in tri.select(F.explode(F.array("a", "b", "c")).alias("vtx"))
+        .groupBy("vtx")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+        .collect()
+    }
+    assert got == naive and len(got) > 5
+
+
+def test_global_rank_matches_window_row_number(spark):
+    """Sharded global_rank ≡ ROW_NUMBER over a global window, any shard
+    count, total order with duplicates broken by id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
+
+    df = spark.range(0, 257).select(
+        "id", (F.col("id") * 13 % 7).alias("m")
+    )
+    order = [F.col("m").asc(), F.col("id").desc()]
+    want = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        ).collect()
+    }
+    for shards in (1, 4, 64):
+        got = {
+            r.id: r.rank
+            for r in global_rank(df, order, n_shards=shards).collect()
+        }
+        assert got == want, shards
