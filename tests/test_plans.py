@@ -292,3 +292,57 @@ def test_negative_sample_catalog_window_is_sharded(spark):
     df = popularity_negative_samples(ev, user_col="user_id", item_col="item")
     plan = plan_str(df)
     assert "windowspecdefinition(__shard" in plan
+
+
+def test_exists_subquery_becomes_semi_join(spark):
+    """q_tpch_q4's EXISTS must decorrelate to a semi join (RewritePredicate
+    Subquery) — never a per-row subquery execution."""
+    plan = plan_str(QUERIES["q_tpch_q4"].fn(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_not_in_is_null_aware_anti(spark):
+    """NOT IN over a nullable subquery column needs the null-aware anti
+    form (BroadcastNestedLoopJoin LeftAnti) to honor three-valued logic."""
+    plan = plan_str(QUERIES["q_subquery_not_in"].fn(spark, SF_DIR))
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_correlated_scalar_subquery_decorrelates(spark):
+    """q_subquery_correlated: both scalar subqueries become aggregates
+    joined back — the plan has joins + aggregates, zero subquery nodes
+    executing per-row (no 'Subquery' scalar exec in the final plan)."""
+    plan = plan_str(QUERIES["q_subquery_correlated"].fn(spark, SF_DIR))
+    assert "Join" in plan and "HashAggregate" in plan
+
+
+def test_bm25_topk_avoids_full_sort(spark):
+    plan = plan_str(QUERIES["q_text_bm25"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan  # df + corpus stats broadcast
+
+
+def test_eval_candidates_broadcast(spark):
+    """q_eval_nextitem: the 10-row popularity model must broadcast — the
+    held-out facts never shuffle for the metric join."""
+    plan = plan_str(QUERIES["q_eval_nextitem"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_global_ntile_never_single_partition_window(spark):
+    """q_rfm: every row_number window must partition by __shard — a bare
+    'Window [row_number() ... ORDER BY' with SinglePartition would be the
+    single-reducer cliff global_ntile exists to avoid. The only
+    SinglePartition windows allowed are over the n_shards-row offset
+    table (bounded by construction)."""
+    df = QUERIES["q_rfm"].fn(spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "__shard" in line, line
+
+
+def test_vector_quantize_stats_broadcast(spark):
+    """Per-dim min/max (64 rows) broadcasts back onto the exploded facts."""
+    plan = plan_str(QUERIES["q_vector_quantize"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
