@@ -198,6 +198,7 @@ def global_ntile(
     k: int,
     *,
     n_shards: int = 32,
+    partition_by: list[str] | None = None,
     out_col: str = "ntile",
 ) -> DataFrame:
     """SQL ``NTILE(k) OVER (ORDER BY ...)`` without the single-reducer
@@ -220,7 +221,7 @@ def global_ntile(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    res = _sharded_global_rank(df, order_by, n_shards)
+    res = _sharded_global_rank(df, order_by, n_shards, partition_by)
     # NTILE closed form over global rank r in [1, n]:
     #   q = n div k, m = n % k; first m buckets hold q+1 rows.
     r = "(__rn + __off)"
@@ -234,12 +235,24 @@ def global_ntile(
 
 
 def _sharded_global_rank(
-    df: DataFrame, order_by: list[Column], n_shards: int
+    df: DataFrame,
+    order_by: list[Column],
+    n_shards: int,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Internal: df + ``__rn``/``__off``/``__n`` such that ``__rn+__off``
-    is the global ROW_NUMBER over ``order_by`` and ``__n`` the total —
-    one range exchange + a broadcast n_shards-row offset table, never a
-    single-reducer window. Shared by `global_ntile` / `global_rank`.
+    is the ROW_NUMBER over ``order_by`` (per ``partition_by`` group if
+    given, else global) and ``__n`` the (group) total — one range
+    exchange + a broadcast offset table, never a single-reducer window.
+    Shared by `global_ntile` / `global_rank`.
+
+    With ``partition_by``, the range partitioning leads with the group
+    columns, so each group's shards are CONTIGUOUS in the tuple order
+    and per-(group, shard) count cumsums give exact in-group ranks. The
+    offset table is ≤ groups·shards rows, so this form is for FEW huge
+    groups (the per-returnflag winsorize case — 3 groups that would each
+    be a single-reducer window otherwise); high-cardinality groups
+    should use a plain partitioned window, which already parallelizes.
 
     The ranked table is CACHED: the offset table derives from it, so the
     plan references it twice, and Spark does not reuse the subtree
@@ -249,34 +262,35 @@ def _sharded_global_rank(
     structural price of data-dependent offsets — S7 discipline."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    part = df.repartitionByRange(n_shards, *order_by).withColumn(
+    grp = [F.col(c) for c in (partition_by or [])]
+    part = df.repartitionByRange(n_shards, *grp, *order_by).withColumn(
         "__shard", F.spark_partition_id()
     )
+    gnames = list(partition_by or [])
     local = part.withColumn(
         "__rn",
-        F.row_number().over(Window.partitionBy("__shard").orderBy(*order_by)),
+        F.row_number().over(
+            Window.partitionBy("__shard", *gnames).orderBy(*order_by)
+        ),
     ).cache()
-    counts = local.groupBy("__shard").agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = local.groupBy("__shard", *gnames).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_prev = Window.partitionBy(*gnames).orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy(*gnames).orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     offs = counts.select(
         "__shard",
-        F.coalesce(
-            F.sum("__cnt").over(
-                Window.orderBy("__shard").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).cast("bigint").alias("__off"),
-        F.sum("__cnt")
-        .over(
-            Window.orderBy("__shard").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
+        *gnames,
+        F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0))
         .cast("bigint")
-        .alias("__n"),
+        .alias("__off"),
+        F.sum("__cnt").over(w_all).cast("bigint").alias("__n"),
     )
-    return local.join(F.broadcast(offs), "__shard")
+    return local.join(F.broadcast(offs), ["__shard", *gnames])
 
 
 def global_rank(
@@ -284,15 +298,18 @@ def global_rank(
     order_by: list[Column],
     *,
     n_shards: int = 32,
+    partition_by: list[str] | None = None,
     out_col: str = "rank",
 ) -> DataFrame:
-    """Global ``ROW_NUMBER() OVER (ORDER BY ...)`` via the shard+offset
-    move (see `global_ntile`) — exact, and identical for any
-    ``n_shards``. ``order_by`` should be a total order; with ties the
-    rank WITHIN a tie group is partitioner-dependent (rank-range
-    aggregates per tie group — min/max/sum — remain deterministic, which
-    is what tie-aware consumers like AUC use)."""
-    res = _sharded_global_rank(df, order_by, n_shards)
+    """``ROW_NUMBER() OVER ([PARTITION BY ...] ORDER BY ...)`` via the
+    shard+offset move (see `global_ntile`) — exact, and identical for
+    any ``n_shards``. ``partition_by`` is for FEW huge groups (each one
+    otherwise a single-reducer window); see `_sharded_global_rank`.
+    ``order_by`` should be a total order; with ties the rank WITHIN a
+    tie group is partitioner-dependent (rank-range aggregates per tie
+    group — min/max/sum — remain deterministic, which is what tie-aware
+    consumers like AUC use)."""
+    res = _sharded_global_rank(df, order_by, n_shards, partition_by)
     return (
         res.withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("bigint"))
         .drop("__shard", "__rn", "__off", "__n")

@@ -4403,21 +4403,30 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wobble can flip a clamp decision at the boundary, while a data value
     compares exactly. Prices are few-decimal → DECIMAL(18,2) sums are
     exact (float rule 1). NULL/NaN/inf rows excluded identically up
-    front (NaN would rank differently nulls-first vs nulls-last)."""
+    front (NaN would rank differently nulls-first vs nulls-last).
+
+    Scale shape: only 3 returnflag groups — a plain per-group window
+    would funnel a third of the table through ONE reducer each, so
+    ranks come from the SHARDED grouped global_rank (range shards
+    contiguous within each group + broadcast offsets; the oracle's
+    window is the semantic spec, not the plan). Within-group ties get
+    partitioner-dependent row numbers, but the k-th VALUE of a sorted
+    multiset is order-independent, so lo/hi are still deterministic."""
     li = _t(spark, sf_dir, "lineitem")
-    from pyspark.sql import Window
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
 
     v = F.col("l_extendedprice").cast("double")
     f = li.select("l_returnflag", v.alias("v")).filter(
         v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
     )
-    grp = Window.partitionBy("l_returnflag")
-    o = f.select(
-        "l_returnflag",
-        "v",
-        F.row_number().over(grp.orderBy(F.col("v").asc())).alias("rn"),
-        F.count(F.lit(1)).over(grp).cast("bigint").alias("n"),
+    totals = f.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    o = global_rank(
+        f, [F.col("v").asc()], partition_by=["l_returnflag"], out_col="rn"
+    ).join(F.broadcast(totals), "l_returnflag")
     b = o.groupBy("l_returnflag").agg(
         F.min(
             F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("v"))

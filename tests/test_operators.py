@@ -2464,3 +2464,35 @@ def test_check_expectations_hand_computed(spark):
     assert rep["between_v"] == (2, 5, 0)
     # k=1 duplicated → both rows count; NULL k exempt
     assert rep["unique_k"] == (2, 5, 0)
+
+
+def test_global_rank_partitioned_matches_window(spark):
+    """Grouped sharded rank ≡ ROW_NUMBER over a partitioned window, for
+    any shard count — groups contiguous in the range order."""
+    from pyspark.sql import Window
+
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
+
+    df = spark.range(0, 211).select(
+        "id", (F.col("id") % 3).alias("g"), (F.col("id") * 17 % 97).alias("m")
+    )
+    order = [F.col("m").asc(), F.col("id").asc()]
+    want = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy(*order))
+            .cast("bigint"),
+        ).collect()
+    }
+    for shards in (1, 4, 64):
+        got = {
+            r.id: r.rank
+            for r in global_rank(
+                df, order, partition_by=["g"], n_shards=shards
+            ).collect()
+        }
+        assert got == want, shards
