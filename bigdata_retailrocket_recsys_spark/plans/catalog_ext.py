@@ -4854,3 +4854,171 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth #2 + schema evolution (round 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, n.n_name
+    ORDER BY revenue DESC NULLS LAST, c_custkey ASC LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped (returned-item revenue, top 20 customers):
+    4-table star — nation broadcasts onto customer, customer broadcasts
+    onto the orders⋈lineitem shuffle; decimal-exact revenue; top-20 via
+    TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.sum(revenue.cast("decimal(18,6)")).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                                   AS DECIMAL(18,6)) END) AS DOUBLE)
+               * CAST(100 AS DOUBLE)
+               / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped (promo revenue share): part dim broadcasts; both
+    revenue sums are exact decimals; ONE shared IEEE tree for the final
+    percentage (float rule 2)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                .cast("double")
+                * F.lit(100).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+    GROUP BY p.p_brand
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped (disjunctive multi-attribute predicate): the OR
+    of brand/size/quantity conjunctions must still prune — Catalyst
+    extracts the common l_quantity bounds and pushes the part-side
+    disjunction to the dim scan before the broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    rev = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("decimal(18,6)")
+    return (
+        joined.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_scan_merge_schema",
+    oracle="""
+    SELECT event_id, value, CAST(NULL AS BIGINT) AS batch_tag
+    FROM events WHERE event_id < 1000
+    UNION ALL
+    SELECT event_id, value, CAST(7 AS BIGINT) AS batch_tag
+    FROM events WHERE event_id >= 1000 AND event_id < 2000
+    """,
+)
+def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two snapshot generations (the second
+    adds a column), read back as ONE table with mergeSchema — the
+    add-a-column migration every long-lived dataset hits. Old files
+    surface NULL for the new column; no rewrite of historical data.
+    At 100 TB this is the only affordable evolution path (footer-merge,
+    not data-rewrite); pair with explicit casts to keep types stable."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    base = os.path.join(
+        tempfile.gettempdir(), "bdrr_merge_schema_snapshot"
+    )
+    g1 = ev.filter(F.col("event_id") < 1000)
+    g2 = ev.filter(
+        (F.col("event_id") >= 1000) & (F.col("event_id") < 2000)
+    ).withColumn("batch_tag", F.lit(7).cast("bigint"))
+    g1.write.mode("overwrite").parquet(base + "/g=1")
+    g2.write.mode("overwrite").parquet(base + "/g=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base + "/g=1", base + "/g=2")
+        .select("event_id", "value", "batch_tag")
+    )
