@@ -309,6 +309,8 @@ def global_rank(
     tie group is partitioner-dependent (rank-range aggregates per tie
     group — min/max/sum — remain deterministic, which is what tie-aware
     consumers like AUC use)."""
+    if out_col in ("__shard", "__rn", "__off", "__n"):
+        raise ValueError(f"out_col {out_col!r} collides with internals")
     res = _sharded_global_rank(df, order_by, n_shards, partition_by)
     return (
         res.withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("bigint"))

@@ -5022,3 +5022,68 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base + "/g=1", base + "/g=2")
         .select("event_id", "value", "batch_tag")
     )
+
+
+@query(
+    "q_layout_advisor",
+    oracle="""
+    WITH base AS (
+        SELECT event_id,
+               epoch_us(ts) AS c_ts,
+               CAST(user_id AS DOUBLE) AS c_user,
+               CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                    ELSE value END AS c_value
+        FROM events WHERE event_id IS NOT NULL
+    ), r AS (
+        SELECT *, (ROW_NUMBER() OVER (ORDER BY event_id ASC) - 1) // 1000
+                  AS z
+        FROM base
+    ), st AS (
+        SELECT z, col, v FROM (
+            SELECT z, 'c_ts' AS col, CAST(c_ts AS DOUBLE) AS v FROM r
+            UNION ALL SELECT z, 'c_user', c_user FROM r
+            UNION ALL SELECT z, 'c_value', c_value FROM r
+        ) WHERE v IS NOT NULL
+    ), zs AS (
+        SELECT col, z, MIN(v) AS zmin, MAX(v) AS zmax
+        FROM st GROUP BY col, z
+    ), g AS (
+        SELECT col, MIN(v) AS gmin, MAX(v) AS gmax FROM st GROUP BY col
+    )
+    SELECT col AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(CASE WHEN gmax > gmin
+                    THEN CAST(FLOOR((zmax - zmin) * 1000000.0
+                                    / (gmax - gmin)) AS BIGINT)
+                    ELSE 0 END) // COUNT(*) AS BIGINT) AS avg_zone_width_e6
+    FROM zs JOIN g USING (col)
+    GROUP BY col
+    """,
+)
+def q_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map clustering advisor (operators/layout — the SIGMOD'24
+    'Automated Clustering Recommendation With Database Zone Maps' idea,
+    PAPERS.md): per candidate column, how narrow are per-1000-row zone
+    min/max ranges under the current event_id layout? ts is expected
+    near 0 width-wise (insertion-ordered), user/value near 10⁶ (random)
+    — exactly the signal that says 'zone maps already work for ts; to
+    skip on user_id, re-cluster (q_sink_sorted_pruning)'. Zones via
+    sharded global_rank; widths µ-floored then integer-averaged."""
+    from bigdata_retailrocket_recsys_spark.operators.layout import (
+        zone_clustering_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id").isNotNull())
+    return zone_clustering_profile(
+        ev,
+        "event_id",
+        {
+            "c_ts": F.unix_micros("ts"),
+            "c_user": F.col("user_id"),
+            "c_value": F.when(
+                ~F.isnan("value") & (F.abs("value") != float("inf")),
+                F.col("value"),
+            ),
+        },
+        rows_per_zone=1000,
+    )
