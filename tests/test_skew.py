@@ -138,3 +138,40 @@ def test_salted_join_spreads_hot_key(spark):
     hot_rows = int(n * 0.9)
     assert plain_hist[-1] >= hot_rows  # the whole hot key in one task
     assert salted_hist[-1] <= plain_hist[-1] // 4  # spread over ≥4 tasks
+
+
+def test_global_rank_tie_skew_spread_by_tiebreak(spark):
+    """Range partitioning sends ALL rows of one key value to one shard —
+    a 90%-tied order column concentrates in a single task unless the
+    order includes a tiebreaker. Measured: with (metric) alone the hot
+    value is one shard; with (metric, id) it spreads. Consumers that
+    need tie-group contiguity (AUC) must accept the concentration;
+    consumers that only need the k-th value (winsorize) should add the
+    tiebreak. This is the documented guidance, locked."""
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_global_rank,
+    )
+
+    n = 50_000
+    df = spark.range(n).select(
+        "id",
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 97)
+        .alias("m"),
+    )
+    tied = _sharded_global_rank(df, [F.col("m").asc()], 32)
+    spread = _sharded_global_rank(
+        df, [F.col("m").asc(), F.col("id").asc()], 32
+    )
+    hist_tied = sorted(
+        r["cnt"]
+        for r in tied.groupBy("__shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    hist_spread = sorted(
+        r["cnt"]
+        for r in spread.groupBy("__shard").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    assert sum(hist_tied) == sum(hist_spread) == n
+    hot = int(n * 0.9)
+    assert hist_tied[-1] >= hot  # whole tie group in ONE shard
+    assert hist_spread[-1] <= hot // 4  # tiebreak spreads it
