@@ -5087,3 +5087,40 @@ def q_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         rows_per_zone=1000,
     )
+
+
+@query(
+    "q_fn_hof",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                AS BIGINT) AS total_len,
+           CAST(len(list_filter(toks, x -> len(x) > 5)) AS BIGINT)
+               AS n_long,
+           CAST(CASE WHEN len(list_filter(toks, x -> x = '')) = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS all_nonempty
+    FROM t
+    """,
+)
+def q_fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function breadth (SURVEY §2.8 ext): transform /
+    aggregate (fold) / filter / forall — the lambda family that keeps
+    per-row array logic JVM-side instead of exploding or dropping to
+    Python. NULL text propagates NULL results identically on both
+    engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lens = F.transform(toks, lambda x: F.length(x))
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            lens, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("total_len"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5))
+        .cast("bigint")
+        .alias("n_long"),
+        F.forall(toks, lambda x: x != "").cast("int").alias("all_nonempty"),
+    )
