@@ -5100,7 +5100,8 @@ def q_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS total_len,
            CAST(len(list_filter(toks, x -> len(x) > 5)) AS BIGINT)
                AS n_long,
-           CAST(CASE WHEN len(list_filter(toks, x -> x = '')) = 0
+           CAST(CASE WHEN toks IS NULL THEN NULL
+                     WHEN len(list_filter(toks, x -> x = '')) = 0
                      THEN 1 ELSE 0 END AS INTEGER) AS all_nonempty
     FROM t
     """,
