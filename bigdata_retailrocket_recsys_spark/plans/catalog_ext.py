@@ -5125,3 +5125,41 @@ def q_fn_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_long"),
         F.forall(toks, lambda x: x != "").cast("int").alias("all_nonempty"),
     )
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(user_id) AS BIGINT) AS n_users_nonnull,
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                         ELSE CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_value
+    FROM events
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``DataFrame.observe`` (Spark's named-
+    metric hook): the metrics ride the SAME job as the observed action —
+    zero extra scan, unlike a separate audit query — and surface to
+    QueryExecutionListener / Observation. Here the observed pass is a
+    noop-equivalent count and the captured metrics are returned as the
+    result row (1-row driver materialization, the documented small-side
+    pattern); the oracle recomputes them as a plain aggregate. At
+    100 TB this is how batch gates get their counters for free."""
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("user_id").cast("bigint").alias("n_users_nonnull"),
+        F.sum(_dec_value("value")).cast("double").alias("sum_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_users_nonnull"], m["sum_value"])],
+        "n_rows bigint, n_users_nonnull bigint, sum_value double",
+    )
