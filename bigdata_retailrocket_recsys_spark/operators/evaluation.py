@@ -96,7 +96,12 @@ def binary_auc(
     contiguous because range partitioning keeps equal keys together),
     so the result is deterministic and engine-exact: all-integer until
     ONE final IEEE division. NULL/NaN/inf scores and NULL labels are
-    excluded (NaN would rank differently across engines).
+    excluded (NaN would rank differently across engines). Rows whose
+    label is not EXACTLY 0 or 1 are excluded too — the rank-sum formula
+    silently corrupts under any other encoding (a -1/+1 scheme, or
+    Spark's signed ``%`` emitting -1, would make n_pos a net of
+    cancelling signs and push "AUC" outside [0,1]; caught by the 10M
+    volume check). Re-encode multi-class labels before calling.
 
     Returns one row: (n_pos, n_neg, auc_num2, auc) where
     ``auc_num2 = 2·n_pos·n_neg·AUC`` exactly.
@@ -112,7 +117,7 @@ def binary_auc(
         s.isNotNull()
         & ~F.isnan(s)
         & (F.abs(s) != float("inf"))
-        & F.col(label_col).isNotNull()
+        & F.col(label_col).cast("int").isin(0, 1)
     )
     r = global_rank(clean, [F.col("__s").asc()], n_shards=n_shards)
     g = r.groupBy("__s").agg(

@@ -2496,3 +2496,18 @@ def test_global_rank_partitioned_matches_window(spark):
             ).collect()
         }
         assert got == want, shards
+
+
+def test_binary_auc_excludes_non_binary_labels(spark):
+    """-1/+1 encodings (or Spark's signed % emitting -1) must not corrupt
+    the rank-sum: non-{0,1} labels are excluded, not netted."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        binary_auc,
+    )
+
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.9, 1), (0.5, -1), (0.6, 2), (0.7, None)],
+        "score double, y int",
+    )
+    r = binary_auc(df).first()
+    assert (r.n_pos, r.n_neg, r.auc) == (1, 1, 1.0)
