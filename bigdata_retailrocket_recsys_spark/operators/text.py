@@ -473,29 +473,44 @@ def inverted_index(
     ``max_postings`` doc ids in ascending order, comma-joined. The df
     count is over ALL matching docs; only the materialized list is
     capped — at 100 TB a stopword's full posting list is the corpus
-    itself, so unbounded collect_list is exactly the skew trap the cap
-    exists for (pair with `min_df` to drop hapax noise). One shuffle:
-    per-doc distinct terms reuse the doc partitioning; the groupBy(term)
-    is the only data exchange; collect_set is bounded by the cap only
-    after sorting, so ties are impossible (ids are distinct).
+    itself, so the cap must bind BEFORE anything accumulates: the
+    postings branch is a rank-limit window (WindowGroupLimit — each
+    partition keeps ≤ ``max_postings`` rows per term before the
+    shuffle-side sort; a collect_set-then-slice would hold the entire
+    stopword set in one aggregation buffer first), and only the ≤ cap
+    survivors reach collect_list. The df branch is a map-side-combined
+    count. The distinct (doc,term) bag feeds both branches and is
+    cached (ReuseExchange does not dedupe shared subtrees — CLAUDE.md);
+    ``min_df`` drops hapax noise.
     """
-    tok = _bag_tokens(docs, id_col, text_col).select(
-        F.col(id_col), "term"
-    ).distinct()
-    postings = F.array_join(
-        F.transform(
-            F.slice(F.sort_array(F.collect_set(id_col)), 1, max_postings),
-            lambda x: x.cast("string"),
+    tok = (
+        _bag_tokens(docs, id_col, text_col)
+        .select(F.col(id_col), "term")
+        .distinct()
+        .cache()
+    )
+    dfreq = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_df")
+    )
+    from pyspark.sql import Window
+
+    capped = tok.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("term").orderBy(F.col(id_col).asc())
         ),
-        ",",
+    ).filter(F.col("__r") <= max_postings)
+    postings = capped.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(id_col)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings")
     )
     return (
-        tok.groupBy("term")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_df"),
-            postings.alias("postings"),
-        )
-        .filter(F.col("n_df") >= min_df)
+        dfreq.filter(F.col("n_df") >= min_df).join(postings, "term")
     )
 
 
