@@ -181,3 +181,69 @@ def triangle_counts(
     return tri_vertices.groupBy("vtx").agg(
         F.count("*").cast("bigint").alias("n_tri")
     )
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+    unit: int = 1_000_000,
+    damping_num: int = 850,
+    damping_den: int = 1000,
+) -> DataFrame:
+    """Integer-mass PageRank — bit-exact cross-engine, so an iterative
+    graph algorithm can be ORACLED instead of rows-only (`pagerank`'s
+    float ranks are reduction-order dependent; these integer masses are
+    not: + and div on bigints are associative-safe).
+
+    Semantics: canonicalize input to the SYMMETRIC directed graph (both
+    orientations of each undirected edge — guarantees every node has
+    out- and in-degree, so no dangling handling), start every node at
+    ``unit`` micro-mass, then ``iters`` rounds of
+
+        mass'(v) = base + (num · Σ_{u→v} floor(mass(u)/outdeg(u))) div den
+
+    with ``base = unit·(den−num) div den``. The floors leak a little
+    mass (deterministically — this is a defined fixed-point scheme, not
+    an approximation of the float one); ranking order converges to the
+    same importance order as float PageRank on these graphs. One
+    join+agg shuffle per round, eager localCheckpoint keeps the plan
+    constant-size (same discipline as `pagerank`).
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = und.select(F.col("u").alias("s"), F.col("v").alias("d")).unionAll(
+        und.select(F.col("v").alias("s"), F.col("u").alias("d"))
+    ).localCheckpoint(eager=True)
+    outdeg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("o"))
+    out_edges = sym.join(outdeg, "s")
+    base = (unit * (damping_den - damping_num)) // damping_den
+    ranks = sym.select(F.col("s").alias("vtx")).distinct().withColumn(
+        "mass", F.lit(unit).cast("bigint")
+    )
+    for i in range(iters):
+        contrib = out_edges.join(
+            ranks, out_edges.s == ranks.vtx
+        ).select(
+            F.col("d").alias("vtx"),
+            F.expr("mass div o").alias("c"),
+        )
+        ranks = contrib.groupBy("vtx").agg(
+            (
+                F.lit(base)
+                + F.expr(f"({damping_num} * sum(c)) div {damping_den}")
+            )
+            .cast("bigint")
+            .alias("mass")
+        )
+        if i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

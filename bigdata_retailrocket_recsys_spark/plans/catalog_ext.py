@@ -5163,3 +5163,54 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_users_nonnull"], m["sum_value"])],
         "n_rows bigint, n_users_nonnull bigint, sum_value double",
     )
+
+
+@query(
+    "q_graph_pagerank_exact",
+    oracle="""
+    WITH RECURSIVE und AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+        SELECT u AS s, v AS d FROM und
+        UNION ALL SELECT v AS s, u AS d FROM und
+    ), od AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS o FROM e GROUP BY s
+    ), it(iter, vtx, mass) AS (
+        SELECT 0, s, CAST(1000000 AS BIGINT)
+        FROM (SELECT DISTINCT s FROM e)
+        UNION ALL
+        SELECT it.iter + 1, e.d,
+               CAST(150000 + (850 * SUM(it.mass // od.o)) // 1000
+                    AS BIGINT)
+        FROM it JOIN e ON e.s = it.vtx JOIN od ON od.s = it.vtx
+        WHERE it.iter < 4
+        GROUP BY it.iter, e.d
+    )
+    SELECT vtx, mass FROM it WHERE iter = 4
+    """,
+)
+def q_graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-mass PageRank over the co-purchase graph (operators/
+    graph.pagerank_exact, 4 rounds, damping 850/1000, micro-unit mass)
+    — the ORACLED iterative graph algorithm: bigint + and div are
+    reduction-order safe, so unlike float `q_graph_pagerank` every mass
+    matches a DuckDB recursive-CTE replay bit-for-bit. Same importance
+    ordering signal (py:331-340 complement), now with a hard
+    cross-engine correctness gate on an iterative dataflow."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import (
+        pagerank_exact,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return pagerank_exact(edges, iters=4)

@@ -2511,3 +2511,21 @@ def test_binary_auc_excludes_non_binary_labels(spark):
     )
     r = binary_auc(df).first()
     assert (r.n_pos, r.n_neg, r.auc) == (1, 1, 1.0)
+
+
+def test_pagerank_exact_hand_computed(spark):
+    """Star 1-2, 1-3, two rounds, hand-computed integer masses; a single
+    symmetric edge is a fixed point at unit mass."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import (
+        pagerank_exact,
+    )
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3)], "src bigint, dst bigint"
+    )
+    got = {r.vtx: r.mass for r in pagerank_exact(star, iters=2).collect()}
+    assert got == {1: 1127500, 2: 936250, 3: 936250}
+
+    pair = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    got = {r.vtx: r.mass for r in pagerank_exact(pair, iters=3).collect()}
+    assert got == {1: 1000000, 2: 1000000}
