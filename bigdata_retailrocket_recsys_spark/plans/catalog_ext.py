@@ -5214,3 +5214,131 @@ def q_graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return pagerank_exact(edges, iters=4)
+
+
+@query(
+    "q_score_linear",
+    oracle="""
+    WITH w AS (
+        SELECT i, CAST(FLOOR(sin(CAST(i AS DOUBLE)) * 1000) AS BIGINT)
+                  / CAST(1000 AS DOUBLE) AS wt
+        FROM (SELECT unnest(range(1, 9)) AS i)
+    ), el AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, 9)) AS t(i)
+    ), z AS (
+        SELECT vec_id,
+               CAST(FLOOR(SUM(CAST(FLOOR(v * wt * 1e6) AS BIGINT))
+                    / 1e6 * 1e6) AS BIGINT) AS z_u
+        FROM el JOIN w USING (i)
+        WHERE v IS NOT NULL AND NOT isnan(v) AND NOT isinf(v)
+        GROUP BY vec_id
+    )
+    SELECT vec_id, z_u,
+           CAST(FLOOR(CAST(1 AS DOUBLE)
+                / (CAST(1 AS DOUBLE)
+                   + exp(-(CAST(z_u AS DOUBLE) / 1e6))) * 1e6)
+                AS BIGINT) AS sigmoid_u
+    FROM z
+    """,
+)
+def q_score_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference as a relational plan: logistic scoring of
+    the first 8 embedding dims against a deterministic weight vector
+    (broadcast 8-row 'model' — the shape of any linear/LR batch scorer).
+    Cross-engine exactness: per-term products are µ-floored bigints
+    summed exactly; the logit is reconstructed with ONE identical IEEE
+    tree and the sigmoid's exp goes through the same µ-floor contract
+    as tfidf/bm25 (float rule 3). Facts never shuffle — posexplode +
+    broadcast join + per-vector rollup re-using the vec partitioning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w = spark.range(1, 9).select(
+        F.col("id").alias("i"),
+        (F.floor(F.sin(F.col("id").cast("double")) * 1000) / F.lit(1000.0)).alias("wt"),
+    )
+    # slice BEFORE the explode — 8 rows/vector leave the scan, not 64
+    el = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(to_double_array("embedding"), 1, 8)).alias(
+            "i0", "v"
+        ),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "v").filter(
+        F.col("v").isNotNull()
+        & ~F.isnan("v")
+        & (F.abs("v") != float("inf"))
+    )
+    z = (
+        el.join(F.broadcast(w), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("v") * F.col("wt") * 1e6).cast("bigint"))
+                / F.lit(1e6)
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("z_u")
+        )
+    )
+    sig = F.floor(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.col("z_u").cast("double") / F.lit(1e6))))
+        * 1e6
+    ).cast("bigint")
+    return z.select("vec_id", "z_u", sig.alias("sigmoid_u"))
+
+
+@query(
+    "q_eval_calibration",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS sc,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+        WHERE label IS NOT NULL AND embedding[1] IS NOT NULL
+          AND NOT isnan(CAST(embedding[1] AS DOUBLE))
+          AND NOT isinf(CAST(embedding[1] AS DOUBLE))
+    ), b AS (
+        SELECT CAST(FLOOR((sc + 1.0) * 5.0) AS BIGINT) AS bin, y FROM s
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_e6
+    FROM b GROUP BY bin
+    """,
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / calibration bins for a score against binary labels
+    (the companion readout to `q_eval_auc`): fixed-width score bins
+    (floor arithmetic — ONE shared tree, no quantile wobble), per-bin
+    positive rate as exact integer parts-per-million. One map-side-
+    combinable aggregate; at 100 TB this is a single scan + tiny
+    shuffle on ≤ #bins keys."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sc = F.element_at("embedding", 1).cast("double")
+    s = emb.select(
+        sc.alias("sc"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    ).filter(
+        F.col("label").isNotNull()
+        & sc.isNotNull()
+        & ~F.isnan(sc)
+        & (F.abs(sc) != float("inf"))
+    )
+    return (
+        s.select(
+            F.floor((F.col("sc") + F.lit(1.0)) * F.lit(5.0))
+            .cast("bigint")
+            .alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.expr("CAST(sum(y) * 1000000 div count(1) AS BIGINT)").alias(
+                "pos_rate_e6"
+            ),
+        )
+    )
