@@ -5342,3 +5342,24 @@ def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("q_multimodal_resize", oracle=None)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage over mapInPandas (operators/multimodal.
+    resize_images, decode tier 'auto': real PIL decode+re-encode when
+    Pillow is on the image, deterministic pass-through fake here — same
+    code self-upgrades on a codec-equipped cluster). Arrow-batched
+    binary in/out; rows-only (payload bytes are not SQL-expressible);
+    dims/nullability invariants unit-tested."""
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = attach_fake_media(docs, id_col="doc_id", payload_from="text")
+    out = resize_images(assets, width=64, height=64)
+    return out.select(
+        "asset_id", "width", "height", F.length("payload").alias("n_bytes")
+    )
