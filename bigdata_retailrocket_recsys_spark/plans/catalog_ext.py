@@ -5363,3 +5363,27 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "asset_id", "width", "height", F.length("payload").alias("n_bytes")
     )
+
+
+@query(
+    "q_stream_observe",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                         ELSE CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS sum_value
+    FROM events
+    """,
+)
+def q_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch audit metrics via streaming ``observe()``
+    (streaming/sessionize_stream.run_streaming_observe), totalled
+    across batches. Counts and decimal sums are associative, so the
+    totals equal the whole-table aggregate EXACTLY for any batch split
+    — a streaming query with a full DuckDB oracle, and the production
+    pattern for free per-batch counters."""
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        run_streaming_observe,
+    )
+
+    return run_streaming_observe(spark, sf_dir)

@@ -236,3 +236,57 @@ def run_streaming_late_drop(
     # distinct: a sink table re-registered in the same session could
     # retain rows from a previous run of this query
     return spark.table(sink_table).distinct()
+
+
+def run_streaming_observe(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    sink_table: str = "bdrr_stream_observe",
+) -> DataFrame:
+    """Streaming observability: ``observe()`` metrics attached to a file
+    stream, totalled across micro-batches.
+
+    Each micro-batch reports (n_rows, NaN-guarded decimal sum of value)
+    through its StreamingQueryProgress ``observedMetrics``; counts and
+    DECIMAL sums are associative, so the cross-batch totals equal the
+    batch aggregate over the whole table EXACTLY, for any file/batch
+    split — which is what makes a streaming query oracle-able against a
+    plain GROUP-BY-less aggregate. (Float sums would NOT be: per-batch
+    reduction order differs.) The pattern is how production streams get
+    per-batch audit counters without a second pass."""
+    from pyspark.sql import functions as F
+
+    pin_streaming_confs(spark)
+    stream = events_stream(spark, sf_dir)
+    guarded = F.when(
+        ~F.isnan("value") & (F.abs("value") != float("inf")),
+        F.col("value"),
+    ).cast("decimal(18,2)")
+    # metrics cross the JVM->Python boundary as JSON: a decimal would be
+    # parsed back as FLOAT and lose exactness — ship integer CENTS
+    observed = stream.observe(
+        "audit",
+        F.count(F.lit(1)).cast("bigint").alias("b_rows"),
+        (F.sum(guarded) * 100).cast("bigint").alias("b_sum_cents"),
+    )
+    q = (
+        observed.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_rows, cents = 0, 0
+    for p in q.recentProgress:
+        m = p.get("observedMetrics", {}).get("audit")
+        if m:
+            n_rows += m["b_rows"]
+            if m["b_sum_cents"] is not None:
+                cents += m["b_sum_cents"]
+    # cents/100.0 and DuckDB's CAST(decimal AS DOUBLE) are both the
+    # correctly-rounded double of the same rational -> bit-identical
+    return spark.createDataFrame(
+        [(n_rows, cents / 100.0)], "n_rows bigint, sum_value double"
+    )
