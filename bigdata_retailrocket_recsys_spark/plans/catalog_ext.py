@@ -5373,6 +5373,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE CAST(value AS DECIMAL(18,2)) END)
                 AS DOUBLE) AS sum_value
     FROM events
+    WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
     """,
 )
 def q_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
