@@ -5388,3 +5388,39 @@ def q_stream_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_observe(spark, sf_dir)
+
+
+@query(
+    "q_stream_scd2_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id AS d_user, event_type AS state,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(LEAD(ts) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST))
+                   AS valid_to_us
+        FROM events WHERE ts IS NOT NULL
+    ), s AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+    )
+    SELECT state, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s JOIN dim
+      ON s.user_id = dim.d_user
+     AND s.ts_us >= dim.valid_from_us
+     AND (dim.valid_to_us IS NULL OR s.ts_us < dim.valid_to_us)
+    GROUP BY state
+    """,
+)
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment against SCD2 intervals
+    (streaming/stream_join.run_streaming_scd2_enrich): stream-static
+    interval join, stateless (no watermark/state store), append-exact;
+    counts per enriched state carry a full DuckDB oracle. The streaming
+    twin of `q_join_pit_user` + `q_scd2_intervals`."""
+    from bigdata_retailrocket_recsys_spark.streaming.stream_join import (
+        run_streaming_scd2_enrich,
+    )
+
+    return run_streaming_scd2_enrich(spark, sf_dir)

@@ -223,3 +223,66 @@ def run_stream_upsert_merge(
     )
     q.awaitTermination()
     return spark.read.parquet(versions[-1])
+
+
+def run_streaming_scd2_enrich(
+    spark,
+    sf_dir: str,
+    *,
+    sink_table: str = "bdrr_stream_scd2",
+):
+    """Stream-static POINT-IN-TIME enrichment against SCD-type-2
+    intervals: each streamed event joins the dimension state that was
+    valid AT ITS EVENT TIME (`valid_from <= ts < valid_to`, open-ended
+    current rows) — the streaming form of the PIT join, and the
+    canonical 'enrich a stream against a slowly-changing dimension'
+    pattern. The static side is re-resolvable per micro-batch; the join
+    is STATELESS (no watermark, no state store — interval lookup into a
+    static table), so append mode is exact. Output: per-state event
+    counts, batch-deterministic for a bounded source."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.sources.readers import (
+        events_stream,
+        load_table,
+    )
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        pin_streaming_confs,
+    )
+
+    pin_streaming_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.filter(F.col("ts").isNotNull()).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+    stream = events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    enriched = stream.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("ts_us") < F.col("valid_to_us"))
+        ),
+        "inner",
+    ).select("state")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink_table)
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
