@@ -609,9 +609,12 @@ def domain_divergence(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("term"),
     ).filter(F.col("term") != "")
+    # the count table feeds cs, cct AND the final join — cache it or the
+    # token-bag scan+count recomputes 3× (no ReuseExchange, CLAUDE.md);
+    # it is the compacted (domain,term) table, far smaller than the bag
     cst = tok.groupBy("domain", "term").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_st")
-    )
+    ).cache()
     cs = cst.groupBy("domain").agg(F.sum("c_st").cast("bigint").alias("c_s"))
     cct = cst.groupBy("term").agg(F.sum("c_st").cast("bigint").alias("c_ct"))
     cc = cct.agg(F.sum("c_ct").cast("bigint").alias("c_c"))
