@@ -539,7 +539,11 @@ def bm25_scores(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     tok = _bag_tokens(docs, id_col, text_col)
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_dl"))
+    # doc-length table feeds the corpus stats AND the scoring join —
+    # cache it (one row per doc) so the token bag isn't re-counted
+    dl = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dl")
+    ).cache()
     stats = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_dl").cast("bigint").alias("tot_dl"),
