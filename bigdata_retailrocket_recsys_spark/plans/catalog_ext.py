@@ -5424,3 +5424,576 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_scd2_enrich(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth wave (round 6) — the remaining classic shapes, adapted to
+# this star schema (no partsupp / l_commitdate / c_phone in the driver
+# testdata). Each exercises a DISTINCT Catalyst rewrite: correlated-MIN
+# decorrelation (Q2), multi-dim broadcast star (Q7/Q8/Q9), CASE-pivot agg
+# (Q12), outer-join distribution (Q13), scalar-MAX subquery (Q15),
+# NOT-EXISTS anti under count-distinct (Q16), doubly-correlated scalar
+# compare (Q17), semi-join chain with HAVING (Q20), EXISTS+NOT-EXISTS
+# self-joins (Q21), uncorrelated-scalar + anti (Q22). Cross-engine float
+# rules per plans/catalog.py: exact DECIMAL sums, integer-unit casts before
+# any double division. Reference parity: the reference's single pipeline
+# (prepare_training_data_pyspark.py:214-327) has only groupBy/join shapes;
+# these extend the engine's relational surface the way SURVEY §2.12 declares.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size = 15
+      AND CAST(l.l_extendedprice AS DECIMAL(18,2)) =
+          (SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped (min-cost supplier): correlated MIN subquery over
+    the fact, adapted to this schema (no partsupp → cheapest lineitem
+    price per part stands in for min supplycost). Through the SQL front
+    door so Catalyst's scalar-subquery decorrelation does the rewrite
+    (per-part MIN aggregate joined back, not hand-written). Equality is
+    tested in exact DECIMAL so both engines keep the same ties; NULL
+    prices compare UNKNOWN and drop identically."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+               l.l_extendedprice AS min_price
+        FROM v_part p
+        JOIN v_lineitem l ON l.l_partkey = p.p_partkey
+        JOIN v_supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size = 15
+          AND CAST(l.l_extendedprice AS DECIMAL(18,2)) =
+              (SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(18,2)))
+               FROM v_lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+@query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped (volume shipping between two nations): the
+    5-dimension star where BOTH nation roles come from the same dim read
+    twice under different aliases. All dims broadcast; the only shuffle
+    is lineitem⋈orders plus the tiny final agg. Decimal-exact revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(revenue.cast("decimal(18,6)")).cast("double")
+             .alias("revenue"))
+    )
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                    AS DECIMAL(18,6)) AS v,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
+                              ELSE CAST(0 AS DECIMAL(18,6)) END)
+                     * 1000000 AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM(v) * 1000000 AS BIGINT) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped (national market share): 8-table star, conditional
+    share-of-total per year. The float trap is the ratio: both operand
+    sums are exact decimals converted to exact BIGINT micro-units, and
+    the ONE division runs on identical int64→double inputs — bit-equal
+    across engines (decimal→double direct would round differently past
+    53 bits; plans/catalog.py CAVEAT 2)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_regionkey").alias("cn_region"))
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    v = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+         ).cast("decimal(18,6)")
+    vol = (
+        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                v.alias("v"), "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    num_units = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("v"))
+              .otherwise(zero)) * 1000000
+    ).cast("bigint").cast("double")
+    den_units = (F.sum("v") * 1000000).cast("bigint").cast("double")
+    return vol.groupBy("o_year").agg(
+        (num_units / den_units).alias("mkt_share")
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle="""
+    SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY sn.n_name, year(o.o_orderdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped (product-line profit by nation-year): LIKE-filtered
+    part dim broadcast into the fact, supplier nation as the rollup axis.
+    No partsupp in this schema → profit stands as discounted revenue;
+    same join/agg skeleton. Part filter prunes BEFORE the join (predicate
+    on the broadcast side), so the fact rows that survive are bounded by
+    the filtered dim."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(revenue.cast("decimal(18,6)")).cast("double")
+             .alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped (priority split): CASE-pivot counts inside one
+    agg pass (no shipmode column → returnflag is the grouping axis,
+    orderpriority the pivot). NULL priorities land in the ELSE branch in
+    BOTH engines (IN → UNKNOWN → ELSE) — the CASE arms are written as
+    exact complements so every joined row counts exactly once."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped (customer order-count distribution): LEFT outer
+    join with the filter INSIDE the join condition (customers with zero
+    qualifying orders must survive with count 0 — pushing the predicate
+    below the join as a WHERE would wrongly drop them), then a
+    distribution-of-counts re-aggregation. COUNT(col) counts non-null
+    join matches only, identically in both engines."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(18,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped (top supplier): aggregate view consumed twice —
+    once as the join input, once under a scalar MAX subquery. The
+    equality gate runs on exact decimals (ties survive identically);
+    only the FINAL projection casts to double. Through the SQL front
+    door; the revenue CTE is supplier-grain (tiny), so the double
+    evaluation Catalyst plans is bounded by the supplier count, not the
+    fact (ReuseExchange doesn't dedupe shared subtrees — CLAUDE.md)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(18,6))) AS total_rev
+            FROM v_lineitem
+            WHERE l_shipdate >= TIMESTAMP'1996-01-01'
+              AND l_shipdate <  TIMESTAMP'1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_rev AS DOUBLE) AS total_rev
+        FROM v_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+        """
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'MEDIUM'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped (supplier count by part attributes): count
+    DISTINCT under an anti join that excludes flagged suppliers.
+    Deliberately NOT EXISTS semantics (→ plain left-anti, NULL suppkeys
+    survive) rather than NOT IN (null-aware, a NULL would empty the
+    result) — the DataFrame side is a broadcast left-anti and the oracle
+    says NOT EXISTS so both engines agree on the advdata fixture too."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT CAST(COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                              * 100 AS BIGINT), 0) AS DOUBLE) / 700.0
+               AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5
+          * (SELECT COUNT(*) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+        < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped (small-quantity revenue): the classic
+    `qty < 0.2 * avg(qty per part)` rewritten division-free as
+    `5·qty·n < Σqty` in exact DECIMAL — two correlated scalar subqueries
+    (Spark requires outer refs in the subquery WHERE, and avg-of-double
+    is reduction-order dependent; plans/catalog.py rules). The global sum
+    goes through exact integer cents before the single double division;
+    COALESCE pins the empty-match case to 0.0 on both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT CAST(COALESCE(
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                        * 100 AS BIGINT), 0) AS DOUBLE) / 700.0
+                   AS avg_yearly
+        FROM v_lineitem l JOIN v_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5
+              * (SELECT COUNT(*) FROM v_lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey)
+            < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+               FROM v_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 100
+    )
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped (suppliers with significant flow of a part
+    family): nested IN chain — part-name semi inside an aggregated,
+    HAVING-gated semi. Catalyst rewrites both INs to left-semi joins;
+    the inner aggregate gate runs on exact decimal quantity. Through the
+    SQL front door to keep the rewrite with the optimizer."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM v_supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey FROM v_lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM v_part
+                                  WHERE p_name LIKE 'red%')
+              AND l.l_shipdate >= TIMESTAMP'1996-01-01'
+              AND l.l_shipdate <  TIMESTAMP'1997-01-01'
+            GROUP BY l.l_suppkey
+            HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 100
+        )
+        """
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_5'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped (suppliers who kept orders waiting): EXISTS and
+    NOT EXISTS correlated against the SAME fact under different residuals
+    — the last-to-ship supplier in multi-supplier finished orders
+    (adapted: no receiptdate → shipdate ordering). Catalyst plans a
+    left-semi plus a left-anti against lineitem, both decorrelated; the
+    strict inequality keeps ties out identically in both engines."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM v_supplier s
+        JOIN v_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN v_orders o    ON o.o_orderkey = l1.l_orderkey
+        JOIN v_nation n    ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F' AND n.n_name = 'NATION_5'
+          AND EXISTS (SELECT 1 FROM v_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s.s_name
+        """
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer
+        WHERE c_acctbal > 0
+          AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    )
+    SELECT c.c_nationkey AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) * 100
+                     AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND CAST(c.c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM pos)
+          > (SELECT SUM(bal) FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped (global sales opportunity): customers above the
+    positive-balance average with no urgent orders — uncorrelated scalar
+    aggregates (broadcast single-row) + NOT EXISTS anti join (no c_phone
+    → nationkey set stands in for country codes). The average is
+    division-free (`bal·n > Σbal` in exact DECIMAL) and the output sum
+    goes through integer cents — both cross-engine-exact."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH pos AS (
+            SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+            FROM v_customer
+            WHERE c_acctbal > 0
+              AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        )
+        SELECT c.c_nationkey AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) * 100
+                         AS BIGINT) AS DOUBLE) / 100.0 AS totacctbal
+        FROM v_customer c
+        WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND CAST(c.c_acctbal AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM pos)
+              > (SELECT SUM(bal) FROM pos)
+          AND NOT EXISTS (SELECT 1 FROM v_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c.c_nationkey
+        """
+    )

@@ -49,6 +49,7 @@ ROWS_ONLY_AUDIT = {
     "q_w2v_embed": ("MLlib Word2Vec floats are seed/impl-specific", "test_operators.py::test_w2v_embeddings_invariants"),
     "q_multimodal_meta": ("binary decode stubbed (no codec libs in sandbox)", "test_operators.py::test_multimodal_stub_paths"),
     "q_multimodal_chunk": ("binary payloads not comparable via DuckDB SQL", "test_operators.py::test_chunk_binary_reassembles"),
+    "q_multimodal_resize": ("binary image payloads not comparable via DuckDB SQL; decode tier is environment-dependent (PIL when importable)", "test_operators.py::test_multimodal_resize_and_frames + test_resize_images_pil_real_decode"),
     "q_graph_pagerank": ("iterative fixpoint, no closed SQL form", "test_properties.py::test_pagerank_invariants"),
     "q_scan_csv_corrupt": ("_corrupt_record capture is Spark-reader-specific", "test_operators.py::test_corrupt_csv_quarantine_counts"),
     "q_sink_compaction": ("output is a file-layout property, not a row set", "test_operators.py::test_compact_parquet_file_counts"),
