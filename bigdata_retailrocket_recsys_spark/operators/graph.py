@@ -247,3 +247,111 @@ def pagerank_exact(
         if i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def edge_jaccard(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-edge neighborhood Jaccard similarity — the classic
+    link-prediction / community-strength feature:
+    ``J(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` for every undirected edge
+    ``(u < v)``, where ``N(x)`` is x's adjacent vertex set (so v ∈ N(u)
+    and u ∈ N(v): the union denominator is ``deg(u) + deg(v) − common``
+    and is ≥ 2 for any real edge — no zero-division branch).
+
+    |N(u) ∩ N(v)| for an EDGE is exactly the number of triangles through
+    that edge, so the counting rides the same degree-oriented wedge
+    closure as :func:`triangle_counts` (Suri & Vassilvitskii WWW'11) —
+    O(m^1.5) wedge bound instead of the Σ deg(v)² a naive
+    adjacency×adjacency self-join pays; a hub's edges all point inward
+    and generate zero wedges. Each closed triangle (s,a,b) then credits
+    its THREE canonical edges. Edges in no triangle surface with
+    common = 0 via the left join back onto the canonical edge list.
+
+    All counts are exact ints; the single jaccard division runs on
+    int→double casts (bit-identical across engines, plans/catalog.py
+    rules). Extends the reference's co-visitation signal (py:331-340)
+    from pair-counts to normalized neighborhood overlap.
+
+    Returns ``(u, v, common, deg_u, deg_v, jaccard)``.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("u").alias("vtx"))
+        .unionAll(und.select(F.col("v").alias("vtx")))
+        .groupBy("vtx")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    with_deg = und.join(
+        deg.withColumnRenamed("vtx", "u").withColumnRenamed("deg", "du"), "u"
+    ).join(deg.withColumnRenamed("vtx", "v").withColumnRenamed("deg", "dv"), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        with_deg.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.struct("dv", "v"))
+            .otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v")))
+            .alias("d"),
+        )
+        .select("s", F.col("d.v").alias("d"), F.col("d.dv").alias("dd"))
+        .cache()
+    )
+    e1 = oriented.select("s", F.col("d").alias("a"), F.col("dd").alias("da"))
+    e2 = oriented.select("s", F.col("d").alias("b"), F.col("dd").alias("db"))
+    wedges = e1.join(e2, "s").filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("s").alias("a"), F.col("d").alias("b")),
+        ["a", "b"],
+        "inner",
+    ).select("s", "a", "b")
+    # each triangle (s,a,b) → its three canonical (min,max) edges
+    tri_edges = closed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("s", "a").alias("u"), F.greatest("s", "a").alias("v")
+                ),
+                F.struct(
+                    F.least("s", "b").alias("u"), F.greatest("s", "b").alias("v")
+                ),
+                F.struct(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    per_edge = tri_edges.groupBy("u", "v").agg(
+        F.count("*").cast("bigint").alias("common")
+    )
+    out = (
+        with_deg.select("u", "v", "du", "dv")
+        .join(per_edge, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("common", F.lit(0)).cast("bigint").alias("common"),
+            F.col("du").cast("bigint").alias("deg_u"),
+            F.col("dv").cast("bigint").alias("deg_v"),
+        )
+    )
+    return out.withColumn(
+        "jaccard",
+        F.col("common").cast("double")
+        / (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast("double"),
+    )

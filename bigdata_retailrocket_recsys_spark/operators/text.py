@@ -636,3 +636,60 @@ def domain_divergence(
             F.sum(contrib).cast("bigint").alias("kl_u"),
         )
     )
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_rows: int = 3,
+) -> DataFrame:
+    """Cross-document repeated-span (boilerplate) detector — the
+    CCNet/RefinedWeb-style pass that finds token n-grams shared verbatim
+    by many documents (headers, footers, licence blocks, nav chrome) so
+    a cleaning pipeline can strip or down-weight them.
+
+    Distinct from :func:`ngram_counts` (total occurrence frequency):
+    here each document contributes every span at most ONCE
+    (``array_distinct`` INSIDE the token array — zero extra shuffle), so
+    the count is document-prevalence, the boilerplate signal. Row-grain
+    on purpose: duplicate ``id_col`` values count separately, keeping
+    semantics identical to the SQL oracle without assuming id uniqueness.
+
+    Shuffle shape at 100 TB: the only wide op is the final (ngram) agg
+    — map-side combinable counts over md5-free raw spans; spans are
+    n·avg-token bytes, bounded, and never the full document. The explode
+    fan-out is ≤ tokens-per-doc per row (linear in corpus tokens, the
+    same bound tokenization itself pays).
+
+    Returns ``(ngram, n_rows, example_doc)`` for spans present in
+    ≥ ``min_rows`` rows; ``example_doc`` is the minimum id for a stable,
+    deterministic exemplar. Complements exact/MinHash dedup (reference
+    py:214-262 deduplicates whole sessions; this targets sub-document
+    repetition).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sz = F.size(toks)
+    grams = toks
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, i + 1, F.greatest(sz - i, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(grams)).alias("ngram"),
+        )
+        .filter(F.col("ngram").isNotNull())
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("_id").alias("example_doc"),
+        )
+        .filter(F.col("n_rows") >= min_rows)
+    )

@@ -5997,3 +5997,168 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_nationkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: graph link-prediction, boilerplate detection, growth accounting
+# ---------------------------------------------------------------------------
+
+from bigdata_retailrocket_recsys_spark.plans.catalog import (  # noqa: E402
+    _floordiv_sql,
+    floordiv_expr,
+)
+
+
+@query(
+    "q_graph_jaccard",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), adj AS (
+        SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+        SELECT x, COUNT(*) AS d FROM adj GROUP BY x
+    ), com AS (
+        SELECT a.x AS u, b.x AS v, COUNT(*) AS common
+        FROM adj a JOIN adj b ON a.y = b.y AND a.x < b.x
+        GROUP BY a.x, b.x
+    )
+    SELECT e.u, e.v,
+           CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+           CAST(du.d AS BIGINT) AS deg_u,
+           CAST(dv.d AS BIGINT) AS deg_v,
+           CAST(COALESCE(c.common, 0) AS DOUBLE)
+               / CAST(du.d + dv.d - COALESCE(c.common, 0) AS DOUBLE)
+               AS jaccard
+    FROM e
+    JOIN deg du ON du.x = e.u
+    JOIN deg dv ON dv.x = e.v
+    LEFT JOIN com c ON c.u = e.u AND c.v = e.v
+    """,
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard on the co-purchase graph (operators/
+    graph.edge_jaccard): link-prediction feature via the degree-oriented
+    triangle closure — O(m^1.5) wedges, while the oracle pays the naive
+    Σdeg² adjacency self-join. Orientation changes which join finds a
+    common neighbor, never the count, so the exact-int counts and the
+    single int→double division must agree bit-for-bit."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import edge_jaccard
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return edge_jaccard(edges)
+
+
+@query(
+    "q_text_boilerplate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, ROW_NUMBER() OVER () AS rid,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), spans AS (
+        SELECT DISTINCT rid, doc_id, ngram
+        FROM (
+            SELECT rid, doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                   t[i+3] || ' ' || t[i+4] AS ngram
+            FROM (SELECT rid, doc_id, t, unnest(range(1, len(t) - 3)) AS i
+                  FROM toks)
+        )
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(doc_id) AS example_doc
+    FROM spans GROUP BY ngram HAVING COUNT(*) >= 3
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram spans (operators/text.
+    boilerplate_spans): document-prevalence counts (each row contributes
+    a span once — array_distinct in-array, no pre-shuffle distinct), the
+    CCNet/RefinedWeb boilerplate-strip signal. The oracle's DISTINCT is
+    over a synthesized ROW_NUMBER() row id (DuckDB rowid isn't available
+    on views — CLAUDE.md) so duplicated rows — even with equal doc_ids —
+    count separately on both engines, matching row-grain semantics."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        boilerplate_spans,
+    )
+
+    return boilerplate_spans(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        n=5,
+        min_rows=3,
+    )
+
+
+@query(
+    "q_growth_accounting",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, {_floordiv_sql('epoch_us(ts)', 86400000000)} AS day
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), dau AS (
+        SELECT day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY day
+    ), fs AS (
+        SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY user_id
+    ), nu AS (
+        SELECT first_day AS day, COUNT(*) AS new_users
+        FROM fs GROUP BY first_day
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+                    OVER (ORDER BY d.day) AS BIGINT) AS cum_users
+    FROM dau d LEFT JOIN nu n ON n.day = d.day
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: DAU, new users, and CUMULATIVE distinct
+    users per day. The classic trap is that `COUNT(DISTINCT) OVER
+    (ORDER BY day)` isn't a window aggregate in either engine — the
+    rewrite is first-seen-day per user (one agg), then a running sum of
+    first-seen counts, which IS the cumulative distinct. The running
+    window is over the per-DAY table (bounded by calendar days, not
+    facts — single-reducer is fine at any corpus scale; the per-user
+    aggs are the data-sized shuffles and both are map-side combinable).
+    Epoch-day ints keep dates off the DATE stringification trap."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.expr(floordiv_expr("unix_micros(ts)", 86400000000)).alias("day"),
+        )
+    )
+    dau = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    nu = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    from pyspark.sql import Window
+
+    joined = dau.join(nu, "day", "left").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+    )
+    return joined.withColumn(
+        "cum_users",
+        F.sum("new_users").over(
+            Window.orderBy("day").rangeBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint"),
+    )

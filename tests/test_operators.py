@@ -2529,3 +2529,53 @@ def test_pagerank_exact_hand_computed(spark):
     pair = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
     got = {r.vtx: r.mass for r in pagerank_exact(pair, iters=3).collect()}
     assert got == {1: 1000000, 2: 1000000}
+
+
+def test_edge_jaccard_triangle_with_pendant(spark):
+    """Triangle 1-2-3 plus pendant edge 3-4: edge (1,2) shares neighbor 3
+    (J = 1/(2+2-1)); the pendant edge has no common neighbor (J = 0)."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import edge_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 3), (2, 1)],  # dup + reversed noise
+        ["src", "dst"],
+    )
+    out = {(r["u"], r["v"]): r for r in edge_jaccard(edges).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3), (3, 4)}
+    assert out[(1, 2)]["common"] == 1
+    assert out[(1, 2)]["deg_u"] == 2 and out[(1, 2)]["deg_v"] == 2
+    assert abs(out[(1, 2)]["jaccard"] - 1 / 3) < 1e-12
+    assert out[(3, 4)]["common"] == 0
+    assert out[(3, 4)]["deg_u"] == 3 and out[(3, 4)]["deg_v"] == 1
+    assert out[(3, 4)]["jaccard"] == 0.0
+
+
+def test_boilerplate_spans_row_grain_and_within_doc_dedup(spark):
+    """A span repeated TWICE inside one row counts once for that row;
+    duplicated rows count separately; min_rows gates the output."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        boilerplate_spans,
+    )
+
+    span = "all rights reserved by acme"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} intro words {span}"),     # within-row repeat → 1
+            (2, f"prefix {span} suffix"),
+            (2, f"prefix {span} suffix"),          # duplicated row → counts
+            (3, "totally unrelated text with no shared span at all"),
+            (4, None),                             # NULL text dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["ngram"]: r
+        for r in boilerplate_spans(
+            docs, id_col="doc_id", text_col="text", n=5, min_rows=3
+        ).collect()
+    }
+    assert span in out
+    assert out[span]["n_rows"] == 3
+    assert out[span]["example_doc"] == 1
+    # nothing below the prevalence gate leaks through
+    assert all(r["n_rows"] >= 3 for r in out.values())
