@@ -6162,3 +6162,48 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy("day").rangeBetween(Window.unboundedPreceding, 0)
         ).cast("bigint"),
     )
+
+
+@query(
+    "q_stream_chained_rollup",
+    # Two chained stateful aggs in append mode: only rollup windows whose
+    # END the FINAL watermark (max valid event time − 2 h) has passed are
+    # emitted — the oracle cuts the identical tail. Inner hourly windows
+    # always close before (or with) their enclosing rollup window, so a
+    # closed rollup has absorbed all of its hourly buckets; the WHERE
+    # reproduces append's emit-once gate exactly.
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) AS us
+        FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+    ), wm AS (
+        SELECT MAX(us) - 7200000000 AS w FROM ev
+    ), hourly AS (
+        SELECT {_floormul_sql("us", 3600000000)} AS h_start, event_type,
+               COUNT(*) AS n
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT {_floormul_sql("h_start", 21600000000)} AS win_start_us,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_hourly,
+           CAST(COUNT(*) AS BIGINT) AS n_hourly_buckets
+    FROM hourly
+    GROUP BY 1, 2
+    HAVING {_floormul_sql("h_start", 21600000000)} + 21600000000
+           <= (SELECT w FROM wm)
+    """,
+)
+def q_stream_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming aggregation (streaming/sessionize_stream
+    .streaming_chained_rollup): hourly per-type counts roll up into
+    6-hour summaries INSIDE one streaming query — the Spark ≥3.4
+    multiple-stateful-operator pipeline (second window keyed on
+    window_time() of the first, watermark propagated through). Append
+    mode + bounded AvailableNow run ⇒ deterministic emitted set ⇒ full
+    DuckDB oracle including the watermark tail cut."""
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        run_streaming_chained_rollup,
+    )
+
+    return run_streaming_chained_rollup(spark, sf_dir)

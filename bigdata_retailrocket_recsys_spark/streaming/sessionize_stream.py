@@ -290,3 +290,69 @@ def run_streaming_observe(
     return spark.createDataFrame(
         [(n_rows, cents / 100.0)], "n_rows bigint, sum_value double"
     )
+
+
+def streaming_chained_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """TWO chained stateful window aggregations in one streaming query —
+    the multi-stateful-operator pipeline (Spark ≥3.4): hourly counts per
+    group roll up into 6-hour summaries without leaving the stream. The
+    second window keys on ``window_time()`` of the first (the event-time
+    column Spark propagates the watermark through). Append mode is
+    REQUIRED for chained stateful ops: each hourly window flows into the
+    rollup exactly once, when the watermark passes its end; the rollup
+    window closes under the SAME watermark, so a closed 6-hour window has
+    necessarily absorbed all six hourly buckets. Aggregates are exact
+    ints (sum/max/count of counts) — cross-engine deterministic."""
+    hourly = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("w"), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "6 hours").alias("w6"),
+            F.col(group_col),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("max_hourly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hourly_buckets"),
+        )
+        .select(
+            F.unix_micros("w6.start").alias("win_start_us"),
+            F.col(group_col),
+            "n_events",
+            "max_hourly",
+            "n_hourly_buckets",
+        )
+    )
+
+
+def run_streaming_chained_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    sink_table: str = "bdrr_stream_chained",
+) -> DataFrame:
+    """Events parquet stream → hourly agg → 6-hour rollup → memory sink,
+    Trigger.AvailableNow + the closing no-data batch. Append emits each
+    rollup window once when the final watermark (max event time − delay)
+    passes its end — the oracle cuts the identical tail."""
+    pin_streaming_confs(spark)
+    stream = events_stream(spark, sf_dir)
+    out = streaming_chained_rollup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
