@@ -6207,3 +6207,157 @@ def q_stream_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_chained_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: Spark 4 relational surface — recursive CTE, VARIANT, LATERAL
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_recursive_bfs",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), adj AS (
+        SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e
+    ), bfs AS (
+        SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+        UNION ALL
+        SELECT a.y, b.hop + 1 FROM bfs b JOIN adj a ON a.x = b.node
+        WHERE b.hop < 3
+    )
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM bfs GROUP BY node
+    """,
+)
+def q_sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark ≥4.0 WITH RECURSIVE): 3-hop BFS from a seed
+    part over the strong co-purchase graph (pairs co-ordered ≥2×), min
+    hop distance + path counts — IDENTICAL SQL on both engines, run
+    through the Spark SQL front door. UNION ALL path enumeration is the
+    portable form but is path-exponential on dense graphs — bounded here
+    by the hop<3 gate and the ≥2 weight threshold; the scale-safe form
+    for unbounded reachability is the iterative frontier operator
+    (operators/dedup.connected_components_bigstar) — this entry is the
+    relational-surface twin, not the 100 TB path."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        WITH RECURSIVE e AS (
+            SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+                   GREATEST(a.l_partkey, b.l_partkey) AS v
+            FROM v_lineitem a JOIN v_lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), adj AS (
+            SELECT u AS x, v AS y FROM e
+            UNION ALL SELECT v AS x, u AS y FROM e
+        ), bfs AS (
+            SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+            UNION ALL
+            SELECT a.y, b.hop + 1 FROM bfs b JOIN adj a ON a.x = b.node
+            WHERE b.hop < 3
+        )
+        SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM bfs GROUP BY node
+        """
+    )
+
+
+@query(
+    "q_json_variant",
+    oracle="""
+    WITH doc AS (
+        SELECT '{"p":' || props || ',"uid":' || CAST(user_id AS VARCHAR)
+               || '}' AS j
+        FROM events
+    )
+    SELECT CAST(json_extract(j, '$.p.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(j, '$.uid') AS BIGINT)) AS BIGINT)
+               AS min_uid
+    FROM doc WHERE j IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured path extraction (Spark ≥4.0): a nested
+    JSON document (string-concat construction — identical bytes on both
+    engines, NULL-propagating through ||) is parsed ONCE with
+    parse_json into a VARIANT, then two typed paths come out via
+    variant_get — the parse-once/extract-many shape that replaces
+    repeated get_json_object string re-parses. The oracle extracts the
+    same paths with DuckDB's native JSON type. Bucketed bigint group
+    keys; % on non-negative k is engine-identical."""
+    ev = _t(spark, sf_dir, "events")
+    doc = ev.select(
+        F.concat(
+            F.lit('{"p":'),
+            F.col("props"),
+            F.lit(',"uid":'),
+            F.col("user_id").cast("string"),
+            F.lit("}"),
+        ).alias("j")
+    ).filter(F.col("j").isNotNull())
+    v = doc.select(F.parse_json("j").alias("v"))
+    return (
+        v.select(
+            (F.expr("variant_get(v, '$.p.k', 'bigint')") % 10).alias(
+                "k_bucket"
+            ),
+            F.expr("variant_get(v, '$.uid', 'bigint')").alias("uid"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("uid").cast("bigint").alias("min_uid"),
+        )
+    )
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+    SELECT o.o_orderkey, t.l_partkey, t.l_extendedprice
+    FROM orders o,
+    LATERAL (SELECT l_partkey, l_extendedprice, l_linenumber
+             FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC NULLS LAST,
+                      l_partkey ASC NULLS FIRST,
+                      l_linenumber ASC NULLS FIRST
+             LIMIT 1) t
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    top-1-per-key join written the SQL-standard way instead of a window
+    rank): Catalyst decorrelates to a partitioned rank under the hood —
+    same physical family as `q_window_latest_per_key`, different entry
+    surface. Total-order tiebreak (price, partkey, linenumber) with
+    EXPLICIT null placement makes the picked row engine-identical;
+    orders with no lineitems drop on both engines (inner lateral)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_partkey, t.l_extendedprice
+        FROM v_orders o,
+        LATERAL (SELECT l_partkey, l_extendedprice, l_linenumber
+                 FROM v_lineitem l
+                 WHERE l.l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC NULLS LAST,
+                          l_partkey ASC NULLS FIRST,
+                          l_linenumber ASC NULLS FIRST
+                 LIMIT 1) t
+        WHERE o.o_orderstatus = 'F'
+        """
+    )
