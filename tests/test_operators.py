@@ -2579,3 +2579,44 @@ def test_boilerplate_spans_row_grain_and_within_doc_dedup(spark):
     assert out[span]["example_doc"] == 1
     # nothing below the prevalence gate leaks through
     assert all(r["n_rows"] >= 3 for r in out.values())
+
+
+def test_transform_with_state_gate_or_runs(spark):
+    """transformWithStateInPandas (Spark ≥4 stateful API) needs protobuf
+    for its streaming runner channel. Where available, the bounded run
+    must equal the batch GROUP BY; where not (this sandbox), the
+    capability gate raises the documented NotImplementedError instead of
+    crashing the executor mid-query."""
+    from bigdata_retailrocket_recsys_spark.streaming.transform_state import (
+        run_transform_state,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        try:
+            run_transform_state(spark, "/root/testdata/sf0.001")
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError as ex:
+            assert "protobuf" in str(ex)
+        return
+    out = {
+        r["user_id"]: r
+        for r in run_transform_state(spark, "/root/testdata/sf0.001").collect()
+    }
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+    from pyspark.sql import functions as F2
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").filter(
+        F2.col("user_id").isNotNull()
+        & F2.col("value").isNotNull()
+        & ~F2.isnan("value")
+        & (F2.abs("value") != float("inf"))
+    )
+    exp = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(F2.count(F2.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert set(out) == set(exp)
+    assert all(out[u]["n_events"] == exp[u]["n_events"] for u in exp)
