@@ -6361,3 +6361,166 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderstatus = 'F'
         """
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n_all
+        FROM events GROUP BY 1
+    ), b AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               COUNT(*) AS n_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT a.k, CAST(a.n_all AS BIGINT) AS n_all,
+           CAST(b.n_purchase AS BIGINT) AS n_purchase
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL-props group is a real group on BOTH sides and must MATCH —
+    a plain equi join silently drops it (NULL = NULL is UNKNOWN), the
+    classic silent-loss trap for nullable dimension keys. Catalyst
+    hash-joins on the null-safe key directly (no coalesce-to-sentinel
+    hack, which would corrupt a real sentinel value)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        "event_type",
+    )
+    a = ev.groupBy("k").agg(F.count(F.lit(1)).alias("n_all"))
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_purchase"))
+        .withColumnRenamed("k", "kb")
+    )
+    return a.join(b, a.k.eqNullSafe(F.col("kb"))).select(
+        "k", "n_all", "n_purchase"
+    )
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH f AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+    ), o AS (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c ASC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM f
+    ), med AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN c END)
+             + MIN(CASE WHEN rn = (n + 2) // 2 THEN c END) AS med2
+        FROM o GROUP BY event_type
+    ), dev AS (
+        SELECT f.event_type, f.c, ABS(2 * f.c - m.med2) AS d2
+        FROM f JOIN med m USING (event_type)
+    ), do_ AS (
+        SELECT event_type, c, d2,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d2 ASC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM dev
+    ), mad AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN d2 END)
+             + MIN(CASE WHEN rn = (n + 2) // 2 THEN d2 END) AS mad4
+        FROM do_ GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(m.med2 AS BIGINT) AS median_x2_cents,
+           CAST(md.mad4 AS BIGINT) AS mad_x4_cents,
+           CAST(SUM(CASE WHEN 4 * d.d2 > 3 * md.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN med m USING (event_type) JOIN mad md USING (event_type)
+    GROUP BY d.event_type, m.med2, md.mad4
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts per event type: median + MAD (median
+    absolute deviation), the outlier rule |x − med| > 3·MAD — entirely
+    in EXACT integer arithmetic. Values go to integer cents (2-decimal
+    doubles, float rule 1); the median is carried DOUBLED (sum of the
+    two middle order statistics — no /2, stays int), deviations are
+    |2c − med2| (= 2·|c − med| in cents), and MAD rides QUADRUPLED
+    (middle-sum of doubled deviations). The flag inequality
+    |x−med| > 3·MAD becomes 4·d2 > 3·mad4 after clearing denominators —
+    no float ever, so both engines agree bit-for-bit.
+
+    Scale shape: event_type is FEW huge groups → both rank passes use
+    the SHARDED grouped global_rank (q_winsorize discipline), never a
+    single-reducer window; the k-th VALUE of a sorted multiset is
+    tie-order independent."""
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    f = ev.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
+    ).select(
+        "event_type",
+        (v.cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    totals = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    def middle_sum(df, val_col, out_col):
+        o = global_rank(
+            df, [F.col(val_col).asc()], partition_by=["event_type"],
+            out_col="rn",
+        ).join(F.broadcast(totals), "event_type")
+        return o.groupBy("event_type").agg(
+            (
+                F.min(
+                    F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                           F.col(val_col))
+                )
+                + F.min(
+                    F.when(F.col("rn") == F.expr("(n + 2) div 2"),
+                           F.col(val_col))
+                )
+            ).alias(out_col)
+        )
+
+    med = middle_sum(f, "c", "med2")
+    dev = f.join(F.broadcast(med), "event_type").select(
+        "event_type", "c", "med2",
+        F.abs(F.lit(2) * F.col("c") - F.col("med2")).alias("d2"),
+    )
+    dev.cache()  # referenced by the rank pass AND the final agg (S7)
+    mad = middle_sum(dev, "d2", "mad4")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.lit(4) * F.col("d2") > F.lit(3) * F.col("mad4"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            F.col("med2").cast("bigint").alias("median_x2_cents"),
+            F.col("mad4").cast("bigint").alias("mad_x4_cents"),
+            "n_outliers",
+        )
+    )
