@@ -293,9 +293,18 @@ def edge_jaccard(
         .groupBy("vtx")
         .agg(F.count("*").cast("bigint").alias("deg"))
     )
-    with_deg = und.join(
-        deg.withColumnRenamed("vtx", "u").withColumnRenamed("deg", "du"), "u"
-    ).join(deg.withColumnRenamed("vtx", "v").withColumnRenamed("deg", "dv"), "v")
+    with_deg = (
+        und.join(
+            deg.withColumnRenamed("vtx", "u").withColumnRenamed("deg", "du"),
+            "u",
+        )
+        .join(
+            deg.withColumnRenamed("vtx", "v").withColumnRenamed("deg", "dv"),
+            "v",
+        )
+        .cache()  # consumed by BOTH the orientation and the output join;
+        # ReuseExchange does not dedupe shared subtrees (CLAUDE.md)
+    )
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )

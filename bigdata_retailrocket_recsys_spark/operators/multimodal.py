@@ -316,3 +316,72 @@ def chunk_binary(
         )
         .select(id_col, "chunk_idx", "chunk_off", "chunk_len", "chunk")
     )
+
+
+def extract_media_features_arrow(
+    assets: DataFrame, *, decode_stub: str = "fake", batch_hint: int = 256
+) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_media_features` — the
+    lower-overhead Python boundary (Spark ≥3.3 / first-class in 4.x):
+    Arrow RecordBatches in and out with NO pandas materialization, and
+    the byte histogram vectorized via numpy ``frombuffer`` + ``bincount``
+    instead of a per-byte Python loop. Same schema, same deterministic
+    pseudo-features (entropy accumulation order differs from the pandas
+    twin only at float rounding — equality locked to 1e-12 in tests;
+    integer features are bit-equal).
+
+    Prefer this path when the per-row work is small relative to the
+    pandas conversion cost; prefer ``mapInPandas`` when downstream code
+    wants DataFrame ergonomics inside the UDF. Both are Arrow-batched —
+    neither is ever the row-at-a-time Python UDF the engine bans."""
+    import pyarrow as pa
+
+    out_schema = (
+        "asset_id bigint, n_bytes bigint, byte_entropy double, "
+        "feat_0 double, feat_1 double, feat_2 double, feat_3 double"
+    )
+
+    def _extract(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column(0)
+            payloads = batch.column(1)
+            cols = {
+                "asset_id": [], "n_bytes": [], "byte_entropy": [],
+                "feat_0": [], "feat_1": [], "feat_2": [], "feat_3": [],
+            }
+            for i in range(batch.num_rows):
+                aid = ids[i].as_py()
+                p = payloads[i].as_py()
+                cols["asset_id"].append(aid)
+                if p is None:
+                    for k in ("n_bytes", "byte_entropy", "feat_0",
+                              "feat_1", "feat_2", "feat_3"):
+                        cols[k].append(None)
+                    continue
+                if decode_stub == "error":
+                    raise NotImplementedError(
+                        "media decode requires an image/audio codec "
+                        "(PIL/ffmpeg) not present in this environment; "
+                        "plug the real decoder in here"
+                    )
+                data = np.frombuffer(p, dtype=np.uint8)
+                n = int(data.size)
+                if n:
+                    counts = np.bincount(data, minlength=256)
+                    probs = counts[counts > 0] / n
+                    ent = float(-(probs * np.log2(probs)).sum())
+                else:
+                    ent = 0.0
+                cols["n_bytes"].append(n)
+                cols["byte_entropy"].append(ent)
+                cols["feat_0"].append(float(data[0]) if n else 0.0)
+                cols["feat_1"].append(float(data[n // 2]) if n else 0.0)
+                cols["feat_2"].append(float(data[-1]) if n else 0.0)
+                cols["feat_3"].append(float(int(data.sum()) % 997))
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return assets.select("asset_id", "payload").mapInArrow(
+        _extract, out_schema
+    )

@@ -5897,6 +5897,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tpch_q21",
+    headline=True,
     oracle="""
     SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
     FROM supplier s
@@ -6405,6 +6406,7 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_anomaly_mad",
+    headline=True,
     oracle="""
     WITH f AS (
         SELECT event_type,

@@ -2620,3 +2620,32 @@ def test_transform_with_state_gate_or_runs(spark):
     }
     assert set(out) == set(exp)
     assert all(out[u]["n_events"] == exp[u]["n_events"] for u in exp)
+
+
+def test_extract_features_arrow_matches_pandas(spark):
+    """The mapInArrow twin must agree with the mapInPandas path: integer
+    features bit-equal, entropy to float tolerance (vectorized numpy
+    accumulation order vs the Python loop)."""
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        extract_media_features,
+        extract_media_features_arrow,
+    )
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytes(range(256)) * 3),
+            (2, b"\x00" * 1000),
+            (3, b""),
+            (4, None),
+            (5, b"spark-graft"),
+        ],
+        ["asset_id", "payload"],
+    )
+    a = {r["asset_id"]: r for r in extract_media_features_arrow(assets).collect()}
+    p = {r["asset_id"]: r for r in extract_media_features(assets).collect()}
+    assert set(a) == set(p) == {1, 2, 3, 4, 5}
+    for k in a:
+        for col in ("n_bytes", "feat_0", "feat_1", "feat_2", "feat_3"):
+            assert a[k][col] == p[k][col], (k, col, a[k][col], p[k][col])
+        ea, ep = a[k]["byte_entropy"], p[k]["byte_entropy"]
+        assert (ea is None and ep is None) or abs(ea - ep) < 1e-9
