@@ -263,3 +263,72 @@ def skipgram_pairs(
         .agg(F.sum("n").cast("bigint").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def frequent_sequences(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    item_col: str = "event_type",
+    min_support: float = 0.5,
+    max_pattern_length: int = 2,
+) -> DataFrame:
+    """Sequential pattern mining via MLlib PrefixSpan (Pei et al., the
+    projection-based algorithm — no candidate-generation explosion),
+    extending the reference's MLlib usage (Word2Vec, py:403-431) to
+    order-aware patterns next to the unordered `association_rules`.
+
+    Each user's journey becomes one sequence of singleton itemsets in
+    the TOTAL (ts, tiebreak) order — ties must break deterministically
+    or subsequence containment itself is nondeterministic. Support
+    counts are exact sequence counts (ints); the threshold is Spark's
+    ``ceil(minSupport · nSeqs)``, exact for dyadic minSupport values
+    (0.5, 0.25 — document the choice; an arbitrary float threshold can
+    straddle an integer across engines).
+
+    Patterns flatten to ``a>b`` strings (driver-safe types). At 100 TB:
+    sequence assembly is ONE groupBy shuffle; PrefixSpan distributes by
+    projected-database partitioning (maxLocalProjDBSize bounds any
+    single task's projection).
+
+    Returns ``(pattern, freq)`` for patterns of length ≤
+    ``max_pattern_length`` with ``freq ≥ ceil(min_support · n_users)``.
+    """
+    from pyspark.ml.fpm import PrefixSpan
+
+    seqs = (
+        events.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            # the tiebreak must be non-null or the total order (and thus
+            # subsequence containment itself) is engine-ambiguous
+            & F.col(tiebreak_col).isNotNull()
+        )
+        .groupBy(user_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(tiebreak_col).alias("k"),
+                            F.col(item_col).alias("x"),
+                        )
+                    )
+                ),
+                lambda s: F.array(s["x"]),
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=min_support,
+        maxPatternLength=max_pattern_length,
+    )
+    pat = ps.findFrequentSequentialPatterns(seqs)
+    return pat.select(
+        F.array_join(F.flatten("sequence"), ">").alias("pattern"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )

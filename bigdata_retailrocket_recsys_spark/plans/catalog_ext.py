@@ -6526,3 +6526,52 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@query(
+    "q_seq_prefixspan",
+    # maxPatternLength=2 makes PrefixSpan containment SQL-expressible:
+    # singles = users containing the item; pairs a>b = users with an a
+    # strictly before a b in the SAME total (ts, event_id) order the
+    # engine sorts by. Threshold = Spark's ceil(minSupport·n) with the
+    # dyadic 0.5 → exact (n+1)//2.
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL AND event_id IS NOT NULL
+    ), nu AS (
+        SELECT COUNT(DISTINCT user_id) AS n FROM ev
+    ), singles AS (
+        SELECT event_type AS pattern, COUNT(DISTINCT user_id) AS freq
+        FROM ev GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type || '>' || b.event_type AS pattern,
+               COUNT(DISTINCT a.user_id) AS freq
+        FROM ev a JOIN ev b
+          ON a.user_id = b.user_id
+         AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        GROUP BY 1
+    )
+    SELECT pattern, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+    WHERE freq >= (SELECT (n + 1) // 2 FROM nu)
+    """,
+)
+def q_seq_prefixspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib PrefixSpan sequential patterns (operators/sequences.
+    frequent_sequences): order-aware frequent journeys (singles + a>b
+    bigrams at maxPatternLength=2), minSupport 0.5 of users. The oracle
+    re-derives containment relationally under the IDENTICAL total
+    (ts, event_id) order — exact integer support counts, so the
+    projection-based miner and the naive SQL must agree row-for-row."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        frequent_sequences,
+    )
+
+    return frequent_sequences(
+        _t(spark, sf_dir, "events"),
+        min_support=0.5,
+        max_pattern_length=2,
+    )

@@ -2649,3 +2649,30 @@ def test_extract_features_arrow_matches_pandas(spark):
             assert a[k][col] == p[k][col], (k, col, a[k][col], p[k][col])
         ea, ep = a[k]["byte_entropy"], p[k]["byte_entropy"]
         assert (ea is None and ep is None) or abs(ea - ep) < 1e-9
+
+
+def test_frequent_sequences_hand_case(spark):
+    """3 users; 'a>b' appears (in order) for users 1 and 2 only; user 3
+    has b before a. minSupport 0.5 of 3 users -> threshold 2."""
+    from datetime import datetime as DT
+
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        frequent_sequences,
+    )
+
+    rows = [
+        (1, DT(2024, 1, 1, 0, 0), 1, "a"),
+        (1, DT(2024, 1, 1, 0, 1), 2, "b"),
+        (2, DT(2024, 1, 1, 0, 0), 3, "a"),
+        (2, DT(2024, 1, 1, 0, 0), 4, "b"),   # same ts: event_id breaks tie
+        (3, DT(2024, 1, 1, 0, 0), 5, "b"),
+        (3, DT(2024, 1, 1, 0, 1), 6, "a"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {
+        r["pattern"]: r["freq"]
+        for r in frequent_sequences(ev, min_support=0.5).collect()
+    }
+    assert out["a"] == 3 and out["b"] == 3
+    assert out["a>b"] == 2
+    assert out.get("b>a", 0) in (0, 1) and "b>a" not in out  # freq 1 < 2
