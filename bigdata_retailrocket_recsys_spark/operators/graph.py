@@ -364,3 +364,74 @@ def edge_jaccard(
         F.col("common").cast("double")
         / (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast("double"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    vertices of degree < k until none remain; the survivors are the
+    (unique, order-independent) maximal subgraph with min degree ≥ k —
+    the standard community-cohesion / crawler-spam filter next to
+    triangles and Jaccard.
+
+    Each round is one degree agg + two semi joins (edges keep only
+    endpoints that survived); the loop runs O(peeling-rounds) times with
+    a driver-side count check per round — same discipline (and the same
+    honest caveat) as min-label connected components: rounds are
+    data-shaped, bounded by the degeneracy ordering depth, typically
+    ≪ 20 on real graphs. Not SQL-recursion expressible (fixpoint needs
+    aggregation in the recursive term, which neither engine allows) →
+    rows-only entry with the defining invariant locked in tests.
+
+    Returns ``(vtx, deg)`` — vertices of the k-core with their degree
+    WITHIN the core.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # localCheckpoint per round: the loop otherwise nests each round's
+    # plan inside the next and planning blows up long before the data
+    # does (same discipline as pagerank / connected_components)
+    cur = und.localCheckpoint(eager=True)
+    n_prev = cur.count()
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("u").alias("vtx"))
+            .unionAll(cur.select(F.col("v").alias("vtx")))
+            .groupBy("vtx")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("vtx")
+        nxt = (
+            cur.join(keep.withColumnRenamed("vtx", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("vtx", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_now = nxt.count()
+        cur = nxt
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    out = (
+        cur.select(F.col("u").alias("vtx"))
+        .unionAll(cur.select(F.col("v").alias("vtx")))
+        .groupBy("vtx")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    return out

@@ -6575,3 +6575,90 @@ def q_seq_prefixspan(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_support=0.5,
         max_pattern_length=2,
     )
+
+
+@query(
+    "q_eval_ips",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+          AND NOT isnan(value) AND NOT isinf(value)
+    ), acts AS (
+        SELECT COUNT(DISTINCT event_type) AS n_act FROM ev
+    ), agg AS (
+        SELECT event_type, COUNT(*) AS n_a,
+               SUM(cents) AS reward_cents
+        FROM ev GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+           CAST(reward_cents AS BIGINT) AS reward_cents,
+           CAST(FLOOR(CAST(reward_cents * 10000 AS DOUBLE)
+                      / CAST(n_act * n_a AS DOUBLE)) AS BIGINT)
+               AS ips_term_u
+    FROM agg, acts
+    """,
+)
+def q_eval_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation of a uniform target policy over logged
+    bandit feedback (inverse propensity scoring): with empirical logging
+    propensities p(a) = n_a/N and π uniform over the observed action
+    set, the IPS value estimate telescopes to Σ_a R_a/(n_act·n_a) — one
+    exact-integer term per action. Rewards ride integer cents; each
+    term is ONE double division of exact int64s then µ-floored (float
+    rule 3), so the per-action contributions — and any downstream sum of
+    them — are bit-identical across engines. The horvitz-thompson
+    estimator as a relational plan: two aggregates, one broadcast
+    scalar, facts never shuffle twice."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    f = ev.filter(
+        F.col("event_type").isNotNull()
+        & v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != float("inf"))
+    ).select(
+        "event_type",
+        (v.cast("decimal(18,2)") * 100).cast("bigint").alias("cents"),
+    )
+    acts = f.agg(F.countDistinct("event_type").alias("n_act"))
+    agg = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum("cents").cast("bigint").alias("reward_cents"),
+    )
+    return agg.crossJoin(F.broadcast(acts)).select(
+        "event_type",
+        "n_a",
+        "reward_cents",
+        F.floor(
+            (F.col("reward_cents") * 10000).cast("double")
+            / (F.col("n_act") * F.col("n_a")).cast("double")
+        )
+        .cast("bigint")
+        .alias("ips_term_u"),
+    )
+
+
+@query("q_graph_kcore", oracle=None)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (operators/graph.k_core):
+    iterative peeling to the maximal subgraph of min degree ≥ 3 — the
+    cohesion filter that strips pendant/chain structure before
+    community analysis. Fixpoint peeling needs aggregation inside the
+    recursion (neither engine's recursive SQL allows it) → rows-only;
+    the defining invariant (every surviving vertex keeps ≥ k neighbors
+    among survivors, and the result is a fixpoint) is test-locked."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return k_core(edges, 3)

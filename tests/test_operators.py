@@ -2676,3 +2676,41 @@ def test_frequent_sequences_hand_case(spark):
     assert out["a"] == 3 and out["b"] == 3
     assert out["a>b"] == 2
     assert out.get("b>a", 0) in (0, 1) and "b>a" not in out  # freq 1 < 2
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    """Triangle+tail graph: 2-core keeps exactly the triangle (the tail
+    peels off transitively); every survivor holds >= k in-core degree."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)],
+        ["src", "dst"],
+    )
+    out = {r["vtx"]: r["deg"] for r in k_core(edges, 2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # invariant on a bigger random graph: every vertex of the k-core has
+    # >= k neighbors inside the core, and re-running on the core is a
+    # fixpoint (same vertex set)
+    from pyspark.sql import functions as F2
+
+    rnd = spark.range(4000).select(
+        F2.pmod(F2.xxhash64("id"), 300).alias("src"),
+        F2.pmod(F2.xxhash64("id", F2.lit(3)), 300).alias("dst"),
+    )
+    core = k_core(rnd, 4)
+    rows = core.collect()
+    assert rows, "4-core unexpectedly empty"
+    assert min(r["deg"] for r in rows) >= 4
+    vtxs = {r["vtx"] for r in rows}
+    und = rnd.select(
+        F2.least("src", "dst").alias("u"), F2.greatest("src", "dst").alias("v")
+    ).filter(F2.col("u") != F2.col("v")).distinct()
+    core_edges = und.filter(
+        F2.col("u").isin(vtxs) & F2.col("v").isin(vtxs)
+    )
+    again = {
+        r["vtx"]
+        for r in k_core(core_edges, 4, src_col="u", dst_col="v").collect()
+    }
+    assert again == vtxs
