@@ -346,3 +346,46 @@ def test_vector_quantize_stats_broadcast(spark):
     """Per-dim min/max (64 rows) broadcasts back onto the exploded facts."""
     plan = plan_str(QUERIES["q_vector_quantize"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL ORDER BY+LIMIT must decorrelate to the
+    rank-limit family (WindowGroupLimit pushes the top-1 below the
+    window) — not a per-row nested-loop re-execution."""
+    plan = plan_str(QUERIES["q_join_lateral"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """<=> must plan as a hash join on the null-safe key, never a
+    nested-loop fallback."""
+    plan = plan_str(QUERIES["q_join_null_safe"].fn(spark, SF_DIR))
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_decorrelates_without_nested_loops(spark):
+    """EXISTS + NOT EXISTS against the same fact: both must decorrelate
+    to semi/anti hash joins (a nested-loop here is quadratic in the
+    fact)."""
+    plan = plan_str(QUERIES["q_tpch_q21"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"LeftSemi|ExistenceJoin", plan), plan[:500]
+    assert "LeftAnti" in plan
+
+
+def test_anomaly_mad_has_no_single_reducer_window(spark):
+    """Both MAD rank passes must ride the sharded grouped global_rank —
+    a Window whose partition spec is ONLY the (few-valued) group column
+    would funnel each group through one reducer."""
+    plan = plan_str(QUERIES["q_anomaly_mad"].fn(spark, SF_DIR), "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the MAD plan"
+    # every spec must involve the shard column: data windows partition by
+    # (shard, group); the offset-table window orders by shard over the
+    # bounded n_shards-row table
+    for spec in specs:
+        assert "__shard" in spec, spec
