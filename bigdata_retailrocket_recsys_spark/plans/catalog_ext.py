@@ -6662,3 +6662,75 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
     return k_core(edges, 3)
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (Spark ≥4.0 ``CREATE FUNCTION ... RETURNS ...
+    RETURN expr``): a catalog-registered reusable expression that
+    Catalyst INLINES at plan time — the governance benefits of a UDF
+    (one definition, many queries) with zero execution cost: the plan is
+    byte-identical to writing the expression inline, stays in
+    whole-stage codegen, and never touches a Python worker. The oracle
+    states the inlined form — if inlining ever regressed to an opaque
+    call, the decimal-exact sums would still pin the values."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP'1997-01-01'
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "q_sql_pipe",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark ≥4.0 ``|>`` operators): the linear
+    from→filter→aggregate composition written the way the DataFrame API
+    reads — same Catalyst plan as the classic form (the parser is the
+    only difference), oracled against the classic SQL on DuckDB."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        FROM v_part
+        |> WHERE p_size <= 20
+        |> AGGREGATE SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS s,
+                     COUNT(*) AS c
+           GROUP BY p_brand
+        |> SELECT p_brand, CAST(s AS DOUBLE) AS total_price,
+                  CAST(c AS BIGINT) AS n_parts
+        """
+    )
