@@ -6734,3 +6734,52 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(c AS BIGINT) AS n_parts
         """
     )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH pv AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value
+    FROM pv
+    WHERE val > (SELECT SUM(val) * 0.001 FROM pv)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped (important stock): per-part value for one
+    nation's suppliers, kept only where it exceeds a FRACTION of the
+    global total — the group-level HAVING against an uncorrelated scalar
+    aggregate over the same derived table (no partsupp → lineitem value
+    stands in for supplycost·availqty). The fraction comparison runs in
+    exact DECIMAL (0.001 is a decimal literal in both engines — no float
+    threshold that could straddle a boundary 1 ulp apart). Completes the
+    22/22 TPC-H shape coverage. Through the SQL front door; the pv CTE
+    is part-grain (bounded by the part catalog), so its double
+    evaluation under the scalar subquery is dimension-sized."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        WITH pv AS (
+            SELECT l.l_partkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val
+            FROM v_lineitem l
+            JOIN v_supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN v_nation n   ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_7'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, CAST(val AS DOUBLE) AS value
+        FROM pv
+        WHERE val > (SELECT SUM(val) * 0.001 FROM pv)
+        """
+    )
