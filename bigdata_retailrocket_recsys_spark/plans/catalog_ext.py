@@ -6783,3 +6783,66 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE val > (SELECT SUM(val) * 0.001 FROM pv)
         """
     )
+
+
+@query(
+    "q_sink_pysource_jsonl",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_sink_pysource_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source WRITER roundtrip (sources/audit_sink):
+    events project → jsonl_audit sink (two-phase commit: temp files,
+    rename-on-commit, _SUCCESS manifest) → read back ONLY the committed
+    part files → aggregate. The oracle computes the same aggregate
+    straight from the source table, so a dropped, duplicated, or torn
+    write breaks the hash. Ints/strings only through the JSON boundary
+    (lossless both ways)."""
+    import os as _os
+    import tempfile as _tf
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdata_retailrocket_recsys_spark.sources.audit_sink import (
+        AuditJsonlDataSource,
+    )
+
+    try:
+        spark.dataSource.register(AuditJsonlDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = _os.path.join(_tf.gettempdir(), "bdrr_audit_jsonl")
+    import shutil as _sh
+
+    _sh.rmtree(path, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+    ).select("event_id", "event_type")
+    ev.write.format("jsonl_audit").option("path", path).mode(
+        "append"
+    ).save()
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(
+        _os.path.join(path, "part-*.jsonl")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -2714,3 +2714,36 @@ def test_k_core_peels_to_fixpoint(spark):
         for r in k_core(core_edges, 4, src_col="u", dst_col="v").collect()
     }
     assert again == vtxs
+
+
+def test_jsonl_audit_sink_commit_protocol(spark, tmp_path):
+    """The custom writer's two-phase commit: after save(), only committed
+    part files + a _SUCCESS manifest exist (no _tmp_ leftovers), and the
+    manifest row count equals the data."""
+    import json
+    import os
+
+    from bigdata_retailrocket_recsys_spark.sources.audit_sink import (
+        AuditJsonlDataSource,
+    )
+
+    try:
+        spark.dataSource.register(AuditJsonlDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "audit")
+    df = spark.range(1000).selectExpr(
+        "id AS event_id", "CAST(id % 3 AS STRING) AS event_type"
+    ).repartition(4)
+    df.write.format("jsonl_audit").option("path", path).mode("append").save()
+    names = sorted(os.listdir(path))
+    assert "_SUCCESS" in names
+    assert not any(n.startswith("_tmp_") for n in names)
+    parts = [n for n in names if n.startswith("part-")]
+    assert len(parts) == 4
+    manifest = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert manifest["rows"] == 1000 and manifest["parts"] == 4
+    n_lines = sum(
+        1 for p in parts for _ in open(os.path.join(path, p))
+    )
+    assert n_lines == 1000
