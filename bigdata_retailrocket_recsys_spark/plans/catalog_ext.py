@@ -6846,3 +6846,56 @@ def q_sink_pysource_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@query(
+    "q_scan_xml",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS total_size
+    FROM part
+    WHERE p_size IS NOT NULL
+    GROUP BY p_brand
+    """,
+)
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source roundtrip (Spark ≥4.0 built-in spark-xml): part
+    dims written as <row> elements, read back with an EXPLICIT schema
+    (no inference pass — the same scan discipline as every other
+    reader), aggregated; the oracle computes the same aggregate straight
+    from the table, so element loss or type coercion drift breaks the
+    hash. Ints/strings only through the XML boundary."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    path = _os.path.join(_tf.gettempdir(), "bdrr_xml_part")
+    _sh.rmtree(path, ignore_errors=True)
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").isNotNull()
+    ).select("p_partkey", "p_brand", "p_size")
+    p.write.format("xml").option("rowTag", "row").save(path)
+    schema = StructType(
+        [
+            StructField("p_partkey", StringType()),  # not needed typed
+            StructField("p_brand", StringType()),
+            StructField("p_size", IntegerType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(schema)
+        .load(path)
+    )
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p_size").cast("bigint")).alias("total_size"),
+    )
