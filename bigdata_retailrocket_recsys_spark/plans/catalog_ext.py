@@ -6899,3 +6899,56 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("p_size").cast("bigint")).alias("total_size"),
     )
+
+
+@query(
+    "q_scan_fixed_width",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           MIN(trim(substring(c_name, 1, 30))) AS first_name
+    FROM customer
+    WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+      AND c_name IS NOT NULL
+    GROUP BY c_nationkey
+    """,
+)
+def q_scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL-style) text roundtrip: customers
+    formatted into 12+6+30-char columns, written with the text sink,
+    read back as raw lines and parsed by POSITION (substr+trim+cast, all
+    codegen — the classic ETL intake no schema inference can help with).
+    Oracled straight from the source table: a column-boundary
+    off-by-one, truncation, or pad/trim asymmetry breaks the hash.
+    Names are left-padded data written right-padded, so trim must be
+    applied on BOTH the write format and the oracle identically."""
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    path = _os.path.join(_tf.gettempdir(), "bdrr_fixed_width")
+    _sh.rmtree(path, ignore_errors=True)
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+        & F.col("c_nationkey").isNotNull()
+        & F.col("c_name").isNotNull()
+    )
+    lines = c.select(
+        F.concat(
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+            F.lpad(F.col("c_nationkey").cast("string"), 6, "0"),
+            F.rpad(F.col("c_name"), 30, " "),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("bigint").alias("c_custkey"),
+        F.substring("value", 13, 6).cast("int").alias("c_nationkey"),
+        F.trim(F.substring("value", 19, 30)).alias("c_name"),
+    )
+    return parsed.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.min("c_name").alias("first_name"),
+    )
