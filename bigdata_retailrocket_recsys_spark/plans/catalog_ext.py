@@ -6952,3 +6952,29 @@ def q_scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_custkey").alias("key_sum"),
         F.min("c_name").alias("first_name"),
     )
+
+
+@query(
+    "q_stream_state_reader",
+    oracle=f"""
+    SELECT {_floormul_sql("epoch_us(ts)", 3600000000)} AS win_start_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store inspection (streaming/sessionize_stream.
+    run_state_reader): a checkpointed tumbling aggregation's RocksDB
+    state read back through the State Data Source — complete mode
+    retains every window, so the state contents must EQUAL the batch
+    GROUP BY (the oracle). The streaming-ops debugging surface
+    (statestore / state-metadata formats), value-checked rather than
+    just demonstrated."""
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        run_state_reader,
+    )
+
+    return run_state_reader(spark, sf_dir)

@@ -356,3 +356,48 @@ def run_streaming_chained_rollup(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_state_reader(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    sink_table: str = "bdrr_state_probe",
+) -> DataFrame:
+    """Offline streaming-state inspection (Spark ≥4.0 State Data
+    Source): run a checkpointed tumbling aggregation, then read the
+    state store back with ``spark.read.format("statestore")`` — the ops
+    tool for debugging stuck streaming jobs without replaying them. In
+    complete mode nothing evicts, so the state is EXACTLY the full
+    (window, type) aggregate and the read-back is oracle-checkable."""
+    import os
+    import shutil
+    import tempfile
+
+    pin_streaming_confs(spark)
+    ckpt = os.path.join(tempfile.gettempdir(), "bdrr_state_reader_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    # the value struct's field carries the INTERNAL aggregate buffer name
+    # ("count"), not the output alias — resolve it positionally
+    buf_field = state.schema["value"].dataType.fields[0].name
+    return state.select(
+        F.unix_micros(F.col("key.window.start")).alias("win_start_us"),
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{buf_field}").cast("bigint").alias("n_events"),
+    )
