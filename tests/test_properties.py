@@ -721,3 +721,85 @@ def test_global_rank_matches_window_row_number(spark):
             for r in global_rank(df, order, n_shards=shards).collect()
         }
         assert got == want, shards
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_edge_jaccard_matches_bruteforce(spark, edges):
+    """Oriented-wedge common-neighbor counts must equal the naive
+    adjacency-set intersection for every edge, on arbitrary small
+    graphs (duplicates, self-loops, reversed edges included)."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import edge_jaccard
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["u"], r["v"]): (r["common"], r["deg_u"], r["deg_v"], r["jaccard"])
+        for r in edge_jaccard(df).collect()
+    }
+    # brute force
+    und = {
+        (min(a, b), max(a, b)) for a, b in edges if a != b
+    }
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    assert set(got) == und
+    for (u, v), (common, du, dv, jac) in got.items():
+        exp_common = len(adj[u] & adj[v])
+        assert common == exp_common, (u, v)
+        assert du == len(adj[u]) and dv == len(adj[v])
+        assert abs(jac - exp_common / (du + dv - exp_common)) < 1e-12
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_boilerplate_spans_matches_bruteforce(spark, docs):
+    """Row-prevalence counts of 3-gram spans must equal the naive
+    per-row distinct n-gram recount (within-row repeats counted once,
+    duplicate rows counted separately)."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        boilerplate_spans,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["ngram"]: (r["n_rows"], r["example_doc"])
+        for r in boilerplate_spans(
+            df, n=3, min_rows=1
+        ).collect()
+    }
+    from collections import defaultdict
+
+    exp_rows: dict[str, int] = defaultdict(int)
+    exp_min: dict[str, int] = {}
+    for i, toks in enumerate(docs):
+        # empty text tokenizes to [""] just like split(\s+) does
+        toks2 = toks if toks else [""]
+        grams = {
+            " ".join(toks2[j : j + 3]) for j in range(len(toks2) - 2)
+        }
+        for g in grams:
+            exp_rows[g] += 1
+            exp_min.setdefault(g, i)
+    assert got == {g: (exp_rows[g], exp_min[g]) for g in exp_rows}
