@@ -6978,3 +6978,64 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_state_reader(spark, sf_dir)
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH assigned AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 'A' ELSE 'B' END AS variant,
+               user_id, event_type
+        FROM events WHERE user_id IS NOT NULL
+    ), per_variant AS (
+        SELECT variant,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                   THEN user_id END) AS n_converted
+        FROM assigned GROUP BY variant
+    )
+    SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           CAST(FLOOR(CAST(n_converted * 1000000 AS DOUBLE)
+                      / CAST(n_users AS DOUBLE)) AS BIGINT) AS cvr_ppm
+    FROM per_variant
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically assigned to
+    variants by md5 hex-prefix comparison (content-defined — the same
+    user lands in the same arm on ANY engine or rerun; the exact
+    q_split_hash idiom, no int parsing), per-variant exact user and converter counts, and
+    conversion rate as µ-floored parts-per-million (ONE int64 division).
+    The z-statistic is left to the caller — it needs only these four
+    exact columns, and publishing it as a float would re-import the
+    cross-engine libm problem the catalog bans."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    assigned = ev.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        "user_id",
+        "event_type",
+    )
+    per = assigned.groupBy("variant").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_converted"),
+    )
+    return per.select(
+        "variant",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        F.floor(
+            (F.col("n_converted") * 1000000).cast("double")
+            / F.col("n_users").cast("double")
+        )
+        .cast("bigint")
+        .alias("cvr_ppm"),
+    )
