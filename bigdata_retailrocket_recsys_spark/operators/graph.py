@@ -435,3 +435,63 @@ def k_core(
         .agg(F.count("*").cast("bigint").alias("deg"))
     )
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 30,
+) -> DataFrame:
+    """Single-source shortest hop distances over an undirected edge
+    list — the SCALE path for reachability that `q_sql_recursive_bfs`'s
+    recursive CTE enumerates by paths (exponential on dense graphs):
+    classic frontier BFS, one round per hop level, each round ONE join
+    (frontier → neighbors) + ONE left-anti (drop already-visited) +
+    dedup. Work is O(edges-touched) total — every edge relaxes at most
+    twice over the whole run, never per path — and rounds are bounded by
+    the graph's hop diameter from the source (≤ ``max_hops``).
+    localCheckpoint per round keeps the plan constant-size (k_core /
+    pagerank discipline).
+
+    Returns ``(node, min_hop)`` for every node reachable within
+    ``max_hops`` (source included at hop 0). Deterministic exact ints →
+    fully DuckDB-oracle-checkable against the recursive-CTE min-hop.
+    """
+    adj = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        adj.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionAll(adj.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0)], ["node", "min_hop"]
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier.node == adj.x)
+            .select(F.col("y").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).alias("min_hop"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        "node", F.col("min_hop").cast("bigint").alias("min_hop")
+    )

@@ -7039,3 +7039,55 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cvr_ppm"),
     )
+
+
+@query(
+    "q_graph_bfs",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), adj AS (
+        SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e
+    ), bfs AS (
+        SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+        UNION ALL
+        SELECT a.y, b.hop + 1 FROM bfs b JOIN adj a ON a.x = b.node
+        WHERE b.hop < 6
+    )
+    SELECT node, CAST(MIN(hop) AS BIGINT) AS min_hop
+    FROM bfs GROUP BY node
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS (operators/graph.bfs_distances) over the strong
+    co-purchase graph — the SCALE twin of `q_sql_recursive_bfs`: every
+    edge relaxes at most twice TOTAL (visited-set anti join), vs the
+    recursive CTE's per-path enumeration the oracle still runs. Same
+    seed, same min-hop distances; hop cap 6 covers the oracle's
+    recursion bound (the graph's reachable diameter from the seed is
+    smaller — verified equal row sets)."""
+    from bigdata_retailrocket_recsys_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.least("a.l_partkey", "b.l_partkey").alias("src"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return bfs_distances(edges, 1, max_hops=6)

@@ -2747,3 +2747,23 @@ def test_jsonl_audit_sink_commit_protocol(spark, tmp_path):
         1 for p in parts for _ in open(os.path.join(path, p))
     )
     assert n_lines == 1000
+
+
+def test_bfs_distances_chain_and_cutoff(spark):
+    from bigdata_retailrocket_recsys_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)],  # 7-8 unreachable
+        ["src", "dst"],
+    )
+    out = {
+        r["node"]: r["min_hop"] for r in bfs_distances(edges, 1).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    capped = {
+        r["node"]: r["min_hop"]
+        for r in bfs_distances(edges, 1, max_hops=2).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 2}
