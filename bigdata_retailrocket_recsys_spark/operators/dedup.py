@@ -1022,3 +1022,80 @@ def contamination_check(
         matched.alias("n_matched"),
         (matched * 2 >= F.col("n_shingles")).cast("int").alias("contaminated"),
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate CANDIDATE PAIRS — the pairing stage the
+    plain :func:`simhash` signature table feeds. Standard banding
+    argument (Manku et al., WWW'07 web-crawl dedup): split the 64-bit
+    signature into ``n_bands`` contiguous blocks; two signatures within
+    Hamming distance ``max_hamming`` < ``n_bands`` MUST agree exactly on
+    at least one block (pigeonhole), so exact-match joins on block keys
+    find every such pair without an all-pairs comparison. Survivors are
+    verified with ``bit_count(xor)`` — JVM-side, no UDF — and deduped
+    (a pair can collide in several bands).
+
+    Scale shape: one signature pass (simhash), then ``n_bands``
+    block-key shuffles of 16-byte rows; bucket sizes bound the pair
+    fan-out exactly like MinHash-LSH banding. xxhash64 signatures are
+    not DuckDB-expressible → rows-only entry; the banding guarantee
+    (every emitted pair has Hamming ≤ k; brute-force recall equality on
+    small corpora) is property-tested.
+
+    Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
+    """
+    if not 0 < n_bands <= 64:
+        raise ValueError(f"n_bands must be in (0, 64], got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "banding guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    sigs = simhash(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).cache()  # consumed by every band branch (S7)
+    width = 64 // n_bands
+    banded = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(simhash >> {b * width}) & "
+                            f"{(1 << width) - 1}"
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

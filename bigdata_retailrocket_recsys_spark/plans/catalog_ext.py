@@ -7091,3 +7091,20 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return bfs_distances(edges, 1, max_hops=6)
+
+
+@query("q_dedup_simhash_pairs", oracle=None)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (operators/dedup.
+    simhash_near_pairs): 4-band pigeonhole banding finds EVERY pair
+    within Hamming ≤ 3 via exact block-key joins, verified with
+    bit_count(xor) — the Manku web-dedup pairing stage next to the
+    MinHash-LSH family. xxhash64 signatures → rows-only; the banding
+    guarantee and brute-force recall equality are property-tested."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )

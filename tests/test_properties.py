@@ -803,3 +803,41 @@ def test_boilerplate_spans_matches_bruteforce(spark, docs):
             exp_rows[g] += 1
             exp_min.setdefault(g, i)
     assert got == {g: (exp_rows[g], exp_min[g]) for g in exp_rows}
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w", "v"]),
+            min_size=2,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_simhash_pairs_banding_recall_equals_bruteforce(spark, docs):
+    """Banding must find EXACTLY the pairs within the Hamming budget:
+    no pair above the cap is emitted, and every pair at or under it IS
+    (pigeonhole guarantee, max_hamming < n_bands)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(df, max_hamming=3).collect()
+    }
+    sigs = {r["doc"]: r["simhash"] for r in simhash(df).collect()}
+    exp = {}
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin((sigs[ids[i]] ^ sigs[ids[j]]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                exp[(ids[i], ids[j])] = h
+    assert got == exp
