@@ -2041,7 +2041,8 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_resample_ffill",
     oracle="""
     WITH src AS (
-        SELECT * FROM events WHERE user_id < 40
+        SELECT * FROM events
+        WHERE user_id < 40 AND ts >= TIMESTAMP '2024-01-01'
     ), b AS (
         SELECT user_id,
                date_trunc('hour', MIN(ts)) AS b0,
@@ -2066,15 +2067,21 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly resampling with forward fill per user (users < 40 to bound
-    the compare): dense JVM-side `sequence()` grid, deterministic
-    per-bucket latest observation, one cumulative fill window
-    (operators/windows.resample_ffill)."""
+    """Hourly resampling with forward fill per user (users < 40 AND
+    ts >= 2024 to bound the compare — an unbounded per-user grid over an
+    adversarial 1969→2024 outlier span materializes 5.2M rows and blows
+    a 1g-driver collect; resampling a bounded recent window is also the
+    honest dashboard semantics): dense JVM-side `sequence()` grid,
+    deterministic per-bucket latest observation, one cumulative fill
+    window (operators/windows.resample_ffill)."""
     from bigdata_retailrocket_recsys_spark.operators.windows import (
         resample_ffill,
     )
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 40)
+        & (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+    )
     out = resample_ffill(
         ev,
         key_cols=["user_id"],

@@ -32,6 +32,9 @@ _SLOW_NAME_RE = re.compile(
     r"|load_table_normalizes|covis_pairs_dedup|salted_join_matches"
     r"|minhash_estimates|all_pairs_guard|tie_determinism"
     r"|association_rules|hash_split_deterministic"
+    # round-6 operator tests measured >10 s each (Spark job latency)
+    r"|k_core_peels|bfs_distances|frequent_sequences|transform_with_state"
+    r"|jsonl_audit|edge_jaccard|arrow_matches_pandas|boilerplate_spans"
 )
 
 
