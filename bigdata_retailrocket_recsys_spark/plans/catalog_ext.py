@@ -7115,3 +7115,119 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
         _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
+
+
+@query(
+    "q_feature_robust_scale",
+    oracle="""
+    WITH f AS (
+        SELECT event_id, event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+          AND event_id IS NOT NULL
+    ), o AS (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c ASC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM f
+    ), med AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN c END)
+             + MIN(CASE WHEN rn = (n + 2) // 2 THEN c END) AS med2
+        FROM o GROUP BY event_type
+    ), dev AS (
+        SELECT f.event_type, f.c, ABS(2 * f.c - m.med2) AS d2
+        FROM f JOIN med m USING (event_type)
+    ), do_ AS (
+        SELECT event_type, d2,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY d2 ASC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM dev
+    ), mad AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = (n + 1) // 2 THEN d2 END)
+             + MIN(CASE WHEN rn = (n + 2) // 2 THEN d2 END) AS mad4
+        FROM do_ GROUP BY event_type
+    )
+    SELECT f.event_id, f.event_type,
+           CAST(CASE WHEN md.mad4 = 0 THEN NULL
+                     ELSE FLOOR(CAST(2 * (2 * f.c - m.med2) * 1000000
+                                     AS DOUBLE)
+                                / CAST(md.mad4 AS DOUBLE))
+                END AS BIGINT) AS robust_z_u
+    FROM f JOIN med m USING (event_type) JOIN mad md USING (event_type)
+    """,
+)
+def q_feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level robust scaling (median/MAD standardization — the
+    outlier-insensitive feature-normalization step): building on the
+    q_anomaly_mad integer machinery, each row's score
+    ``(x − med)/MAD = 2·(2c − med2)/mad4`` is ONE int64 division
+    µ-floored (float rule 3) — never a float statistic, so both engines
+    emit identical micro-units. MAD = 0 (constant group) yields NULL
+    rather than a division error, identically. Ranks ride the SHARDED
+    grouped global_rank; facts join the 5-row med/MAD tables broadcast.
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    f = ev.filter(
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != float("inf"))
+        & F.col("event_id").isNotNull()
+    ).select(
+        "event_id",
+        "event_type",
+        (v.cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    totals = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    def middle_sum(df, val_col, out_col):
+        o = global_rank(
+            df, [F.col(val_col).asc()], partition_by=["event_type"],
+            out_col="rn",
+        ).join(F.broadcast(totals), "event_type")
+        return o.groupBy("event_type").agg(
+            (
+                F.min(
+                    F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                           F.col(val_col))
+                )
+                + F.min(
+                    F.when(F.col("rn") == F.expr("(n + 2) div 2"),
+                           F.col(val_col))
+                )
+            ).alias(out_col)
+        )
+
+    med = middle_sum(f, "c", "med2")
+    dev = f.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "c", "med2",
+        F.abs(F.lit(2) * F.col("c") - F.col("med2")).alias("d2"),
+    )
+    dev.cache()  # rank pass + row-level output both read it (S7)
+    mad = middle_sum(dev.select("event_type", "d2"), "d2", "mad4")
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("mad4") == 0, F.lit(None).cast("bigint")
+        )
+        .otherwise(
+            F.floor(
+                (F.lit(2) * (F.lit(2) * F.col("c") - F.col("med2"))
+                 * 1000000).cast("double")
+                / F.col("mad4").cast("double")
+            ).cast("bigint")
+        )
+        .alias("robust_z_u"),
+    )
