@@ -7231,3 +7231,52 @@ def q_feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("robust_z_u"),
     )
+
+
+@query(
+    "q_stream_dynamic_gap",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               CASE WHEN event_type = 'purchase' THEN 3600000000
+                    ELSE 1800000000 END AS gap
+        FROM events
+        WHERE ts IS NOT NULL AND epoch_us(ts) >= 0
+          AND user_id IS NOT NULL
+    ), o AS (
+        SELECT *, MAX(us + gap) OVER (
+                      PARTITION BY user_id
+                      ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) AS max_end_prev
+        FROM ev
+    ), flagged AS (
+        SELECT *, CASE WHEN max_end_prev IS NULL OR us >= max_end_prev
+                       THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ), s AS (
+        SELECT *, SUM(new_s) OVER (
+                      PARTITION BY user_id
+                      ORDER BY us ASC NULLS FIRST, event_id ASC NULLS FIRST
+                      ROWS UNBOUNDED PRECEDING
+                  ) AS sid
+        FROM flagged
+    )
+    SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us + gap) AS BIGINT) AS end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_stream_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap streaming sessionization (streaming/sessionize_stream
+    .run_streaming_dynamic_gap): per-event gap durations — purchases
+    extend the session 60 min, other events 30. The oracle replays the
+    interval-union with the running-MAX(ts+gap) islands pattern under
+    the identical (ts, event_id) total order; exact µs boundaries and
+    counts make the bounded run fully hash-checkable."""
+    from bigdata_retailrocket_recsys_spark.streaming.sessionize_stream import (
+        run_streaming_dynamic_gap,
+    )
+
+    return run_streaming_dynamic_gap(spark, sf_dir)

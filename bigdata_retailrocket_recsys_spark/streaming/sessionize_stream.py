@@ -401,3 +401,50 @@ def run_state_reader(
         F.col("key.event_type").alias("event_type"),
         F.col(f"value.{buf_field}").cast("bigint").alias("n_events"),
     )
+
+
+def run_streaming_dynamic_gap(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    sink_table: str = "bdrr_stream_dyngap",
+) -> DataFrame:
+    """DYNAMIC-GAP streaming sessionization: ``session_window`` with a
+    per-event gap expression (purchases hold the session open 60 min,
+    everything else 30) — the Spark ≥3.2 feature the fixed-gap variant
+    can't express. Sessions are the union of overlapping
+    ``[ts, ts+gap_e)`` intervals; the relational twin is the running
+    ``MAX(ts+gap)`` interval-union islands pattern, which the DuckDB
+    oracle replays exactly (an event starting AT the previous max end
+    begins a NEW session — interval overlap is strict, same boundary
+    rule as fixed-gap session_window)."""
+    pin_streaming_confs(spark)
+    stream = events_stream(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    out = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)
