@@ -1052,8 +1052,11 @@ def simhash_near_pairs(
 
     Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
     """
-    if not 0 < n_bands <= 64:
-        raise ValueError(f"n_bands must be in (0, 64], got {n_bands}")
+    if not 2 <= n_bands <= 64:
+        # n_bands=1 would need a 64-bit band mask ((1<<64)-1 parses as
+        # DECIMAL, not BIGINT, and the banding guarantee degenerates to
+        # exact signature equality anyway — use exact_dedup for that)
+        raise ValueError(f"n_bands must be in [2, 64], got {n_bands}")
     if max_hamming >= n_bands:
         raise ValueError(
             "banding guarantee needs max_hamming < n_bands "

@@ -378,7 +378,8 @@ def k_core(
     vertices of degree < k until none remain; the survivors are the
     (unique, order-independent) maximal subgraph with min degree ≥ k —
     the standard community-cohesion / crawler-spam filter next to
-    triangles and Jaccard.
+    triangles and Jaccard — a cohesion gate for the reference's
+    co-visitation graph (py:331-340), like the other graph operators.
 
     Each round is one degree agg + two semi joins (edges keep only
     endpoints that survived); the loop runs O(peeling-rounds) times with
@@ -459,6 +460,8 @@ def bfs_distances(
     Returns ``(node, min_hop)`` for every node reachable within
     ``max_hops`` (source included at hop 0). Deterministic exact ints →
     fully DuckDB-oracle-checkable against the recursive-CTE min-hop.
+    Reachability over the reference's co-visitation pair graph
+    (py:252-260 builds the edges this walks).
     """
     adj = (
         edges.select(

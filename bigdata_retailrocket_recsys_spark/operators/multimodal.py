@@ -340,6 +340,20 @@ def extract_media_features_arrow(
         "asset_id bigint, n_bytes bigint, byte_entropy double, "
         "feat_0 double, feat_1 double, feat_2 double, feat_3 double"
     )
+    # explicit Arrow schema: an all-NULL batch would otherwise infer
+    # null-typed columns and fail the mapInArrow schema contract (the
+    # pandas twin casts per declared schema; the Arrow path must too)
+    arrow_schema = pa.schema(
+        [
+            ("asset_id", pa.int64()),
+            ("n_bytes", pa.int64()),
+            ("byte_entropy", pa.float64()),
+            ("feat_0", pa.float64()),
+            ("feat_1", pa.float64()),
+            ("feat_2", pa.float64()),
+            ("feat_3", pa.float64()),
+        ]
+    )
 
     def _extract(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import numpy as np
@@ -380,7 +394,7 @@ def extract_media_features_arrow(
                 cols["feat_1"].append(float(data[n // 2]) if n else 0.0)
                 cols["feat_2"].append(float(data[-1]) if n else 0.0)
                 cols["feat_3"].append(float(int(data.sum()) % 997))
-            yield pa.RecordBatch.from_pydict(cols)
+            yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
 
     return assets.select("asset_id", "payload").mapInArrow(
         _extract, out_schema

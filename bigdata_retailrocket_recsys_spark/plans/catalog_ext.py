@@ -5568,10 +5568,12 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
     )
     SELECT o_year,
-           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
-                              ELSE CAST(0 AS DECIMAL(18,6)) END)
-                     * 1000000 AS BIGINT) AS DOUBLE)
-           / CAST(CAST(SUM(v) * 1000000 AS BIGINT) AS DOUBLE) AS mkt_share
+           CASE WHEN CAST(SUM(v) * 1000000 AS BIGINT) = 0 THEN NULL
+                ELSE CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN v
+                                        ELSE CAST(0 AS DECIMAL(18,6)) END)
+                               * 1000000 AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(SUM(v) * 1000000 AS BIGINT) AS DOUBLE)
+           END AS mkt_share
     FROM vol GROUP BY o_year
     """,
 )
@@ -5616,8 +5618,13 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(zero)) * 1000000
     ).cast("bigint").cast("double")
     den_units = (F.sum("v") * 1000000).cast("bigint").cast("double")
+    # zero-total year -> NULL on BOTH engines (Spark non-ANSI x/0 is
+    # NULL but DuckDB gives IEEE NaN — guard explicitly, the
+    # q_feature_robust_scale mad4=0 discipline)
     return vol.groupBy("o_year").agg(
-        (num_units / den_units).alias("mkt_share")
+        F.when(den_units == 0, F.lit(None).cast("double"))
+        .otherwise(num_units / den_units)
+        .alias("mkt_share")
     )
 
 
@@ -6411,15 +6418,19 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_anomaly_mad",
-    headline=True,
-    oracle="""
+# Shared median/MAD machinery (the BM25_CONTRIB_SQL template discipline):
+# ONE definition of the integer-cent median/MAD derivation feeds BOTH
+# q_anomaly_mad and q_feature_robust_scale, on BOTH engines — a rank
+# arithmetic fix can never leave a twin stale. {id_sel}/{id_filter} thread
+# an optional per-row id through the chain; `dev` carries med2 so final
+# SELECTs never re-join med.
+MAD_CTES_SQL = """
     WITH f AS (
-        SELECT event_type,
+        SELECT {id_sel}event_type,
                CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         FROM events
-        WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND NOT isinf(value){id_filter}
     ), o AS (
         SELECT event_type, c,
                ROW_NUMBER() OVER (PARTITION BY event_type
@@ -6432,10 +6443,11 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
              + MIN(CASE WHEN rn = (n + 2) // 2 THEN c END) AS med2
         FROM o GROUP BY event_type
     ), dev AS (
-        SELECT f.event_type, f.c, ABS(2 * f.c - m.med2) AS d2
+        SELECT {id_sel}f.event_type, f.c, m.med2,
+               ABS(2 * f.c - m.med2) AS d2
         FROM f JOIN med m USING (event_type)
     ), do_ AS (
-        SELECT event_type, c, d2,
+        SELECT event_type, d2,
                ROW_NUMBER() OVER (PARTITION BY event_type
                                   ORDER BY d2 ASC) AS rn,
                CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
@@ -6446,43 +6458,19 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
              + MIN(CASE WHEN rn = (n + 2) // 2 THEN d2 END) AS mad4
         FROM do_ GROUP BY event_type
     )
-    SELECT d.event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(m.med2 AS BIGINT) AS median_x2_cents,
-           CAST(md.mad4 AS BIGINT) AS mad_x4_cents,
-           CAST(SUM(CASE WHEN 4 * d.d2 > 3 * md.mad4 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_outliers
-    FROM dev d JOIN med m USING (event_type) JOIN mad md USING (event_type)
-    GROUP BY d.event_type, m.med2, md.mad4
-    """,
-)
-def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robust anomaly counts per event type: median + MAD (median
-    absolute deviation), the outlier rule |x − med| > 3·MAD — entirely
-    in EXACT integer arithmetic. Values go to integer cents (2-decimal
-    doubles, float rule 1); the median is carried DOUBLED (sum of the
-    two middle order statistics — no /2, stays int), deviations are
-    |2c − med2| (= 2·|c − med| in cents), and MAD rides QUADRUPLED
-    (middle-sum of doubled deviations). The flag inequality
-    |x−med| > 3·MAD becomes 4·d2 > 3·mad4 after clearing denominators —
-    no float ever, so both engines agree bit-for-bit.
+"""
 
-    Scale shape: event_type is FEW huge groups → both rank passes use
-    the SHARDED grouped global_rank (q_winsorize discipline), never a
-    single-reducer window; the k-th VALUE of a sorted multiset is
-    tie-order independent."""
+
+def _mad_tables(f):
+    """Spark twin of MAD_CTES_SQL: from a frame with (event_type, c
+    [, extra id cols]) return (dev, mad) where ``dev`` carries every
+    input column + med2 + d2 (CACHED — consumed by the second rank pass
+    and the caller) and ``mad`` is the per-group quadrupled MAD. Both
+    rank passes ride the SHARDED grouped global_rank."""
     from bigdata_retailrocket_recsys_spark.operators.windows import (
         global_rank,
     )
 
-    ev = _t(spark, sf_dir, "events")
-    v = F.col("value")
-    f = ev.filter(
-        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
-    ).select(
-        "event_type",
-        (v.cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
-    )
     totals = f.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -6506,12 +6494,53 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = middle_sum(f, "c", "med2")
-    dev = f.join(F.broadcast(med), "event_type").select(
-        "event_type", "c", "med2",
-        F.abs(F.lit(2) * F.col("c") - F.col("med2")).alias("d2"),
+    dev = f.join(F.broadcast(med), "event_type").withColumn(
+        "d2", F.abs(F.lit(2) * F.col("c") - F.col("med2"))
     )
-    dev.cache()  # referenced by the rank pass AND the final agg (S7)
-    mad = middle_sum(dev, "d2", "mad4")
+    dev.cache()  # second rank pass + the caller's final read (S7)
+    mad = middle_sum(dev.select("event_type", "d2"), "d2", "mad4")
+    return dev, mad
+
+
+@query(
+    "q_anomaly_mad",
+    headline=True,
+    oracle=MAD_CTES_SQL.format(id_sel="", id_filter="")
+    + """
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(d.med2 AS BIGINT) AS median_x2_cents,
+           CAST(md.mad4 AS BIGINT) AS mad_x4_cents,
+           CAST(SUM(CASE WHEN 4 * d.d2 > 3 * md.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad md USING (event_type)
+    GROUP BY d.event_type, d.med2, md.mad4
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts per event type: median + MAD (median
+    absolute deviation), the outlier rule |x − med| > 3·MAD — entirely
+    in EXACT integer arithmetic. Values go to integer cents (2-decimal
+    doubles, float rule 1); the median is carried DOUBLED (sum of the
+    two middle order statistics — no /2, stays int), deviations are
+    |2c − med2| (= 2·|c − med| in cents), and MAD rides QUADRUPLED
+    (middle-sum of doubled deviations). The flag inequality
+    |x−med| > 3·MAD becomes 4·d2 > 3·mad4 after clearing denominators —
+    no float ever, so both engines agree bit-for-bit.
+
+    Scale shape: event_type is FEW huge groups → both rank passes use
+    the SHARDED grouped global_rank (q_winsorize discipline), never a
+    single-reducer window; the k-th VALUE of a sorted multiset is
+    tie-order independent."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    f = ev.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
+    ).select(
+        "event_type",
+        (v.cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
+    )
+    dev, mad = _mad_tables(f)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med2", "mad4")
@@ -7119,46 +7148,17 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_feature_robust_scale",
-    oracle="""
-    WITH f AS (
-        SELECT event_id, event_type,
-               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        FROM events
-        WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
-          AND event_id IS NOT NULL
-    ), o AS (
-        SELECT event_type, c,
-               ROW_NUMBER() OVER (PARTITION BY event_type
-                                  ORDER BY c ASC) AS rn,
-               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        FROM f
-    ), med AS (
-        SELECT event_type,
-               MIN(CASE WHEN rn = (n + 1) // 2 THEN c END)
-             + MIN(CASE WHEN rn = (n + 2) // 2 THEN c END) AS med2
-        FROM o GROUP BY event_type
-    ), dev AS (
-        SELECT f.event_type, f.c, ABS(2 * f.c - m.med2) AS d2
-        FROM f JOIN med m USING (event_type)
-    ), do_ AS (
-        SELECT event_type, d2,
-               ROW_NUMBER() OVER (PARTITION BY event_type
-                                  ORDER BY d2 ASC) AS rn,
-               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        FROM dev
-    ), mad AS (
-        SELECT event_type,
-               MIN(CASE WHEN rn = (n + 1) // 2 THEN d2 END)
-             + MIN(CASE WHEN rn = (n + 2) // 2 THEN d2 END) AS mad4
-        FROM do_ GROUP BY event_type
+    oracle=MAD_CTES_SQL.format(
+        id_sel="event_id, ", id_filter=" AND event_id IS NOT NULL"
     )
-    SELECT f.event_id, f.event_type,
+    + """
+    SELECT d.event_id, d.event_type,
            CAST(CASE WHEN md.mad4 = 0 THEN NULL
-                     ELSE FLOOR(CAST(2 * (2 * f.c - m.med2) * 1000000
+                     ELSE FLOOR(CAST(2 * (2 * d.c - d.med2) * 1000000
                                      AS DOUBLE)
                                 / CAST(md.mad4 AS DOUBLE))
                 END AS BIGINT) AS robust_z_u
-    FROM f JOIN med m USING (event_type) JOIN mad md USING (event_type)
+    FROM dev d JOIN mad md USING (event_type)
     """,
 )
 def q_feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7170,11 +7170,9 @@ def q_feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit identical micro-units. MAD = 0 (constant group) yields NULL
     rather than a division error, identically. Ranks ride the SHARDED
     grouped global_rank; facts join the 5-row med/MAD tables broadcast.
+    Shares the MAD derivation with q_anomaly_mad via _mad_tables /
+    MAD_CTES_SQL — one definition on both engines.
     """
-    from bigdata_retailrocket_recsys_spark.operators.windows import (
-        global_rank,
-    )
-
     ev = _t(spark, sf_dir, "events")
     v = F.col("value")
     f = ev.filter(
@@ -7187,35 +7185,7 @@ def q_feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (v.cast("decimal(18,2)") * 100).cast("bigint").alias("c"),
     )
-    totals = f.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-
-    def middle_sum(df, val_col, out_col):
-        o = global_rank(
-            df, [F.col(val_col).asc()], partition_by=["event_type"],
-            out_col="rn",
-        ).join(F.broadcast(totals), "event_type")
-        return o.groupBy("event_type").agg(
-            (
-                F.min(
-                    F.when(F.col("rn") == F.expr("(n + 1) div 2"),
-                           F.col(val_col))
-                )
-                + F.min(
-                    F.when(F.col("rn") == F.expr("(n + 2) div 2"),
-                           F.col(val_col))
-                )
-            ).alias(out_col)
-        )
-
-    med = middle_sum(f, "c", "med2")
-    dev = f.join(F.broadcast(med), "event_type").select(
-        "event_id", "event_type", "c", "med2",
-        F.abs(F.lit(2) * F.col("c") - F.col("med2")).alias("d2"),
-    )
-    dev.cache()  # rank pass + row-level output both read it (S7)
-    mad = middle_sum(dev.select("event_type", "d2"), "d2", "mad4")
+    dev, mad = _mad_tables(f)
     return dev.join(F.broadcast(mad), "event_type").select(
         "event_id",
         "event_type",

@@ -46,8 +46,9 @@ class _Committed(WriterCommitMessage):
 
 
 class AuditJsonlWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
         self._path = options.get("path")
+        self._overwrite = overwrite
         if not self._path:
             raise ValueError("jsonl_audit requires a 'path' option")
 
@@ -64,6 +65,18 @@ class AuditJsonlWriter(DataSourceWriter):
         return _Committed(tmp_path=tmp, rows=n)
 
     def commit(self, messages) -> None:
+        import glob
+
+        if self._overwrite:
+            # honor overwrite SEMANTICS at commit time: stale part files
+            # from a previous commit would otherwise survive and a
+            # part-*.jsonl reader would see mixed old+new rows while
+            # _SUCCESS claims a clean commit
+            for stale in glob.glob(os.path.join(self._path, "part-*.jsonl")):
+                os.remove(stale)
+            succ = os.path.join(self._path, "_SUCCESS")
+            if os.path.exists(succ):
+                os.remove(succ)
         total = 0
         for i, m in enumerate(messages):
             final = os.path.join(self._path, f"part-{i:05d}.jsonl")
@@ -87,4 +100,4 @@ class AuditJsonlDataSource(DataSource):
         return "jsonl_audit"
 
     def writer(self, schema, overwrite: bool):
-        return AuditJsonlWriter(self.options)
+        return AuditJsonlWriter(self.options, overwrite=overwrite)

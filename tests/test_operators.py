@@ -2641,6 +2641,17 @@ def test_extract_features_arrow_matches_pandas(spark):
         ],
         ["asset_id", "payload"],
     )
+    # all-NULL partition: the Arrow path must emit typed (not null-typed)
+    # columns or the mapInArrow schema contract fails
+    nulls = spark.createDataFrame(
+        [(10, None), (11, None)], assets.schema
+    ).repartition(1)
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        extract_media_features_arrow as _efa,
+    )
+    null_rows = _efa(nulls).collect()
+    assert {r["asset_id"] for r in null_rows} == {10, 11}
+    assert all(r["n_bytes"] is None for r in null_rows)
     a = {r["asset_id"]: r for r in extract_media_features_arrow(assets).collect()}
     p = {r["asset_id"]: r for r in extract_media_features(assets).collect()}
     assert set(a) == set(p) == {1, 2, 3, 4, 5}
@@ -2747,6 +2758,19 @@ def test_jsonl_audit_sink_commit_protocol(spark, tmp_path):
         1 for p in parts for _ in open(os.path.join(path, p))
     )
     assert n_lines == 1000
+    # overwrite semantics: a smaller overwrite-write must CLEAR the stale
+    # parts, not leave a mixed directory behind a fresh _SUCCESS
+    df2 = spark.range(100).selectExpr(
+        "id AS event_id", "CAST(id % 3 AS STRING) AS event_type"
+    ).repartition(2)
+    df2.write.format("jsonl_audit").option("path", path).mode(
+        "overwrite"
+    ).save()
+    names2 = sorted(os.listdir(path))
+    parts2 = [n for n in names2 if n.startswith("part-")]
+    assert len(parts2) == 2, names2
+    manifest2 = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert manifest2 == {"rows": 100, "parts": 2}
 
 
 def test_bfs_distances_chain_and_cutoff(spark):
