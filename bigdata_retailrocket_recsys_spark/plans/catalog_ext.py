@@ -7250,3 +7250,23 @@ def q_stream_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_dynamic_gap(spark, sf_dir)
+
+
+@query("q_multimodal_features_arrow", oracle=None)
+def q_multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow twin of q_multimodal_meta's feature extraction
+    (operators/multimodal.extract_media_features_arrow): Arrow
+    RecordBatches in/out with no pandas materialization, numpy-vectorized
+    byte histogram — the lower-overhead Python boundary for the stage
+    the reference would run per-media-file (the 16-UDF-calls shape,
+    py:603-622, generalized to binary payloads). Float entropy →
+    rows-only; exact equality with the pandas twin (ints bit-equal,
+    entropy ≤1e-9) is test-locked."""
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features_arrow,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = attach_fake_media(docs, id_col="doc_id", payload_from="text")
+    return extract_media_features_arrow(assets, decode_stub="fake")

@@ -57,6 +57,7 @@ ROWS_ONLY_AUDIT = {
     "q_dedup_ngram_jaccard_persisted": ("value-identical to oracled q_dedup_ngram_jaccard; this entry exists to lock the persisted-shingle PLAN", "test_operators.py::test_jaccard_persisted_shingles_identical"),
     "q_sim_topk_ivf_at_rest": ("MLlib KMeans cell assignment is iterative/seeded (at-rest variant)", "test_operators.py::test_ivf_at_rest_matches_in_memory"),
     "q_graph_kcore": ("fixpoint peeling needs aggregation inside the recursion — neither engine's recursive SQL allows it", "test_operators.py::test_k_core_peels_to_fixpoint (invariant + fixpoint + hand case)"),
+    "q_multimodal_features_arrow": ("float byte-entropy + binary payloads not comparable via DuckDB SQL (mapInArrow twin)", "test_operators.py::test_extract_features_arrow_matches_pandas (exact-int + 1e-9 entropy equality vs the mapInPandas path)"),
     "q_dedup_simhash_pairs": ("xxhash64 signatures not DuckDB-expressible (pairing stage)", "test_properties.py::test_simhash_pairs_banding_recall_equals_bruteforce (exact recall vs brute force)"),
     "q_dedup_incremental_minhash": ("xxhash64 signatures not DuckDB-expressible (batch-vs-corpus variant)", "test_operators.py::test_incremental_minhash_vs_corpus_equiv_full_lsh"),
 }
