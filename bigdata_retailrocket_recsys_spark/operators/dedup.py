@@ -439,6 +439,55 @@ def simhash(
     )
 
 
+def simhash_md5(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 1
+) -> DataFrame:
+    """SimHash with an md5-derived bit source — the ORACLE-REPLAYABLE
+    twin of :func:`simhash` (same exact-integer-twin move as the
+    PageRank pair): both Spark and DuckDB compute md5 hex identically,
+    so per-shingle bits, per-bit ±1 votes, and the final signature are
+    bit-reproducible cross-engine with integer-only arithmetic (no
+    xxhash64, the one piece DuckDB can't replay). Bit ``j`` of a shingle
+    is bit ``j%4`` of hex nibble ``j//4``, nibble = position of the hex
+    char in ``0123456789abcdef``; signature bit j = (Σ votes) > 0.
+
+    ~2× the hash bytes of the xxhash64 path (md5 is 128-bit, strings not
+    ints) — keep :func:`simhash` as the scale path; this twin exists so
+    the banded-pairs operator has a FULL value-hash oracle instead of a
+    rows-only check. Same plan shape: explode votes, two map-side
+    combinable aggs."""
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n).select(
+        "doc", F.md5("shingle").alias("hex")
+    )
+    bits = sh.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        "hex",
+    ).select(
+        "doc",
+        "bit",
+        F.when(
+            F.expr(
+                "((instr('0123456789abcdef', "
+                "substring(hex, (bit div 4) + 1, 1)) - 1) "
+                ">> pmod(bit, 4)) & 1"
+            )
+            == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    votes = bits.groupBy("doc", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")
+            ).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
 def shingle_table(
     df: DataFrame,
     path: str,
@@ -1032,6 +1081,7 @@ def simhash_near_pairs(
     shingle_n: int = 2,
     max_hamming: int = 3,
     n_bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate CANDIDATE PAIRS — the pairing stage the
     plain :func:`simhash` signature table feeds. Standard banding
@@ -1062,10 +1112,22 @@ def simhash_near_pairs(
             "banding guarantee needs max_hamming < n_bands "
             f"(got {max_hamming} >= {n_bands})"
         )
-    sigs = simhash(
+    if hash_fn == "xxhash64":
+        sig_fn = simhash  # scale path (64-bit int hash, cheapest)
+    elif hash_fn == "md5":
+        sig_fn = simhash_md5  # oracle-replayable twin (see simhash_md5)
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    sigs = sig_fn(
         df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
     ).cache()  # consumed by every band branch (S7)
-    width = 64 // n_bands
+    # distribute 64 bits across bands with the remainder spread over the
+    # first (64 % n_bands) bands, so EVERY signature bit is banded (a
+    # uniform 64//n_bands width would drop the top 64 % n_bands bits
+    # from all candidate keys when n_bands does not divide 64)
+    base, rem = divmod(64, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     banded = sigs.select(
         "doc",
         "simhash",
@@ -1075,8 +1137,8 @@ def simhash_near_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.expr(
-                            f"(simhash >> {b * width}) & "
-                            f"{(1 << width) - 1}"
+                            f"(simhash >> {offsets[b]}) & "
+                            f"{(1 << widths[b]) - 1}"
                         ).alias("key"),
                     )
                     for b in range(n_bands)

@@ -336,6 +336,9 @@ def extract_media_features_arrow(
     neither is ever the row-at-a-time Python UDF the engine bans."""
     import pyarrow as pa
 
+    if batch_hint < 1:
+        raise ValueError(f"batch_hint must be >= 1, got {batch_hint}")
+
     out_schema = (
         "asset_id bigint, n_bytes bigint, byte_entropy double, "
         "feat_0 double, feat_1 double, feat_2 double, feat_3 double"
@@ -358,7 +361,14 @@ def extract_media_features_arrow(
     def _extract(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import numpy as np
 
-        for batch in batches:
+        def _sliced(bs):
+            # bound per-batch memory: media payloads can be many MB per
+            # row, so re-slice whatever Arrow hands us to batch_hint rows
+            for b in bs:
+                for off in range(0, b.num_rows, batch_hint):
+                    yield b.slice(off, batch_hint)
+
+        for batch in _sliced(batches):
             ids = batch.column(0)
             payloads = batch.column(1)
             cols = {

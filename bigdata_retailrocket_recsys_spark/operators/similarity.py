@@ -99,6 +99,97 @@ def lsh_bucket(
     return df.withColumn(out_col, bucket)
 
 
+def _int_plane(dim: int, plane: int) -> list[int]:
+    """±1 hyperplane weights from md5 — Python hashlib md5 ≡ SQL md5 on
+    both engines, so the identical weights are derivable in SQL:
+    ``w_ij = +1 iff substr(md5(i || ':' || j), 1, 1) >= '8'`` (first hex
+    nibble ≥ 8). Driver-side here (bits × dim tiny ints, shipped as
+    array literals); SQL-side in the DuckDB oracle."""
+    import hashlib
+
+    return [
+        1
+        if int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[0], 16) >= 8
+        else -1
+        for j in range(dim)
+    ]
+
+
+def dot_topk_lsh_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    dim: int,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Sign-LSH bucketed top-k by EXACT-INTEGER dot product — the
+    oracle-replayable twin of :func:`cosine_topk_lsh` (same move as the
+    exact-integer PageRank twin): components quantize to
+    ``floor(v*1e6)`` bigints (CLAUDE.md arbitrary-float rule — the
+    double multiply is IEEE-deterministic, the floor exact), hyperplanes
+    are md5-derived ±1 weights (:func:`_int_plane`), so bucket
+    assignment, candidate sets, scores, and ranks are all bit-identical
+    across engines. Scores are dot products, not cosine — documented
+    contract (rank-by-dot; for normalized embeddings the two orders
+    coincide). Dims fit bigint: |v|≤1 → |idot| ≤ dim·1e12.
+
+    Vectors with NULL/NaN/±inf components or wrong length are excluded
+    up front (quantization would otherwise throw under ANSI on BOTH
+    engines — same guard in the oracle). Same scale shape as the float
+    path: bucket join with broadcast queries, WindowGroupLimit top-k.
+    """
+    guard = F.expr(
+        f"size({vec_col}) = {dim} AND !exists({vec_col}, "
+        "x -> x IS NULL OR isnan(x) OR abs(x) = double('infinity'))"
+    )
+    qv = F.transform(
+        to_double_array(vec_col), lambda x: F.floor(x * F.lit(1000000.0))
+    )
+
+    def bucketed(df: DataFrame, out_id: str, src_id: str) -> DataFrame:
+        base = df.filter(F.col(vec_col).isNotNull() & guard).select(
+            F.col(src_id).alias(out_id), qv.alias("qv")
+        )
+        bucket = F.lit(0).cast("bigint")
+        for i in range(bits):
+            w = F.array(*[F.lit(v) for v in _int_plane(dim, i)])
+            d = F.aggregate(
+                F.zip_with(F.col("qv"), w, lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            )
+            bucket = bucket + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return base.withColumn("bucket", bucket.cast("bigint"))
+
+    c = bucketed(corpus, "vec_id", id_col)
+    q = bucketed(queries, "query_id", query_id_col).withColumnRenamed(
+        "qv", "qqv"
+    )
+    pairs = c.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("qqv"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("idot"),
+    )
+    return topk_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_by=[F.col("idot").desc(), F.col("vec_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -346,6 +346,7 @@ def token_budget_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     domain_col: str = "source",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy per-domain head sample under a token budget — "take docs in
     a reproducible shuffled order until each domain has spent its token
@@ -368,17 +369,20 @@ def token_budget_sample(
     the leading hash bytes bounds the window input without changing the
     result.
 
+    When ``n_tokens_col`` is given, the budget is charged against that
+    precomputed per-doc count (e.g. real BPE counts from
+    :func:`~bigdata_retailrocket_recsys_spark.operators.text_bpe.bpe_token_counts`)
+    instead of the whitespace heuristic — whitespace stays the default
+    tier; LLM-data budgets should pass tokenizer counts.
+
     Returns kept docs: (id, domain, n_tok, cum_tok).
     """
     from pyspark.sql import Window
 
-    # NULL ids are dropped up front: the order key is md5(id), and a NULL
-    # hash would sort nulls-first on Spark but nulls-last on DuckDB —
-    # the CLAUDE.md hash-key rule (non-null or filtered, both sides).
-    toks = docs.filter(F.col(id_col).isNotNull()).select(
-        F.col(id_col),
-        F.col(domain_col).alias("domain"),
-        F.coalesce(
+    if n_tokens_col is not None:
+        n_tok = F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0))
+    else:
+        n_tok = F.coalesce(
             F.size(
                 F.filter(
                     F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
@@ -386,9 +390,14 @@ def token_budget_sample(
                 )
             ),
             F.lit(0),
-        )
-        .cast("bigint")
-        .alias("n_tok"),
+        ).cast("bigint")
+    # NULL ids are dropped up front: the order key is md5(id), and a NULL
+    # hash would sort nulls-first on Spark but nulls-last on DuckDB —
+    # the CLAUDE.md hash-key rule (non-null or filtered, both sides).
+    toks = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(domain_col).alias("domain"),
+        n_tok.alias("n_tok"),
         F.md5(F.col(id_col).cast("string")).alias("__h"),
     )
     w = (

@@ -1615,22 +1615,80 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_percentile", oracle=None)
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           1 AS median_rank_ok, 1 AS p90_rank_ok
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile (Greenwald-Khanna sketch) — the fixed-memory,
     mergeable quantile for 100 TB profiling where exact percentile's
-    per-group sort/collect is the bottleneck. Sketch outputs are
-    implementation-specific → rows-only check; the rank-error bound
-    (≤ 1/accuracy) vs the exact percentile is asserted in
-    tests/test_properties.py."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    per-group sort/collect is the bottleneck. Raw sketch outputs are
+    implementation- AND partitioning-specific, so the driver-hashable
+    output is the sketch's own accuracy CONTRACT instead (r6 rows-only
+    graduation, VERDICT r6 #5): per group, the exact rank interval of
+    each approx value must intersect the GK-guaranteed window
+    ``p·n ± n/accuracy (+1 slack)``. The oracle emits the constant-true
+    flags — any Spark-side violation (wrong column, wrong p, merge bug,
+    garbage value) flips a 1 to 0 and breaks the value hash. Exact
+    VALUES are covered by q_agg_percentile; Spark-to-Spark partitioning
+    stability of the flags is locked in tests/test_properties.py."""
+    return approx_percentile_flags(_t(spark, sf_dir, "lineitem"))
+
+
+def approx_percentile_flags(li: DataFrame) -> DataFrame:
+    """Flag computation behind q_agg_approx_percentile, reusable over any
+    (possibly re-partitioned) lineitem frame — the partitioning-stability
+    property test drives it directly."""
+    li = li.filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             F.col("l_quantity").cast("double"), F.lit(0.5), F.lit(1000)
-        ).alias("median_qty_approx"),
+        ).alias("mq"),
         F.percentile_approx(
             F.col("l_extendedprice").cast("double"), F.lit(0.9), F.lit(1000)
-        ).alias("p90_price_approx"),
+        ).alias("pp"),
+    )
+    # null-safe join back: a NULL l_returnflag group (advdata fixture)
+    # must keep its flags — plain inner join on the key would drop it
+    approx = approx.withColumnRenamed("l_returnflag", "_rf")
+    joined = li.join(
+        F.broadcast(approx),
+        F.col("l_returnflag").eqNullSafe(F.col("_rf")),
+    ).drop("_rf")
+    ranks = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_quantity").cast("double") < F.col("mq")).cast("bigint"))
+        .alias("q_lo"),
+        F.sum((F.col("l_quantity").cast("double") <= F.col("mq")).cast("bigint"))
+        .alias("q_hi"),
+        F.sum(
+            (F.col("l_extendedprice").cast("double") < F.col("pp")).cast("bigint")
+        ).alias("p_lo"),
+        F.sum(
+            (F.col("l_extendedprice").cast("double") <= F.col("pp")).cast("bigint")
+        ).alias("p_hi"),
+    )
+    n = F.col("n_rows").cast("double")
+
+    def ok(lo: str, hi: str, p: float) -> F.Column:
+        eps = n / 1000.0 + 1.0  # 1/accuracy relative rank error + slack
+        return (
+            (F.col(lo) <= p * n + eps) & (F.col(hi) >= p * n - eps)
+        ).cast("int")
+
+    return ranks.select(
+        "l_returnflag",
+        "n_rows",
+        ok("q_lo", "q_hi", 0.5).alias("median_rank_ok"),
+        ok("p_lo", "p_hi", 0.9).alias("p90_rank_ok"),
     )
 
 

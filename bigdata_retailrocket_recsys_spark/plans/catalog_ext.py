@@ -44,6 +44,17 @@ from bigdata_retailrocket_recsys_spark.plans.catalog import (
     query,
 )
 
+
+def _session_tmp(spark: SparkSession, name: str) -> str:
+    """Per-session scratch path for write→read-back roundtrip queries.
+
+    Keyed on the Spark applicationId so two concurrent driver/rehearsal
+    sessions on one machine never rmtree each other's in-flight reads
+    (ADVICE r6 #4). Within one session the path is stable, so a repeated
+    query still exercises its own overwrite/rmtree discipline."""
+    app = spark.sparkContext.applicationId.replace(":", "_")
+    return os.path.join(tempfile.gettempdir(), f"bdrr_{name}_{app}")
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -6841,7 +6852,6 @@ def q_sink_pysource_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     write breaks the hash. Ints/strings only through the JSON boundary
     (lossless both ways)."""
     import os as _os
-    import tempfile as _tf
 
     from pyspark.sql.types import (
         LongType,
@@ -6858,7 +6868,7 @@ def q_sink_pysource_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(AuditJsonlDataSource)
     except Exception:
         pass  # already registered in this session
-    path = _os.path.join(_tf.gettempdir(), "bdrr_audit_jsonl")
+    path = _session_tmp(spark, "audit_jsonl")
     import shutil as _sh
 
     _sh.rmtree(path, ignore_errors=True)
@@ -6901,9 +6911,7 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader), aggregated; the oracle computes the same aggregate straight
     from the table, so element loss or type coercion drift breaks the
     hash. Ints/strings only through the XML boundary."""
-    import os as _os
     import shutil as _sh
-    import tempfile as _tf
 
     from pyspark.sql.types import (
         IntegerType,
@@ -6912,7 +6920,7 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    path = _os.path.join(_tf.gettempdir(), "bdrr_xml_part")
+    path = _session_tmp(spark, "xml_part")
     _sh.rmtree(path, ignore_errors=True)
     p = _t(spark, sf_dir, "part").filter(
         F.col("p_size").isNotNull()
@@ -6958,11 +6966,9 @@ def q_scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     off-by-one, truncation, or pad/trim asymmetry breaks the hash.
     Names are left-padded data written right-padded, so trim must be
     applied on BOTH the write format and the oracle identically."""
-    import os as _os
     import shutil as _sh
-    import tempfile as _tf
 
-    path = _os.path.join(_tf.gettempdir(), "bdrr_fixed_width")
+    path = _session_tmp(spark, "fixed_width")
     _sh.rmtree(path, ignore_errors=True)
     c = _t(spark, sf_dir, "customer").filter(
         F.col("c_custkey").isNotNull()
@@ -7270,3 +7276,204 @@ def q_multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     assets = attach_fake_media(docs, id_col="doc_id", payload_from="text")
     return extract_media_features_arrow(assets, decode_stub="fake")
+
+
+@query("q_text_bpe_tokens", oracle=None)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy-merge BPE token counts per document
+    (operators/text_bpe.bpe_token_counts): the real-tokenizer budget
+    unit the whitespace heuristic (q_text_token_count) misprices for
+    LLM data. Arrow-batched mapInPandas with the committed merges table
+    shipped by closure, per-batch unique-word cache — scan → narrow map,
+    no shuffle. Merge-loop semantics (greedy lowest-rank fixpoint) are
+    property-locked against the pure-Python reference encoder; Python
+    tokenization is not DuckDB-expressible → rows-only."""
+    from bigdata_retailrocket_recsys_spark.operators.text_bpe import (
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    return bpe_token_counts(docs, id_col="doc_id", text_col="text")
+
+
+@query("q_budget_sample_bpe", oracle=None)
+def q_budget_sample_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling charged against REAL BPE counts instead of
+    the whitespace heuristic: bpe_token_counts feeds token_budget_sample
+    via its n_tokens_col tier (the production LLM-data shape — budget in
+    tokenizer tokens, not words). Same content-defined md5 order and
+    running-total cut as the oracled q_budget_sample, so the relational
+    logic stays covered there; the BPE counts make this entry rows-only.
+    Invariants (cut ≤ budget per domain, prefix-closed order) are
+    test-locked."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        token_budget_sample,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text_bpe import (
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    counts = bpe_token_counts(docs, id_col="doc_id", text_col="text")
+    with_counts = docs.join(counts, "doc_id", "inner")
+    return token_budget_sample(
+        with_counts,
+        budget_tokens=3_000,  # ~60% of each domain's ~5k tokens → real cut
+        id_col="doc_id",
+        text_col="text",
+        domain_col="source",
+        n_tokens_col="n_bpe_tokens",
+    )
+
+
+def _simhash_md5_oracle(max_hamming: int = 3) -> str:
+    """Generated brute-force DuckDB replay of md5-SimHash banded pairs.
+
+    Integer-only end-to-end (hex-nibble bit extraction, ±1 vote sums,
+    bit-difference counts), so it is exactly hash-comparable to the
+    Spark side; banding + hamming filter ≡ all-pairs + hamming filter
+    (pigeonhole, property-locked in test_properties), so the brute
+    force here and the banded join there MUST emit identical pair sets."""
+    nib = "(instr('0123456789abcdef', substr(hex, {pos}, 1)) - 1)"
+    votes = ",\n               ".join(
+        "SUM(CASE WHEN (({n} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}".format(
+            n=nib.format(pos=j // 4 + 1), b=j % 4, j=j
+        )
+        for j in range(64)
+    )
+    bits = ",\n               ".join(
+        f"CASE WHEN v{j} > 0 THEN 1 ELSE 0 END AS b{j}" for j in range(64)
+    )
+    ham = "\n                 + ".join(
+        f"CASE WHEN a.b{j} <> b.b{j} THEN 1 ELSE 0 END" for j in range(64)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS doc,
+               unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+        FROM documents
+    ), h AS (
+        SELECT doc, md5(shingle) AS hex FROM tok
+    ), votes AS (
+        SELECT doc,
+               {votes}
+        FROM h GROUP BY doc
+    ), bits AS (
+        SELECT doc,
+               {bits}
+        FROM votes
+    ), pairs AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               {ham} AS hamming
+        FROM bits a JOIN bits b ON a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@query("q_dedup_simhash_pairs_md5", oracle=_simhash_md5_oracle())
+def q_dedup_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs with the md5-derived signature
+    (operators/dedup.simhash_md5) — the FULL-ORACLE twin of
+    q_dedup_simhash_pairs (r6 rows-only graduation, VERDICT r6 #5):
+    md5 hex is bit-identical across Spark and DuckDB, so the whole
+    pipeline — nibble bits, ±1 votes, signature, Hamming — replays
+    exactly; the oracle brute-forces all pairs (fine at sf0.01) while
+    Spark runs the REAL banded plan, and pigeonhole guarantees the two
+    emit identical pair sets under max_hamming < n_bands. The xxhash64
+    entry stays the scale path (int hashes, half the bytes)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=1,
+        max_hamming=3,
+        n_bands=4,
+        hash_fn="md5",
+    )
+
+
+def _lsh_int_oracle(bits: int = 4, dim: int = 64, k: int = 10) -> str:
+    """Generated DuckDB replay of the exact-integer sign-LSH top-k:
+    identical md5-derived ±1 hyperplanes (hashlib md5 ≡ SQL md5),
+    identical floor(v*1e6) quantization, identical NULL/NaN/dim guard —
+    every stage integer-exact, so bucket keys, candidates, idot scores,
+    and ranks hash-match the Spark plan."""
+
+    def dot(i: int) -> str:
+        return (
+            "list_sum(list_transform(qv, (x, j) -> CASE WHEN "
+            f"substr(md5('{i}:' || CAST(j - 1 AS VARCHAR)), 1, 1) >= '8' "
+            "THEN x ELSE -x END))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(i)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH clean AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+          AND len(list_filter(embedding, x -> x IS NULL
+                  OR isnan(CAST(x AS DOUBLE))
+                  OR isinf(CAST(x AS DOUBLE)))) = 0
+    ), vq AS (
+        SELECT vec_id,
+               list_transform(e, x -> CAST(floor(x * 1000000.0) AS BIGINT))
+                   AS qv
+        FROM clean
+    ), bucketed AS (
+        SELECT vec_id, qv, {bucket} AS bucket FROM vq
+    ), q AS (
+        SELECT vec_id AS query_id, qv AS qqv, bucket
+        FROM bucketed WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, c.vec_id,
+               CAST(list_sum(list_transform(c.qv, (x, j) -> x * q.qqv[j]))
+                    AS BIGINT) AS idot
+        FROM bucketed c JOIN q USING (bucket)
+        WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, idot, rank FROM (
+        SELECT query_id, vec_id, idot,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY idot DESC NULLS LAST,
+                                           vec_id ASC NULLS FIRST) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query("q_sim_topk_lsh_exactint", oracle=_lsh_int_oracle())
+def q_sim_topk_lsh_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed top-k by exact-integer dot product
+    (operators/similarity.dot_topk_lsh_int) — the FULL-ORACLE twin of
+    q_sim_topk_lsh (r6 rows-only graduation, VERDICT r6 #5): md5-derived
+    ±1 hyperplanes and floor(v*1e6) quantization make bucket keys,
+    candidate sets, idot scores, and ranks bit-identical across Spark
+    and DuckDB. The float-cosine LSH entry stays the production scorer;
+    this twin proves the bucketing machinery end-to-end by value hash.
+    Degenerate vectors (NULL/NaN/∞ components, wrong dim — all present
+    in the advdata fixture) are guarded out identically on both sides."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        dot_topk_lsh_int,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return dot_topk_lsh_int(
+        emb, queries, k=10, dim=64, bits=4,
+        id_col="vec_id", vec_col="embedding",
+    )

@@ -66,7 +66,9 @@ class AuditJsonlWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import glob
+        import re
 
+        succ = os.path.join(self._path, "_SUCCESS")
         if self._overwrite:
             # honor overwrite SEMANTICS at commit time: stale part files
             # from a previous commit would otherwise survive and a
@@ -74,16 +76,32 @@ class AuditJsonlWriter(DataSourceWriter):
             # _SUCCESS claims a clean commit
             for stale in glob.glob(os.path.join(self._path, "part-*.jsonl")):
                 os.remove(stale)
-            succ = os.path.join(self._path, "_SUCCESS")
             if os.path.exists(succ):
                 os.remove(succ)
+            start, prior_rows, prior_parts = 0, 0, 0
+        else:
+            # append mode: never clobber a previous commit's parts —
+            # continue numbering after the existing max part index and
+            # roll the prior manifest's counts into the new one, so a
+            # part-*.jsonl reader always sees exactly what _SUCCESS claims
+            existing = glob.glob(os.path.join(self._path, "part-*.jsonl"))
+            idx = [int(m.group(1)) for p in existing
+                   if (m := re.search(r"part-(\d+)\.jsonl$", p))]
+            start = max(idx) + 1 if idx else 0
+            prior_rows, prior_parts = 0, 0
+            if os.path.exists(succ):
+                with open(succ, "r", encoding="utf-8") as f:
+                    prior = json.load(f)
+                prior_rows = int(prior.get("rows", 0))
+                prior_parts = int(prior.get("parts", len(idx)))
         total = 0
         for i, m in enumerate(messages):
-            final = os.path.join(self._path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self._path, f"part-{start + i:05d}.jsonl")
             os.replace(m.tmp_path, final)
             total += m.rows
-        with open(os.path.join(self._path, "_SUCCESS"), "w") as f:
-            json.dump({"rows": total, "parts": len(messages)}, f)
+        with open(succ, "w") as f:
+            json.dump({"rows": prior_rows + total,
+                       "parts": prior_parts + len(messages)}, f)
 
     def abort(self, messages) -> None:
         for m in messages:

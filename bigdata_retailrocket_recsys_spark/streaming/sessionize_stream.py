@@ -375,7 +375,12 @@ def run_state_reader(
     import tempfile
 
     pin_streaming_confs(spark)
-    ckpt = os.path.join(tempfile.gettempdir(), "bdrr_state_reader_ckpt")
+    # per-application path: two concurrent sessions on one machine must
+    # not rmtree each other's live checkpoint (ADVICE r6 #4)
+    app = spark.sparkContext.applicationId.replace(":", "_")
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"bdrr_state_reader_ckpt_{app}"
+    )
     shutil.rmtree(ckpt, ignore_errors=True)
     stream = events_stream(spark, sf_dir)
     agg = (

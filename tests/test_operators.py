@@ -2652,7 +2652,14 @@ def test_extract_features_arrow_matches_pandas(spark):
     null_rows = _efa(nulls).collect()
     assert {r["asset_id"] for r in null_rows} == {10, 11}
     assert all(r["n_bytes"] is None for r in null_rows)
-    a = {r["asset_id"]: r for r in extract_media_features_arrow(assets).collect()}
+    # batch_hint=2 forces the RecordBatch re-slicing path (ADVICE r6 #2):
+    # 5 rows → ≥3 out-batches, results must be identical to unsliced
+    a = {
+        r["asset_id"]: r
+        for r in extract_media_features_arrow(
+            assets, batch_hint=2
+        ).collect()
+    }
     p = {r["asset_id"]: r for r in extract_media_features(assets).collect()}
     assert set(a) == set(p) == {1, 2, 3, 4, 5}
     for k in a:
@@ -2771,6 +2778,26 @@ def test_jsonl_audit_sink_commit_protocol(spark, tmp_path):
     assert len(parts2) == 2, names2
     manifest2 = json.load(open(os.path.join(path, "_SUCCESS")))
     assert manifest2 == {"rows": 100, "parts": 2}
+    # append semantics (ADVICE r6 #1): a second append must NOT clobber
+    # prior parts — numbering continues after the existing max index and
+    # the manifest sums both commits, so part-*.jsonl readers always see
+    # exactly what _SUCCESS claims
+    df3 = spark.range(50).selectExpr(
+        "id + 1000 AS event_id", "CAST(id % 3 AS STRING) AS event_type"
+    ).repartition(1)
+    df3.write.format("jsonl_audit").option("path", path).mode(
+        "append"
+    ).save()
+    names3 = sorted(os.listdir(path))
+    parts3 = [n for n in names3 if n.startswith("part-")]
+    assert parts3 == ["part-00000.jsonl", "part-00001.jsonl",
+                      "part-00002.jsonl"], names3
+    manifest3 = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert manifest3 == {"rows": 150, "parts": 3}
+    n_lines3 = sum(
+        1 for p in parts3 for _ in open(os.path.join(path, p))
+    )
+    assert n_lines3 == 150
 
 
 def test_bfs_distances_chain_and_cutoff(spark):
@@ -2791,3 +2818,177 @@ def test_bfs_distances_chain_and_cutoff(spark):
         for r in bfs_distances(edges, 1, max_hops=2).collect()
     }
     assert capped == {1: 0, 2: 1, 3: 2}
+
+
+def test_bpe_train_deterministic_and_encode_reconstructs():
+    """train_bpe is run-to-run deterministic (the committed DEFAULT_MERGES
+    contract) and greedy encoding always reconstructs the input's
+    non-space pretokens on concat — merges never lose or invent bytes."""
+    from bigdata_retailrocket_recsys_spark.operators.text_bpe import (
+        _PRETOKEN_RE,
+        _SEED_CORPUS,
+        DEFAULT_MERGES,
+        bpe_encode,
+        train_bpe,
+    )
+
+    again = train_bpe(_SEED_CORPUS, 256)
+    # the seed corpus saturates (every word fully merged) before the 256
+    # cap — training stops at the fixpoint, deterministically
+    assert again == DEFAULT_MERGES and 150 <= len(DEFAULT_MERGES) <= 256
+    for text in (
+        "the quick brown fox",
+        "userX added 3 items to the cart!!",
+        "def f(x):\n    return x + 1",
+        "",
+        "   ",
+    ):
+        toks = bpe_encode(text)
+        pretoks = [
+            m.group(0)
+            for m in _PRETOKEN_RE.finditer(text)
+            if not (m.group(0) == " " or m.group(0).isspace())
+        ]
+        assert "".join(toks) == "".join(pretoks), text
+        # merging can only shorten: token count between n_pretokens and
+        # total chars
+        assert len(pretoks) <= len(toks) <= sum(len(w) for w in pretoks)
+    # seed-corpus words actually merge (the table is doing work)
+    assert len(bpe_encode("the sessions")) < len("the sessions".replace(" ", ""))
+
+
+def test_bpe_token_counts_matches_reference_encoder(spark):
+    """The distributed mapInPandas counter must agree exactly with the
+    pure-Python reference encoder, including NULL/empty/whitespace-only
+    docs and repeated words (the per-batch word cache path)."""
+    from bigdata_retailrocket_recsys_spark.operators.text_bpe import (
+        _PRETOKEN_RE,
+        bpe_encode,
+        bpe_token_counts,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the the the the the"),
+        (3, "SELECT user_id, COUNT(*) FROM events GROUP BY 1"),
+        (4, None),
+        (5, ""),
+        (6, "   \t\n "),
+        (7, "zzzqqq unseen wordzz 12345 !!"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_pretokens"])
+        for r in bpe_token_counts(df).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    for did, text in rows:
+        if text is None:
+            assert got[did] == (None, None)
+            continue
+        exp_tokens = bpe_encode(text)
+        exp_pre = [
+            m.group(0)
+            for m in _PRETOKEN_RE.finditer(text)
+            if not (m.group(0) == " " or m.group(0).isspace())
+        ]
+        assert got[did] == (len(exp_tokens), len(exp_pre)), (did, text)
+
+
+def test_token_budget_sample_precomputed_counts(spark):
+    """n_tokens_col tier: the budget is charged against the supplied
+    column (BPE counts), same md5 order and running-total cut as the
+    whitespace tier; NULL counts charge 0."""
+    import hashlib
+
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "d", f"doc {i}", (i % 7) * 10) for i in range(1, 41)]
+    rows.append((99, "d", None, None))  # NULL count charges 0
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text", "n_bpe"])
+    budget = 600
+    kept = {
+        r["doc_id"]: (r["n_tok"], r["cum_tok"])
+        for r in token_budget_sample(
+            df, budget, n_tokens_col="n_bpe"
+        ).collect()
+    }
+    # replay the greedy head in plain Python under the identical order
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )
+    # prefix cut (not skip-and-continue): the running total includes
+    # every doc in order, keep iff it still fits — mirrors the window
+    cum, exp = 0, {}
+    for did, _, _, ntok in order:
+        n = ntok or 0
+        cum += n
+        if cum <= budget:
+            exp[did] = (n, cum)
+    assert kept == exp
+    assert max((c for _, c in kept.values()), default=0) <= budget
+
+
+def test_simhash_md5_matches_python_replay(spark):
+    """simhash_md5's nibble/bit/vote convention must match the documented
+    formula exactly (hashlib md5 ≡ engine md5) — this locks the Spark
+    side to the same convention the DuckDB oracle generates; banded md5
+    pairs must equal brute-force pairs from the signatures."""
+    import hashlib
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        simhash_md5,
+        simhash_near_pairs,
+    )
+
+    docs = [
+        (1, "a b c d"),
+        (2, "a b c e"),
+        (3, "x y z"),
+        (4, ""),
+        (5, "a b c d"),  # identical text to 1 → identical signature
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc"]: r["simhash"]
+        for r in simhash_md5(df, shingle_n=1).collect()
+    }
+
+    def py_sig(text):
+        toks = set(text.strip().split()) if text.strip() else {""}
+        votes = [0] * 64
+        for t in sorted(toks):
+            hx = hashlib.md5(t.encode()).hexdigest()
+            for j in range(64):
+                nib = int(hx[j // 4], 16)
+                votes[j] += 1 if (nib >> (j % 4)) & 1 else -1
+        sig = 0
+        for j in range(64):
+            if votes[j] > 0:
+                sig |= 1 << j
+        # Spark builds the signature with signed bigint shifts: bit 63
+        # wraps negative
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    for did, text in docs:
+        assert got[did] == py_sig(text), (did, text)
+    assert got[1] == got[5]
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            df, shingle_n=1, max_hamming=3, n_bands=4, hash_fn="md5"
+        ).collect()
+    }
+    exp = {}
+    ids = sorted(got)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(
+                (got[ids[i]] ^ got[ids[j]]) & ((1 << 64) - 1)
+            ).count("1")
+            if h <= 3:
+                exp[(ids[i], ids[j])] = h
+    assert pairs == exp and (1, 5) in pairs and pairs[(1, 5)] == 0

@@ -249,21 +249,55 @@ def test_connected_components_equals_union_find(spark, n_nodes, edges):
 def test_approx_percentile_rank_error(spark):
     """GK sketch guarantee: the approximate p-quantile's true rank is
     within n/accuracy of ceil(p*n) — checked against the exact sorted
-    ranks at accuracy=1000 on the oracle scale factor."""
+    ranks at accuracy=1000 on the oracle scale factor. The catalog query
+    now emits this check as hashable flags (r7 oracle graduation); here
+    we assert the flags AND re-derive the bound from raw
+    percentile_approx values, and lock flag stability across
+    partitionings (raw sketch VALUES may legally shift with merge order
+    — the flags must not)."""
+    from pyspark.sql import functions as F
+
     from bigdata_retailrocket_recsys_spark.plans import QUERIES
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
     from tests.conftest import SF_ORACLE
 
-    approx = {
-        r.l_returnflag: (r.median_qty_approx, r.p90_price_approx)
-        for r in QUERIES["q_agg_approx_percentile"]
-        .fn(spark, SF_ORACLE)
-        .collect()
-    }
-    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+    flag_rows = (
+        QUERIES["q_agg_approx_percentile"].fn(spark, SF_ORACLE).collect()
+    )
+    assert flag_rows
+    assert all(
+        r.median_rank_ok == 1 and r.p90_rank_ok == 1 for r in flag_rows
+    )
 
     li = load_table(spark, SF_ORACLE, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
+    # partitioning stability: the sketch's accuracy contract must hold
+    # under any merge order even if raw values shift
+    from bigdata_retailrocket_recsys_spark.plans.catalog import (
+        approx_percentile_flags,
+    )
+
+    for parts in (1, 13):
+        df = li.repartition(parts)
+        ranks = {
+            r.l_returnflag: (r.median_rank_ok, r.p90_rank_ok)
+            for r in approx_percentile_flags(df).collect()
+        }
+        assert all(v == (1, 1) for v in ranks.values()), (parts, ranks)
+    approx = {
+        r.l_returnflag: (r.mq, r.pp)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                F.col("l_quantity").cast("double"), F.lit(0.5), F.lit(1000)
+            ).alias("mq"),
+            F.percentile_approx(
+                F.col("l_extendedprice").cast("double"), F.lit(0.9), F.lit(1000)
+            ).alias("pp"),
+        )
+        .collect()
+    }
     rows = li.collect()
     by_flag: dict = {}
     for r in rows:
@@ -841,3 +875,13 @@ def test_simhash_pairs_banding_recall_equals_bruteforce(spark, docs):
             if h <= 3:
                 exp[(ids[i], ids[j])] = h
     assert got == exp
+    # n_bands NOT dividing 64 (ADVICE r6 #3): remainder bits must still
+    # be banded (widths 13,13,12,13,13 cover all 64), so the pigeonhole
+    # recall guarantee holds for n_bands=5 too
+    got5 = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            df, max_hamming=3, n_bands=5
+        ).collect()
+    }
+    assert got5 == exp
