@@ -94,6 +94,7 @@ def covis_pairs(
     max_per_group: int | None = None,
     ts_col: str | None = None,
     pair_strategy: str = "auto",
+    aggregate: bool = True,
 ) -> DataFrame:
     """J3 — unordered co-occurrence pairs within a group.
 
@@ -125,6 +126,11 @@ def covis_pairs(
     ``a.group = b.group AND a.item < b.item`` never matches NULL groups or
     NULL items; the array form's groupBy WOULD form a NULL-group row and
     pair its items, so both paths drop NULL group/item rows up front.
+
+    ``aggregate=False`` returns the RAW per-group pair rows
+    ``(group, item_a, item_b)`` before the covis count — the per-group
+    pair listing, and the frame whose task layout the skew tests probe
+    (its partitions are exactly the pair-materialization stage's tasks).
     """
     df = df.filter(
         F.col(group_col).isNotNull() & F.col(item_col).isNotNull()
@@ -166,9 +172,10 @@ def covis_pairs(
                 ).alias("top")
             )
             g = g.select(
+                group_col,
                 F.array_distinct(
                     F.transform(F.col("top"), lambda s: s["i"])
-                ).alias("items")
+                ).alias("items"),
             )
         else:
             g = df.groupBy(group_col).agg(
@@ -186,11 +193,13 @@ def covis_pairs(
                 ),
             )
         )
-        out = (
-            g.select(F.explode(pairs_arr).alias("p"))
-            .select("p.item_a", "p.item_b")
-            .groupBy("item_a", "item_b")
-            .agg(F.count(F.lit(1)).alias("covis"))
+        raw = g.select(
+            F.col(group_col), F.explode(pairs_arr).alias("p")
+        ).select(group_col, "p.item_a", "p.item_b")
+        if not aggregate:
+            return raw
+        out = raw.groupBy("item_a", "item_b").agg(
+            F.count(F.lit(1)).alias("covis")
         )
         if min_count > 1:
             out = out.filter(F.col("covis") >= min_count)
@@ -217,6 +226,12 @@ def covis_pairs(
         & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")),
         "inner",
     )
+    if not aggregate:
+        return pairs.select(
+            F.col(f"a.{group_col}").alias(group_col),
+            F.col(f"a.{item_col}").alias("item_a"),
+            F.col(f"b.{item_col}").alias("item_b"),
+        )
     metric = (
         F.countDistinct(F.col(f"a.{count_distinct_col}"))
         if count_distinct_col

@@ -5854,26 +5854,41 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped (small-quantity revenue): the classic
     `qty < 0.2 * avg(qty per part)` rewritten division-free as
-    `5·qty·n < Σqty` in exact DECIMAL — two correlated scalar subqueries
-    (Spark requires outer refs in the subquery WHERE, and avg-of-double
-    is reduction-order dependent; plans/catalog.py rules). The global sum
+    `5·qty·n < Σqty` in exact DECIMAL. The ORACLE keeps the textbook
+    correlated-scalar-subquery form; Spark runs the scale plan (r7
+    volume probe: the correlated form rescanned ALL of lineitem twice —
+    44 s at 12M rows vs 3 s for this rewrite): the per-part (n, Σqty)
+    aggregate is computed ONCE over lineitem pre-pruned to the brand's
+    partkeys (a partkey determines its part row, so restricting the
+    aggregate to the brand's keys is exact; the prune is a LEFT SEMI —
+    never duplicates on a hypothetical dup partkey). The global sum
     goes through exact integer cents before the single double division;
     COALESCE pins the empty-match case to 0.0 on both engines."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
     _t(spark, sf_dir, "part").createOrReplaceTempView("v_part")
     return spark.sql(
         """
+        WITH bkeys AS (
+            SELECT p_partkey FROM v_part WHERE p_brand = 'Brand#23'
+        ), li_b AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM v_lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM bkeys)
+        ), agg AS (
+            SELECT l_partkey,
+                   COUNT(*) AS n,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s
+            FROM li_b GROUP BY l_partkey
+        )
         SELECT CAST(COALESCE(
                    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
                         * 100 AS BIGINT), 0) AS DOUBLE) / 700.0
                    AS avg_yearly
-        FROM v_lineitem l JOIN v_part p ON p.p_partkey = l.l_partkey
-        WHERE p.p_brand = 'Brand#23'
-          AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5
-              * (SELECT COUNT(*) FROM v_lineitem l2
-                 WHERE l2.l_partkey = l.l_partkey)
-            < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
-               FROM v_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        FROM li_b l
+        JOIN v_part p ON p.p_partkey = l.l_partkey
+                     AND p.p_brand = 'Brand#23'
+        JOIN agg ON agg.l_partkey = l.l_partkey
+        WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * agg.n < agg.s
         """
     )
 

@@ -1,0 +1,229 @@
+"""Volume validation probe (round 7, VERDICT r6 #1).
+
+The oracle gate proves CORRECTNESS at sf0.01 and bench.py times sf0.1;
+this script validates the 10-100× SCALE story for the shapes that had no
+volume datapoint yet: the wave-3 TPC-H queries and the round-6/7 ops.
+
+Two probes:
+
+1. ``tpch``: materializes a scaled TPC-H fixture at ``--copies``× sf0.1
+   (lineitem/orders explode-replicated with shifted orderkeys — the
+   constant-width plan from scale_bench; dims copied as-is, the realistic
+   shape: facts grow, dims don't), then times the named TPC-H catalog
+   entries against it. Any non-broadcast dim join, BNLJ, or
+   single-reducer stage shows up as a wall-time cliff here long before
+   the real cluster finds it.
+
+2. ``ops``: synthesizes volume inputs (pseudo-text documents, random
+   graphs, long event histories) and times the round-6/7 operators that
+   lacked datapoints: frontier BFS, SimHash banded pairs (xxhash64 and
+   md5 twins), BPE token counts.
+
+Usage::
+
+    python scripts/volume_probe.py tpch --copies 20
+    python scripts/volume_probe.py ops --docs 1000000 --edges 3000000
+
+Results are recorded as CLAUDE.md datapoints (the working-notes
+discipline of rounds 5-6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/bdrr_vol_tpch"
+ORDERKEY_SHIFT = 100_000_000
+
+DIMS = ["nation", "region", "customer", "part", "supplier"]
+# events/documents/embeddings are read by _t for some queries' fixtures —
+# copy small ones so any catalog entry can run against DST unchanged.
+SMALL = DIMS + ["events", "documents", "embeddings"]
+
+
+def get_spark(shuffle_partitions: int = 64) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .appName("bdrr-volume-probe")
+        .config("spark.driver.memory", os.environ.get("BDRR_VOL_DRIVER_MEM", "48g"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.io.compression.codec", "zstd")
+        .getOrCreate()
+    )
+
+
+def build_tpch(spark: SparkSession, copies: int) -> None:
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    for t in SMALL:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{DST}/{t}.parquet")
+    fan = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__c")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet").repartition(32)
+    (
+        li.select("*", fan)
+        .withColumn(
+            "l_orderkey",
+            F.col("l_orderkey") + F.col("__c").cast("bigint") * ORDERKEY_SHIFT,
+        )
+        .drop("__c")
+        .write.mode("overwrite")
+        .parquet(f"{DST}/lineitem.parquet")
+    )
+    od = spark.read.parquet(f"{SRC}/orders.parquet").repartition(32)
+    (
+        od.select("*", fan)
+        .withColumn(
+            "o_orderkey",
+            F.col("o_orderkey") + F.col("__c").cast("bigint") * ORDERKEY_SHIFT,
+        )
+        .drop("__c")
+        .write.mode("overwrite")
+        .parquet(f"{DST}/orders.parquet")
+    )
+
+
+def probe_tpch(names: list[str], copies: int) -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    build_tpch(spark, copies)
+    n_li = spark.read.parquet(f"{DST}/lineitem.parquet").count()
+    print(
+        f"[build] {copies}x sf0.1 fixture at {DST}: lineitem={n_li:,} "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    from bigdata_retailrocket_recsys_spark.plans import QUERIES
+
+    for name in names:
+        t0 = time.time()
+        n = QUERIES[name].fn(spark, DST).count()
+        print(
+            f"[tpch] {name}: {n:,} rows in {time.time() - t0:.1f}s",
+            flush=True,
+        )
+
+
+def synth_documents(spark: SparkSession, n_docs: int, toks: int = 30):
+    """Pseudo-text docs: ``toks`` vocab-hashed tokens per doc + planted
+    near-dup pairs (every 1000th doc is doc-1 with one token changed) so
+    the pair-verify path does real work without a quadratic cluster."""
+    base = spark.range(n_docs).repartition(64)
+    words = F.expr(
+        "transform(sequence(0, {t} - 1), "
+        "j -> concat('w', pmod(xxhash64(id * {t} + j), 50000)))".format(t=toks)
+    )
+    return base.select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.pmod(F.col("id"), 1000) == 1,
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sequence(0, {t} - 1), "
+                    "j -> concat('w', pmod(xxhash64((id - 1) * {t} + j), 50000)))".format(
+                        t=toks
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.concat_ws(" ", words))
+        .alias("text"),
+    )
+
+
+def probe_ops(n_docs: int, n_edges: int) -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.graph import bfs_distances
+    from bigdata_retailrocket_recsys_spark.operators.text_bpe import (
+        bpe_token_counts,
+    )
+
+    docs = synth_documents(spark, n_docs).cache()
+    print(f"[ops] docs materialized: {docs.count():,}", flush=True)
+
+    t0 = time.time()
+    n = simhash_near_pairs(
+        docs, shingle_n=1, max_hamming=3, n_bands=4
+    ).count()
+    print(
+        f"[ops] simhash_pairs(xxhash64) over {n_docs:,} docs: {n:,} pairs "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    n = simhash_near_pairs(
+        docs, shingle_n=1, max_hamming=3, n_bands=4, hash_fn="md5"
+    ).count()
+    print(
+        f"[ops] simhash_pairs(md5 twin) over {n_docs:,} docs: {n:,} pairs "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    agg = bpe_token_counts(docs).agg(
+        F.sum("n_bpe_tokens").alias("bpe"), F.sum("n_pretokens").alias("pre")
+    ).collect()[0]
+    print(
+        f"[ops] bpe_token_counts over {n_docs:,} docs: "
+        f"{agg['bpe']:,} bpe / {agg['pre']:,} pretokens "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    docs.unpersist()
+
+    n_vtx = max(1000, n_edges // 6)
+    edges = spark.range(n_edges).repartition(64).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_vtx)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n_vtx)).alias("dst"),
+    )
+    t0 = time.time()
+    reached = bfs_distances(edges, 0, max_hops=6).count()
+    print(
+        f"[ops] frontier bfs (6 hops) over {n_edges:,} edges / "
+        f"{n_vtx:,} vertices: {reached:,} reached "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("probe", choices=["tpch", "ops"])
+    p.add_argument("--copies", type=int, default=20)
+    p.add_argument("--docs", type=int, default=1_000_000)
+    p.add_argument("--edges", type=int, default=3_000_000)
+    p.add_argument(
+        "--queries",
+        default="q_tpch_q2,q_tpch_q8,q_tpch_q9,q_tpch_q12,q_tpch_q17,"
+        "q_tpch_q20,q_tpch_q21,q_tpch_q22",
+    )
+    a = p.parse_args()
+    if a.probe == "tpch":
+        probe_tpch(a.queries.split(","), a.copies)
+    else:
+        probe_ops(a.docs, a.edges)
+
+
+if __name__ == "__main__":
+    main()

@@ -175,3 +175,66 @@ def test_global_rank_tie_skew_spread_by_tiebreak(spark):
     hot = int(n * 0.9)
     assert hist_tied[-1] >= hot  # whole tie group in ONE shard
     assert hist_spread[-1] <= hot // 4  # tiebreak spreads it
+
+
+def test_covis_power_law_sessions_bounded_tasks_under_aqe(spark):
+    """VERDICT r6 #8: the cap must hold covis fan-out AND task balance on
+    a power-law session-length distribution (the realistic shape — a few
+    huge sessions, a long tail) with AQE ON, not just on one synthetic
+    hot key with AQE frozen.
+
+    Fixture: session i has ~4000/(i+1) events (zipf-ish), 400 sessions,
+    items disjoint per session so expected pair counts are exact. With
+    max_per_group=50: per-session pairs = C(min(len,50), 2); we assert
+    the EXACT total (value correctness under the cap) and that the raw
+    pair-materialization stage's max task carries ≤ a small multiple of
+    the mean (no single task inherits the head sessions' quadratic)."""
+    sizes = [max(1, 4000 // (i + 1)) for i in range(400)]
+    offsets = []
+    total = 0
+    for s in sizes:
+        offsets.append(total)
+        total += s
+    rows = spark.createDataFrame(
+        [(i, off, n) for i, (off, n) in enumerate(zip(offsets, sizes))],
+        "sid int, off long, n int",
+    )
+    events = rows.select(
+        F.col("sid"),
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("j"),
+    ).select(
+        "sid",
+        (F.col("j") + F.col("sid") * 1_000_000).alias("item"),
+        F.col("j").cast("long").alias("ts"),
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+    cap = 50
+    raw = covis_pairs(
+        events,
+        group_col="sid",
+        item_col="item",
+        max_per_group=cap,
+        ts_col="ts",
+        aggregate=False,
+    )
+    hist = _partition_histogram(raw)
+    expected = sum(min(s, cap) * (min(s, cap) - 1) // 2 for s in sizes)
+    assert sum(hist) == expected  # exact capped fan-out, power law included
+    # no task inherits a quadratic share: with per-session contribution
+    # capped at C(50,2)=1225 the worst task is bounded by (sessions
+    # hashed there)×1225, which must stay within a small multiple of the
+    # mean — an uncapped head session (4000 events → 8M pairs) would blow
+    # this by orders of magnitude
+    mean = sum(hist) / max(1, len(hist))
+    assert hist[-1] <= max(6 * mean, 3 * 1225), (hist[-5:], mean)
+
+    agg = covis_pairs(
+        events,
+        group_col="sid",
+        item_col="item",
+        max_per_group=cap,
+        ts_col="ts",
+    )
+    n_pairs = agg.agg(F.sum("covis").alias("s")).first()["s"]
+    assert n_pairs == expected  # aggregate path agrees with the raw path

@@ -97,3 +97,104 @@ def test_streaming_state_bounded_under_watermark(spark):
     )
     total = latest.agg(F.sum("n")).collect()[0][0]
     assert total == ROWS, total
+
+
+DG_ROWS = 44_000
+DG_BATCH = 2_000
+DG_USERS = 50  # 50 s of event time between a user's consecutive events
+
+
+def test_dynamic_gap_state_bounded_under_watermark(spark):
+    """VERDICT r6 #7: the dynamic-gap session_window (per-event gap
+    durations — the engine's most complex eviction logic: interval-union
+    state merging) must hold a bounded state plateau across a >=20-batch
+    soak, not just the bounded AvailableNow run the catalog entry does.
+
+    Generator geometry: a user's events arrive 50 s apart (event time).
+    The deterministic type mapping makes 10 of the 50 users all-purchase
+    (gap 80 s > 50 — their sessions chain forever and stay OPEN in
+    state) and the other 40 single-type non-purchase (gap 30 s < 50 —
+    every event is its own session, closed and EVICTED once the 2-min
+    watermark passes). Without eviction the closed sessions would pile
+    to ~35k state rows by batch 22; the plateau must stay 100x below."""
+    import ast
+
+    from bigdata_retailrocket_recsys_spark.sources.generator import (
+        register_events_generator,
+    )
+    from bigdata_retailrocket_recsys_spark.streaming import pin_streaming_confs
+
+    pin_streaming_confs(spark)
+    register_events_generator(spark)
+    st = (
+        spark.readStream.format("bdrr_events_gen")
+        .option("rows", DG_ROWS)
+        .option("batch_rows", DG_BATCH)
+        .option("step_us", STEP_US)
+        .option("n_users", DG_USERS)
+        .load()
+    )
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("80 seconds")
+    ).otherwise(F.lit("30 seconds"))
+    agg = (
+        st.withWatermark("ts", "2 minutes")
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("event_type").alias("etype"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bdrr_dyngap_soak_sink")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp and lp["sources"][0]["endOffset"]:
+                off = lp["sources"][0]["endOffset"]
+                if isinstance(off, str):
+                    off = ast.literal_eval(off)
+                if int(off["i"]) >= DG_ROWS:
+                    break
+            time.sleep(0.5)
+        progresses = [
+            p
+            for p in q.recentProgress
+            if p["numInputRows"] > 0 and p["stateOperators"]
+        ]
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    assert len(progresses) >= 20, f"only {len(progresses)} data batches ran"
+    curve = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    # plateau: open purchase chains (10) + the watermark horizon's worth of
+    # un-evicted singles (~2.4 events/user x 40) + one batch's transient
+    # (a 2000-row batch spans ~40 events/user of event time before the
+    # watermark catches up) — far below the ~35k no-eviction line
+    assert max(curve) <= 3_500, curve
+    assert max(curve[-5:]) <= max(curve[: len(curve) // 2]), curve
+    # eviction actually happened: the deterministic geometry holds the
+    # TOTAL flat (each batch evicts exactly as many sessions as it opens
+    # — the curve never dips, unlike the tumbling soak), so assert the
+    # state store's own removal counter instead
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+    )
+    assert removed > 10_000, (removed, curve)
+    # append-mode sink carries only CLOSED sessions: every non-purchase
+    # event is its own 1-event session; purchase chains never close
+    sink = spark.table("bdrr_dyngap_soak_sink").collect()
+    assert sink and all(r["etype"] != "purchase" for r in sink)
+    assert all(r["n_events"] == 1 for r in sink)
+    emitted = len(sink)
+    # all non-purchase events except the un-evicted tail (~watermark
+    # horizon) must have been finalized: 4/5 of rows, minus tail slack
+    expected_total = DG_ROWS * 4 // 5
+    assert expected_total - 400 <= emitted <= expected_total, emitted
