@@ -1692,14 +1692,41 @@ def approx_percentile_flags(li: DataFrame) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct", oracle=None)
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           1 AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate countDistinct (HLL) — engine extension; sketch values are
-    implementation-specific → rows-only check."""
-    return (
+    """Approximate countDistinct (HLL++) — engine extension. Raw register
+    estimates are implementation-specific, so (same move as
+    q_agg_approx_percentile, r7 graduation) the driver-hashable output is
+    the sketch's accuracy CONTRACT: per group, |estimate − exact| must be
+    within 5× the configured rsd (0.02 → 10%, a ≥5σ margin — the estimate
+    is deterministic per dataset, so the flag is stable). The exact
+    distinct count rides along as a real hashed value column; a wrong
+    column, wrong rsd, or merge bug flips the flag and breaks the hash."""
+    est = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+    )
+    err = F.abs(
+        F.col("approx_users").cast("double") - F.col("n_exact").cast("double")
+    )
+    return est.select(
+        "event_type",
+        "n_exact",
+        (err <= 0.10 * F.col("n_exact").cast("double")).cast("int").alias(
+            "within_bound"
+        ),
     )
 
 

@@ -171,7 +171,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_ngram_jaccard_persisted", oracle=None)
+@query(
+    "q_dedup_ngram_jaccard_persisted",
+    # value-identical to q_dedup_ngram_jaccard by construction, so it
+    # carries the SAME oracle (r7 graduation from rows-only — the entry
+    # originally existed to lock the persisted-shingle PLAN, which
+    # tests/test_plans.py still does; now the values are driver-hashed too)
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS doc, lang, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM tok GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+         AND a.lang = b.lang AND a.source = b.source
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    """,
+)
 def q_dedup_ngram_jaccard_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard near-dup pairs against a PERSISTED shingle table — the
     warehouse-scale path: tokenize the corpus once (shingle_table), then
@@ -180,7 +210,7 @@ def q_dedup_ngram_jaccard_persisted(spark: SparkSession, sf_dir: str) -> DataFra
     q_dedup_ngram_jaccard (locked in tests/test_operators.py)."""
     from bigdata_retailrocket_recsys_spark.operators.dedup import shingle_table
 
-    sh_path = os.path.join(tempfile.gettempdir(), "bdrr_shingles")
+    sh_path = _session_tmp(spark, "shingles")
     shingle_table(
         _t(spark, sf_dir, "documents"),
         sh_path,

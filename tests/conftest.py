@@ -59,7 +59,13 @@ def spark():
     from pyspark.sql import SparkSession
 
     s = (
-        SparkSession.builder.master("local[8]")
+        # BDRR_TEST_MASTER=local-cluster[2,4,8192] reruns the suite with
+        # real executor boundaries (serialized broadcasts, per-executor
+        # shuffle dirs) — the r7 validation mode for the skew/broadcast
+        # claims; default stays the driver-like local[8]
+        SparkSession.builder.master(
+            os.environ.get("BDRR_TEST_MASTER", "local[8]")
+        )
         .appName("bdrr-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "4g")
