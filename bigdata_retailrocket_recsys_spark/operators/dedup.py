@@ -410,7 +410,9 @@ def minhash_lsh_candidates(
 
 
 def _bitsum_signature(sh: DataFrame, bit_exprs: list[str]) -> DataFrame:
-    """Shared SimHash reducer: per doc, 64 bit-count sums + one row count
+    """Generic SimHash reducer (arbitrary per-bit expressions — the md5
+    oracle twin's path; the xxhash word paths use the 4x-cheaper
+    :func:`_swar_signatures`): per doc, 64 bit-count sums + one row count
     in a SINGLE map-side-combinable aggregation, then the signature via
     the majority rule (vote_j > 0 ⟺ 2·Σbit_j > n). One shuffle of
     65-column partial aggregates; NO bit explode — the r7 volume probe
@@ -430,15 +432,70 @@ def _bitsum_signature(sh: DataFrame, bit_exprs: list[str]) -> DataFrame:
     return sums.select("doc", sig.alias("simhash"))
 
 
+_SWAR16_MASK = 0x0001_0001_0001_0001  # 4 × 16-bit lanes per bigint
+
+
+def _swar_signatures(sh: DataFrame, word_cols: list[str]) -> DataFrame:
+    """SWAR-packed SimHash reducer for hash-WORD bit sources: per word
+    column, 16 sums of ``(w >> k) & 0x0001000100010001`` accumulate FOUR
+    bit-counts each (16-bit lanes) — 4× fewer aggregate buffers than
+    one-sum-per-bit, measured 2.3× faster at 30M shingle rows with
+    bit-identical output (r7 A/B, checksums equal). Lane capacity bounds
+    per-doc shingle counts at 65535; exceeding it would silently carry
+    between lanes, so the majority expression routes through a
+    ``raise_error`` guard instead (a 65k-DISTINCT-shingle doc is ~400 KB
+    of unique bigrams — cap or pre-split such docs, or use the generic
+    :func:`_bitsum_signature` path). Returns one signature column per
+    word column, named ``sig0, sig1, ...``."""
+    sums = sh.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"({w} >> {k}) & {_SWAR16_MASK}")).alias(
+                f"p{i}_{k}"
+            )
+            for i, w in enumerate(word_cols)
+            for k in range(16)
+        ],
+    )
+    # the guard must feed the result or column pruning drops it
+    n_checked = F.expr(
+        "CASE WHEN n >= 65536 THEN raise_error("
+        "'simhash SWAR lanes overflow: a document has >= 65536 distinct "
+        "shingles; pre-split such documents or use the one-bit-per-sum "
+        "path') ELSE n END"
+    )
+    sums = sums.select("doc", n_checked.alias("n"), *[
+        c for c in sums.columns if c.startswith("p")
+    ])
+
+    def _sig(i: int):
+        sig = None
+        for j in range(64):
+            k, lane = j % 16, j // 16
+            cnt = F.expr(f"(p{i}_{k} >> {16 * lane}) & 65535")
+            term = F.when(
+                cnt * 2 > F.col("n"),
+                F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            sig = term if sig is None else sig + term
+        return sig
+
+    return sums.select(
+        "doc", *[_sig(i).alias(f"sig{i}") for i in range(len(word_cols))]
+    )
+
+
 def simhash(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 2
 ) -> DataFrame:
-    """SimHash signatures: per (doc, shingle) xxhash64, then 64 bit sums
-    per doc in one aggregation (:func:`_bitsum_signature`)."""
+    """SimHash signatures: per (doc, shingle) xxhash64, then SWAR-packed
+    bit sums per doc in one aggregation (:func:`_swar_signatures`)."""
     sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n).select(
         "doc", F.xxhash64("shingle").alias("h")
     )
-    return _bitsum_signature(sh, [f"(h >> {j}) & 1" for j in range(64)])
+    return _swar_signatures(sh, ["h"]).select(
+        "doc", F.col("sig0").alias("simhash")
+    )
 
 
 def simhash_md5(
@@ -467,6 +524,118 @@ def simhash_md5(
     )
     return _bitsum_signature(
         sh, [f"(nibs[{j // 4}] >> {j % 4}) & 1" for j in range(64)]
+    )
+
+
+def simhash128(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """128-bit SimHash — the >10M-doc tier of the banding family: the
+    64-bit signature's band keys saturate at N ≈ 2^(64/n_bands) docs
+    (random-collision candidates ≈ N²·n_bands/2^(w+1); measured at 1M
+    docs in the r7 volume probe), while 128 bits give 32-bit band keys
+    at n_bands=4 — saturation pushed to the billions. Two independent
+    xxhash64 streams (seeds 0 and 1) supply the bit source; ALL 128 bit
+    sums ride ONE map-side-combinable aggregation (same
+    :func:`_bitsum_signature` shape, fused for both halves).
+
+    Returns ``(doc, sig_lo, sig_hi)`` — bits 0-63 and 64-127."""
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n).select(
+        "doc",
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64("shingle", F.lit(1)).alias("h2"),
+    )
+    return _swar_signatures(sh, ["h1", "h2"]).select(
+        "doc", F.col("sig0").alias("sig_lo"), F.col("sig1").alias("sig_hi")
+    )
+
+
+def simhash128_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Banded near-dup candidate pairs over the 128-bit signature — the
+    scale tier of :func:`simhash_near_pairs` (same Manku pigeonhole:
+    Hamming ≤ max_hamming < n_bands ⟹ exact agreement on ≥1 band).
+    Bands split the concatenated 128-bit space with remainder bits
+    spread over the leading bands; a band straddling the lo/hi word
+    boundary is stitched from both words (all integer shifts, no UDF).
+    Verify = ``bit_count(lo⊕lo) + bit_count(hi⊕hi)``.
+
+    Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``."""
+    if not 2 <= n_bands <= 128:
+        raise ValueError(f"n_bands must be in [2, 128], got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "banding guarantee needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})"
+        )
+    sigs = simhash128(
+        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    ).cache()  # consumed by every band branch (S7)
+    base, rem = divmod(128, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+
+    def _key(o: int, w: int) -> str:
+        # extract bits [o, o+w) of the 128-bit (sig_hi:sig_lo) value.
+        # >> in Spark is arithmetic shift on bigint — mask AFTER shifting
+        # to kill sign extension; w <= 64 always (n_bands >= 2), and at
+        # w == 64 the band IS the whole word (a (1<<64)-1 literal would
+        # parse as DECIMAL, not BIGINT)
+        if w == 64:
+            return "sig_lo" if o == 0 else "sig_hi"
+        if o + w <= 64:
+            return f"(sig_lo >> {o}) & {(1 << w) - 1}"
+        if o >= 64:
+            return f"(sig_hi >> {o - 64}) & {(1 << w) - 1}"
+        lo_bits = 64 - o
+        hi_bits = w - lo_bits
+        return (
+            f"((sig_lo >> {o}) & {(1 << lo_bits) - 1}) | "
+            f"(((sig_hi) & {(1 << hi_bits) - 1}) << {lo_bits})"
+        )
+
+    banded = sigs.select(
+        "doc",
+        "sig_lo",
+        "sig_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(_key(offsets[b], widths[b])).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sig_lo", "sig_hi", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.expr(
+                "bit_count(a.sig_lo ^ b.sig_lo) + "
+                "bit_count(a.sig_hi ^ b.sig_hi)"
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -7522,3 +7522,56 @@ def q_sim_topk_lsh_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=10, dim=64, bits=4,
         id_col="vec_id", vec_col="embedding",
     )
+
+
+@query("q_dedup_simhash128_pairs", oracle=None)
+def q_dedup_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash banded near-dup pairs
+    (operators/dedup.simhash128_near_pairs) — the >10M-doc tier: the
+    64-bit signature's 16-bit band keys saturate at ~2^16 docs
+    (candidates ≈ N²·bands/2^17, measured in the r7 volume probe), while
+    two fused xxhash64 bit streams give 32-bit keys at the same
+    n_bands=4 — saturation pushed to billions of docs, one extra bigint
+    per row. Pigeonhole recall vs 128-bit brute force is property-locked
+    (incl. bands straddling the word boundary); xxhash64 → rows-only."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        simhash128_near_pairs,
+    )
+
+    return simhash128_near_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=2,  # bigrams, same discrimination tier as the 64-bit entry
+        max_hamming=3,
+        n_bands=4,
+    )
+
+
+@query("q_pack_sequences_bpe", oracle=None)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM pretraining packing on REAL tokenizer counts:
+    bpe_token_counts → pack_sequences(seq_len=512) — the production
+    composition (budget/pack in BPE tokens, not words). The relational
+    packing math is oracled via q_pack_sequences (whitespace counts);
+    this entry locks the BPE plumbing into the same sharded
+    range-partitioned cumsum plan (rows-only: Python-side token counts).
+    Tiling invariants (segments tile [0, seq_len) per sequence and
+    [0, n_tokens) per doc) are test-locked on the packing operator."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        pack_sequences,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text_bpe import (
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    counts = bpe_token_counts(docs, id_col="doc_id", text_col="text")
+    return pack_sequences(
+        counts.filter(F.col("n_bpe_tokens") > 0),
+        id_col="doc_id",
+        n_tokens_col="n_bpe_tokens",
+        seq_len=512,
+    )

@@ -60,6 +60,8 @@ ROWS_ONLY_AUDIT = {
     "q_multimodal_features_arrow": ("float byte-entropy + binary payloads not comparable via DuckDB SQL (mapInArrow twin)", "test_operators.py::test_extract_features_arrow_matches_pandas (exact-int + 1e-9 entropy equality vs the mapInPandas path)"),
     "q_dedup_simhash_pairs": ("xxhash64 signatures not DuckDB-expressible (pairing stage)", "test_properties.py::test_simhash_pairs_banding_recall_equals_bruteforce (exact recall vs brute force)"),
     "q_dedup_incremental_minhash": ("xxhash64 signatures not DuckDB-expressible (batch-vs-corpus variant)", "test_operators.py::test_incremental_minhash_vs_corpus_equiv_full_lsh"),
+    "q_dedup_simhash128_pairs": ("xxhash64 bit streams not DuckDB-expressible (128-bit scale tier)", "test_properties.py::test_simhash128_banding_recall_equals_bruteforce (exact recall vs 128-bit brute force, incl. word-straddling bands)"),
+    "q_pack_sequences_bpe": ("packing charged against Python-side BPE counts; the relational cut is oracled via q_pack_sequences", "test_operators.py::test_pack_sequences_tiles_docs_and_sequences (tiling invariants) + test_bpe_token_counts_matches_reference_encoder"),
     "q_text_bpe_tokens": ("greedy-merge BPE tokenization is Python-side (mapInPandas), not SQL-expressible", "test_operators.py::test_bpe_token_counts_matches_reference_encoder (exact vs pure-Python encoder incl. NULL/empty docs)"),
     "q_budget_sample_bpe": ("budget charged against Python-side BPE counts; the relational cut is oracled via q_budget_sample", "test_operators.py::test_token_budget_sample_precomputed_counts (exact greedy-head replay)"),
 }

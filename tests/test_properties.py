@@ -885,3 +885,49 @@ def test_simhash_pairs_banding_recall_equals_bruteforce(spark, docs):
         ).collect()
     }
     assert got5 == exp
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w", "v"]),
+            min_size=2,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_simhash128_banding_recall_equals_bruteforce(spark, docs):
+    """128-bit tier: banding must emit EXACTLY the pairs within the
+    Hamming budget over the concatenated 128-bit signature — for aligned
+    bands (n_bands=4, 32-bit keys) AND for bands straddling the lo/hi
+    word boundary (n_bands=5: widths 26,26,26,25,25 put band 2 across
+    bit 64)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        simhash128,
+        simhash128_near_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r["doc"]: ((r["sig_lo"] & ((1 << 64) - 1)) | ((r["sig_hi"] & ((1 << 64) - 1)) << 64))
+        for r in simhash128(df).collect()
+    }
+    exp = {}
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(sigs[ids[i]] ^ sigs[ids[j]]).count("1")
+            if h <= 3:
+                exp[(ids[i], ids[j])] = h
+    for nb in (4, 5):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash128_near_pairs(
+                df, max_hamming=3, n_bands=nb
+            ).collect()
+        }
+        assert got == exp, (nb, got, exp)
