@@ -389,3 +389,44 @@ def test_anomaly_mad_has_no_single_reducer_window(spark):
     # bounded n_shards-row table
     for spec in specs:
         assert "__shard" in spec, spec
+
+
+def test_simhash_signature_has_no_bit_explode(spark):
+    """The SWAR signature aggregation must not regress to the explode-bits
+    vote form (64 rows per shingle — 1.9B agg inputs at 1M docs, the r7
+    volume-probe cliff): exactly ONE explode in the pairs plan (the band
+    fan-out), and no sequence(0, 63) bit enumeration anywhere."""
+    plan = plan_str(QUERIES["q_dedup_simhash_pairs"].fn(spark, SF_DIR), "simple")
+    assert "sequence(0, 63" not in plan, "bit-position explode is back"
+    # one band fan-out per self-join side (the cached sigs subtree is
+    # referenced twice) — anything more means a per-bit explode returned
+    assert plan.lower().count("generate explode") <= 2, plan
+
+
+def test_simhash128_band_join_is_equi_not_nested_loop(spark):
+    """128-bit banded pairing must stay an equi join on (band, key) with
+    the doc inequality as residual — a BroadcastNestedLoopJoin here means
+    the band keys fell out of the join condition (quadratic at scale)."""
+    plan = plan_str(
+        QUERIES["q_dedup_simhash128_pairs"].fn(spark, SF_DIR), "simple"
+    )
+    assert "NestedLoop" not in plan, plan
+    assert "sequence(0, 63" not in plan
+
+
+def test_lsh_exactint_broadcasts_queries(spark):
+    """The exact-int LSH top-k must broadcast the (tiny) query side of
+    the bucket join — a shuffle join on 3 query rows would add a full
+    corpus exchange for nothing."""
+    plan = plan_str(
+        QUERIES["q_sim_topk_lsh_exactint"].fn(spark, SF_DIR), "simple"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_bpe_counts_is_arrow_batched_not_row_udf(spark):
+    """BPE token counting must ride mapInPandas (Arrow-batched) — never
+    the banned row-at-a-time BatchEvalPython."""
+    plan = plan_str(QUERIES["q_text_bpe_tokens"].fn(spark, SF_DIR), "simple")
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
