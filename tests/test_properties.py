@@ -443,9 +443,16 @@ def test_approx_distinct_within_rsd(spark):
     from bigdata_retailrocket_recsys_spark.sources.readers import load_table
     from tests.conftest import SF_ORACLE
 
+    # the catalog entry now emits the contract FLAGS (r7 graduation) —
+    # assert them, then re-derive the raw-estimate property directly
+    flags = QUERIES["q_agg_approx_distinct"].fn(spark, SF_ORACLE).collect()
+    assert flags and all(r.within_bound == 1 for r in flags)
     approx = {
         r.event_type: r.approx_users
-        for r in QUERIES["q_agg_approx_distinct"].fn(spark, SF_ORACLE).collect()
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .collect()
     }
     exact = {
         r.event_type: r.n

@@ -194,7 +194,12 @@ def test_dynamic_gap_state_bounded_under_watermark(spark):
     assert sink and all(r["etype"] != "purchase" for r in sink)
     assert all(r["n_events"] == 1 for r in sink)
     emitted = len(sink)
-    # all non-purchase events except the un-evicted tail (~watermark
-    # horizon) must have been finalized: 4/5 of rows, minus tail slack
+    # all non-purchase events except the un-evicted tail must have been
+    # finalized: 4/5 of rows, minus slack for the tail the final
+    # watermark never reaches — watermark horizon (~2 min of event time)
+    # plus up to TWO batch spans, because whether the last no-data batch
+    # runs before q.stop() is timing-dependent (it flipped between a
+    # standalone run and the full-gate run)
     expected_total = DG_ROWS * 4 // 5
-    assert expected_total - 400 <= emitted <= expected_total, emitted
+    slack = 2 * (DG_BATCH * 4 // 5) + 400
+    assert expected_total - slack <= emitted <= expected_total, emitted
