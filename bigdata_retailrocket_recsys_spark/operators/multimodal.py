@@ -300,7 +300,13 @@ def chunk_binary(
         raise ValueError("need 0 <= overlap_bytes < chunk_bytes")
     step = chunk_bytes - overlap_bytes
     n = F.length(F.col(payload_col))
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step))
+    # NULL payload must yield NO chunks: greatest() IGNORES nulls (Spark
+    # semantics), so without the guard a NULL payload still explodes one
+    # phantom start with NULL slice — caught by the advdata oracle sweep
+    starts = F.when(
+        n.isNotNull(),
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step)),
+    )
     out = assets.select(
         F.col(id_col),
         F.col(payload_col),

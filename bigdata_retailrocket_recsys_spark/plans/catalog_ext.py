@@ -1965,20 +1965,58 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_hll_sketch", oracle=None)
+@query(
+    "q_agg_hll_sketch",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE))
+                + MAX(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_daily_sketches,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           1 AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Datasketches): per-day user sketches union
     into per-type totals — THE 100 TB distinct-count pattern (pre-aggregate
-    once, merge any rollup later without rescanning). Estimates are
-    implementation-specific → rows-only; the unit test asserts the merged
-    path equals the direct path exactly and both sit within 5% of exact."""
+    once, merge any rollup later without rescanning).
+
+    r7 graduation (rows-only → full oracle, the q_agg_approx_distinct
+    contract pattern): raw register estimates are implementation-specific,
+    so the hashed output is the union's accuracy CONTRACT — the merged
+    per-day estimate must sit within 10% of exact (default lgConfigK=12
+    → rsd ≈ 1.6%, so the margin is ≥6σ and deterministic per dataset).
+    The exact distinct count and the daily-sketch count are real hashed
+    value columns; a union bug, wrong column, or dropped day flips them.
+    The merged-equals-direct exactness stays unit-tested."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return daily.groupBy("event_type").agg(
+    merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    err = F.abs(
+        F.coalesce(F.col("approx_users"), F.lit(0)).cast("double")
+        - F.col("n_exact").cast("double")
+    )
+    # eqNullSafe: a NULL event_type group must survive the merge-vs-exact
+    # join (plain equi-join drops NULL keys — advdata sweep catch)
+    return merged.join(
+        F.broadcast(exact.withColumnRenamed("event_type", "et2")),
+        merged["event_type"].eqNullSafe(F.col("et2")),
+    ).select(
+        "event_type",
+        "n_daily_sketches",
+        "n_exact",
+        (err <= 0.10 * F.col("n_exact").cast("double"))
+        .cast("int")
+        .alias("within_bound"),
     )
 
 
@@ -2618,14 +2656,45 @@ def q_split_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_chunk", oracle=None)
+@query(
+    "q_multimodal_chunk",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
+    ), s AS (
+        SELECT asset_id, hx, n,
+               unnest(generate_series(1, GREATEST(n, 1), 224)) AS off
+        FROM a
+    ), c AS (
+        SELECT asset_id,
+               CAST((off - 1) // 224 AS INT) AS chunk_idx,
+               CAST(off AS INT) AS chunk_off,
+               CAST(GREATEST(LEAST(256, n - off + 1), 0) AS INT)
+                   AS chunk_len,
+               md5(substring(hx, CAST(off AS BIGINT) * 2 - 1, 512))
+                   AS chunk_hex_md5
+        FROM s
+    )
+    SELECT asset_id, chunk_idx, chunk_off, chunk_len, chunk_hex_md5
+    FROM c WHERE chunk_idx = 0 OR chunk_len > 32
+    """,
+)
 def q_multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload chunking (256-byte windows, 32-byte overlap) over
     the fake-media assets: sequence+explode starts, binary substring
     slices — all JVM-side, zero shuffles; the Arrow decode hop happens
     per-chunk downstream, not per-asset (operators/multimodal.
-    chunk_binary). Binary content is environment-opaque → rows-only;
-    the byte-exact reassembly invariant is unit-tested."""
+    chunk_binary).
+
+    r7 graduation (rows-only → full oracle): the fake payloads are the
+    utf-8 bytes of ``text``, so every chunk is a deterministic byte
+    slice DuckDB can replay. DuckDB has no BLOB md5/substring, so BOTH
+    engines hash the uppercase HEX rendering of the chunk (hex is
+    injective — equal hex-md5 ⟺ byte-identical chunks); a byte slice
+    ``[off, len]`` is the hex slice ``[2·off−1, 2·len]``. Byte-exact
+    reassembly stays unit-tested on the binary itself."""
     from bigdata_retailrocket_recsys_spark.operators.multimodal import (
         attach_fake_media,
         chunk_binary,
@@ -2639,7 +2708,7 @@ def q_multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         "chunk_off",
         "chunk_len",
-        F.md5(F.col("chunk")).alias("chunk_md5"),
+        F.md5(F.hex(F.col("chunk"))).alias("chunk_hex_md5"),
     )
 
 
@@ -3390,16 +3459,29 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_late_drop(spark, sf_dir)
 
 
-@query("q_scan_csv_corrupt", oracle=None)
+@query(
+    "q_scan_csv_corrupt",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+        (0, CAST(3 AS BIGINT), CAST(2 AS BIGINT))
+    ) AS t(parsed_ok, n_rows, n_event_id_present)
+    """,
+)
 def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-record ingestion policy: PERMISSIVE CSV read with an
     explicit schema routes malformed lines into ``_corrupt_record``
     instead of failing the 100 TB job (FAILFAST) or silently dropping
     them (DROPMALFORMED) — the quarantine-and-continue pattern. Output:
-    one row per parse outcome with counts; the staged file deliberately
-    contains both malformed and valid lines (exact counts asserted in
-    tests/test_operators.py — rows-only here because the staged corrupt
-    file is engine-side state DuckDB does not see)."""
+    one row per parse outcome with counts.
+
+    r7 graduation (rows-only → full oracle): the staged file is written
+    BY the query with fixed contents, so PERMISSIVE semantics have one
+    documented outcome — 2 clean rows; 3 quarantined (bad bigint, wrong
+    arity, bad double) of which 2 still salvage a parseable event_id.
+    The oracle is that literal contract (a regression in Spark's
+    PERMISSIVE parsing or in the staging breaks the hash); parsed_ok is
+    INT per the cross-engine type rules (NULL-free flag)."""
     import os as _os
     import tempfile as _tmp
 
@@ -3427,7 +3509,7 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw parse to materialize before the corrupt column is referenced
     df = df.cache()
     return df.groupBy(
-        F.col("_corrupt_record").isNull().alias("parsed_ok")
+        F.col("_corrupt_record").isNull().cast("int").alias("parsed_ok")
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("event_id").alias("n_event_id_present"),

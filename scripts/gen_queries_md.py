@@ -39,7 +39,6 @@ lines.append(f"Total: {len(QUERIES)} queries, "
 ROWS_ONLY_AUDIT = {
     "q_agg_approx_percentile": ("Greenwald-Khanna sketch internals differ by engine", "test_properties.py::test_approx_percentile_rank_error"),
     "q_agg_approx_distinct": ("HLL register layout is implementation-specific", "test_properties.py::test_approx_distinct_within_rsd"),
-    "q_agg_hll_sketch": ("Datasketches binary sketches not reproducible in DuckDB", "test_operators.py::test_hll_sketch_merge_equals_direct"),
     "q_agg_countmin": ("count_min_sketch bytes are implementation-specific", "test_operators.py::test_countmin_never_underestimates"),
     "q_dedup_minhash": ("xxhash64 signatures not DuckDB-expressible", "test_operators.py::test_minhash_estimates_jaccard"),
     "q_dedup_simhash": ("xxhash64 bit-votes not DuckDB-expressible", "test_operators.py::test_simhash_identical_and_near"),
@@ -48,10 +47,8 @@ ROWS_ONLY_AUDIT = {
     "q_sim_topk_ivf": ("MLlib KMeans cell assignment is iterative/seeded", "test_operators.py::test_cosine_topk_ivf_recall"),
     "q_w2v_embed": ("MLlib Word2Vec floats are seed/impl-specific", "test_operators.py::test_w2v_embeddings_invariants"),
     "q_multimodal_meta": ("binary decode stubbed (no codec libs in sandbox)", "test_operators.py::test_multimodal_stub_paths"),
-    "q_multimodal_chunk": ("binary payloads not comparable via DuckDB SQL", "test_operators.py::test_chunk_binary_reassembles"),
     "q_multimodal_resize": ("binary image payloads not comparable via DuckDB SQL; decode tier is environment-dependent (PIL when importable)", "test_operators.py::test_multimodal_resize_and_frames + test_resize_images_pil_real_decode"),
     "q_graph_pagerank": ("iterative fixpoint, no closed SQL form", "test_properties.py::test_pagerank_invariants"),
-    "q_scan_csv_corrupt": ("_corrupt_record capture is Spark-reader-specific", "test_operators.py::test_corrupt_csv_quarantine_counts"),
     "q_sink_compaction": ("output is a file-layout property, not a row set", "test_operators.py::test_compact_parquet_file_counts"),
     "q_dedup_minhash_persisted": ("xxhash64 signatures not DuckDB-expressible (persisted-table variant)", "test_operators.py::test_minhash_persisted_signatures_identical"),
     "q_dedup_ngram_jaccard_persisted": ("value-identical to oracled q_dedup_ngram_jaccard; this entry exists to lock the persisted-shingle PLAN", "test_operators.py::test_jaccard_persisted_shingles_identical"),

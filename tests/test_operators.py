@@ -1088,8 +1088,8 @@ def test_corrupt_csv_quarantine_counts(spark):
         .fn(spark, "/root/testdata/sf0.001")
         .collect()
     }
-    assert out[True][0] == 2  # rows 1 and 3
-    assert out[False][0] == 3  # the three malformed lines
+    assert out[1] == (2, 2)  # rows 1 and 3 parse clean
+    assert out[0] == (3, 2)  # 3 quarantined; 2 still salvage event_id
 
 
 def test_compact_parquet_file_counts(spark, tmp_path):
