@@ -81,11 +81,15 @@ def lang_id(
     )
 
 
-def quality_score(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Cheap quality features: length, token stats, punctuation/digit
-    ratios, plus a [0,1] composite. All arithmetic IEEE-deterministic."""
+def _quality_exprs(
+    text_col: str,
+) -> tuple[Column, Column, Column, Column, Column, Column]:
+    """The shared quality expression tree: (n_chars, n_tokens,
+    avg_token_len, punct_ratio, digit_ratio, score). One definition
+    feeds both :func:`quality_score` (the feature table) and
+    :func:`quality_filter` (the narrow corpus gate) so the composite
+    score can never drift between the two — and stays the identical
+    IEEE tree the DuckDB oracles replay."""
     toks = ws_tokens(text_col)
     n_chars = F.length(text_col).cast("double")
     n_tokens = F.size(toks).cast("double")
@@ -101,6 +105,44 @@ def quality_score(
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * F.lit(0.25)
         + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * F.lit(0.25)
     )
+    return n_chars, n_tokens, avg_tok_len, punct_ratio, digit_ratio, score
+
+
+def quality_filter(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """Narrow quality gate: keep rows whose composite quality score and
+    token count clear the thresholds. Same expression tree as
+    :func:`quality_score` via :func:`_quality_exprs`, but applied as a
+    FILTER on the input frame — no feature table, no join-back shuffle,
+    so at 100 TB the gate is a zero-exchange scan stage that Catalyst
+    fuses into the read (the right shape for the first pass of a corpus
+    pipeline). The score comparison is cross-engine-safe because the
+    tree is IEEE-identical on both engines (see q_quality_score)."""
+    _, n_tokens, _, _, _, score = _quality_exprs(text_col)
+    return df.filter(
+        (score >= F.lit(float(min_quality)))
+        & (n_tokens >= F.lit(float(min_tokens)))
+    )
+
+
+def quality_score(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cheap quality features: length, token stats, punctuation/digit
+    ratios, plus a [0,1] composite. All arithmetic IEEE-deterministic."""
+    (
+        n_chars,
+        n_tokens,
+        avg_tok_len,
+        punct_ratio,
+        digit_ratio,
+        score,
+    ) = _quality_exprs(text_col)
     return df.select(
         id_col,
         n_chars.cast("int").alias("n_chars_obs"),

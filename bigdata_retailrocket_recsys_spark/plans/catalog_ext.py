@@ -7657,3 +7657,143 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens_col="n_bpe_tokens",
         seq_len=512,
     )
+
+
+@query(
+    "q_corpus_pipeline",
+    headline=True,
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qf AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM base
+    ), gated AS (
+        SELECT doc_id, text, source FROM qf
+        WHERE (LEAST(n_toks / 64.0, 1.0) * 0.5
+               + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25
+               + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25) >= 0.5
+          AND n_toks >= 5.0
+    ), keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+              FROM gated)
+        GROUP BY dk
+    ), train AS (
+        SELECT g.doc_id, g.text, g.source
+        FROM gated g JOIN keepers k USING (doc_id)
+        WHERE g.source IS NULL OR g.source <> 'src0'
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM base WHERE source = 'src0'))
+    ), tr_sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM train))
+    ), cont AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM tr_sh GROUP BY doc_id
+    ), clean AS (
+        SELECT t.doc_id, t.text, t.source
+        FROM train t JOIN cont c USING (doc_id)
+        WHERE c.n_hit * 2 < c.n_sh
+    ), toks AS (
+        SELECT doc_id, source AS domain,
+               CAST(len(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM clean
+    ), cum AS (
+        SELECT doc_id, domain, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY domain ORDER BY h ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM toks
+    )
+    SELECT doc_id, domain, n_tok, cum_tok FROM cum WHERE cum_tok <= 700
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-corpus construction — the composition a
+    reference user would actually run, as ONE fully-oracled query:
+
+      quality gate → exact dedup (normalized text) → benchmark
+      decontamination (3-gram containment vs the eval split) →
+      per-domain token-budget cut
+
+    Stage shapes (each individually oracled elsewhere): the quality gate
+    is a zero-exchange narrow filter (quality_filter — no feature-table
+    join-back); exact dedup shuffles 16-byte md5 digests of NORMALIZED
+    text and keeps keeper ids via left-semi; decontamination is one
+    corpus-wide distinct-shingle set semi-joined per train doc
+    (contamination_check with the eval split as the reference side);
+    the budget cut is the md5-content-ordered greedy head per domain
+    (token_budget_sample, range-sharded window at scale). At 100 TB each
+    arrow would be a persisted table boundary (checkpoint between
+    stages); here the twice-referenced frames are .cache()d per the S7
+    discipline (Spark never reuses a twice-referenced exchange).
+    Eval docs (source='src0') are excluded from the output corpus by
+    construction; NULL-source docs stay and form their own budget pool."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        contamination_check,
+        exact_dedup,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        token_budget_sample,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        normalize_text,
+        quality_filter,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text", "source")
+        .cache()
+    )
+    gated = quality_filter(
+        docs, text_col="text", min_quality=0.5, min_tokens=5
+    ).withColumn("__norm", normalize_text("text")).cache()
+    keepers = exact_dedup(gated, key_cols=["__norm"], id_col="doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    train = gated.join(keepers, "doc_id", "left_semi").filter(
+        F.col("source").isNull() | (F.col("source") != "src0")
+    )
+    eval_docs = docs.filter(F.col("source") == "src0")
+    # contamination_check(reference_side, checked_side): per CHECKED doc,
+    # the share of its shingles found in the REFERENCE corpus — here each
+    # surviving train doc is checked against the eval split's shingle set
+    flags = contamination_check(eval_docs, train, shingle_n=3)
+    clean = train.join(
+        flags.filter(F.col("contaminated") == 1).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    return token_budget_sample(clean, 700)

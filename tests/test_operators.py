@@ -2992,3 +2992,32 @@ def test_simhash_md5_matches_python_replay(spark):
             if h <= 3:
                 exp[(ids[i], ids[j])] = h
     assert pairs == exp and (1, 5) in pairs and pairs[(1, 5)] == 0
+
+
+def test_quality_filter_matches_score_thresholds(spark):
+    """quality_filter (the narrow gate) must keep exactly the ids that
+    quality_score's feature table says clear the same thresholds — the
+    shared _quality_exprs tree guarantees it can't drift."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        quality_filter,
+        quality_score,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    via_filter = {
+        r.doc_id
+        for r in quality_filter(
+            docs, min_quality=0.5, min_tokens=5
+        ).select("doc_id").collect()
+    }
+    scores = quality_score(docs)
+    via_table = {
+        r.doc_id
+        for r in scores.filter(
+            (F.col("quality") >= 0.5) & (F.col("n_tokens") >= 5)
+        ).collect()
+    }
+    assert via_filter == via_table and via_filter

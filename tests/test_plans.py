@@ -430,3 +430,19 @@ def test_bpe_counts_is_arrow_batched_not_row_udf(spark):
     plan = plan_str(QUERIES["q_text_bpe_tokens"].fn(spark, SF_DIR), "simple")
     assert "MapInPandas" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_corpus_pipeline_plan_shape(spark):
+    """The end-to-end corpus pipeline must stay pure-JVM and
+    exchange-lean: no Python eval anywhere (every stage is built-in
+    expressions), no cartesian/nested-loop join, dedup-keeper and
+    decontamination joins as semi/anti hash joins, and the
+    twice-referenced frames actually served from cache (S7: Spark never
+    reuses a twice-referenced exchange on its own)."""
+    plan = plan_str(QUERIES["q_corpus_pipeline"].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan[:800]
+    assert "LeftAnti" in plan, plan[:800]
+    assert "InMemoryTableScan" in plan, "shared frames must be cached"
