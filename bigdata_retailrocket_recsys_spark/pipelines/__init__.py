@@ -1,3 +1,4 @@
+from bigdata_retailrocket_recsys_spark.pipelines.corpus import build_corpus
 from bigdata_retailrocket_recsys_spark.pipelines.retailrocket import (
     PipelineConfig,
     build_candidates,
@@ -9,6 +10,7 @@ from bigdata_retailrocket_recsys_spark.pipelines.retailrocket import (
 
 __all__ = [
     "PipelineConfig",
+    "build_corpus",
     "build_candidates",
     "build_features",
     "extract_anchors",

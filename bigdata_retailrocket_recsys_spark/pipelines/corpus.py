@@ -1,0 +1,111 @@
+"""End-to-end pretraining-corpus construction pipeline.
+
+The composition an LLM-data user actually runs, as one function:
+
+    quality gate → exact dedup (normalized text) → benchmark
+    decontamination (n-gram containment vs the eval split) →
+    per-domain token-budget cut
+
+Every stage is an already-oracled operator; the whole chain is itself
+hash-checked as one DuckDB CTE chain (``q_corpus_pipeline``). Shared by
+the catalog entry (sf fixtures) and ``scripts/volume_probe.py corpus``
+(1M-doc scale datapoints) so the probed plan IS the shipped plan.
+
+Scale notes (the 100 TB story, stage by stage):
+
+- quality gate: zero-exchange narrow filter fused into the scan
+  (``quality_filter`` — no feature-table join-back).
+- exact dedup: shuffles 16-byte md5 digests of NORMALIZED text, never
+  documents; keepers come back as a left-semi join on ids.
+- decontamination: ONE corpus-wide distinct-shingle set from the eval
+  split (eval sets are small — benchmarks, not corpora), semi-joined
+  per surviving train doc; the contaminated flag is integer arithmetic.
+- budget cut: md5-content-ordered greedy head per domain; the window is
+  per-domain (domains are the parallelism unit) and the cut keeps only
+  a prefix, so a hot domain can hash-prefix prune before the sort.
+
+Between stages at warehouse scale each arrow would be a persisted table
+boundary; in-session the twice-referenced frames are ``.cache()``d (S7:
+Spark never reuses a twice-referenced exchange on its own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_retailrocket_recsys_spark.operators.dedup import (
+    contamination_check,
+    exact_dedup,
+)
+from bigdata_retailrocket_recsys_spark.operators.splits import (
+    token_budget_sample,
+)
+from bigdata_retailrocket_recsys_spark.operators.text import (
+    normalize_text,
+    quality_filter,
+)
+
+
+def build_corpus(
+    docs: DataFrame,
+    *,
+    eval_source: str = "src0",
+    budget_tokens: int = 700,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    shingle_n: int = 3,
+    cache: bool = True,
+) -> DataFrame:
+    """Run the four-stage corpus pipeline; returns the kept training docs
+    as ``(id, domain, n_tok, cum_tok)`` (the budget-sample surface).
+
+    ``eval_source`` rows are the decontamination reference and are
+    excluded from the output corpus by construction. NULL-``domain``
+    docs stay and form their own budget pool; NULL id/text rows are
+    dropped up front (ids key the dedup/budget hashing — the CLAUDE.md
+    non-null hash-key rule — and textless docs have nothing to gate).
+    ``cache=False`` lets a caller that persists stage outputs itself
+    (the warehouse shape) skip the in-session caching."""
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(id_col, text_col, domain_col)
+    if cache:
+        base = base.cache()
+    gated = quality_filter(
+        base,
+        text_col=text_col,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+    ).withColumn("__norm", normalize_text(text_col))
+    if cache:
+        gated = gated.cache()
+    keepers = exact_dedup(gated, key_cols=["__norm"], id_col=id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    train = gated.join(keepers, id_col, "left_semi").filter(
+        F.col(domain_col).isNull() | (F.col(domain_col) != eval_source)
+    )
+    eval_docs = base.filter(F.col(domain_col) == eval_source)
+    # contamination_check(reference_side, checked_side): per CHECKED doc,
+    # the share of its shingles found in the REFERENCE corpus — each
+    # surviving train doc is checked against the eval split's shingle set
+    flags = contamination_check(
+        eval_docs, train, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n,
+    )
+    clean = train.join(
+        flags.filter(F.col("contaminated") == 1).select(id_col),
+        id_col,
+        "left_anti",
+    )
+    return token_budget_sample(
+        clean,
+        budget_tokens,
+        id_col=id_col,
+        text_col=text_col,
+        domain_col=domain_col,
+    )

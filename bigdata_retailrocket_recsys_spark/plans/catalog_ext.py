@@ -7758,42 +7758,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages); here the twice-referenced frames are .cache()d per the S7
     discipline (Spark never reuses a twice-referenced exchange).
     Eval docs (source='src0') are excluded from the output corpus by
-    construction; NULL-source docs stay and form their own budget pool."""
-    from bigdata_retailrocket_recsys_spark.operators.dedup import (
-        contamination_check,
-        exact_dedup,
-    )
-    from bigdata_retailrocket_recsys_spark.operators.splits import (
-        token_budget_sample,
-    )
-    from bigdata_retailrocket_recsys_spark.operators.text import (
-        normalize_text,
-        quality_filter,
+    construction; NULL-source docs stay and form their own budget pool.
+    Composition lives in pipelines/corpus.build_corpus — shared with the
+    volume probe so the probed plan IS the shipped plan."""
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus,
     )
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .select("doc_id", "text", "source")
-        .cache()
+    return build_corpus(
+        _t(spark, sf_dir, "documents"),
+        eval_source="src0",
+        budget_tokens=700,
     )
-    gated = quality_filter(
-        docs, text_col="text", min_quality=0.5, min_tokens=5
-    ).withColumn("__norm", normalize_text("text")).cache()
-    keepers = exact_dedup(gated, key_cols=["__norm"], id_col="doc_id").select(
-        F.col("keeper_id").alias("doc_id")
-    )
-    train = gated.join(keepers, "doc_id", "left_semi").filter(
-        F.col("source").isNull() | (F.col("source") != "src0")
-    )
-    eval_docs = docs.filter(F.col("source") == "src0")
-    # contamination_check(reference_side, checked_side): per CHECKED doc,
-    # the share of its shingles found in the REFERENCE corpus — here each
-    # surviving train doc is checked against the eval split's shingle set
-    flags = contamination_check(eval_docs, train, shingle_n=3)
-    clean = train.join(
-        flags.filter(F.col("contaminated") == 1).select("doc_id"),
-        "doc_id",
-        "left_anti",
-    )
-    return token_budget_sample(clean, 700)

@@ -207,9 +207,70 @@ def probe_ops(n_docs: int, n_edges: int) -> None:
     )
 
 
+def probe_corpus(n_docs: int) -> None:
+    """Time the full corpus-construction pipeline (q_corpus_pipeline's
+    exact composition via pipelines.corpus.build_corpus) at volume:
+    ``n_docs`` synthetic docs over 50 domains with planted exact dups
+    (every 1000th doc repeats its predecessor verbatim → the dedup stage
+    does real work) and domain 'src0' as the eval split."""
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus,
+    )
+
+    # exact dups for the dedup stage: every 500th doc reproduces doc 7's
+    # token stream verbatim (synth text is a pure function of doc_id, so
+    # pinning the id pins the text); domains are hash-assigned
+    dup_text = F.expr(
+        "concat_ws(' ', transform(sequence(0, 29), "
+        "j -> concat('w', pmod(xxhash64(7 * 30 + j), 50000))))"
+    )
+    docs = (
+        synth_documents(spark, n_docs)
+        .withColumn(
+            "text",
+            F.when(F.pmod(F.col("doc_id"), 500) == 3, dup_text).otherwise(
+                F.col("text")
+            ),
+        )
+        .withColumn(
+            "source",
+            F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(50))),
+        )
+        .cache()
+    )
+    n = docs.count()
+    print(f"[corpus] docs materialized: {n:,}", flush=True)
+    # budget sized to keep ~25% of each domain's tokens (30 tok/doc)
+    budget = int(n * 30 // 50 * 0.25)
+    t0 = time.time()
+    kept = build_corpus(
+        docs,
+        eval_source="src0",
+        budget_tokens=budget,
+        # synth tokens are digit-heavy ('w12345') — the default 0.5 gate
+        # scores them 0.484 and keeps nothing; the probe measures volume,
+        # not gate selectivity
+        min_quality=0.3,
+    )
+    agg = kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tok"),
+        F.countDistinct("domain").alias("n_domains"),
+    ).collect()[0]
+    print(
+        f"[corpus] build_corpus over {n:,} docs (budget {budget:,}/domain): "
+        f"kept {agg['n_docs']:,} docs / {agg['n_tok']:,} tokens across "
+        f"{agg['n_domains']} domains in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("probe", choices=["tpch", "ops"])
+    p.add_argument("probe", choices=["tpch", "ops", "corpus"])
     p.add_argument("--copies", type=int, default=20)
     p.add_argument("--docs", type=int, default=1_000_000)
     p.add_argument("--edges", type=int, default=3_000_000)
@@ -221,6 +282,8 @@ def main() -> None:
     a = p.parse_args()
     if a.probe == "tpch":
         probe_tpch(a.queries.split(","), a.copies)
+    elif a.probe == "corpus":
+        probe_corpus(a.docs)
     else:
         probe_ops(a.docs, a.edges)
 
