@@ -39,7 +39,6 @@ lines.append(f"Total: {len(QUERIES)} queries, "
 ROWS_ONLY_AUDIT = {
     "q_agg_approx_percentile": ("Greenwald-Khanna sketch internals differ by engine", "test_properties.py::test_approx_percentile_rank_error"),
     "q_agg_approx_distinct": ("HLL register layout is implementation-specific", "test_properties.py::test_approx_distinct_within_rsd"),
-    "q_agg_countmin": ("count_min_sketch bytes are implementation-specific", "test_operators.py::test_countmin_never_underestimates"),
     "q_dedup_minhash": ("xxhash64 signatures not DuckDB-expressible", "test_operators.py::test_minhash_estimates_jaccard"),
     "q_dedup_simhash": ("xxhash64 bit-votes not DuckDB-expressible", "test_operators.py::test_simhash_identical_and_near"),
     "q_dedup_embed_cosine_lsh": ("probabilistic LSH candidate set (recall<1 by design)", "test_operators.py::test_embedding_cosine_lsh_recall_vs_exact"),
