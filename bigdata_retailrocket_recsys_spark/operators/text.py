@@ -735,3 +735,91 @@ def boilerplate_spans(
         )
         .filter(F.col("n_rows") >= min_rows)
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_rows: int = 3,
+) -> DataFrame:
+    """Remove cross-document boilerplate spans — the CLEANING half of
+    :func:`boilerplate_spans` (which only detects): every token covered
+    by an n-gram span shared verbatim by ≥ ``min_rows`` documents is
+    dropped, and each document is rebuilt from its surviving tokens in
+    original order. The RefinedWeb/CCNet repeated-content strip, at
+    token-span grain (the fixture corpus has no line structure).
+
+    Relational shape (no UDF anywhere):
+    token rows (posexplode) → spans via ``lead`` windows per doc →
+    document-prevalence count → semi-join spans to the prevalent set →
+    covered positions via ``sequence`` explode (overlapping spans union
+    naturally through the distinct) → anti-join tokens on (doc, pos) →
+    rebuild with sort_array(collect_list(struct(pos, token))). At 100 TB
+    the token explode is the heavy stage (same grain as inverted_index);
+    the prevalent-span set is tiny by construction (prevalence ≥
+    min_rows bounds it by corpus_spans/min_rows and in practice by the
+    boilerplate vocabulary) so the semi join broadcasts. Fully covered
+    documents come back with ``text_clean = ''`` rather than vanishing.
+
+    Output: (id, n_tokens, n_removed, text_clean).
+    """
+    from pyspark.sql import Window
+
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__d"), F.col(text_col).alias("__text"))
+    tok = base.select(
+        "__d", F.posexplode(ws_tokens("__text")).alias("__p", "__t")
+    )
+    w = Window.partitionBy("__d").orderBy("__p")
+    span = F.concat_ws(
+        " ", F.col("__t"), *[F.lead("__t", j).over(w) for j in range(1, n)]
+    )
+    last = F.lead("__t", n - 1).over(w)
+    spans = (
+        tok.select("__d", F.col("__p").alias("__s"), span.alias("__span"),
+                   last.alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    prevalent = (
+        spans.groupBy("__span")
+        .agg(F.countDistinct("__d").alias("__nd"))
+        .filter(F.col("__nd") >= min_rows)
+        .select("__span")
+    )
+    covered = (
+        spans.join(prevalent, "__span", "left_semi")
+        .select(
+            "__d",
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + F.lit(n - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, ["__d", "__p"], "left_anti")
+    rebuilt = kept.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__t"))),
+                lambda x: x["__t"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = base.select(
+        "__d", F.size(ws_tokens("__text")).cast("bigint").alias("n_tokens")
+    )
+    return totals.join(rebuilt, "__d", "left").select(
+        F.col("__d").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

@@ -7729,6 +7729,66 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_strip_boilerplate",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), tok AS (
+        SELECT doc_id, p, toks[p] AS t
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS p
+              FROM base)
+    ), spans AS (
+        SELECT doc_id, p AS s,
+               array_to_string(list_slice(toks, p, p + 4), ' ') AS span
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS p
+              FROM base WHERE len(toks) >= 5)
+    ), prev AS (
+        SELECT span FROM spans
+        GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 3
+    ), cov AS (
+        SELECT DISTINCT doc_id, s + d AS p
+        FROM (SELECT doc_id, s FROM spans
+              WHERE span IN (SELECT span FROM prev)),
+             (SELECT unnest(generate_series(0, 4)) AS d)
+    ), kept AS (
+        SELECT t.doc_id, t.p, t.t
+        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        WHERE c.p IS NULL
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(t, ' ' ORDER BY p ASC) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_text_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (operators/text.
+    strip_boilerplate) — the cleaning half of q_text_boilerplate's
+    detection: tokens covered by any 5-gram span shared verbatim by ≥3
+    documents are dropped and each doc is rebuilt in original token
+    order (RefinedWeb/CCNet repeated-content strip at token-span grain).
+    Pure relational: posexplode → lead-window spans → prevalence count →
+    semi-join → covered-position explode (overlaps union via distinct) →
+    anti-join → sort_array rebuild. The cleaned TEXT itself is hashed —
+    any off-by-one in span coverage or token order breaks the oracle."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        strip_boilerplate,
+    )
+
+    return strip_boilerplate(
+        _t(spark, sf_dir, "documents"), n=5, min_rows=3
+    )
+
+
+@query(
     "q_corpus_pipeline",
     headline=True,
     oracle=r"""

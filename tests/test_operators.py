@@ -3027,3 +3027,33 @@ def test_quality_filter_matches_score_thresholds(spark):
         ).collect()
     }
     assert via_filter == via_table and via_filter
+
+
+def test_strip_boilerplate_hand_case(spark):
+    """Spans shared by >= min_rows docs are removed wherever they occur
+    (overlapping coverage unions); unique content survives in order;
+    fully-boilerplate docs come back empty rather than vanishing."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        strip_boilerplate,
+    )
+
+    bp = "c o p y r i g h t"  # 9 tokens; every 5-gram inside is shared
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {bp} gamma"),
+            (2, f"{bp} delta epsilon"),
+            (3, f"zeta {bp}"),
+            (4, bp),                      # fully covered -> empty
+            (5, "unique text with no shared spans at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in strip_boilerplate(docs, n=5, min_rows=3).collect()
+    }
+    assert out[1] == (12, 9, "alpha beta gamma")
+    assert out[2] == (11, 9, "delta epsilon")
+    assert out[3] == (10, 9, "zeta")
+    assert out[4] == (9, 9, "")
+    assert out[5] == (8, 0, "unique text with no shared spans at all")
