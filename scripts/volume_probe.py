@@ -180,6 +180,21 @@ def probe_ops(n_docs: int, n_edges: int) -> None:
         flush=True,
     )
 
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        strip_boilerplate,
+    )
+
+    t0 = time.time()
+    stripped = strip_boilerplate(docs, n=5, min_rows=3).agg(
+        F.sum("n_tokens").alias("nt"), F.sum("n_removed").alias("nr")
+    ).collect()[0]
+    print(
+        f"[ops] strip_boilerplate over {n_docs:,} docs: "
+        f"{stripped['nr']:,}/{stripped['nt']:,} tokens removed "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
     t0 = time.time()
     agg = bpe_token_counts(docs).agg(
         F.sum("n_bpe_tokens").alias("bpe"), F.sum("n_pretokens").alias("pre")
