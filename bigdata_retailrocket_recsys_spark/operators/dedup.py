@@ -270,21 +270,35 @@ def minhash_signatures(
     text_col: str,
     shingle_n: int = 3,
     num_hashes: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures via shingle rows → groupBy(min...): documents are
     tokenized ONCE, the num_hashes mins run as one map-side-combined hash
     aggregate. Duplicate shingles are kept (min is idempotent — same
     signature as over the distinct set) so the groupBy reuses the shingle
     window's doc partitioning: ONE data shuffle end-to-end instead of
-    three. Output: doc, sig (array<bigint>)."""
+    three. Output: doc, sig (array<bigint>).
+
+    ``hash_fn='md5'`` is the cross-engine-replayable tier (the simhash_md5
+    move): per seed j the hash is ``md5('j:' || shingle)`` and the min is
+    the LEXICOGRAPHIC min of fixed-width hex — deterministic on any
+    engine, so the whole signature→band→pair chain can be value-checked
+    by a SQL oracle. sig becomes array<string>; ~2× the bytes of the
+    xxhash64 tier, which stays the scale default."""
     exploded = shingle_rows(
         df, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
     ).withColumnRenamed("shingle", "s")
-    mins = exploded.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64("s", F.lit(j))).alias(f"h{j}")
+    if hash_fn == "md5":
+        hashes = [
+            F.md5(F.concat_ws(":", F.lit(str(j)), F.col("s")))
             for j in range(num_hashes)
         ]
+    elif hash_fn == "xxhash64":
+        hashes = [F.xxhash64("s", F.lit(j)) for j in range(num_hashes)]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    mins = exploded.groupBy("doc").agg(
+        *[F.min(h).alias(f"h{j}") for j, h in enumerate(hashes)]
     )
     return mins.select(
         "doc", F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
@@ -355,6 +369,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding.
 
@@ -382,6 +397,7 @@ def minhash_lsh_candidates(
             text_col=text_col,
             shingle_n=shingle_n,
             num_hashes=num_hashes,
+            hash_fn=hash_fn,
         )
     else:
         with_sig = signatures

@@ -7729,6 +7729,60 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_minhash_md5",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND doc_id IS NOT NULL))
+    ), sig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), band AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM sig GROUP BY doc, j // 4
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM band a JOIN band b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    """,
+)
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-MinHash FULL-ORACLE twin of q_dedup_minhash (the simhash_md5
+    move, r7): per seed j the shingle hash is ``md5('j:' || shingle)``
+    and the per-seed min is the LEXICOGRAPHIC min of fixed-width hex —
+    deterministic on any engine, so the entire shingle → signature →
+    band-bucket → candidate-pair chain is value-hashed against DuckDB
+    (the xxhash64 entry stays the scale tier; this proves the banding
+    MACHINERY at value level, not just by property). Same one-shuffle
+    signature aggregation and cached banded self-join as the main entry
+    (operators/dedup.minhash_lsh_candidates, hash_fn='md5')."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull()),
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+        hash_fn="md5",
+    )
+
+
+@query(
     "q_text_strip_boilerplate",
     oracle=r"""
     WITH base AS (
