@@ -207,6 +207,26 @@ def probe_ops(n_docs: int, n_edges: int) -> None:
     )
     docs.unpersist()
 
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    n_vecs = max(10_000, n_docs)
+    vecs = spark.range(n_vecs).repartition(64).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j -> CAST(pmod(xxhash64(id * 64 + j),"
+            " 1000) / 500.0 - 1.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    ncodes = quantize_embeddings_int8(vecs, dim=64).count()
+    print(
+        f"[ops] quantize_int8 over {n_vecs:,} vecs x 64 dims: "
+        f"{ncodes:,} codes in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
     n_vtx = max(1000, n_edges // 6)
     edges = spark.range(n_edges).repartition(64).select(
         F.pmod(F.xxhash64("id"), F.lit(n_vtx)).alias("src"),
