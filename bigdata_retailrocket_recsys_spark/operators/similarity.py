@@ -496,3 +496,72 @@ def quantize_embeddings_int8(
         F.col("__dim").alias("dim"),
         code.alias("code"),
     )
+
+
+def dot_topk_int8(
+    corpus: DataFrame,
+    query_ids: "list[int]",
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k similarity search IN THE QUANTIZED DOMAIN: scores are
+    integer dot products over SYMMETRIC int8 codes — the scan reads a
+    quarter of the float bytes and every score/rank is exact integer
+    arithmetic (cross-engine value-hashable, no float rule needed).
+
+    SYMMETRIC (zero-preserving) quantization is load-bearing here:
+    ``code = floor(v/s·127)`` with ONE global scale ``s = max|v|`` makes
+    the quantized dot ≈ ``(127/s)²·dot`` — monotone in the true dot, so
+    ranks survive compression (measured recall@10 vs exact cosine in the
+    unit test). The per-dim MIN-MAX codes of
+    :func:`quantize_embeddings_int8` are the STORAGE/reconstruction tier
+    and are NOT usable for dot scoring — their additive shift makes
+    Σ(a·v+b)(a·v'+b) rank by component sums, not similarity (measured:
+    recall ≈ 0; this split is the documented lesson).
+
+    Relational shape: guard out non-finite/wrong-width vectors (the
+    dot_topk_lsh_int guard), one global-max aggregate broadcast as a
+    1-row frame, codes at component grain, broadcast of the
+    |queries|·dim query codes, join on dim, one hash aggregate per
+    (query, vec), WindowGroupLimit top-k.
+    """
+    guard = F.expr(
+        f"size({vec_col}) = {dim} AND !exists({vec_col}, "
+        "x -> x IS NULL OR isnan(x) OR abs(x) = double('infinity'))"
+    )
+    base = corpus.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull() & guard
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(to_double_array(vec_col)).alias("__dim", "__v"),
+    )
+    s = base.agg(F.max(F.abs("__v")).alias("__s"))
+    codes = base.crossJoin(F.broadcast(s)).select(
+        "__id",
+        "__dim",
+        F.when(F.col("__s") == 0.0, F.lit(0))
+        .otherwise(F.floor(F.col("__v") / F.col("__s") * F.lit(127.0)))
+        .cast("bigint")
+        .alias("code"),
+    )
+    q = codes.filter(F.col("__id").isin(query_ids)).select(
+        F.col("__id").alias("query_id"),
+        F.col("__dim").alias("qdim"),
+        F.col("code").alias("qcode"),
+    )
+    scored = (
+        codes.join(F.broadcast(q), codes["__dim"] == q["qdim"], "inner")
+        .filter(F.col("__id") != F.col("query_id"))
+        .groupBy("query_id", "__id")
+        .agg(F.sum(F.col("code") * F.col("qcode")).alias("idot8"))
+    )
+    return topk_per_group(
+        scored.withColumnRenamed("__id", id_col),
+        group_cols=["query_id"],
+        order_by=[F.col("idot8").desc(), F.col(id_col).asc()],
+        k=k,
+        rank_col="rank",
+    )

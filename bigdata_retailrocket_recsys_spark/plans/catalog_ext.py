@@ -7772,6 +7772,65 @@ def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_topk_int8",
+    oracle="""
+    WITH ok AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          AND len(embedding) = 64
+          AND len(list_filter(embedding,
+                  x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+    ), v AS (
+        SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS val
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, 64)) AS d
+              FROM ok)
+    ), s AS (
+        SELECT MAX(ABS(val)) AS sc FROM v
+    ), codes AS (
+        SELECT vec_id, d AS dim,
+               CAST(CASE WHEN sc = 0 THEN 0
+                         ELSE FLOOR(val / sc * 127.0)
+                    END AS BIGINT) AS code
+        FROM v, s
+    ), qc AS (
+        SELECT vec_id AS query_id, dim, code AS qcode
+        FROM codes WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, c.vec_id,
+               SUM(c.code * q.qcode) AS idot8
+        FROM codes c JOIN qc q ON c.dim = q.dim AND c.vec_id <> q.query_id
+        GROUP BY q.query_id, c.vec_id
+    )
+    SELECT query_id, vec_id, idot8, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY idot8 DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search IN THE QUANTIZED DOMAIN (operators/similarity.
+    dot_topk_int8): exact integer dot products over SYMMETRIC int8 codes
+    (code = floor(v/s·127), one global scale s = max|v|) — monotone in
+    the true dot, so ranks survive the 4× compression; recall@10 vs
+    exact cosine is locked in the unit test. The per-dim MIN-MAX codes
+    (q_vector_quantize_int8) are the storage tier and are deliberately
+    NOT used for scoring — their additive shift ranks by component sums
+    (measured recall ≈ 0; the split is the documented lesson). Queries
+    are corpus members (vec_id < 3); non-finite/wrong-width vectors
+    guarded out identically on both engines."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        dot_topk_int8,
+    )
+
+    return dot_topk_int8(
+        _t(spark, sf_dir, "embeddings"), [0, 1, 2], k=10, dim=64
+    )
+
+
+@query(
     "q_dedup_minhash_md5",
     oracle=r"""
     WITH sh AS (

@@ -3087,3 +3087,31 @@ def test_quantize_int8_edges_and_range(spark):
     assert out[(1, 2)] == -1 and out[(3, 2)] == -1  # NaN / inf quarantine
     assert out[(2, 2)] == 0  # only finite value in dim 2 -> mn == mx -> 0
     assert not any(v for (v, d) in out if v in (4, 5))
+
+
+def test_int8_topk_recall_vs_exact_cosine(spark):
+    """Symmetric (zero-preserving) int8 codes must preserve neighbor
+    ranks: recall@10 vs exact brute-force cosine >= 0.8 per query on the
+    fixture corpus. (The per-dim MIN-MAX codes measure ~0 recall here —
+    their additive shift ranks by component sums; that split is why
+    dot_topk_int8 quantizes symmetrically.)"""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        cosine_topk,
+        dot_topk_int8,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict = {}
+    for r in cosine_topk(emb, qs, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    i8: dict = {}
+    for r in dot_topk_int8(emb, [0, 1, 2], k=10, dim=64).collect():
+        i8.setdefault(r.query_id, set()).add(r.vec_id)
+    assert exact
+    for qid, want in exact.items():
+        got = i8.get(qid, set())
+        assert len(want & got) >= 8, (qid, want, got)
