@@ -7798,7 +7798,7 @@ def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM codes WHERE vec_id < 3
     ), scored AS (
         SELECT q.query_id, c.vec_id,
-               SUM(c.code * q.qcode) AS idot8
+               CAST(SUM(c.code * q.qcode) AS BIGINT) AS idot8
         FROM codes c JOIN qc q ON c.dim = q.dim AND c.vec_id <> q.query_id
         GROUP BY q.query_id, c.vec_id
     )
