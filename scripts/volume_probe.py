@@ -52,8 +52,12 @@ SMALL = DIMS + ["events", "documents", "embeddings"]
 
 
 def get_spark(shuffle_partitions: int = 64) -> SparkSession:
+    # BDRR_VOL_MASTER=local-cluster[2,4,8192] reruns a probe with real
+    # executor boundaries (serialized broadcasts, per-executor shuffle
+    # dirs) — the conftest/scale_bench convention
+    master = os.environ.get("BDRR_VOL_MASTER", f"local[{os.cpu_count()}]")
     return (
-        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        SparkSession.builder.master(master)
         .appName("bdrr-volume-probe")
         .config("spark.driver.memory", os.environ.get("BDRR_VOL_DRIVER_MEM", "48g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
