@@ -432,72 +432,6 @@ def cosine_topk_lsh(
     )
 
 
-def quantize_embeddings_int8(
-    vectors: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    levels: int = 256,
-) -> DataFrame:
-    """Per-dimension min-max int8 quantization of an embedding corpus —
-    the 4× storage/bandwidth compressor every warehouse-scale vector
-    store runs before ANN indexing (float32 → uint8 codes; recall loss
-    is bounded by the per-dim resolution).
-
-    Relational shape: ONE posexplode pass → per-dim min/max hash
-    aggregate over FINITE components only (a single NaN would poison a
-    whole dimension's max — Spark and DuckDB both order NaN greatest) →
-    broadcast the dim-stats table (``dim`` rows) → codes. The code
-    expression is one IEEE tree — ``floor((v−mn)/(mx−mn)·(levels−1))``
-    evaluated in DOUBLE on both engines, bit-identical, so codes are
-    value-hashable cross-engine (float determinism rule: identical tree,
-    then ONE floor). Edge policy, explicit and engine-identical:
-    constant dims (mx=mn) code 0; NaN/±inf components code −1 (the
-    quarantine code); NULL vectors and wrong-width vectors are dropped
-    (a real pipeline quarantines them upstream).
-
-    Output: (id, dim, code int) exploded rows — the at-rest layout is a
-    repack of this table; keeping it exploded here makes every code a
-    hashed value.
-    """
-    v = vectors.filter(
-        F.col(vec_col).isNotNull()
-        & (F.size(vec_col) == dim)
-        & F.col(id_col).isNotNull()
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
-    ).select(
-        "__id", "__dim", F.col("__v").cast("double").alias("__v")
-    )
-    finite = F.col("__v").isNotNull() & ~F.isnan("__v") & (
-        F.abs("__v") != float("inf")
-    )
-    stats = (
-        v.filter(finite)
-        .groupBy("__dim")
-        .agg(F.min("__v").alias("__mn"), F.max("__v").alias("__mx"))
-    )
-    scaled = F.floor(
-        (F.col("__v") - F.col("__mn"))
-        / (F.col("__mx") - F.col("__mn"))
-        * F.lit(float(levels - 1))
-    ).cast("int")
-    code = (
-        F.when(~finite, F.lit(-1))
-        .when(F.col("__mx") == F.col("__mn"), F.lit(0))
-        .otherwise(F.least(scaled, F.lit(levels - 1)))
-    )
-    # LEFT join: a dim whose every component is non-finite has no stats
-    # row, but its rows must still come back as quarantine codes (-1)
-    return v.join(F.broadcast(stats), "__dim", "left").select(
-        F.col("__id").alias(id_col),
-        F.col("__dim").alias("dim"),
-        code.alias("code"),
-    )
-
-
 def dot_topk_int8(
     corpus: DataFrame,
     query_ids: "list[int]",
@@ -517,7 +451,7 @@ def dot_topk_int8(
     the quantized dot ≈ ``(127/s)²·dot`` — monotone in the true dot, so
     ranks survive compression (measured recall@10 vs exact cosine in the
     unit test). The per-dim MIN-MAX codes of
-    :func:`quantize_embeddings_int8` are the STORAGE/reconstruction tier
+    ``q_vector_quantize`` (plans/catalog_ext) are the STORAGE tier
     and are NOT usable for dot scoring — their additive shift makes
     Σ(a·v+b)(a·v'+b) rank by component sums, not similarity (measured:
     recall ≈ 0; this split is the documented lesson).

@@ -7729,49 +7729,6 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_vector_quantize_int8",
-    oracle="""
-    WITH v AS (
-        SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS val
-        FROM (SELECT vec_id, embedding,
-                     unnest(generate_series(1, 64)) AS d
-              FROM embeddings
-              WHERE embedding IS NOT NULL AND len(embedding) = 64
-                AND vec_id IS NOT NULL)
-    ), stats AS (
-        SELECT d, MIN(val) AS mn, MAX(val) AS mx
-        FROM v
-        WHERE val IS NOT NULL AND NOT isnan(val) AND NOT isinf(val)
-        GROUP BY d
-    )
-    SELECT vec_id, CAST(v.d - 1 AS INT) AS dim,
-           CAST(CASE WHEN val IS NULL OR isnan(val) OR isinf(val) THEN -1
-                     WHEN mx = mn THEN 0
-                     ELSE LEAST(FLOOR((val - mn) / (mx - mn) * 255.0), 255)
-                END AS INT) AS code
-    FROM v LEFT JOIN stats ON v.d = stats.d
-    """,
-)
-def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension min-max int8 quantization of the embedding corpus
-    (operators/similarity.quantize_embeddings_int8) — the 4× float32→
-    uint8 compressor run before ANN indexing at warehouse scale. One
-    posexplode pass, per-dim min/max over FINITE components only (NaN
-    would poison a dim's max on both engines), broadcast dim-stats,
-    then ONE IEEE tree ``floor((v−mn)/(mx−mn)·255)`` in DOUBLE —
-    bit-identical cross-engine, so every code is a hashed value.
-    Explicit edge policy: constant dims → 0, NaN/±inf components → −1
-    (quarantine code), NULL/wrong-width vectors dropped."""
-    from bigdata_retailrocket_recsys_spark.operators.similarity import (
-        quantize_embeddings_int8,
-    )
-
-    return quantize_embeddings_int8(
-        _t(spark, sf_dir, "embeddings"), dim=64, levels=256
-    )
-
-
-@query(
     "q_sim_topk_int8",
     oracle="""
     WITH ok AS (
@@ -7816,7 +7773,7 @@ def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (code = floor(v/s·127), one global scale s = max|v|) — monotone in
     the true dot, so ranks survive the 4× compression; recall@10 vs
     exact cosine is locked in the unit test. The per-dim MIN-MAX codes
-    (q_vector_quantize_int8) are the storage tier and are deliberately
+    (q_vector_quantize) are the storage tier and are deliberately
     NOT used for scoring — their additive shift ranks by component sums
     (measured recall ≈ 0; the split is the documented lesson). Queries
     are corpus members (vec_id < 3); non-finite/wrong-width vectors

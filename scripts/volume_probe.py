@@ -212,7 +212,7 @@ def probe_ops(n_docs: int, n_edges: int) -> None:
     docs.unpersist()
 
     from bigdata_retailrocket_recsys_spark.operators.similarity import (
-        quantize_embeddings_int8,
+        dot_topk_int8,
     )
 
     n_vecs = max(10_000, n_docs)
@@ -224,10 +224,10 @@ def probe_ops(n_docs: int, n_edges: int) -> None:
         ).alias("embedding"),
     )
     t0 = time.time()
-    ncodes = quantize_embeddings_int8(vecs, dim=64).count()
+    nhits = dot_topk_int8(vecs, [0, 1, 2], k=10, dim=64).count()
     print(
-        f"[ops] quantize_int8 over {n_vecs:,} vecs x 64 dims: "
-        f"{ncodes:,} codes in {time.time() - t0:.1f}s",
+        f"[ops] dot_topk_int8 (3 queries) over {n_vecs:,} vecs x 64 dims: "
+        f"{nhits:,} hits in {time.time() - t0:.1f}s",
         flush=True,
     )
 

@@ -3059,36 +3059,6 @@ def test_strip_boilerplate_hand_case(spark):
     assert out[5] == (8, 0, "unique text with no shared spans at all")
 
 
-def test_quantize_int8_edges_and_range(spark):
-    """Edge policy: constant dims code 0; NaN/inf components code -1;
-    NULL / wrong-width vectors dropped; finite codes span [0, 255] with
-    min->0 and max->255 per dimension."""
-    from bigdata_retailrocket_recsys_spark.operators.similarity import (
-        quantize_embeddings_int8,
-    )
-
-    vecs = spark.createDataFrame(
-        [
-            (1, [0.0, 5.0, float("nan")]),
-            (2, [1.0, 5.0, 2.0]),
-            (3, [2.0, 5.0, float("inf")]),
-            (4, None),          # dropped
-            (5, [1.0, 2.0]),    # wrong width -> dropped
-        ],
-        "vec_id bigint, embedding array<float>",
-    )
-    out = {
-        (r.vec_id, r.dim): r.code
-        for r in quantize_embeddings_int8(vecs, dim=3).collect()
-    }
-    assert out[(1, 0)] == 0 and out[(3, 0)] == 255  # min/max anchor
-    assert 0 < out[(2, 0)] < 255
-    assert out[(1, 1)] == out[(2, 1)] == out[(3, 1)] == 0  # constant dim
-    assert out[(1, 2)] == -1 and out[(3, 2)] == -1  # NaN / inf quarantine
-    assert out[(2, 2)] == 0  # only finite value in dim 2 -> mn == mx -> 0
-    assert not any(v for (v, d) in out if v in (4, 5))
-
-
 def test_int8_topk_recall_vs_exact_cosine(spark):
     """Symmetric (zero-preserving) int8 codes must preserve neighbor
     ranks: recall@10 vs exact brute-force cosine >= 0.8 per query on the

@@ -448,16 +448,6 @@ def test_corpus_pipeline_plan_shape(spark):
     assert "InMemoryTableScan" in plan, "shared frames must be cached"
 
 
-def test_quantize_int8_broadcasts_dim_stats(spark):
-    """The 64-row dim-stats table must broadcast onto the exploded
-    component stream — a shuffle join here would re-exchange the whole
-    corpus at component grain for a table of constant size."""
-    plan = plan_str(QUERIES["q_vector_quantize_int8"].fn(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan, plan[:600]
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
-
-
 def test_minhash_md5_banded_subtree_cached(spark):
     """The md5 twin must keep the main entry's plan discipline: the
     banded subtree feeds BOTH self-join sides from cache (Spark never
