@@ -499,3 +499,61 @@ def dot_topk_int8(
         k=k,
         rank_col="rank",
     )
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher) of N retrieval
+    towers — the standard hybrid-search combiner (lexical BM25 + vector
+    ANN, or any ranked lists over one id space): fused score =
+    Σ_towers 1/(k + rank). Rank-based, so towers with incomparable raw
+    scores (µ-floored BM25 bigints vs integer dots) fuse without
+    calibration; k=60 is the published default.
+
+    Determinism: per-tower contributions are µ-floored bigints
+    (``floor(1e12/(k+rank))`` — one IEEE tree, integer rank input) and
+    summed exactly, so fused scores and ranks are cross-engine
+    value-hashable. An id missing from a tower contributes nothing
+    (UNION ALL semantics — no outer-join NULL handling needed).
+
+    Scale shape: inputs are already per-tower top-k (bounded — each
+    tower's WindowGroupLimit/TakeOrdered did the heavy lifting), so the
+    union is ≤ Σ tower_k rows; the final global rank window runs on
+    that bounded set, not the corpus (same boundedness argument as the
+    sharded-rank offset tables). Output: (id, rrf_u, n_towers,
+    fused_rank), top_k rows.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(rank_col).cast("bigint").alias("__r"),
+        )
+        for df in ranked
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    contrib = F.floor(
+        F.lit(1000000000000.0)
+        / (F.lit(float(k_const)) + F.col("__r").cast("double"))
+    ).cast("bigint")
+    scored = u.groupBy("__id").agg(
+        F.sum(contrib).cast("bigint").alias("rrf_u"),
+        F.count(F.lit(1)).cast("bigint").alias("n_towers"),
+    )
+    w = Window.orderBy(F.col("rrf_u").desc(), F.col("__id").asc())
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= top_k)
+        .select(
+            F.col("__id").alias(id_col), "rrf_u", "n_towers", "fused_rank"
+        )
+    )

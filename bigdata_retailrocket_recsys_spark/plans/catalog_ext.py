@@ -7788,6 +7788,114 @@ def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_retrieval_rrf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dl
+        FROM tok2 GROUP BY doc_id
+    ), st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_dl) AS BIGINT) AS tot_dl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_tf
+        FROM tok2 WHERE term IN ('join', 'hash', 'spark')
+        GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_df FROM tf GROUP BY term
+    ), cb AS (
+        SELECT doc_id, {{contrib}} AS u
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    ), lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_u DESC, doc_id ASC) AS r
+        FROM (SELECT doc_id, CAST(SUM(u) AS BIGINT) AS bm25_u
+              FROM cb GROUP BY doc_id
+              ORDER BY bm25_u DESC NULLS LAST, doc_id ASC LIMIT 20)
+    ), ok AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          AND len(embedding) = 64
+          AND len(list_filter(embedding,
+                  x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
+    ), v AS (
+        SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS val
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, 64)) AS d
+              FROM ok)
+    ), s AS (SELECT MAX(ABS(val)) AS sc FROM v),
+    codes AS (
+        SELECT vec_id, d AS dim,
+               CAST(CASE WHEN sc = 0 THEN 0
+                         ELSE FLOOR(val / sc * 127.0) END AS BIGINT) AS code
+        FROM v, s
+    ), qc AS (
+        SELECT dim, code AS qcode FROM codes WHERE vec_id = 0
+    ), dots AS (
+        SELECT c.vec_id, CAST(SUM(c.code * q.qcode) AS BIGINT) AS idot8
+        FROM codes c JOIN qc q ON c.dim = q.dim
+        WHERE c.vec_id <> 0
+        GROUP BY c.vec_id
+    ), vec AS (
+        SELECT vec_id AS doc_id, rn AS r
+        FROM (SELECT vec_id, ROW_NUMBER() OVER (
+                  ORDER BY idot8 DESC, vec_id ASC) AS rn FROM dots)
+        WHERE rn <= 20
+    ), u AS (
+        SELECT doc_id, r FROM lex
+        UNION ALL
+        SELECT doc_id, r FROM vec
+    ), f AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(FLOOR(1000000000000.0
+                                   / (60.0 + CAST(r AS DOUBLE)))
+                             AS BIGINT)) AS BIGINT) AS rrf_u,
+               CAST(COUNT(*) AS BIGINT) AS n_towers
+        FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_u, n_towers,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_u DESC, doc_id ASC) AS INT)
+               AS fused_rank
+    FROM f
+    ORDER BY rrf_u DESC, doc_id ASC LIMIT 10
+    """.format(contrib=_BM25_ORACLE_CONTRIB),
+)
+def q_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval via reciprocal-rank fusion (operators/similarity.
+    rrf_fuse): a lexical BM25 tower (3-term query, µ-floored bigint
+    scores) and a vector tower (symmetric-int8 exact-integer dots,
+    query = embedding 0) each produce a top-20; fused score =
+    Σ floor(1e12/(60+rank)) — rank-based, so the towers' incomparable
+    raw scores fuse without calibration, and everything stays exact
+    integer arithmetic end-to-end (fully value-hashed). The fixture's
+    embeddings.vec_id ≡ documents.doc_id (parallel tables) is the
+    shared id space a real hybrid store maintains by construction."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        dot_topk_int8,
+        rrf_fuse,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import bm25_scores
+    from pyspark.sql import Window
+
+    lex = bm25_scores(
+        _t(spark, sf_dir, "documents"), ["join", "hash", "spark"], top_k=20
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_u").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    vec = dot_topk_int8(
+        _t(spark, sf_dir, "embeddings"), [0], k=20, dim=64
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, vec], id_col="doc_id", k_const=60, top_k=10)
+
+
+@query(
     "q_dedup_minhash_md5",
     oracle=r"""
     WITH sh AS (

@@ -3085,3 +3085,26 @@ def test_int8_topk_recall_vs_exact_cosine(spark):
     for qid, want in exact.items():
         got = i8.get(qid, set())
         assert len(want & got) >= 8, (qid, want, got)
+
+
+def test_rrf_fuse_hand_case(spark):
+    """RRF: an id ranked well by both towers beats an id ranked first by
+    only one (1/61+1/62 > 1/60); single-tower ids still fuse (UNION
+    semantics); ordering deterministic with id tiebreak."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id bigint, rank bigint"
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (30, 2), (40, 3)], "doc_id bigint, rank bigint"
+    )
+    out = {r.doc_id: (r.n_towers, r.fused_rank)
+           for r in rrf_fuse([lex, vec], top_k=4).collect()}
+    # 20: 1/62+1/61 wins over 10: 1/61 and 40: 1/63
+    assert out[20] == (2, 1)
+    assert out[30] == (2, 2)  # 1/63 + 1/62
+    assert out[10] == (1, 3)  # 1/61 single-tower
+    assert out[40] == (1, 4)  # 1/63 single-tower
