@@ -3585,23 +3585,35 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sink_compaction", oracle=None)
+@query(
+    "q_sink_compaction",
+    oracle="""
+    SELECT CAST(LEAST(64, COUNT(*)) AS BIGINT) AS files_before,
+           CAST(GREATEST(1, (COUNT(*) + 4999) // 5000) AS BIGINT)
+               AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+)
 def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (the 100 TB metadata-death fix): a
     deliberately fragmented 64-file write rewrites to ceil(rows/target)
     evenly-sized files via one narrow read + round-robin repartition
-    (sources/writers.compact_parquet). Returns the before/after file
-    counts — deterministic, exact counts unit-tested; rows-only here
-    because the staged directories are engine-side state."""
-    import os as _os
-    import tempfile as _tmp
+    (sources/writers.compact_parquet).
 
+    r7 graduation (rows-only → full oracle): the layout is a pure
+    function of the row count — round-robin over 64 partitions leaves
+    min(64, n) non-empty files (one file per non-empty partition, no
+    maxRecordsPerFile split), and compaction rewrites to
+    max(1, ceil(n/5000)) — so DuckDB derives the exact before/after
+    counts from the events table. A writer that starts splitting
+    partitions or skipping compaction breaks the hash."""
     from bigdata_retailrocket_recsys_spark.sources.writers import (
         compact_parquet,
     )
 
-    base = _os.path.join(_tmp.gettempdir(), "bdrr_compaction")
-    frag, out = _os.path.join(base, "frag"), _os.path.join(base, "out")
+    base = _session_tmp(spark, "compaction")
+    frag, out = os.path.join(base, "frag"), os.path.join(base, "out")
     (
         _t(spark, sf_dir, "events")
         .select("event_id", "user_id", "value")

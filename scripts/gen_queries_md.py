@@ -48,7 +48,6 @@ ROWS_ONLY_AUDIT = {
     "q_multimodal_meta": ("binary decode stubbed (no codec libs in sandbox)", "test_operators.py::test_multimodal_stub_paths"),
     "q_multimodal_resize": ("binary image payloads not comparable via DuckDB SQL; decode tier is environment-dependent (PIL when importable)", "test_operators.py::test_multimodal_resize_and_frames + test_resize_images_pil_real_decode"),
     "q_graph_pagerank": ("iterative fixpoint, no closed SQL form", "test_properties.py::test_pagerank_invariants"),
-    "q_sink_compaction": ("output is a file-layout property, not a row set", "test_operators.py::test_compact_parquet_file_counts"),
     "q_dedup_minhash_persisted": ("xxhash64 signatures not DuckDB-expressible (persisted-table variant)", "test_operators.py::test_minhash_persisted_signatures_identical"),
     "q_dedup_ngram_jaccard_persisted": ("value-identical to oracled q_dedup_ngram_jaccard; this entry exists to lock the persisted-shingle PLAN", "test_operators.py::test_jaccard_persisted_shingles_identical"),
     "q_sim_topk_ivf_at_rest": ("MLlib KMeans cell assignment is iterative/seeded (at-rest variant)", "test_operators.py::test_ivf_at_rest_matches_in_memory"),
