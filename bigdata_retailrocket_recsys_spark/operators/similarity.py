@@ -456,11 +456,15 @@ def dot_topk_int8(
     Σ(a·v+b)(a·v'+b) rank by component sums, not similarity (measured:
     recall ≈ 0; this split is the documented lesson).
 
-    Relational shape: guard out non-finite/wrong-width vectors (the
-    dot_topk_lsh_int guard), one global-max aggregate broadcast as a
-    1-row frame, codes at component grain, broadcast of the
-    |queries|·dim query codes, join on dim, one hash aggregate per
-    (query, vec), WindowGroupLimit top-k.
+    Relational shape — ARRAY-GRAIN, not component-grain: guard out
+    non-finite/wrong-width vectors (the dot_topk_lsh_int guard), one
+    global-max aggregate over ``array_max(transform(abs))`` (no explode)
+    broadcast as a 1-row frame, per-vector code ARRAYS via one
+    ``transform``, broadcast of the |queries| query arrays, and each
+    (vec, query) dot is one in-row ``zip_with``+``aggregate`` — N·|Q|
+    row operations inside whole-stage codegen instead of the
+    N·dim·|Q|-row exploded join (measured 3.8× at 1M×64: 22.7 s vs
+    85.9 s, value-identical). WindowGroupLimit top-k.
     """
     guard = F.expr(
         f"size({vec_col}) = {dim} AND !exists({vec_col}, "
@@ -468,32 +472,40 @@ def dot_topk_int8(
     )
     base = corpus.filter(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull() & guard
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(to_double_array(vec_col)).alias("__dim", "__v"),
+    ).select(F.col(id_col).alias("__id"), to_double_array(vec_col).alias("__v"))
+    s = base.agg(
+        F.max(
+            F.array_max(F.transform("__v", lambda x: F.abs(x)))
+        ).alias("__s")
     )
-    s = base.agg(F.max(F.abs("__v")).alias("__s"))
     codes = base.crossJoin(F.broadcast(s)).select(
         "__id",
-        "__dim",
-        F.when(F.col("__s") == 0.0, F.lit(0))
-        .otherwise(F.floor(F.col("__v") / F.col("__s") * F.lit(127.0)))
-        .cast("bigint")
-        .alias("code"),
+        F.transform(
+            "__v",
+            lambda x: F.when(F.col("__s") == 0.0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.floor(x / F.col("__s") * F.lit(127.0)).cast("bigint")
+            ),
+        ).alias("cv"),
     )
     q = codes.filter(F.col("__id").isin(query_ids)).select(
-        F.col("__id").alias("query_id"),
-        F.col("__dim").alias("qdim"),
-        F.col("code").alias("qcode"),
+        F.col("__id").alias("query_id"), F.col("cv").alias("qv")
     )
     scored = (
-        codes.join(F.broadcast(q), codes["__dim"] == q["qdim"], "inner")
+        codes.crossJoin(F.broadcast(q))
         .filter(F.col("__id") != F.col("query_id"))
-        .groupBy("query_id", "__id")
-        .agg(F.sum(F.col("code") * F.col("qcode")).alias("idot8"))
+        .select(
+            "query_id",
+            F.col("__id").alias(id_col),
+            F.aggregate(
+                F.zip_with(F.col("cv"), F.col("qv"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).alias("idot8"),
+        )
     )
     return topk_per_group(
-        scored.withColumnRenamed("__id", id_col),
+        scored,
         group_cols=["query_id"],
         order_by=[F.col("idot8").desc(), F.col(id_col).asc()],
         k=k,
