@@ -116,3 +116,56 @@ def check_expectations(
     return stacked.withColumn(
         "passed", F.when(F.col("n_violations") == 0, 1).otherwise(0)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style diff of two corpus snapshots: per key, is the row
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    content digest differs), or ``unchanged``. The maintenance primitive
+    behind incremental reprocessing ("which documents must re-embed /
+    re-dedup after this crawl?") and audit ("what did the pipeline
+    change?").
+
+    Relational shape: each side reduces to (key, md5-of-compare-cols) —
+    16-byte digests shuffle, never content (the exact_dedup move) — then
+    ONE full outer join on the keys decides the status. NULL discipline:
+    each compare col contributes BOTH ``coalesce(cast(c as string),
+    chr(0))`` and an explicit presence bit to the digest input (joined
+    on chr(1)), so NULL vs '' vs a literal NUL byte never conflate —
+    a plain concat_ws would silently skip NULLs (the CLAUDE.md hash-key
+    rule). Rows with NULL KEYS are dropped on both sides (a keyless row
+    cannot be matched across snapshots; quarantine upstream).
+
+    Output: (*key_cols, status string) — one row per key present in
+    either snapshot.
+    """
+
+    def digest(df: DataFrame) -> DataFrame:
+        parts = []
+        for c in compare_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
+            parts.append(F.col(c).isNull().cast("string"))
+        keep = None
+        for c in key_cols:
+            nn = F.col(c).isNotNull()
+            keep = nn if keep is None else (keep & nn)
+        return df.filter(keep).select(
+            *key_cols, F.md5(F.concat_ws("\x01", *parts)).alias("__digest")
+        )
+
+    o = digest(old).withColumnRenamed("__digest", "__d_old")
+    n = digest(new).withColumnRenamed("__digest", "__d_new")
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__d_old").isNull(), F.lit("added"))
+        .when(F.col("__d_new").isNull(), F.lit("removed"))
+        .when(F.col("__d_old") == F.col("__d_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(*key_cols, status.alias("status"))

@@ -7800,6 +7800,70 @@ def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, text, lang, source FROM documents
+        WHERE doc_id IS NOT NULL
+    ), newsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 101 = 7 THEN text || ' v2' ELSE text END
+                   AS text,
+               lang, source
+        FROM old WHERE doc_id % 97 <> 3
+        UNION ALL
+        SELECT doc_id + 100000, text, lang, source
+        FROM old WHERE doc_id % 251 = 11
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN (o.text IS DISTINCT FROM n.text)
+                  OR (o.lang IS DISTINCT FROM n.lang)
+                  OR (o.source IS DISTINCT FROM n.source) THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (operators/quality.snapshot_diff): the
+    maintenance primitive behind incremental reprocessing — which
+    documents must re-embed/re-dedup after this crawl. The second
+    snapshot is derived deterministically (drop doc_id%97=3, append
+    ' v2' to text of doc_id%101=7, add id+100000 copies of doc_id%251=11)
+    so both engines diff the identical pair. The engine compares 16-byte
+    content digests (NULL-marked, chr(1)-joined — concat_ws would skip
+    NULLs); the oracle compares columns with IS DISTINCT FROM — equal
+    verdicts prove the digest is injective over the edge cases (NULL vs
+    '' vs NUL byte on advdata)."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        snapshot_diff,
+    )
+
+    old = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).filter(F.col("doc_id").isNotNull())
+    new = (
+        old.filter(F.col("doc_id") % 97 != 3)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 101 == 7,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            old.filter(F.col("doc_id") % 251 == 11).withColumn(
+                "doc_id", F.col("doc_id") + 100000
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, key_cols=["doc_id"], compare_cols=["text", "lang", "source"]
+    )
+
+
+@query(
     "q_retrieval_rrf",
     oracle=f"""
     WITH tok AS (

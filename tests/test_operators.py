@@ -3108,3 +3108,35 @@ def test_rrf_fuse_hand_case(spark):
     assert out[30] == (2, 2)  # 1/63 + 1/62
     assert out[10] == (1, 3)  # 1/61 single-tower
     assert out[40] == (1, 4)  # 1/63 single-tower
+
+
+def test_snapshot_diff_null_injective(spark):
+    """NULL vs '' vs a literal NUL byte in compare cols must NOT
+    conflate (presence bits in the digest input); NULL-key rows drop;
+    all four statuses come out right."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, ""), (4, "x"), (5, "gone"), (None, "k")],
+        "id bigint, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "\x00"), (4, "x"), (6, "fresh")],
+        "id bigint, v string",
+    )
+    out = {
+        r.id: r.status
+        for r in snapshot_diff(
+            old, new, key_cols=["id"], compare_cols=["v"]
+        ).collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "changed",   # NULL -> '' must register as a change
+        3: "changed",   # '' -> NUL byte must register as a change
+        4: "unchanged",
+        5: "removed",
+        6: "added",
+    }
