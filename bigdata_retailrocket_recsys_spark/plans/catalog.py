@@ -155,6 +155,10 @@ def _normalize_oracle(sql: str | None) -> str | None:
 
 def query(name: str, oracle: str | None = None, *, headline: bool = False):
     def deco(fn: SparkQuery) -> SparkQuery:
+        # latest-wins shadowing once silently DELETED a declared query
+        # (a second q_snapshot_diff, r7) — duplicate names are a bug
+        if name in QUERIES:
+            raise ValueError(f"duplicate catalog query name: {name!r}")
         QUERIES[name] = CatalogQuery(
             name, fn, _normalize_oracle(oracle), headline, fn.__doc__ or ""
         )

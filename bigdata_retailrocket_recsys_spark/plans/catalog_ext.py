@@ -7800,7 +7800,7 @@ def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_snapshot_diff",
+    "q_corpus_snapshot_diff",
     oracle="""
     WITH old AS (
         SELECT doc_id, text, lang, source FROM documents
@@ -7825,8 +7825,8 @@ def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM old o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
     """,
 )
-def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC-style snapshot diff (operators/quality.snapshot_diff): the
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-grain corpus snapshot diff (operators/quality.snapshot_diff): the
     maintenance primitive behind incremental reprocessing — which
     documents must re-embed/re-dedup after this crawl. The second
     snapshot is derived deterministically (drop doc_id%97=3, append
