@@ -169,3 +169,33 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(*key_cols, status.alias("status"))
+
+
+def enforce_k_anonymity(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """k-anonymity suppression: drop every row whose quasi-identifier
+    combination is shared by fewer than ``k`` rows — the release gate a
+    privacy-safe analytics/export pipeline runs before data leaves the
+    boundary (small groups re-identify individuals). Returns surviving
+    rows plus ``k_group_n`` (the group size, so downstream noise/
+    generalization steps can calibrate).
+
+    One window over the quasi columns (count, no ordering — a frameless
+    aggregate window, map-side combinable into WindowExec without a
+    sort) and a filter; rows shuffle once on the quasi key. NULL quasi
+    values group together (SQL GROUP BY semantics) — a NULL is itself a
+    quasi-identifier value and small NULL-groups are suppressed like any
+    other. At 100 TB this is the same shape as any keyed count: AQE
+    skew-join handling applies if one quasi combo dominates.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("k_group_n", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("k_group_n") >= k)
+    )

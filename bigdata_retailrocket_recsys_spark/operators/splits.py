@@ -410,3 +410,41 @@ def token_budget_sample(
         .filter(F.col("cum_tok") <= budget_tokens)
         .select(id_col, "domain", "n_tok", "cum_tok")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    *,
+    id_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle: global position =
+    rank of ``md5(epoch || ':' || id)`` — content-defined, so the order
+    is reproducible across runs/engines and changes completely between
+    epochs (the property a training loop wants from reshuffling), with
+    no RNG state to checkpoint.
+
+    The global rank rides the SHARDED global_rank (range-partition by
+    the hash, per-shard row_number, broadcast offset table) — no
+    single-reducer window at any size. NULL ids are dropped (the
+    CLAUDE.md hash-key rule: a NULL hash would sort differently across
+    engines). Output: input columns + ``shuffle_pos`` (1-based).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
+
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(int(epoch))), F.col(id_col).cast("string"))
+    )
+    base = df.filter(F.col(id_col).isNotNull()).withColumn("__h", h)
+    return (
+        global_rank(
+            base,
+            [F.col("__h").asc(), F.col(id_col).asc()],
+            n_shards=n_shards,
+            out_col="shuffle_pos",
+        )
+        .drop("__h")
+    )

@@ -7864,6 +7864,72 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_k_anonymity",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS day_str
+        FROM events
+    ), g AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY event_type, day_str)
+                      AS k_group_n
+        FROM b
+    )
+    SELECT event_id, event_type, day_str,
+           CAST(k_group_n AS BIGINT) AS k_group_n
+    FROM g WHERE k_group_n >= 60
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (operators/quality.enforce_k_anonymity):
+    rows whose (event_type, day) quasi-identifier combination has fewer
+    than k=60 rows are SUPPRESSED before export (a proper subset at the
+    driver SF: group sizes span 47-86 there) — small groups
+    re-identify individuals. One frameless count window on the quasi key
+    + a filter; surviving rows and their group sizes are hashed. NULL
+    quasi values form their own (suppressible) group on both engines;
+    the day is an ISO string (DATE is outside the stringify-safe type
+    pairs)."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        enforce_k_anonymity,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )
+    return enforce_k_anonymity(
+        ev, quasi_cols=["event_type", "day_str"], k=60
+    )
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS BIGINT) AS shuffle_pos
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle (operators/splits.
+    epoch_shuffle, epoch=3): position = rank of md5(epoch:id) —
+    content-defined, reproducible, completely re-ordered each epoch, no
+    RNG state to checkpoint. The global rank rides the SHARDED
+    global_rank (range-partition by hash + per-shard row_number +
+    broadcast offsets — no single-reducer window at any corpus size);
+    the oracle is the plain ROW_NUMBER it must equal."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        epoch_shuffle,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, 3, id_col="doc_id")
+
+
+@query(
     "q_retrieval_rrf",
     oracle=f"""
     WITH tok AS (

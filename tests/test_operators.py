@@ -3140,3 +3140,35 @@ def test_snapshot_diff_null_injective(spark):
         5: "removed",
         6: "added",
     }
+
+
+def test_k_anonymity_suppresses_small_groups(spark):
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        enforce_k_anonymity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None), (6, None), (7, None)],
+        "id bigint, quasi string",
+    )
+    out = {r.id: r.k_group_n
+           for r in enforce_k_anonymity(df, quasi_cols=["quasi"], k=3).collect()}
+    # 'a' (3 rows) and the NULL group (3 rows) survive; 'b' (1) suppressed
+    assert out == {1: 3, 2: 3, 3: 3, 5: 3, 6: 3, 7: 3}
+
+
+def test_epoch_shuffle_reproducible_and_epoch_sensitive(spark):
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        epoch_shuffle,
+    )
+
+    docs = spark.range(200).withColumnRenamed("id", "doc_id")
+    e1a = [r.doc_id for r in epoch_shuffle(docs, 1, id_col="doc_id")
+           .orderBy("shuffle_pos").collect()]
+    e1b = [r.doc_id for r in epoch_shuffle(docs, 1, id_col="doc_id", n_shards=7)
+           .orderBy("shuffle_pos").collect()]
+    e2 = [r.doc_id for r in epoch_shuffle(docs, 2, id_col="doc_id")
+          .orderBy("shuffle_pos").collect()]
+    assert e1a == e1b                 # shard count never changes the order
+    assert e1a != e2                  # epochs reshuffle
+    assert sorted(e1a) == list(range(200)) == sorted(e2)  # permutations
