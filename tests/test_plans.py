@@ -457,3 +457,15 @@ def test_minhash_md5_banded_subtree_cached(spark):
     assert "InMemoryTableScan" in plan, plan[:600]
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_has_no_single_reducer_window(spark):
+    """The epoch shuffle's global rank must ride the sharded
+    global_rank — every window spec in the plan involves the shard
+    column (an empty-partition window would funnel the corpus through
+    one reducer)."""
+    plan = plan_str(QUERIES["q_epoch_shuffle"].fn(spark, SF_DIR), "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the shuffle plan"
+    for spec in specs:
+        assert "__shard" in spec, spec
