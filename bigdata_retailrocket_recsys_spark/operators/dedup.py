@@ -1338,3 +1338,71 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication finder (the Lee et al. 2022
+    "Deduplicating Training Data" pass, at token grain): report every
+    MAXIMAL span of ≥ ``n`` tokens whose every ``n``-gram occurs at
+    least ``min_occurrences`` times in the corpus (anywhere — another
+    doc or the same one). The output spans are what an exact-substring
+    dedup pipeline cuts out of training text.
+
+    Relational shape — no suffix array needed at this grain:
+    tokenize-once shingle rows WITH positions (the shingle_rows
+    machinery) → corpus-wide occurrence counts (map-side combinable) →
+    semi-join back the duplicated starts → per-doc GAPS-AND-ISLANDS on
+    consecutive duplicated starts (``start − row_number`` grouping key,
+    one window) → one aggregate per island. A run of duplicated starts
+    [a..b] covers tokens [a, b+n−1], so ``span_len = b − a + n``.
+    Shuffles: one by doc (shingling), one by shingle (counts), one by
+    doc (islands) — all bounded, nothing quadratic; the n-gram hash
+    join replaces the suffix-array construction that cannot be
+    expressed as a bounded shuffle.
+
+    Output: (id, span_start [0-based token index], span_len [tokens]).
+    """
+    from pyspark.sql import Window
+
+    tok = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__d"),
+        F.posexplode(ws_tokens(text_col)).alias("__p", "__t"),
+    )
+    w = Window.partitionBy("__d").orderBy("__p")
+    leads = [F.col("__t")] + [F.lead("__t", j).over(w) for j in range(1, n)]
+    spans = (
+        tok.select(
+            "__d",
+            F.col("__p").alias("__s"),
+            F.concat_ws(" ", *leads).alias("__span"),
+            leads[-1].isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .drop("__full")
+    )
+    dup_spans = (
+        spans.groupBy("__span")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") >= min_occurrences)
+        .select("__span")
+    )
+    starts = spans.join(dup_spans, "__span", "left_semi").select("__d", "__s")
+    wisl = Window.partitionBy("__d").orderBy("__s")
+    islands = starts.withColumn(
+        "__grp", F.col("__s") - F.row_number().over(wisl)
+    )
+    return islands.groupBy("__d", "__grp").agg(
+        F.min("__s").cast("bigint").alias("span_start"),
+        (F.max("__s") - F.min("__s") + F.lit(n)).cast("bigint").alias(
+            "span_len"
+        ),
+    ).select(F.col("__d").alias(id_col), "span_start", "span_len")

@@ -7864,6 +7864,49 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_substring_spans",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), sp AS (
+        SELECT doc_id, st - 1 AS s,
+               array_to_string(list_slice(toks, st, st + 4), ' ') AS span
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS st
+              FROM t WHERE len(toks) >= 5)
+    ), dup AS (
+        SELECT span FROM sp GROUP BY span HAVING COUNT(*) >= 2
+    ), st2 AS (
+        SELECT doc_id, s,
+               s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s ASC)
+                   AS grp
+        FROM sp WHERE span IN (SELECT span FROM dup)
+    )
+    SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(s) - MIN(s) + 5 AS BIGINT) AS span_len
+    FROM st2 GROUP BY doc_id, grp
+    """,
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication finder (operators/dedup.
+    duplicated_spans — the Lee et al. 2022 "Deduplicating Training Data"
+    pass at token grain): every MAXIMAL span whose every 5-gram occurs
+    ≥2 times in the corpus, i.e. what an exact-substring dedup cuts out
+    of training text. Duplicated n-gram starts → per-doc gaps-and-islands
+    (start − row_number) → one aggregate per island; the n-gram hash
+    join replaces the suffix array (which has no bounded-shuffle form).
+    Start/len are exact integers → fully hashed."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    return duplicated_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_occurrences=2
+    )
+
+
+@query(
     "q_k_anonymity",
     oracle="""
     WITH b AS (

@@ -3172,3 +3172,29 @@ def test_epoch_shuffle_reproducible_and_epoch_sensitive(spark):
     assert e1a == e1b                 # shard count never changes the order
     assert e1a != e2                  # epochs reshuffle
     assert sorted(e1a) == list(range(200)) == sorted(e2)  # permutations
+
+
+def test_duplicated_spans_islands_merge(spark):
+    """Adjacent duplicated n-gram starts merge into ONE maximal span;
+    isolated duplicated n-grams report exactly n tokens; unique docs
+    report nothing. Doc 1/2 share a 6-token run ('p q r s t u'), so each
+    has starts {0,1} -> one island of span_len 6."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    shared = "p q r s t u"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three"),
+            (2, f"zero {shared} four five"),
+            (3, "nothing here repeats at all ever"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.doc_id, r.span_start): r.span_len
+        for r in duplicated_spans(docs, n=5, min_occurrences=2).collect()
+    }
+    # doc 1: starts 0 and 1 duplicated (both 5-grams of the shared run)
+    assert out == {(1, 0): 6, (2, 1): 6}
