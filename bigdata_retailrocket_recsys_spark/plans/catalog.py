@@ -72,6 +72,7 @@ from bigdata_retailrocket_recsys_spark.operators.windows import (
     topk_per_group,
 )
 from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+from bigdata_retailrocket_recsys_spark.sources.scratch import session_scratch
 from bigdata_retailrocket_recsys_spark.sources.writers import write_parquet
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -231,7 +232,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bigdata_retailrocket_recsys_spark.sources.readers import read_csv
 
-    out = os.path.join(tempfile.gettempdir(), "bdrr_csv_roundtrip")
+    out = session_scratch(spark, "csv_roundtrip")
     (
         _t(spark, sf_dir, "events")
         .select("event_id", "user_id", "event_type", "value")
@@ -269,7 +270,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 — parquet sink (overwrite, maxRecordsPerFile — ref py:640-644,
     ipynb cell 22) proven by write → re-read → aggregate."""
-    out = os.path.join(tempfile.gettempdir(), "bdrr_parquet_sink")
+    out = session_scratch(spark, "parquet_sink")
     write_parquet(
         _t(spark, sf_dir, "events").filter(F.col("user_id") < 100),
         out,
@@ -316,7 +317,7 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source (engine extension; reference reads only CSV):
     write → read with explicit schema (no inference pass at scale) →
     aggregate."""
-    out = os.path.join(tempfile.gettempdir(), "bdrr_json_roundtrip")
+    out = session_scratch(spark, "json_roundtrip")
     (
         _t(spark, sf_dir, "events")
         .filter(F.col("user_id") < 200)
@@ -348,7 +349,7 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink (engine extension): columnar round-trip through the
     other columnar format Spark ships natively; predicate/column pushdown
     works the same as parquet."""
-    out = os.path.join(tempfile.gettempdir(), "bdrr_orc_roundtrip")
+    out = session_scratch(spark, "orc_roundtrip")
     (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -380,7 +381,7 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout where a predicate on the partition column prunes directories
     instead of scanning row groups (PartitionFilters asserted in
     tests/test_plans.py)."""
-    out = os.path.join(tempfile.gettempdir(), "bdrr_parquet_partitioned")
+    out = session_scratch(spark, "parquet_partitioned")
     write_parquet(
         _t(spark, sf_dir, "events").select(
             "event_id", "user_id", "event_type", "value"
@@ -420,7 +421,7 @@ def q_sink_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_range_clustered,
     )
 
-    out = os.path.join(tempfile.gettempdir(), "bdrr_parquet_rangeclustered")
+    out = session_scratch(spark, "parquet_rangeclustered")
     write_range_clustered(
         _t(spark, sf_dir, "events").select(
             "event_id", "user_id", "ts", "event_type", "value"
@@ -472,7 +473,7 @@ def q_sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_zordered,
     )
 
-    out = os.path.join(tempfile.gettempdir(), "bdrr_parquet_zordered")
+    out = session_scratch(spark, "parquet_zordered")
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -738,7 +739,7 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic change)."""
     from bigdata_retailrocket_recsys_spark.sources.writers import write_bucketed
 
-    base = os.path.join(tempfile.gettempdir(), "bdrr_bucketed")
+    base = session_scratch(spark, "bucketed")
     write_bucketed(
         _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"

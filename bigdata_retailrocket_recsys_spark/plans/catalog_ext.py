@@ -51,9 +51,15 @@ def _session_tmp(spark: SparkSession, name: str) -> str:
     Keyed on the Spark applicationId so two concurrent driver/rehearsal
     sessions on one machine never rmtree each other's in-flight reads
     (ADVICE r6 #4). Within one session the path is stable, so a repeated
-    query still exercises its own overwrite/rmtree discipline."""
-    app = spark.sparkContext.applicationId.replace(":", "_")
-    return os.path.join(tempfile.gettempdir(), f"bdrr_{name}_{app}")
+    query still exercises its own overwrite/rmtree discipline. One
+    definition engine-wide: sources/scratch.session_scratch (r7 — a
+    concurrent gate overwrote the late-drop stage mid-stream; EVERY
+    write→read path is per-session now, not just the roundtrips)."""
+    from bigdata_retailrocket_recsys_spark.sources.scratch import (
+        session_scratch,
+    )
+
+    return session_scratch(spark, name)
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -107,7 +113,7 @@ def q_dedup_minhash_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_table,
     )
 
-    sig_path = os.path.join(tempfile.gettempdir(), "bdrr_minhash_sigs")
+    sig_path = _session_tmp(spark, "minhash_sigs")
     minhash_signatures_table(
         _t(spark, sf_dir, "documents"),
         sig_path,
@@ -260,7 +266,7 @@ def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    dig_path = os.path.join(tempfile.gettempdir(), "bdrr_corpus_digests")
+    dig_path = _session_tmp(spark, "corpus_digests")
     content_digest_table(
         docs.filter(F.col("doc_id") % 5 != 0), dig_path, key_cols=["text"]
     )
@@ -288,7 +294,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sig_path = os.path.join(tempfile.gettempdir(), "bdrr_corpus_sigs")
+    sig_path = _session_tmp(spark, "corpus_sigs")
     minhash_signatures_table(
         docs.filter(F.col("doc_id") % 5 != 0),
         sig_path,
@@ -493,7 +499,7 @@ def q_sim_topk_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_write_at_rest,
     )
 
-    idx_path = os.path.join(tempfile.gettempdir(), "bdrr_ivf_index")
+    idx_path = _session_tmp(spark, "ivf_index")
     emb = _t(spark, sf_dir, "embeddings")
     ivf_write_at_rest(
         emb, idx_path, n_cells=8, id_col="vec_id", vec_col="embedding"
@@ -3352,7 +3358,7 @@ def q_sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    base_dir = os.path.join(tempfile.gettempdir(), "bdrr_upsert")
+    base_dir = _session_tmp(spark, "upsert")
     target_path = os.path.join(base_dir, "v1")
     out_path = os.path.join(base_dir, "v2")
     ev.filter(F.col("user_id") < 50).select(
@@ -3554,7 +3560,7 @@ def q_scan_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tmp
 
-    out = _os.path.join(_tmp.gettempdir(), "bdrr_corrupt_csv")
+    out = _session_tmp(spark, "corrupt_csv")
     _os.makedirs(out, exist_ok=True)
     with open(_os.path.join(out, "part-0.csv"), "w") as f:
         f.write("event_id,user_id,value\n")
@@ -5219,9 +5225,7 @@ def q_scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the only affordable evolution path (footer-merge,
     not data-rewrite); pair with explicit casts to keep types stable."""
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
-    base = os.path.join(
-        tempfile.gettempdir(), "bdrr_merge_schema_snapshot"
-    )
+    base = _session_tmp(spark, "merge_schema_snapshot")
     g1 = ev.filter(F.col("event_id") < 1000)
     g2 = ev.filter(
         (F.col("event_id") >= 1000) & (F.col("event_id") < 2000)

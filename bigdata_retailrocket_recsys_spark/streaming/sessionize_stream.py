@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_retailrocket_recsys_spark.sources.scratch import session_scratch
 from bigdata_retailrocket_recsys_spark.streaming import (
     pin_streaming_confs,
 )
@@ -191,7 +192,7 @@ def run_streaming_late_drop(
         )
     )
     cut = F.lit(split_at).cast("timestamp")
-    stage = _os.path.join(_tmp.gettempdir(), "bdrr_late_drop_stage")
+    stage = session_scratch(spark, "late_drop_stage")
     early = src.filter(F.col("ts") < cut)
     late_replays = (
         early.filter(F.col("ts") < F.lit("2024-01-02").cast("timestamp"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_retailrocket_recsys_spark.sources.scratch import session_scratch
 from bigdata_retailrocket_recsys_spark.streaming import (
     pin_streaming_confs,
 )
@@ -103,9 +104,7 @@ def run_stream_foreach_batch(
     import tempfile
 
     pin_streaming_confs(spark)
-    out_path = out_path or os.path.join(
-        tempfile.gettempdir(), "bdrr_stream_foreach_batch"
-    )
+    out_path = out_path or session_scratch(spark, "stream_foreach_batch")
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "2 hours")
@@ -162,9 +161,7 @@ def run_stream_upsert_merge(
     )
 
     pin_streaming_confs(spark)
-    base_path = base_path or _os.path.join(
-        _tmp.gettempdir(), "bdrr_stream_upsert"
-    )
+    base_path = base_path or session_scratch(spark, "stream_upsert")
     _sh.rmtree(base_path, ignore_errors=True)
     stage = _os.path.join(base_path, "stage")
 
