@@ -134,13 +134,16 @@ def snapshot_diff(
 
     Relational shape: each side reduces to (key, md5-of-compare-cols) —
     16-byte digests shuffle, never content (the exact_dedup move) — then
-    ONE full outer join on the keys decides the status. NULL discipline:
-    each compare col contributes BOTH ``coalesce(cast(c as string),
-    chr(0))`` and an explicit presence bit to the digest input (joined
-    on chr(1)), so NULL vs '' vs a literal NUL byte never conflate —
-    a plain concat_ws would silently skip NULLs (the CLAUDE.md hash-key
-    rule). Rows with NULL KEYS are dropped on both sides (a keyless row
-    cannot be matched across snapshots; quarantine upstream).
+    ONE full outer join on the keys decides the status. NULL/encoding
+    discipline: each compare col contributes a FIXED-WIDTH field — the
+    32-hex md5 of its value (NULL coalesced to '') plus a 1-char
+    presence bit — and the row digest is the md5 of their plain concat.
+    Fixed-width fields make the encoding injective for ANY column
+    content (no separator to forge: a value embedding \\x01 or any other
+    byte cannot reproduce adjacent-field framing), and the presence bit
+    keeps NULL distinct from ''. Rows with NULL KEYS are dropped on both
+    sides (a keyless row cannot be matched across snapshots; quarantine
+    upstream).
 
     Output: (*key_cols, status string) — one row per key present in
     either snapshot.
@@ -149,14 +152,18 @@ def snapshot_diff(
     def digest(df: DataFrame) -> DataFrame:
         parts = []
         for c in compare_cols:
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00")))
-            parts.append(F.col(c).isNull().cast("string"))
+            # 33-char fixed-width field per column: md5(value) + presence
+            # bit — injective without separators (nothing to forge)
+            parts.append(
+                F.md5(F.coalesce(F.col(c).cast("string"), F.lit("")))
+            )
+            parts.append(F.col(c).isNull().cast("int").cast("string"))
         keep = None
         for c in key_cols:
             nn = F.col(c).isNotNull()
             keep = nn if keep is None else (keep & nn)
         return df.filter(keep).select(
-            *key_cols, F.md5(F.concat_ws("\x01", *parts)).alias("__digest")
+            *key_cols, F.md5(F.concat(*parts)).alias("__digest")
         )
 
     o = digest(old).withColumnRenamed("__digest", "__d_old")

@@ -470,9 +470,15 @@ def dot_topk_int8(
         f"size({vec_col}) = {dim} AND !exists({vec_col}, "
         "x -> x IS NULL OR isnan(x) OR abs(x) = double('infinity'))"
     )
+    # S7 discipline: both derived frames are referenced twice (base by
+    # the scale agg AND the code projection; codes by the query filter
+    # AND the scoring crossJoin) and Spark never reuses a shared
+    # exchange — cache both or the scan+quantization recompute per ref.
     base = corpus.filter(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull() & guard
-    ).select(F.col(id_col).alias("__id"), to_double_array(vec_col).alias("__v"))
+    ).select(
+        F.col(id_col).alias("__id"), to_double_array(vec_col).alias("__v")
+    ).cache()
     s = base.agg(
         F.max(
             F.array_max(F.transform("__v", lambda x: F.abs(x)))
@@ -487,7 +493,7 @@ def dot_topk_int8(
                 F.floor(x / F.col("__s") * F.lit(127.0)).cast("bigint")
             ),
         ).alias("cv"),
-    )
+    ).cache()
     q = codes.filter(F.col("__id").isin(query_ids)).select(
         F.col("__id").alias("query_id"), F.col("cv").alias("qv")
     )

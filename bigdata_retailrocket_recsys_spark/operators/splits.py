@@ -373,14 +373,20 @@ def token_budget_sample(
     precomputed per-doc count (e.g. real BPE counts from
     :func:`~bigdata_retailrocket_recsys_spark.operators.text_bpe.bpe_token_counts`)
     instead of the whitespace heuristic — whitespace stays the default
-    tier; LLM-data budgets should pass tokenizer counts.
+    tier; LLM-data budgets should pass tokenizer counts. Rows whose
+    precomputed count is NULL are DROPPED (not kept budget-free): a
+    missing count means the doc's cost is unknown — admitting it would
+    silently overshoot a real token budget (e.g. NULL-text docs
+    surviving an upstream join). Count them upstream or filter before
+    calling if different handling is wanted.
 
     Returns kept docs: (id, domain, n_tok, cum_tok).
     """
     from pyspark.sql import Window
 
     if n_tokens_col is not None:
-        n_tok = F.coalesce(F.col(n_tokens_col).cast("bigint"), F.lit(0))
+        docs = docs.filter(F.col(n_tokens_col).isNotNull())
+        n_tok = F.col(n_tokens_col).cast("bigint")
     else:
         n_tok = F.coalesce(
             F.size(

@@ -200,5 +200,10 @@ def bpe_token_counts(
                 }
             )
 
-    out_schema = f"{id_col} bigint, n_bpe_tokens bigint, n_pretokens bigint"
+    # carry the id's ACTUAL type through — hardcoding bigint would make
+    # mapInPandas emit nulls/errors at runtime for string/int ids
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, n_bpe_tokens bigint, n_pretokens bigint"
+    )
     return df.select(id_col, text_col).mapInPandas(_count, out_schema)

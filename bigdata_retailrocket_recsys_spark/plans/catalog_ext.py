@@ -7836,10 +7836,11 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot is derived deterministically (drop doc_id%97=3, append
     ' v2' to text of doc_id%101=7, add id+100000 copies of doc_id%251=11)
     so both engines diff the identical pair. The engine compares 16-byte
-    content digests (NULL-marked, chr(1)-joined — concat_ws would skip
-    NULLs); the oracle compares columns with IS DISTINCT FROM — equal
-    verdicts prove the digest is injective over the edge cases (NULL vs
-    '' vs NUL byte on advdata)."""
+    content digests built from fixed-width per-column fields (md5(value)
+    + presence bit — injective for any content, no separator to forge);
+    the oracle compares columns with IS DISTINCT FROM — equal verdicts
+    prove the digest is injective over the edge cases (NULL vs '' vs
+    NUL/\\x01 bytes on advdata)."""
     from bigdata_retailrocket_recsys_spark.operators.quality import (
         snapshot_diff,
     )

@@ -81,19 +81,26 @@ class AuditJsonlWriter(DataSourceWriter):
             start, prior_rows, prior_parts = 0, 0, 0
         else:
             # append mode: never clobber a previous commit's parts —
-            # continue numbering after the existing max part index and
-            # roll the prior manifest's counts into the new one, so a
-            # part-*.jsonl reader always sees exactly what _SUCCESS claims
-            existing = glob.glob(os.path.join(self._path, "part-*.jsonl"))
-            idx = [int(m.group(1)) for p in existing
-                   if (m := re.search(r"part-(\d+)\.jsonl$", p))]
-            start = max(idx) + 1 if idx else 0
+            # continue numbering after the committed prefix and roll the
+            # prior manifest's counts into the new one, so a part-*.jsonl
+            # reader always sees exactly what _SUCCESS claims. Parts are
+            # numbered sequentially from 0, so the committed state is
+            # exactly parts 0..prior_parts-1; any part numbered past that
+            # is an ORPHAN from a commit that crashed after renaming but
+            # before writing _SUCCESS — its data was never committed, so
+            # it is removed here (leaving it would make _SUCCESS
+            # undercount what a glob reader sees).
             prior_rows, prior_parts = 0, 0
             if os.path.exists(succ):
                 with open(succ, "r", encoding="utf-8") as f:
                     prior = json.load(f)
                 prior_rows = int(prior.get("rows", 0))
-                prior_parts = int(prior.get("parts", len(idx)))
+                prior_parts = int(prior.get("parts", 0))
+            for p in glob.glob(os.path.join(self._path, "part-*.jsonl")):
+                m = re.search(r"part-(\d+)\.jsonl$", p)
+                if m and int(m.group(1)) >= prior_parts:
+                    os.remove(p)
+            start = prior_parts
         total = 0
         for i, m in enumerate(messages):
             final = os.path.join(self._path, f"part-{start + i:05d}.jsonl")

@@ -2804,6 +2804,30 @@ def test_jsonl_audit_sink_commit_protocol(spark, tmp_path):
         1 for p in parts3 for _ in open(os.path.join(path, p))
     )
     assert n_lines3 == 150
+    # orphan recovery (ADVICE r7 #2): a commit that crashed after
+    # renaming part files but before writing _SUCCESS leaves orphan
+    # parts numbered past the committed prefix; the next append must
+    # remove them (their data was never committed) so _SUCCESS always
+    # equals what a part-*.jsonl glob reader sees
+    with open(os.path.join(path, "part-00003.jsonl"), "w") as f:
+        f.write('{"event_id": 666, "event_type": "orphan"}\n')
+    df4 = spark.range(10).selectExpr(
+        "id + 2000 AS event_id", "CAST(id % 3 AS STRING) AS event_type"
+    ).repartition(1)
+    df4.write.format("jsonl_audit").option("path", path).mode(
+        "append"
+    ).save()
+    parts4 = sorted(
+        n for n in os.listdir(path) if n.startswith("part-")
+    )
+    assert parts4 == ["part-00000.jsonl", "part-00001.jsonl",
+                      "part-00002.jsonl", "part-00003.jsonl"], parts4
+    manifest4 = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert manifest4 == {"rows": 160, "parts": 4}
+    n_lines4 = sum(
+        1 for p in parts4 for _ in open(os.path.join(path, p))
+    )
+    assert n_lines4 == 160  # the orphan row is gone, not double-counted
 
 
 def test_bfs_distances_chain_and_cutoff(spark):
@@ -2904,7 +2928,8 @@ def test_bpe_token_counts_matches_reference_encoder(spark):
 def test_token_budget_sample_precomputed_counts(spark):
     """n_tokens_col tier: the budget is charged against the supplied
     column (BPE counts), same md5 order and running-total cut as the
-    whitespace tier; NULL counts charge 0."""
+    whitespace tier; rows with NULL counts are DROPPED (unknown cost
+    must not be admitted budget-free)."""
     import hashlib
 
     from bigdata_retailrocket_recsys_spark.operators.splits import (
@@ -2912,7 +2937,7 @@ def test_token_budget_sample_precomputed_counts(spark):
     )
 
     rows = [(i, "d", f"doc {i}", (i % 7) * 10) for i in range(1, 41)]
-    rows.append((99, "d", None, None))  # NULL count charges 0
+    rows.append((99, "d", None, None))  # NULL count → dropped, not free
     df = spark.createDataFrame(rows, ["doc_id", "source", "text", "n_bpe"])
     budget = 600
     kept = {
@@ -2921,18 +2946,19 @@ def test_token_budget_sample_precomputed_counts(spark):
             df, budget, n_tokens_col="n_bpe"
         ).collect()
     }
+    assert 99 not in kept  # unknown cost never admitted
     # replay the greedy head in plain Python under the identical order
     order = sorted(
-        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+        (r for r in rows if r[3] is not None),
+        key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
     )
     # prefix cut (not skip-and-continue): the running total includes
     # every doc in order, keep iff it still fits — mirrors the window
     cum, exp = 0, {}
     for did, _, _, ntok in order:
-        n = ntok or 0
-        cum += n
+        cum += ntok
         if cum <= budget:
-            exp[did] = (n, cum)
+            exp[did] = (ntok, cum)
     assert kept == exp
     assert max((c for _, c in kept.values()), default=0) <= budget
 
@@ -3140,6 +3166,28 @@ def test_snapshot_diff_null_injective(spark):
         5: "removed",
         6: "added",
     }
+
+
+def test_snapshot_diff_separator_forge_injective(spark):
+    """A value embedding the old \\x01 separator + 'false' presence-bit
+    framing could reproduce adjacent-field boundaries and conflate two
+    genuinely different rows (ADVICE r7 #3). Fixed-width per-column
+    md5+presence fields have no separator to forge — this exact
+    collision pair must now read 'changed'."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a\x01false\x01b", "c")], "id bigint, v1 string, v2 string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b\x01false\x01c")], "id bigint, v1 string, v2 string"
+    )
+    out = snapshot_diff(
+        old, new, key_cols=["id"], compare_cols=["v1", "v2"]
+    ).collect()
+    assert [(r.id, r.status) for r in out] == [(1, "changed")]
 
 
 def test_k_anonymity_suppresses_small_groups(spark):
