@@ -1367,6 +1367,15 @@ def duplicated_spans(
     join replaces the suffix-array construction that cannot be
     expressed as a bounded shuffle.
 
+    The count/semi-join shuffle is keyed on ``xxhash64(ngram)`` — 8
+    bytes per row instead of the raw ~n·avg-token-bytes string (~10× at
+    100 TB; the q_text_decontaminate rule). A 64-bit collision merges
+    two distinct n-grams' counts and can only ADD a false duplicated
+    start (never lose a true one); expected false-positive n-grams are
+    ~N²/2⁶⁵ — negligible below ~10¹⁰ distinct n-grams and a bounded
+    extra-cut rate above. The DuckDB oracle groups the raw strings, so
+    the fixture gate would catch any collision there outright.
+
     Output: (id, span_start [0-based token index], span_len [tokens]).
     """
     from pyspark.sql import Window
@@ -1383,19 +1392,19 @@ def duplicated_spans(
         tok.select(
             "__d",
             F.col("__p").alias("__s"),
-            F.concat_ws(" ", *leads).alias("__span"),
+            F.xxhash64(F.concat_ws(" ", *leads)).alias("__k"),
             leads[-1].isNotNull().alias("__full"),
         )
         .filter(F.col("__full"))
         .drop("__full")
     )
-    dup_spans = (
-        spans.groupBy("__span")
+    dup_keys = (
+        spans.groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__occ"))
         .filter(F.col("__occ") >= min_occurrences)
-        .select("__span")
+        .select("__k")
     )
-    starts = spans.join(dup_spans, "__span", "left_semi").select("__d", "__s")
+    starts = spans.join(dup_keys, "__k", "left_semi").select("__d", "__s")
     wisl = Window.partitionBy("__d").orderBy("__s")
     islands = starts.withColumn(
         "__grp", F.col("__s") - F.row_number().over(wisl)
@@ -1406,3 +1415,79 @@ def duplicated_spans(
             "span_len"
         ),
     ).select(F.col("__d").alias(id_col), "span_start", "span_len")
+
+
+def strip_duplicated_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication REMOVAL — the cutting half of
+    :func:`duplicated_spans` (the Lee et al. 2022 pass detects; a real
+    pipeline cuts): every token inside a reported maximal duplicated
+    span is dropped and each document is rebuilt from its surviving
+    tokens in original order (the strip_boilerplate pattern, applied to
+    corpus-wide duplicated substrings instead of cross-document
+    prevalent n-grams).
+
+    Composes directly on :func:`duplicated_spans` — covered positions
+    are ``explode(sequence(span_start, span_start+span_len−1))`` over
+    its island output, so detection and removal can NEVER disagree on
+    what counts as duplicated. Then one (doc, pos) anti-join against the
+    token rows and a sort_array rebuild; islands are disjoint by
+    construction (maximal), so no distinct is needed on the covered
+    set. At 100 TB the heavy stages are duplicated_spans' own bounded
+    shuffles plus one more by-doc exchange for the rebuild. Documents
+    that were entirely duplicated come back with ``text_clean = ''``
+    rather than vanishing (reference py:214-262 dedups whole sessions;
+    this cuts sub-document repetition and keeps the remainder).
+
+    Output: (id, n_tokens, n_removed, text_clean).
+    """
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__d"), F.col(text_col).alias("__text"))
+    tok = base.select(
+        "__d", F.posexplode(ws_tokens("__text")).alias("__p", "__t")
+    )
+    spans = duplicated_spans(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        min_occurrences=min_occurrences,
+    )
+    covered = spans.select(
+        F.col(id_col).alias("__d"),
+        F.explode(
+            F.sequence(
+                F.col("span_start"),
+                F.col("span_start") + F.col("span_len") - F.lit(1),
+            )
+        ).alias("__p"),
+    )
+    kept = tok.join(covered, ["__d", "__p"], "left_anti")
+    rebuilt = kept.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__t"))),
+                lambda x: x["__t"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = base.select(
+        "__d", F.size(ws_tokens("__text")).cast("bigint").alias("n_tokens")
+    )
+    return totals.join(rebuilt, "__d", "left").select(
+        F.col("__d").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

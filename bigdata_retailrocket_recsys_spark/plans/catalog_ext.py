@@ -8310,3 +8310,73 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         eval_source="src0",
         budget_tokens=700,
     )
+
+
+@query(
+    "q_dedup_substring_apply",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), tok AS (
+        SELECT doc_id, p - 1 AS p, toks[p] AS t
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS p
+              FROM base)
+    ), sp AS (
+        SELECT doc_id, st - 1 AS s,
+               array_to_string(list_slice(toks, st, st + 4), ' ') AS span
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS st
+              FROM base WHERE len(toks) >= 5)
+    ), dup AS (
+        SELECT span FROM sp GROUP BY span HAVING COUNT(*) >= 2
+    ), st2 AS (
+        SELECT doc_id, s,
+               s - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s ASC)
+                   AS grp
+        FROM sp WHERE span IN (SELECT span FROM dup)
+    ), isl AS (
+        SELECT doc_id, MIN(s) AS span_start,
+               MAX(s) - MIN(s) + 5 AS span_len
+        FROM st2 GROUP BY doc_id, grp
+    ), cov AS (
+        SELECT doc_id,
+               unnest(generate_series(span_start,
+                                      span_start + span_len - 1)) AS p
+        FROM isl
+    ), kept AS (
+        SELECT t.doc_id, t.p, t.t
+        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        WHERE c.p IS NULL
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(t, ' ' ORDER BY p ASC) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_tokens,
+           CAST(len(b.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication REMOVAL (operators/dedup.
+    strip_duplicated_spans) — the cutting half of q_dedup_substring_spans:
+    every token inside a maximal duplicated span (every 5-gram occurring
+    >=2 times corpus-wide, Lee et al. 2022) is cut and the document is
+    rebuilt from the survivors in original order. Composes directly on
+    duplicated_spans' island output (covered positions = one sequence
+    explode), so detection and removal can never disagree. The cleaned
+    TEXT itself is hashed — any off-by-one in island arithmetic or token
+    order breaks the oracle. Engine shuffles xxhash64 n-gram keys; the
+    oracle groups raw strings (a 64-bit collision would surface here as
+    a hash mismatch)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        strip_duplicated_spans,
+    )
+
+    return strip_duplicated_spans(
+        _t(spark, sf_dir, "documents"), n=5, min_occurrences=2
+    )

@@ -36,6 +36,12 @@ for t in (
 ).split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+# BDRR_ONLY=q_a,q_b restricts the sweep for spot-checking new/changed
+# queries with the exact driver compare (both fixtures, both paths)
+_only = set(filter(None, os.environ.get("BDRR_ONLY", "").split(",")))
+if _only:
+    qs = {k: v for k, v in qs.items() if k in _only}
+
 bad = []
 for i, name in enumerate(sorted(qs)):
     try:
