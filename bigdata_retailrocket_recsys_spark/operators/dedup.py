@@ -1365,7 +1365,10 @@ def duplicated_spans(
     Shuffles: one by doc (shingling), one by shingle (counts), one by
     doc (islands) — all bounded, nothing quadratic; the n-gram hash
     join replaces the suffix-array construction that cannot be
-    expressed as a bounded shuffle.
+    expressed as a bounded shuffle. The shingle frame feeds BOTH the
+    count aggregate and the semi-join, so it is ``.cache()``d (S7 —
+    Spark never reuses a twice-referenced exchange) and freed as soon
+    as the bounded island output is materialized.
 
     The count/semi-join shuffle is keyed on ``xxhash64(ngram)`` — 8
     bytes per row instead of the raw ~n·avg-token-bytes string (~10× at
@@ -1378,14 +1381,45 @@ def duplicated_spans(
 
     Output: (id, span_start [0-based token index], span_len [tokens]).
     """
-    from pyspark.sql import Window
+    tok = _span_tok_frame(docs, id_col=id_col, text_col=text_col)
+    out, spans = _span_islands_lazy(tok, n=n, min_occurrences=min_occurrences)
+    out = out.select(F.col("__d").alias(id_col), "span_start", "span_len")
+    # Islands are BOUNDED (one row per maximal duplicated run — orders of
+    # magnitude below token count); materialize them eagerly so the
+    # corpus-sized spans cache can be freed immediately instead of
+    # leaking until session end (the dot_topk_int8 unpersist rule).
+    out = out.localCheckpoint(eager=True)
+    spans.unpersist()
+    return out
 
-    tok = docs.filter(
+
+def _span_tok_frame(
+    docs: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """(__d, __p, __t) positioned-token frame shared by the exact-substring
+    detect and strip passes. ``ws_tokens`` yields ``['']`` for empty text,
+    so EVERY non-null-text doc has ≥1 row — per-doc aggregates over this
+    frame never drop a document."""
+    return docs.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(
         F.col(id_col).alias("__d"),
         F.posexplode(ws_tokens(text_col)).alias("__p", "__t"),
     )
+
+
+def _span_islands_lazy(
+    tok: DataFrame, *, n: int, min_occurrences: int
+) -> "tuple[DataFrame, DataFrame]":
+    """Lazy maximal-island plan over a positioned-token frame. Returns
+    ``(islands, spans)`` where ``spans`` (the tokenize → n−1 lead-window
+    shingle frame — the heaviest stage) is CACHED here because it feeds
+    BOTH the occurrence-count aggregate and the duplicated-start
+    semi-join, and Spark never reuses a twice-referenced exchange (S7).
+    The caller must materialize ``islands`` and then ``spans.unpersist()``
+    — the public wrappers do exactly that."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("__d").orderBy("__p")
     leads = [F.col("__t")] + [F.lead("__t", j).over(w) for j in range(1, n)]
     spans = (
@@ -1397,6 +1431,7 @@ def duplicated_spans(
         )
         .filter(F.col("__full"))
         .drop("__full")
+        .cache()
     )
     dup_keys = (
         spans.groupBy("__k")
@@ -1409,12 +1444,13 @@ def duplicated_spans(
     islands = starts.withColumn(
         "__grp", F.col("__s") - F.row_number().over(wisl)
     )
-    return islands.groupBy("__d", "__grp").agg(
+    out = islands.groupBy("__d", "__grp").agg(
         F.min("__s").cast("bigint").alias("span_start"),
         (F.max("__s") - F.min("__s") + F.lit(n)).cast("bigint").alias(
             "span_len"
         ),
-    ).select(F.col("__d").alias(id_col), "span_start", "span_len")
+    ).select("__d", "span_start", "span_len")
+    return out, spans
 
 
 def strip_duplicated_spans(
@@ -1433,61 +1469,77 @@ def strip_duplicated_spans(
     corpus-wide duplicated substrings instead of cross-document
     prevalent n-grams).
 
-    Composes directly on :func:`duplicated_spans` — covered positions
-    are ``explode(sequence(span_start, span_start+span_len−1))`` over
-    its island output, so detection and removal can NEVER disagree on
-    what counts as duplicated. Then one (doc, pos) anti-join against the
-    token rows and a sort_array rebuild; islands are disjoint by
-    construction (maximal), so no distinct is needed on the covered
-    set. At 100 TB the heavy stages are duplicated_spans' own bounded
-    shuffles plus one more by-doc exchange for the rebuild. Documents
-    that were entirely duplicated come back with ``text_clean = ''``
-    rather than vanishing (reference py:214-262 dedups whole sessions;
-    this cuts sub-document repetition and keeps the remainder).
+    Composes directly on the :func:`duplicated_spans` island machinery —
+    covered positions are ``explode(sequence(span_start,
+    span_start+span_len−1))`` over its island output, so detection and
+    removal can NEVER disagree on what counts as duplicated. Island
+    STARTS are disjoint by construction (maximal runs), but their
+    covered RANGES may overlap when two islands start < ``n`` apart —
+    the covered set is therefore ``distinct()``-ed before the (doc, pos)
+    join (a duplicate-position row would otherwise double-count tokens
+    in the single-pass rebuild below).
+
+    One shared token frame feeds everything (the S7 discipline): the
+    shingle windows consume it once while the BOUNDED island output is
+    eagerly materialized (freeing the cached spans frame immediately),
+    then ONE left-join + groupBy pass over the same token frame computes
+    totals, kept counts, and the rebuilt text together — the corpus
+    tokenizes twice total instead of the previous three passes, and no
+    corpus-sized cache outlives the call. At 100 TB the heavy stages are
+    the bounded shingle shuffles plus one (doc, pos) exchange for the
+    rebuild. Documents that were entirely duplicated come back with
+    ``text_clean = ''`` rather than vanishing (reference py:214-262
+    dedups whole sessions; this cuts sub-document repetition and keeps
+    the remainder).
 
     Output: (id, n_tokens, n_removed, text_clean).
     """
-    base = docs.filter(
-        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
-    ).select(F.col(id_col).alias("__d"), F.col(text_col).alias("__text"))
-    tok = base.select(
-        "__d", F.posexplode(ws_tokens("__text")).alias("__p", "__t")
+    tok = _span_tok_frame(docs, id_col=id_col, text_col=text_col)
+    islands, spans = _span_islands_lazy(
+        tok, n=n, min_occurrences=min_occurrences
     )
-    spans = duplicated_spans(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        min_occurrences=min_occurrences,
+    islands = islands.localCheckpoint(eager=True)
+    spans.unpersist()
+    covered = (
+        islands.select(
+            "__d",
+            F.explode(
+                F.sequence(
+                    F.col("span_start"),
+                    F.col("span_start") + F.col("span_len") - F.lit(1),
+                )
+            ).alias("__p"),
+        )
+        .distinct()
+        .withColumn("__cov", F.lit(1))
     )
-    covered = spans.select(
-        F.col(id_col).alias("__d"),
-        F.explode(
-            F.sequence(
-                F.col("span_start"),
-                F.col("span_start") + F.col("span_len") - F.lit(1),
-            )
-        ).alias("__p"),
-    )
-    kept = tok.join(covered, ["__d", "__p"], "left_anti")
-    rebuilt = kept.groupBy("__d").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+    joined = tok.join(covered, ["__d", "__p"], "left")
+    return joined.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__cov").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__t"))),
+                F.array_sort(
+                    F.collect_list(
+                        # covered rows yield NULL and collect_list skips
+                        # NULL inputs — only surviving tokens are rebuilt
+                        F.when(
+                            F.col("__cov").isNull(),
+                            F.struct("__p", "__t"),
+                        )
+                    )
+                ),
                 lambda x: x["__t"],
             ),
             " ",
         ).alias("text_clean"),
-    )
-    totals = base.select(
-        "__d", F.size(ws_tokens("__text")).cast("bigint").alias("n_tokens")
-    )
-    return totals.join(rebuilt, "__d", "left").select(
+    ).select(
         F.col("__d").alias(id_col),
         "n_tokens",
-        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)))
+        (F.col("n_tokens") - F.col("__n_kept"))
         .cast("bigint")
         .alias("n_removed"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "text_clean",
     )

@@ -465,6 +465,12 @@ def dot_topk_int8(
     row operations inside whole-stage codegen instead of the
     N·dim·|Q|-row exploded join (measured 3.8× at 1M×64: 22.7 s vs
     85.9 s, value-identical). WindowGroupLimit top-k.
+
+    The top-k output is BOUNDED (|queries|·k rows), so it is eagerly
+    materialized (localCheckpoint) and both corpus-sized caches are
+    unpersisted before returning — repeated calls in one session
+    (rehearsals, q_retrieval_rrf) no longer accumulate executor
+    storage.
     """
     guard = F.expr(
         f"size({vec_col}) = {dim} AND !exists({vec_col}, "
@@ -510,13 +516,16 @@ def dot_topk_int8(
             ).alias("idot8"),
         )
     )
-    return topk_per_group(
+    out = topk_per_group(
         scored,
         group_cols=["query_id"],
         order_by=[F.col("idot8").desc(), F.col(id_col).asc()],
         k=k,
         rank_col="rank",
-    )
+    ).localCheckpoint(eager=True)
+    codes.unpersist()
+    base.unpersist()
+    return out
 
 
 def rrf_fuse(

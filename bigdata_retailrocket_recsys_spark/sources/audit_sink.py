@@ -91,14 +91,27 @@ class AuditJsonlWriter(DataSourceWriter):
             # it is removed here (leaving it would make _SUCCESS
             # undercount what a glob reader sees).
             prior_rows, prior_parts = 0, 0
+            existing = []
+            for p in glob.glob(os.path.join(self._path, "part-*.jsonl")):
+                m = re.search(r"part-(\d+)\.jsonl$", p)
+                if m:
+                    existing.append((int(m.group(1)), p))
             if os.path.exists(succ):
                 with open(succ, "r", encoding="utf-8") as f:
                     prior = json.load(f)
                 prior_rows = int(prior.get("rows", 0))
-                prior_parts = int(prior.get("parts", 0))
-            for p in glob.glob(os.path.join(self._path, "part-*.jsonl")):
-                m = re.search(r"part-(\d+)\.jsonl$", p)
-                if m and int(m.group(1)) >= prior_parts:
+                if "parts" in prior:
+                    prior_parts = int(prior["parts"])
+                else:
+                    # foreign/hand-written manifest without 'parts':
+                    # every existing part file is COMMITTED state, not
+                    # an orphan — continue numbering after the highest
+                    # existing part instead of deleting them all
+                    prior_parts = (
+                        max(n for n, _ in existing) + 1 if existing else 0
+                    )
+            for num, p in existing:
+                if num >= prior_parts:
                     os.remove(p)
             start = prior_parts
         total = 0

@@ -2828,6 +2828,30 @@ def test_jsonl_audit_sink_commit_protocol(spark, tmp_path):
         1 for p in parts4 for _ in open(os.path.join(path, p))
     )
     assert n_lines4 == 160  # the orphan row is gone, not double-counted
+    # foreign manifest (ADVICE r8 #4): a _SUCCESS lacking 'parts' (never
+    # produced by this sink — e.g. hand-written) must treat every
+    # existing part as COMMITTED, not orphaned: nothing is deleted and
+    # numbering continues after the highest existing part
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write('{"rows": 160}')
+    df5 = spark.range(5).selectExpr(
+        "id + 3000 AS event_id", "CAST(id % 3 AS STRING) AS event_type"
+    ).repartition(1)
+    df5.write.format("jsonl_audit").option("path", path).mode(
+        "append"
+    ).save()
+    parts5 = sorted(
+        n for n in os.listdir(path) if n.startswith("part-")
+    )
+    assert parts5 == ["part-00000.jsonl", "part-00001.jsonl",
+                      "part-00002.jsonl", "part-00003.jsonl",
+                      "part-00004.jsonl"], parts5
+    manifest5 = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert manifest5 == {"rows": 165, "parts": 5}
+    n_lines5 = sum(
+        1 for p in parts5 for _ in open(os.path.join(path, p))
+    )
+    assert n_lines5 == 165  # all four prior parts survived intact
 
 
 def test_bfs_distances_chain_and_cutoff(spark):
@@ -3246,3 +3270,49 @@ def test_duplicated_spans_islands_merge(spark):
     }
     # doc 1: starts 0 and 1 duplicated (both 5-grams of the shared run)
     assert out == {(1, 0): 6, (2, 1): 6}
+
+
+def test_strip_duplicated_spans_geometry(spark):
+    """Edge geometry for the REMOVAL half (ADVICE r8 #2): two islands
+    whose start gap is < n have OVERLAPPING covered ranges (starts 0 and
+    2 with n=5 cover [0,4] and [2,6] — the union [0,6] must cut 7
+    tokens, not 10); a fully-duplicated doc survives with
+    ``text_clean=''``; a single-token doc (no full shingle) passes
+    through untouched; NULL id/text rows are dropped."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: 5-gram@0 ("a b c d e") duplicated with doc 2,
+            # 5-gram@2 ("c d e f g") duplicated with doc 3, 5-gram@1
+            # ("b c d e f") occurs only here -> two SEPARATE islands
+            # {0} and {2} whose covered ranges overlap on [2,4]
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e"),        # entirely one duplicated 5-gram
+            (3, "c d e f g"),        # entirely one duplicated 5-gram
+            (4, "solo"),             # single token, no shingle
+            (5, None),               # NULL text: dropped
+            (None, "a b c d e"),     # NULL id: dropped
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start): r.span_len
+        for r in duplicated_spans(docs, n=5, min_occurrences=2).collect()
+    }
+    assert spans == {(1, 0): 5, (1, 2): 5, (2, 0): 5, (3, 0): 5}
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in strip_duplicated_spans(
+            docs, n=5, min_occurrences=2
+        ).collect()
+    }
+    assert out == {
+        1: (10, 7, "h i j"),   # union of overlaps cut once, not twice
+        2: (5, 5, ""),         # fully duplicated -> kept, emptied
+        3: (5, 5, ""),
+        4: (1, 0, "solo"),
+    }
