@@ -35,8 +35,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_retailrocket_recsys_spark.operators.dedup import (
+    connected_components,
     contamination_check,
     exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    strip_duplicated_spans,
 )
 from bigdata_retailrocket_recsys_spark.operators.splits import (
     token_budget_sample,
@@ -59,9 +63,31 @@ def build_corpus(
     min_tokens: int = 5,
     shingle_n: int = 3,
     cache: bool = True,
+    near_dup: bool = False,
+    near_dup_hash_fn: str = "xxhash64",
+    near_dup_num_hashes: int = 16,
+    near_dup_bands: int = 4,
+    near_dup_min_jaccard: float = 0.5,
+    strip_substrings: bool = False,
+    substring_n: int = 5,
+    substring_min_occurrences: int = 2,
 ) -> DataFrame:
-    """Run the four-stage corpus pipeline; returns the kept training docs
-    as ``(id, domain, n_tok, cum_tok)`` (the budget-sample surface).
+    """Run the corpus pipeline; returns the kept training docs as
+    ``(id, domain, n_tok, cum_tok)`` (the budget-sample surface).
+
+    Stages, in order (the RefinedWeb/FineWeb shape):
+
+      quality gate → exact dedup → [``near_dup``: MinHash-LSH candidate
+      pairs → exact-Jaccard verification → connected components → one
+      canonical keeper per cluster] → [``strip_substrings``: corpus-wide
+      duplicated-span REMOVAL — downstream stages run on the CLEANED
+      text; docs stripped to nothing are dropped] → decontamination →
+      per-domain token-budget cut
+
+    The two bracketed stages are off by default (the four-stage
+    ``q_corpus_pipeline`` contract is unchanged); ``near_dup_hash_fn``
+    is ``xxhash64`` for the scale tier and ``'md5'`` for the
+    cross-engine-replayable oracle tier (the minhash_signatures split).
 
     ``eval_source`` rows are the decontamination reference and are
     excluded from the output corpus by construction. NULL-``domain``
@@ -89,6 +115,58 @@ def build_corpus(
     train = gated.join(keepers, id_col, "left_semi").filter(
         F.col(domain_col).isNull() | (F.col(domain_col) != eval_source)
     )
+    if cache and (near_dup or strip_substrings):
+        # train feeds the LSH candidates, the Jaccard verification, the
+        # CC node list, the keeper semi-join, and/or the strip +
+        # domain-join pair (S7)
+        train = train.cache()
+    if near_dup:
+        cand = minhash_lsh_candidates(
+            train,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_hashes=near_dup_num_hashes,
+            bands=near_dup_bands,
+            hash_fn=near_dup_hash_fn,
+        ).select("doc_a", "doc_b")
+        edges = jaccard_verify(
+            cand,
+            train,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            min_jaccard=near_dup_min_jaccard,
+        ).select("doc_a", "doc_b")
+        cc = connected_components(
+            train.select(id_col),
+            edges,
+            node_col=id_col,
+            src_col="doc_a",
+            dst_col="doc_b",
+        )
+        nd_keep = cc.filter(F.col(id_col) == F.col("cluster_id")).select(
+            id_col
+        )
+        train = train.join(nd_keep, id_col, "left_semi")
+    if strip_substrings:
+        # duplicated-span detection runs on the SURVIVING corpus (a span
+        # duplicated only across docs the near-dup stage removed is no
+        # longer duplicated); downstream stages see the cleaned text, and
+        # docs stripped to nothing are dropped rather than shipped empty
+        stripped = strip_duplicated_spans(
+            train,
+            id_col=id_col,
+            text_col=text_col,
+            n=substring_n,
+            min_occurrences=substring_min_occurrences,
+        )
+        train = train.select(id_col, domain_col).join(
+            stripped.filter(F.col("text_clean") != "").select(
+                id_col, F.col("text_clean").alias(text_col)
+            ),
+            id_col,
+        )
     eval_docs = base.filter(F.col(domain_col) == eval_source)
     # contamination_check(reference_side, checked_side): per CHECKED doc,
     # the share of its shingles found in the REFERENCE corpus — each

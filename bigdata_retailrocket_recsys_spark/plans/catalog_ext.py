@@ -8380,3 +8380,208 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_spans(
         _t(spark, sf_dir, "documents"), n=5, min_occurrences=2
     )
+
+
+@query(
+    "q_corpus_pipeline_neardup",
+    oracle=r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qf AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM base
+    ), gated AS (
+        SELECT doc_id, text, source FROM qf
+        WHERE (LEAST(n_toks / 64.0, 1.0) * 0.5
+               + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25
+               + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25) >= 0.5
+          AND n_toks >= 5.0
+    ), ekeep AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+              FROM gated)
+        GROUP BY dk
+    ), train AS (
+        SELECT g.doc_id, g.text, g.source
+        FROM gated g JOIN ekeep k USING (doc_id)
+        WHERE g.source IS NULL OR g.source <> 'src0'
+    ), msh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM train))
+    ), sig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM msh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), band AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM sig GROUP BY doc, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ), vsh AS (
+        SELECT DISTINCT doc, s FROM msh
+    ), vsizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM vsh GROUP BY doc
+    ), vcommon AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c JOIN vsh a ON a.doc = c.doc_a
+                    JOIN vsh b ON b.doc = c.doc_b AND a.s = b.s
+        GROUP BY c.doc_a, c.doc_b
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM vcommon
+        JOIN vsizes sa ON sa.doc = doc_a
+        JOIN vsizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(s, d) AS (
+        SELECT doc_id, doc_id FROM train
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), clusters AS (
+        SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+    ), kept AS (
+        SELECT t.doc_id, t.text, t.source
+        FROM train t JOIN clusters c USING (doc_id)
+        WHERE c.doc_id = c.cluster_id
+    ), kbase AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM kept
+    ), ktok AS (
+        SELECT doc_id, p - 1 AS p, toks[p] AS t
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS p
+              FROM kbase)
+    ), ksp AS (
+        SELECT doc_id, st - 1 AS s2,
+               array_to_string(list_slice(toks, st, st + 4), ' ') AS span
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS st
+              FROM kbase WHERE len(toks) >= 5)
+    ), kdup AS (
+        SELECT span FROM ksp GROUP BY span HAVING COUNT(*) >= 2
+    ), kst2 AS (
+        SELECT doc_id, s2,
+               s2 - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s2 ASC)
+                   AS grp
+        FROM ksp WHERE span IN (SELECT span FROM kdup)
+    ), kisl AS (
+        SELECT doc_id, MIN(s2) AS span_start,
+               MAX(s2) - MIN(s2) + 5 AS span_len
+        FROM kst2 GROUP BY doc_id, grp
+    ), kcov AS (
+        SELECT DISTINCT doc_id,
+               unnest(generate_series(span_start,
+                                      span_start + span_len - 1)) AS p
+        FROM kisl
+    ), kkept AS (
+        SELECT t.doc_id, t.p, t.t
+        FROM ktok t LEFT JOIN kcov c ON t.doc_id = c.doc_id AND t.p = c.p
+        WHERE c.p IS NULL
+    ), kagg AS (
+        SELECT doc_id, string_agg(t, ' ' ORDER BY p ASC) AS text_clean
+        FROM kkept GROUP BY doc_id
+    ), cleaned AS (
+        SELECT b.doc_id, COALESCE(a.text_clean, '') AS text, b.source
+        FROM kbase b LEFT JOIN kagg a USING (doc_id)
+        WHERE COALESCE(a.text_clean, '') <> ''
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM base WHERE source = 'src0'))
+    ), tr_sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM cleaned))
+    ), cont AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM tr_sh GROUP BY doc_id
+    ), clean2 AS (
+        SELECT t.doc_id, t.text, t.source
+        FROM cleaned t JOIN cont c USING (doc_id)
+        WHERE c.n_hit * 2 < c.n_sh
+    ), toks2 AS (
+        SELECT doc_id, source AS domain,
+               CAST(len(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM clean2
+    ), cum AS (
+        SELECT doc_id, domain, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY domain ORDER BY h ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM toks2
+    )
+    SELECT doc_id, domain, n_tok, cum_tok FROM cum WHERE cum_tok <= 700
+    """,
+)
+def q_corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL RefinedWeb/FineWeb-shape corpus pipeline as one oracled
+    query — q_corpus_pipeline with the two near-duplicate stages ON:
+
+      quality gate → exact dedup → MinHash-LSH candidates (md5 tier, 16
+      hashes / 4 bands) → exact-Jaccard verification (≥0.5 over distinct
+      3-gram sets) → connected components → one canonical keeper per
+      cluster → exact-substring span REMOVAL (Lee et al. 5-grams, ≥2
+      occurrences — downstream stages run on the CLEANED text, emptied
+      docs dropped) → 3-gram decontamination vs the eval split →
+      per-domain token-budget cut
+
+    Every stage is an individually-oracled operator (q_dedup_minhash_md5,
+    q_dedup_clusters, q_dedup_substring_apply, q_corpus_pipeline); this
+    entry hash-checks their COMPOSITION end-to-end through one DuckDB
+    recursive-CTE chain — including that span duplication is recounted on
+    the post-clustering corpus and that budget counting sees the cleaned
+    text. md5-MinHash is the replayable oracle tier; the shipped scale
+    tier flips ``near_dup_hash_fn='xxhash64'`` (same machinery, 8-byte
+    shuffles — the minhash_signatures split). Composition lives in
+    pipelines/corpus.build_corpus, shared with scripts/volume_probe.py
+    corpus mode so the probed plan IS the shipped plan."""
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus,
+    )
+
+    return build_corpus(
+        _t(spark, sf_dir, "documents"),
+        eval_source="src0",
+        budget_tokens=700,
+        near_dup=True,
+        near_dup_hash_fn="md5",
+        strip_substrings=True,
+    )

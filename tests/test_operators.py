@@ -3272,6 +3272,31 @@ def test_duplicated_spans_islands_merge(spark):
     assert out == {(1, 0): 6, (2, 1): 6}
 
 
+def test_jaccard_verify_filters_candidates(spark):
+    """LSH candidates are only 'probably similar' — verification computes
+    the true Jaccard over distinct shingle sets and drops pairs below the
+    threshold; pairs with empty intersection vanish entirely."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        jaccard_verify,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "z")],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a bigint, doc_b bigint"
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in jaccard_verify(
+            pairs, docs, shingle_n=1, min_jaccard=0.5
+        ).collect()
+    }
+    # (1,2): |{a,b,c}| / |{a,b,c,d,x}| = 0.6 survives; (1,3): 0 dropped
+    assert out == {(1, 2): (3, 4, 4, 0.6)}
+
+
 def test_strip_duplicated_spans_geometry(spark):
     """Edge geometry for the REMOVAL half (ADVICE r8 #2): two islands
     whose start gap is < n have OVERLAPPING covered ranges (starts 0 and
