@@ -187,3 +187,92 @@ def build_corpus(
         text_col=text_col,
         domain_col=domain_col,
     )
+
+
+def build_corpus_incremental(
+    batch: DataFrame,
+    corpus_digests: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    eval_source: str = "src0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """INCREMENTAL corpus maintenance — the daily-delta path: only the
+    NEW batch is gated, deduped, and decontaminated; the existing corpus
+    participates solely through its persisted 16-byte digest table
+    (:func:`~bigdata_retailrocket_recsys_spark.operators.dedup
+    .content_digest_table`), so corpus text is never read, shuffled, or
+    re-hashed (the incremental_exact_dedup contract). At 100 TB a daily
+    1-TB batch costs batch-sized work + one digest anti-join instead of
+    a full-corpus rebuild.
+
+    Stages (each the incremental twin of a :func:`build_corpus` stage):
+
+      quality gate (batch-narrow filter) → eval-source exclusion →
+      exact dedup vs corpus digests + within-batch (keeper = min id) →
+      3-gram decontamination vs the eval split → accepted docs
+
+    Output: ``(id, domain, n_tok)`` — the rows to APPEND to the corpus
+    (their digests then appended to the digest table, keeping the next
+    increment exact). No budget stage: a token budget is a corpus-global
+    property re-cut at snapshot time, not per delta.
+    """
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    b = batch.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(id_col, text_col, domain_col)
+    gated = (
+        quality_filter(
+            b,
+            text_col=text_col,
+            min_quality=min_quality,
+            min_tokens=min_tokens,
+        )
+        .filter(
+            F.col(domain_col).isNull() | (F.col(domain_col) != eval_source)
+        )
+        .withColumn("__norm", normalize_text(text_col))
+    )
+    # gated feeds the dedup keying AND the keeper semi-join (S7)
+    gated = gated.cache()
+    accepted = incremental_exact_dedup(
+        gated,
+        corpus_digests=corpus_digests,
+        key_cols=["__norm"],
+        id_col=id_col,
+    )
+    fresh = gated.join(
+        accepted.select(F.col("keeper_id").alias(id_col)),
+        id_col,
+        "left_semi",
+    )
+    flags = contamination_check(
+        eval_docs, fresh, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n,
+    )
+    clean = fresh.join(
+        flags.filter(F.col("contaminated") == 1).select(id_col),
+        id_col,
+        "left_anti",
+    )
+    # same token count the budget stage charges (token_budget_sample's
+    # n_tok expression), so a later snapshot re-cut composes directly
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("bigint")
+    return clean.select(
+        id_col,
+        F.col(domain_col).alias("domain"),
+        n_tok.alias("n_tok"),
+    )

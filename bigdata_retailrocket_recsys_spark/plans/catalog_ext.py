@@ -8585,3 +8585,120 @@ def q_corpus_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_hash_fn="md5",
         strip_substrings=True,
     )
+
+
+@query(
+    "q_corpus_incremental",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qf AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM base
+    ), gated AS (
+        SELECT doc_id, text, source FROM qf
+        WHERE (LEAST(n_toks / 64.0, 1.0) * 0.5
+               + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25
+               + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25) >= 0.5
+          AND n_toks >= 5.0
+    ), cdig AS (
+        SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM gated
+        WHERE doc_id % 4 <> 0 AND (source IS NULL OR source <> 'src0')
+    ), bat AS (
+        SELECT doc_id, text, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM gated
+        WHERE doc_id % 4 = 0 AND (source IS NULL OR source <> 'src0')
+    ), surv AS (
+        SELECT * FROM bat WHERE dk NOT IN (SELECT dk FROM cdig)
+    ), keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY dk
+    ), fresh AS (
+        SELECT s.doc_id, s.text, s.source
+        FROM surv s JOIN keep USING (doc_id)
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM base WHERE source = 'src0'))
+    ), tr_sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh))
+    ), cont AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM tr_sh GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.source AS domain,
+           CAST(len(list_filter(
+               string_split_regex(trim(lower(f.text)), '\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tok
+    FROM fresh f JOIN cont c USING (doc_id)
+    WHERE c.n_hit * 2 < c.n_sh
+    """,
+)
+def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus maintenance (pipelines/corpus
+    .build_corpus_incremental) — the daily-delta twin of
+    q_corpus_pipeline: yesterday's corpus (doc_id % 4 ≠ 0, gated,
+    non-eval) exists ONLY as its persisted digest table
+    (content_digest_table — 16 bytes/doc, staged to session scratch and
+    read back); today's batch (doc_id % 4 = 0) is quality-gated,
+    deduped against those digests + within itself (keeper = min id),
+    and 3-gram-decontaminated against the eval split. Output = the
+    accepted rows to append, with the same n_tok the budget stage
+    charges at snapshot re-cut time. Corpus text is never read in the
+    incremental path — the anti-join ships digests only (the 100 TB
+    property). Oracle replays gate, digest set, anti-join, keeper
+    grouping, and containment in one CTE chain."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        content_digest_table,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        normalize_text,
+        quality_filter,
+    )
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "text", "source")
+    corp = (
+        quality_filter(base.filter(F.col("doc_id") % 4 != 0))
+        .filter(F.col("source").isNull() | (F.col("source") != "src0"))
+        .withColumn("__norm", normalize_text("text"))
+    )
+    dig_path = _session_tmp(spark, "corpus_inc_digests")
+    content_digest_table(corp, dig_path, key_cols=["__norm"])
+    return build_corpus_incremental(
+        base.filter(F.col("doc_id") % 4 == 0),
+        spark.read.parquet(dig_path),
+        base.filter(F.col("source") == "src0"),
+        eval_source="src0",
+    )

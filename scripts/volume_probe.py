@@ -51,7 +51,9 @@ DIMS = ["nation", "region", "customer", "part", "supplier"]
 SMALL = DIMS + ["events", "documents", "embeddings"]
 
 
-def get_spark(shuffle_partitions: int = 64) -> SparkSession:
+def get_spark(
+    shuffle_partitions: int = 64, ui: bool = False
+) -> SparkSession:
     # BDRR_VOL_MASTER=local-cluster[2,4,8192] reruns a probe with real
     # executor boundaries (serialized broadcasts, per-executor shuffle
     # dirs) — the conftest/scale_bench convention
@@ -61,10 +63,26 @@ def get_spark(shuffle_partitions: int = 64) -> SparkSession:
         .appName("bdrr-volume-probe")
         .config("spark.driver.memory", os.environ.get("BDRR_VOL_DRIVER_MEM", "48g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", str(ui).lower())
         .config("spark.io.compression.codec", "zstd")
         .getOrCreate()
     )
+
+
+def _shuffle_write_bytes(spark: SparkSession) -> int:
+    """Total shuffle-write bytes across completed stages, via the UI REST
+    API (requires ``get_spark(ui=True)``). Delta two readings to meter
+    one section."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+    ) as r:
+        stages = _json.load(r)
+    return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
 
 
 def build_tpch(spark: SparkSession, copies: int) -> None:
@@ -246,6 +264,98 @@ def probe_ops(n_docs: int, n_edges: int) -> None:
     )
 
 
+def probe_spans(n_docs: int) -> None:
+    """Exact-substring pass at volume (VERDICT r8 #1/#8 done criteria):
+    wall for the S7-cached duplicated_spans (r8 detect-only baseline with
+    the uncached double-compute: 17.2 s at 1M docs), wall for
+    strip_duplicated_spans (shares one token frame), and a shuffle-bytes
+    A/B of the count/semi-join stage keyed on raw n-gram strings vs
+    xxhash64 — measuring the docstring's '~10× narrower shuffle' claim
+    instead of asserting it."""
+    from pyspark.sql import Window
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        duplicated_spans,
+        strip_duplicated_spans,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import ws_tokens
+
+    spark = get_spark(ui=True)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synth_documents(spark, n_docs).cache()
+    print(f"[spans] docs materialized: {docs.count():,}", flush=True)
+
+    t0 = time.time()
+    agg = duplicated_spans(docs, n=5, min_occurrences=2).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    ).collect()[0]
+    print(
+        f"[spans] duplicated_spans (S7-cached) over {n_docs:,} docs: "
+        f"{agg['n_spans']:,} spans / {agg['dup_tokens']:,} dup tokens "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    s = strip_duplicated_spans(docs, n=5, min_occurrences=2).agg(
+        F.sum("n_tokens").alias("nt"), F.sum("n_removed").alias("nr")
+    ).collect()[0]
+    print(
+        f"[spans] strip_duplicated_spans over {n_docs:,} docs: "
+        f"{s['nr']:,}/{s['nt']:,} tokens removed "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    # shuffle-bytes A/B: the count+semi-join stage over raw 5-gram string
+    # keys vs xxhash64 keys (the shipped form). Same token stream, same
+    # aggregate; only the shuffle key width differs.
+    tok = docs.select(
+        F.col("doc_id").alias("__d"),
+        F.posexplode(ws_tokens("text")).alias("__p", "__t"),
+    )
+    w = Window.partitionBy("__d").orderBy("__p")
+    leads = [F.col("__t")] + [F.lead("__t", j).over(w) for j in range(1, 5)]
+    for label, key in [
+        ("raw-string", F.concat_ws(" ", *leads)),
+        ("xxhash64", F.xxhash64(F.concat_ws(" ", *leads))),
+    ]:
+        spans = tok.select(
+            "__d",
+            F.col("__p").alias("__s"),
+            key.alias("__k"),
+            leads[-1].isNotNull().alias("__full"),
+        ).filter(F.col("__full")).drop("__full")
+        dup = (
+            spans.groupBy("__k")
+            .agg(F.count(F.lit(1)).alias("__occ"))
+            .filter(F.col("__occ") >= 2)
+            .select("__k")
+        )
+        before = _shuffle_write_bytes(spark)
+        t0 = time.time()
+        # aggregate over __d+__s (not count) so the payload columns the
+        # real operator ships survive column pruning — the CLAUDE.md
+        # measurement trap: count() would prune the shuffle to keys only
+        row = (
+            spans.join(dup, "__k", "left_semi")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__d") + F.col("__s")).alias("chk"),
+            )
+            .collect()[0]
+        )
+        n = row["n"]
+        wall = time.time() - t0
+        delta = _shuffle_write_bytes(spark) - before
+        print(
+            f"[spans] count+semi-join keyed {label}: {n:,} dup starts, "
+            f"{delta / 1e6:,.0f} MB shuffled in {wall:.1f}s",
+            flush=True,
+        )
+
+
 def probe_corpus(n_docs: int) -> None:
     """Time the full corpus-construction pipeline (q_corpus_pipeline's
     exact composition via pipelines.corpus.build_corpus) at volume:
@@ -284,6 +394,7 @@ def probe_corpus(n_docs: int) -> None:
     print(f"[corpus] docs materialized: {n:,}", flush=True)
     # budget sized to keep ~25% of each domain's tokens (30 tok/doc)
     budget = int(n * 30 // 50 * 0.25)
+    near_dup = os.environ.get("BDRR_CORPUS_NEARDUP", "") == "1"
     t0 = time.time()
     kept = build_corpus(
         docs,
@@ -293,6 +404,10 @@ def probe_corpus(n_docs: int) -> None:
         # scores them 0.484 and keeps nothing; the probe measures volume,
         # not gate selectivity
         min_quality=0.3,
+        # BDRR_CORPUS_NEARDUP=1 probes the full RefinedWeb shape (the
+        # q_corpus_pipeline_neardup composition, xxhash64 scale tier)
+        near_dup=near_dup,
+        strip_substrings=near_dup,
     )
     agg = kept.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -309,7 +424,7 @@ def probe_corpus(n_docs: int) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("probe", choices=["tpch", "ops", "corpus"])
+    p.add_argument("probe", choices=["tpch", "ops", "corpus", "spans"])
     p.add_argument("--copies", type=int, default=20)
     p.add_argument("--docs", type=int, default=1_000_000)
     p.add_argument("--edges", type=int, default=3_000_000)
@@ -323,6 +438,8 @@ def main() -> None:
         probe_tpch(a.queries.split(","), a.copies)
     elif a.probe == "corpus":
         probe_corpus(a.docs)
+    elif a.probe == "spans":
+        probe_spans(a.docs)
     else:
         probe_ops(a.docs, a.edges)
 
