@@ -22,11 +22,9 @@ from bigdata_retailrocket_recsys_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
-    simhash,
 )
 from bigdata_retailrocket_recsys_spark.operators.similarity import (
     cosine_topk,
-    cosine_topk_lsh,
 )
 from bigdata_retailrocket_recsys_spark.operators.text import (
     chunk_tokens,
@@ -101,26 +99,58 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_minhash_persisted", oracle=None)
+@query(
+    "q_dedup_minhash_persisted",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND doc_id IS NOT NULL))
+    ), sig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), band AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM sig GROUP BY doc, j // 4
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM band a JOIN band b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    """,
+)
 def q_dedup_minhash_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates against a PERSISTED signature table — the
     warehouse-scale path the in-memory variant's docstring promises: write
     (doc, sig) parquet once via minhash_signatures_table, then band+join
     reading ONLY that table (plan has no tokenize/shingle stage — locked in
-    tests/test_plans.py). Value-identical to q_dedup_minhash (locked in
-    tests/test_operators.py)."""
+    tests/test_plans.py). Runs the md5 signature tier (r9 graduation —
+    same oracle as q_dedup_minhash_md5, so the AT-REST write→read→band
+    machinery is value-hashed end-to-end, not just rows-counted); the
+    xxhash64 tier's at-rest value-identity with the in-memory path stays
+    locked in tests/test_operators.py."""
     from bigdata_retailrocket_recsys_spark.operators.dedup import (
         minhash_signatures_table,
     )
 
     sig_path = _session_tmp(spark, "minhash_sigs")
     minhash_signatures_table(
-        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull()),
         sig_path,
         id_col="doc_id",
         text_col="text",
         shingle_n=3,
         num_hashes=16,
+        hash_fn="md5",
     )
     return minhash_lsh_candidates(
         signatures=spark.read.parquet(sig_path),
@@ -129,11 +159,11 @@ def q_dedup_minhash_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash", oracle=None)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (explode/groupBy bit-vote formulation,
-    no UDF). xxhash64 → rows-only check."""
-    return simhash(_t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text")
+# q_dedup_simhash (signature-grain, xxhash64, rows-only) RETIRED r9
+# (VERDICT r8 #4): superseded by q_dedup_simhash_pairs (the pairing
+# stage that actually dedups, recall property-locked), its full-oracle
+# md5 twin q_dedup_simhash_pairs_md5, and the 128-bit scale tier. The
+# simhash() operator itself stays exported + unit-tested.
 
 
 @query(
@@ -278,16 +308,51 @@ def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_incremental_minhash", oracle=None)
+@query(
+    "q_dedup_incremental_minhash",
+    oracle=r"""
+    WITH sh AS (
+        SELECT doc_id AS doc, doc_id % 5 = 0 AS is_batch,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND doc_id IS NOT NULL))
+    ), sig AS (
+        SELECT doc, is_batch, j,
+               MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, is_batch, j
+    ), band AS (
+        SELECT doc, is_batch, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM sig GROUP BY doc, is_batch, j // 4
+    ), dupes AS (
+        SELECT DISTINCT b.doc
+        FROM band b JOIN band c
+          ON b.band = c.band AND b.bucket = c.bucket
+         AND b.is_batch AND NOT c.is_batch
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id IS NOT NULL AND doc_id % 5 = 0
+      AND doc_id NOT IN (SELECT doc FROM dupes)
+    """,
+)
 def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup of a NEW batch (doc_id % 5 = 0) against the corpus's
     persisted MinHash signature table (operators/dedup
     .minhash_lsh_candidates_vs_corpus): banded batch signatures are
     BROADCAST past a scan of the corpus signature table — no corpus text
     read, no corpus shuffle. Returns batch survivors (docs sharing no LSH
-    band with any corpus doc). xxhash64 → rows-only; batch⊂corpus-copy
-    drop/keep semantics + full-LSH equivalence locked in
-    tests/test_operators.py."""
+    band with any corpus doc). Runs the md5 signature tier (r9
+    graduation): the whole persisted-corpus → banded batch-vs-corpus
+    join → anti-join chain is value-hashed (NULL-text batch docs have no
+    signature, so they always survive — mirrored by the oracle's
+    text-notnull shingle base); the xxhash64 tier's full-LSH equivalence
+    stays locked in tests/test_operators.py."""
     from bigdata_retailrocket_recsys_spark.operators.dedup import (
         minhash_lsh_candidates_vs_corpus,
         minhash_signatures_table,
@@ -302,6 +367,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_col="text",
         shingle_n=3,
         num_hashes=16,
+        hash_fn="md5",
     )
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     cands = minhash_lsh_candidates_vs_corpus(
@@ -312,6 +378,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         num_hashes=16,
         bands=4,
+        hash_fn="md5",
     )
     dupes = cands.select(F.col("batch_doc").alias("doc_id")).distinct()
     return batch.select("doc_id").join(dupes, "doc_id", "left_anti")
@@ -451,18 +518,11 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank")
 
 
-@query("q_sim_topk_lsh", oracle=None)
-def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH-bucketed approximate top-k (the 100 TB path: queries scan
-    one bucket, not the corpus). Deterministic xxhash64 hyperplanes →
-    not DuckDB-expressible → rows-only."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return cosine_topk_lsh(
-        emb, queries, k=10, dim=64, bits=4, id_col="vec_id", vec_col="embedding"
-    ).select("query_id", "vec_id", "rank")
+# q_sim_topk_lsh (xxhash64 hyperplanes, rows-only) RETIRED r9 (VERDICT
+# r8 #4): superseded by q_sim_topk_lsh_exactint — the full-oracle twin
+# that value-checks the identical bucket→integer-dot→rank machinery
+# (md5-derived ±1 hyperplanes, floor(v·1e6) quantization). The
+# cosine_topk_lsh operator stays exported + recall-property-tested.
 
 
 @query("q_sim_topk_ivf", oracle=None)
