@@ -680,6 +680,91 @@ def domain_divergence(
     )
 
 
+#: shared Spark/DuckDB expression template (the BM25/KL/DCG discipline):
+#: µ-floored add-one-smoothed unigram log-probability. GREATEST guards an
+#: EMPTY reference corpus (n+v = 0 → ln(1) = 0 per token, not ln(∞)).
+LM_CONTRIB_SQL = (
+    "CAST(FLOOR(ln((CAST({cw} AS DOUBLE) + 1.0)"
+    " / GREATEST(CAST({n} AS DOUBLE) + CAST({v} AS DOUBLE), 1.0))"
+    " * 1e6) AS BIGINT)"
+)
+
+
+def lm_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score: per document, the
+    average unigram log-probability under an add-one-smoothed LM trained
+    on a REFERENCE corpus (CCNet scores Common Crawl against a Wikipedia
+    LM and keeps the low-perplexity head — the canonical model-based
+    quality gate between heuristic ratios and a real neural filter).
+    Higher (less negative) score = closer to the reference distribution;
+    ``-lm_score`` is a pseudo-perplexity in nats.
+
+    Pure count algebra at scale: the LM is one (term, count) table from
+    the reference (cached — it feeds both the totals aggregate and the
+    scoring join, S7) with its 1-row (N, V) totals broadcast; documents
+    reduce to (doc, term, c_dt) counts (map-side combinable) LEFT-joined
+    to the LM (unseen terms smooth to ln(1/(N+V))). Per-term
+    contributions are µ-floored bigints (``LM_CONTRIB_SQL`` — one
+    expression tree shared with the DuckDB oracle) scaled by the in-doc
+    count and summed exactly; the final average is ONE IEEE division, so
+    scores are cross-engine value-hashable. Tokens are lowercased
+    whitespace tokens (the domain_divergence convention); documents with
+    zero tokens have no distribution to score and are absent.
+
+    Output: (id, n_tokens, logprob_u [µ-floored ln-prob sum, bigint],
+    lm_score [avg ln-prob, double]).
+    """
+    def _bag(df: DataFrame, *cols: Column) -> DataFrame:
+        return df.filter(F.col(text_col).isNotNull()).select(
+            *cols,
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        ).filter(F.col("term") != "")
+
+    lm = _bag(reference).groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_w")
+    ).cache()
+    tot = lm.agg(
+        F.coalesce(F.sum("c_w"), F.lit(0)).cast("bigint").alias("n_ref"),
+        F.count(F.lit(1)).cast("bigint").alias("v_ref"),
+    )
+    dt = _bag(
+        docs.filter(F.col(id_col).isNotNull()), F.col(id_col).alias("__d")
+    ).groupBy("__d", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_dt")
+    )
+    contrib = F.col("c_dt") * F.expr(
+        LM_CONTRIB_SQL.format(
+            cw="COALESCE(c_w, CAST(0 AS BIGINT))", n="n_ref", v="v_ref"
+        )
+    )
+    return (
+        dt.join(lm, "term", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("__d")
+        .agg(
+            F.sum("c_dt").cast("bigint").alias("n_tokens"),
+            F.sum(contrib).cast("bigint").alias("logprob_u"),
+        )
+        .select(
+            F.col("__d").alias(id_col),
+            "n_tokens",
+            "logprob_u",
+            (
+                F.col("logprob_u").cast("double")
+                / (F.col("n_tokens").cast("double") * F.lit(1e6))
+            ).alias("lm_score"),
+        )
+    )
+
+
 def boilerplate_spans(
     docs: DataFrame,
     *,

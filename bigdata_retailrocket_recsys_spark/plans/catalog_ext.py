@@ -8444,6 +8444,7 @@ def q_dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_corpus_pipeline_neardup",
+    headline=True,
     oracle=r"""
     WITH RECURSIVE base AS (
         SELECT doc_id, text, source FROM documents
@@ -8761,4 +8762,65 @@ def q_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(dig_path),
         base.filter(F.col("source") == "src0"),
         eval_source="src0",
+    )
+
+
+@query(
+    "q_text_lm_score",
+    oracle=r"""
+    WITH ref AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS term
+        FROM documents WHERE source = 'src0' AND text IS NOT NULL
+    ), lm AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c_w FROM ref GROUP BY term
+    ), tot AS (
+        SELECT CAST(COALESCE(SUM(c_w), 0) AS BIGINT) AS n_ref,
+               CAST(COUNT(*) AS BIGINT) AS v_ref
+        FROM lm
+    ), dt AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c_dt
+        FROM (SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '')) AS term
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        GROUP BY doc_id, term
+    ), contrib AS (
+        SELECT doc_id, c_dt,
+               c_dt * CAST(FLOOR(ln((CAST(COALESCE(l.c_w, 0) AS DOUBLE)
+                          + 1.0)
+                     / GREATEST(CAST(t.n_ref AS DOUBLE)
+                                + CAST(t.v_ref AS DOUBLE), 1.0))
+                     * 1e6) AS BIGINT) AS lp
+        FROM dt LEFT JOIN lm l USING (term) CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+           CAST(SUM(lp) AS BIGINT) AS logprob_u,
+           CAST(SUM(lp) AS DOUBLE)
+               / (CAST(SUM(c_dt) AS DOUBLE) * 1e6) AS lm_score
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/text.lm_score): every
+    document scored by its average add-one-smoothed unigram
+    log-probability under a reference LM trained on the src0 split (the
+    Wikipedia role in CCNet — keep the low-perplexity head, drop the
+    tail). Count algebra + µ-floored ln contributions (LM_CONTRIB_SQL,
+    one tree shared with this oracle) + one IEEE division → fully
+    value-hashed including the double score. Completes the quality
+    ladder: heuristic ratios (q_quality_score) → model-based LM filter
+    (this) → the gate composition (q_corpus_pipeline)."""
+    from bigdata_retailrocket_recsys_spark.operators.text import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_score(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        id_col="doc_id",
+        text_col="text",
     )

@@ -3272,6 +3272,38 @@ def test_duplicated_spans_islands_merge(spark):
     assert out == {(1, 0): 6, (2, 1): 6}
 
 
+def test_lm_score_orders_by_reference_fit(spark):
+    """A doc made of common reference words must outscore a doc of
+    unseen words; unseen terms smooth to ln(1/(N+V)) instead of -inf;
+    an EMPTY reference scores every token ln(1)=0 (GREATEST guard);
+    zero-token docs are absent."""
+    import math
+
+    from bigdata_retailrocket_recsys_spark.operators.text import lm_score
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "the dog sat")],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the the sat"), (2, "zz qq xx"), (3, "   "), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in lm_score(docs, ref).collect()}
+    assert set(out) == {1, 2}          # whitespace-only + NULL absent
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 3
+    assert out[1].lm_score > out[2].lm_score
+    # N=6 ref tokens, V=4 vocab: 'the' p=3/10, 'sat' p=3/10, unseen p=1/10
+    exp1 = (2 * math.floor(math.log(3 / 10) * 1e6)
+            + math.floor(math.log(3 / 10) * 1e6))
+    exp2 = 3 * math.floor(math.log(1 / 10) * 1e6)
+    assert out[1].logprob_u == exp1 and out[2].logprob_u == exp2
+    empty_ref = ref.filter(F.col("doc_id") < 0)
+    out0 = {r.doc_id: r.logprob_u
+            for r in lm_score(docs, empty_ref).collect()}
+    assert out0 == {1: 0, 2: 0}        # ln((0+1)/max(0,1)) = 0 per token
+
+
 def test_jaccard_verify_filters_candidates(spark):
     """LSH candidates are only 'probably similar' — verification computes
     the true Jaccard over distinct shingle sets and drops pairs below the
