@@ -3272,7 +3272,47 @@ def test_duplicated_spans_islands_merge(spark):
     assert out == {(1, 0): 6, (2, 1): 6}
 
 
-def test_lm_score_orders_by_reference_fit(spark):
+def test_build_corpus_neardup_strip_stage_semantics(spark):
+    """Stage-order geometry of the 7-stage pipeline: docs 1/2 have
+    IDENTICAL 3-gram shingle SETS but different normalized text (the
+    'a b a b ...' trick) -> identical MinHash signatures -> guaranteed
+    band collision -> Jaccard 1.0 -> clustered, min-id keeper; the
+    keeper is then FULLY self-duplicated at 5-gram grain -> stripped to
+    '' -> dropped. Docs 3/4 share a 6-token run (Jaccard 1/3 < 0.5: LSH
+    candidates must NOT survive verification) -> only the run is
+    stripped. Doc 5 survives stripping untouched but is >=50%
+    3-gram-contaminated by the eval split -> decontaminated out."""
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a", "srcA"),
+            (2, "a b a b a", "srcA"),
+            (3, "p q r s t u m1 m2 m3 m4", "srcA"),
+            (4, "n1 n2 n3 n4 p q r s t u", "srcA"),
+            (5, "w1 w2 w3 w4 w5 w6", "srcA"),
+            (6, "w1 w2 w3 w4", "src0"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r.doc_id: (r.domain, r.n_tok)
+        for r in build_corpus(
+            docs,
+            eval_source="src0",
+            budget_tokens=1000,
+            min_quality=0.0,
+            min_tokens=1,
+            near_dup=True,
+            strip_substrings=True,
+        ).collect()
+    }
+    # 1: clustered keeper, then fully stripped -> dropped; 2: cluster
+    # non-keeper; 5: contaminated; 6: eval split. 3/4 keep only their
+    # non-shared tails (4 tokens each).
+    assert out == {3: ("srcA", 4), 4: ("srcA", 4)}
     """A doc made of common reference words must outscore a doc of
     unseen words; unseen terms smooth to ln(1/(N+V)) instead of -inf;
     an EMPTY reference scores every token ln(1)=0 (GREATEST guard);
