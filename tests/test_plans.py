@@ -448,6 +448,33 @@ def test_corpus_pipeline_plan_shape(spark):
     assert "InMemoryTableScan" in plan, "shared frames must be cached"
 
 
+def test_corpus_pipeline_neardup_plan_shape(spark):
+    """The 7-stage pipeline must keep the 4-stage entry's discipline: no
+    Python eval, no cartesian/nested-loop join (every crossJoin is a
+    broadcast of a 1-row totals frame), semi/anti joins for keepers and
+    decontamination, and the multiply-referenced frames served from
+    cache. The CC labels are localCheckpoint-ed, so the returned plan is
+    bounded even though the operator iterates."""
+    plan = plan_str(QUERIES["q_corpus_pipeline_neardup"].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan, plan[:800]
+    assert "LeftAnti" in plan, plan[:800]
+    assert "InMemoryTableScan" in plan, "shared frames must be cached"
+
+
+def test_lm_score_broadcasts_totals_and_caches_lm(spark):
+    """LM scoring joins the (term,count) LM table twice (totals + score
+    join) — must come from cache; the 1-row totals frame rides a
+    broadcast, never a shuffled cross join."""
+    plan = plan_str(QUERIES["q_text_lm_score"].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_minhash_md5_banded_subtree_cached(spark):
     """The md5 twin must keep the main entry's plan discipline: the
     banded subtree feeds BOTH self-join sides from cache (Spark never
