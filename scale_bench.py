@@ -47,7 +47,13 @@ def main() -> None:
 
     spark = get_spark(
         "bdrr-scale-bench",
-        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        # ≥50M events saturate an 8g single-JVM heap (r9 measured: 8g =
+        # executor task OOM at ~19 min); 16g completes — see the
+        # broadcast note below for the second failure mode at 16g.
+        driver_memory=os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM",
+            "16g" if target_events >= 50_000_000 else "8g",
+        ),
         # 32 partitions is right for sf0.1 (see session.py note) but at
         # >=100M events one partition's sort working set reaches GBs; scale
         # partition count with volume so spills are many-small not few-huge
@@ -62,6 +68,26 @@ def main() -> None:
             # SPARK_GRAFT_IO_CODEC=lz4 to A/B.
             "spark.io.compression.codec": os.environ.get(
                 "SPARK_GRAFT_IO_CODEC", "zstd"
+            ),
+            # ≥50M events in ONE 32-thread JVM: a runtime-estimated
+            # AUTO-broadcast dies with "Not enough memory to build and
+            # broadcast the table" — the unified pool is saturated by 32
+            # concurrent sort tasks sharing the same heap (r9 measured:
+            # 16g + defaults fails at ~19 min; 16g + threshold=-1
+            # COMPLETES in 1269 s = 78.8k ev/s, the fastest 100M run
+            # yet). Real clusters isolate executor heaps from the
+            # driver's broadcast build; single-JVM local mode shares
+            # everything, so auto/AQE broadcast conversion is disabled
+            # once volume contends the pool. Explicit F.broadcast hints
+            # (item_cat, cat_pop, top_pop, emb — all item/category-grain,
+            # volume-independent) are unaffected by the threshold.
+            **(
+                {
+                    "spark.sql.autoBroadcastJoinThreshold": "-1",
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+                }
+                if target_events >= 50_000_000
+                else {}
             ),
         },
     )
