@@ -397,3 +397,117 @@ def pack_sequences(
         (seg_from - seq_base).alias("seq_offset"),
         (seg_to - seg_from).alias("seg_len"),
     )
+
+
+#: shared Spark/DuckDB tree (the LM_CONTRIB_SQL discipline): µ-floored
+#: log-likelihood ratio of one hashed-feature bucket under the TARGET
+#: vs the RAW distribution, both add-one smoothed over {b} buckets.
+DSIR_CONTRIB_SQL = (
+    "CAST(FLOOR(ln("
+    " ((CAST({ct} AS DOUBLE) + 1.0) / (CAST({nt} AS DOUBLE) + {b}.0))"
+    " / ((CAST({cr} AS DOUBLE) + 1.0) / (CAST({nr} AS DOUBLE) + {b}.0))"
+    ") * 1e6) AS BIGINT)"
+)
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per raw document, the
+    log-likelihood ratio of its hashed n-gram features under the TARGET
+    distribution vs the RAW distribution — the published
+    importance-resampling estimator for "pick web data that looks like
+    the target domain". Select by weight (top share / resample) with the
+    existing samplers; this op computes the weights.
+
+    Features are the paper's hashed n-grams: word ``shingle_n``-grams →
+    :func:`feature_hash_index` buckets (md5-derived, exact on any
+    engine). Both bucket distributions are add-one smoothed over
+    ``n_buckets``; per-bucket contributions are µ-floored bigints
+    (``DSIR_CONTRIB_SQL`` — one tree shared with the DuckDB oracle)
+    scaled by in-doc occurrence and summed exactly; the final average is
+    ONE IEEE division, so even the double is value-hashable.
+
+    Scale shape: two (bucket, count) tables (≤ ``n_buckets`` rows each —
+    broadcastable by construction) + their 1-row totals; the raw corpus
+    reduces to (doc, bucket, count) map-side-combinable counts. Raw docs
+    with no features (NULL/whitespace text) are absent.
+
+    Output: (id, n_feats, weight_u [µ-floored LLR sum, bigint],
+    importance [avg LLR, double]).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        shingle_rows,
+    )
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        rows = shingle_rows(
+            df.filter(
+                F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+            ),
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
+            distinct=False,
+        )
+        return rows.select(
+            "doc",
+            feature_hash_index("shingle", n_buckets=n_buckets)
+            .cast("bigint")
+            .alias("b"),
+        )
+    rawf = _buckets(raw)
+    tgtf = _buckets(target)
+    # bucket tables are bounded by n_buckets (cached: each feeds its
+    # totals aggregate AND the scoring join — S7)
+    rc = rawf.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r")
+    ).cache()
+    tc = tgtf.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_t")
+    ).cache()
+    tot = rc.agg(
+        F.coalesce(F.sum("c_r"), F.lit(0)).cast("bigint").alias("n_r")
+    ).crossJoin(
+        tc.agg(
+            F.coalesce(F.sum("c_t"), F.lit(0)).cast("bigint").alias("n_t")
+        )
+    )
+    db = rawf.groupBy("doc", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_db")
+    )
+    contrib = F.col("c_db") * F.expr(
+        DSIR_CONTRIB_SQL.format(
+            ct="COALESCE(c_t, CAST(0 AS BIGINT))",
+            cr="COALESCE(c_r, CAST(0 AS BIGINT))",
+            nt="n_t",
+            nr="n_r",
+            b=n_buckets,
+        )
+    )
+    return (
+        db.join(F.broadcast(rc), "b", "left")
+        .join(F.broadcast(tc), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc")
+        .agg(
+            F.sum("c_db").cast("bigint").alias("n_feats"),
+            F.sum(contrib).cast("bigint").alias("weight_u"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_feats",
+            "weight_u",
+            (
+                F.col("weight_u").cast("double")
+                / (F.col("n_feats").cast("double") * F.lit(1e6))
+            ).alias("importance"),
+        )
+    )

@@ -680,6 +680,103 @@ def domain_divergence(
     )
 
 
+def gopher_quality(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, §A1.1 — the
+    published heuristic gate most open-data pipelines reproduce): word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (# or …) < 0.1, <90% of lines bullet-started, <30% of lines
+    ellipsis-ended, >80% of words containing an alphabetic character,
+    and ≥2 distinct common English stop words present.
+
+    Every threshold is evaluated as an INTEGER cross-multiplication
+    (``10·symbols < words`` instead of ``symbols/words < 0.1``), so the
+    flags are exact on any engine — no float rule needed. Flags are INT
+    (NULL BOOLEAN stringifies differently across engines — the CLAUDE.md
+    type rule); ``gopher_pass`` is their conjunction. One narrow
+    projection per document: no shuffle, no UDF — at 100 TB this is a
+    zero-exchange scan stage like ``quality_filter``.
+
+    Output: (id, n_words, n_lines, f_word_count, f_mean_len, f_symbol,
+    f_bullet, f_ellipsis, f_alpha, f_stop, gopher_pass).
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"),
+        lambda ln: F.trim(ln) != F.lit(""),
+    )
+    n_words = F.size(words).cast("bigint")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("bigint")
+    # BYTE length, not character length: Spark length() counts UTF-16
+    # code units (surrogate pairs = 2) while other engines count code
+    # points — UTF-8 bytes are identical everywhere
+    sum_chars = F.aggregate(
+        F.transform(words, lambda w: F.octet_length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    n_symbols = (
+        F.size(F.filter(words, lambda w: w.contains("#")))
+        + F.size(F.filter(words, lambda w: w.contains("...")))
+        + F.size(F.filter(words, lambda w: w.contains("…")))
+    ).cast("bigint")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).rlike(r"^[-*•‣▪]"),
+        )
+    ).cast("bigint")
+    n_ell_end = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"),
+        )
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stops = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(
+                F.transform(words, lambda w: F.lower(w)),
+                lambda w: w.isin(stops),
+            )
+        )
+    ).cast("bigint")
+    flags = {
+        "f_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "f_mean_len": (F.lit(3) * n_words <= sum_chars)
+        & (sum_chars <= F.lit(10) * n_words),
+        "f_symbol": F.lit(10) * n_symbols < n_words,
+        "f_bullet": F.lit(10) * n_bullet < F.lit(9) * n_lines,
+        "f_ellipsis": F.lit(10) * n_ell_end < F.lit(3) * n_lines,
+        "f_alpha": F.lit(5) * n_alpha > F.lit(4) * n_words,
+        "f_stop": n_stop >= 2,
+    }
+    out = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        id_col,
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    passes = None
+    for k in flags:
+        c = F.col(k) == 1
+        passes = c if passes is None else (passes & c)
+    return out.withColumn("gopher_pass", passes.cast("int"))
+
+
 #: shared Spark/DuckDB expression template (the BM25/KL/DCG discipline):
 #: µ-floored add-one-smoothed unigram log-probability. GREATEST guards an
 #: EMPTY reference corpus (n+v = 0 → ln(1) = 0 per token, not ln(∞)).

@@ -8824,3 +8824,153 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
     )
+
+
+@query(
+    "q_text_gopher_quality",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           t -> t <> '') AS words,
+               list_filter(string_split_regex(text, '\n'),
+                           l -> trim(l) <> '') AS lines
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(lines), 1) AS BIGINT) AS n_lines,
+               CAST(COALESCE(list_sum(list_transform(words,
+                    w -> strlen(w))), 0) AS BIGINT) AS sum_chars,
+               CAST(len(list_filter(words, w -> position('#' IN w) > 0))
+                    + len(list_filter(words, w -> position('...' IN w) > 0))
+                    + len(list_filter(words, w -> position('…' IN w) > 0))
+                    AS BIGINT) AS n_symbols,
+               CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+                    AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                    AS BIGINT) AS n_ell_end,
+               CAST(len(list_filter(words,
+                    w -> regexp_matches(w, '[A-Za-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_distinct(list_filter(
+                    list_transform(words, w -> lower(w)),
+                    w -> w IN ('the','be','to','of','and','that','have',
+                               'with')))) AS BIGINT) AS n_stop
+        FROM base
+    ), f AS (
+        SELECT doc_id, n_words, n_lines,
+               CAST(n_words >= 50 AND n_words <= 100000 AS INT)
+                   AS f_word_count,
+               CAST(3 * n_words <= sum_chars
+                    AND sum_chars <= 10 * n_words AS INT) AS f_mean_len,
+               CAST(10 * n_symbols < n_words AS INT) AS f_symbol,
+               CAST(10 * n_bullet < 9 * n_lines AS INT) AS f_bullet,
+               CAST(10 * n_ell_end < 3 * n_lines AS INT) AS f_ellipsis,
+               CAST(5 * n_alpha > 4 * n_words AS INT) AS f_alpha,
+               CAST(n_stop >= 2 AS INT) AS f_stop
+        FROM m
+    )
+    SELECT *,
+           CAST(f_word_count = 1 AND f_mean_len = 1 AND f_symbol = 1
+                AND f_bullet = 1 AND f_ellipsis = 1 AND f_alpha = 1
+                AND f_stop = 1 AS INT) AS gopher_pass
+    FROM f
+    """,
+)
+def q_text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (operators/text.gopher_quality —
+    Rae et al. 2021 §A1.1, the published heuristic gate): word count,
+    mean word BYTE length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word share, stop-word containment — every
+    threshold an INTEGER cross-multiplication, so all seven flags and
+    the conjunction are exact on any engine (flags INT per the type
+    rule). One narrow projection, zero exchange — the first-pass gate
+    shape at 100 TB."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        gopher_quality,
+    )
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dsir_importance",
+    oracle=r"""
+    WITH rawsh AS (
+        SELECT doc_id AS doc,
+               CAST(('0x' || substr(md5(
+                   array_to_string(list_slice(toks, st, st + 1), ' ')
+               ), 1, 8))::BIGINT % 10000 AS BIGINT) AS b
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 1, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents
+                    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                      AND (source IS NULL OR source <> 'src0')))
+    ), tgtsh AS (
+        SELECT CAST(('0x' || substr(md5(
+                   array_to_string(list_slice(toks, st, st + 1), ' ')
+               ), 1, 8))::BIGINT % 10000 AS BIGINT) AS b
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 1, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents
+                    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+                      AND source = 'src0'))
+    ), rc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r FROM rawsh GROUP BY b
+    ), tc AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c_t FROM tgtsh GROUP BY b
+    ), tot AS (
+        SELECT CAST((SELECT COUNT(*) FROM rawsh) AS BIGINT) AS n_r,
+               CAST((SELECT COUNT(*) FROM tgtsh) AS BIGINT) AS n_t
+    ), db AS (
+        SELECT doc, b, CAST(COUNT(*) AS BIGINT) AS c_db
+        FROM rawsh GROUP BY doc, b
+    ), contrib AS (
+        SELECT doc, c_db,
+               c_db * CAST(FLOOR(ln(
+                   ((CAST(COALESCE(t.c_t, 0) AS DOUBLE) + 1.0)
+                        / (CAST(x.n_t AS DOUBLE) + 10000.0))
+                   / ((CAST(COALESCE(r.c_r, 0) AS DOUBLE) + 1.0)
+                        / (CAST(x.n_r AS DOUBLE) + 10000.0))
+               ) * 1e6) AS BIGINT) AS w
+        FROM db LEFT JOIN rc r USING (b) LEFT JOIN tc t USING (b)
+        CROSS JOIN tot x
+    )
+    SELECT doc AS doc_id,
+           CAST(SUM(c_db) AS BIGINT) AS n_feats,
+           CAST(SUM(w) AS BIGINT) AS weight_u,
+           CAST(SUM(w) AS DOUBLE)
+               / (CAST(SUM(c_db) AS DOUBLE) * 1e6) AS importance
+    FROM contrib GROUP BY doc
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling weights (operators/features
+    .dsir_importance — Xie et al. 2023): every non-eval document scored
+    by the log-likelihood ratio of its hashed word-bigram features under
+    the src0 TARGET distribution vs the raw-corpus distribution — the
+    published "select web data that looks like the target" estimator.
+    md5-derived feature buckets (feature_hash_index — exact on any
+    engine), add-one smoothing over 10k buckets, µ-floored LLR
+    contributions (DSIR_CONTRIB_SQL, one tree with this oracle), ONE
+    IEEE division → the double importance value-hashes. Completes the
+    data-mixing family: temperature mixture (q_mixture_sample) →
+    token budgets (q_token_budget_sample) → target-seeking importance
+    weights (this)."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        dsir_importance,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs.filter(F.col("source").isNull() | (F.col("source") != "src0")),
+        docs.filter(F.col("source") == "src0"),
+    )

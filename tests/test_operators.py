@@ -3313,6 +3313,74 @@ def test_build_corpus_neardup_strip_stage_semantics(spark):
     # non-keeper; 5: contaminated; 6: eval split. 3/4 keep only their
     # non-shared tails (4 tokens each).
     assert out == {3: ("srcA", 4), 4: ("srcA", 4)}
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """A raw doc sharing the target's bigrams must get a higher
+    importance weight than an unrelated doc; docs with no features
+    (NULL/whitespace text) are absent."""
+    from bigdata_retailrocket_recsys_spark.operators.features import (
+        dsir_importance,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the cat ate the fish")],
+        "doc_id bigint, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat quietly"),   # shares 'the cat' / 'cat sat'
+            (2, "zz qq rr ss tt uu"),     # no target overlap
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dsir_importance(raw, target).collect()}
+    # whitespace-only text still yields one '' token -> one partial
+    # shingle -> doc 4 present; NULL text absent
+    assert set(out) == {1, 2, 4}
+    assert out[1].importance > out[2].importance
+    assert out[1].n_feats == 3 and out[2].n_feats == 5
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule fires on its crafted violation and the clean doc
+    passes all seven; thresholds are integer cross-multiplications (the
+    exactly-10%-symbols edge FAILS the strict < rule)."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        gopher_quality,
+    )
+
+    good = " ".join(
+        ["the quick brown fox jumps with energy and grace that counts"]
+        * 6
+    )  # 60 words, stopwords {the, with, and, that}, all alpha
+    short = "too few words here"  # word-count rule
+    symbols = " ".join(["ok#tag"] * 30 + ["the words go with and that"] * 5)
+    bullets = "\n".join(["- item one of the list"] * 10)  # 100% bullets
+    digits = " ".join(["12345"] * 60)  # no alpha, no stops
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, bullets), (5, digits)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in gopher_quality(docs).collect()}
+    assert out[1]["gopher_pass"] == 1, out[1]
+    assert out[2]["f_word_count"] == 0 and out[2]["gopher_pass"] == 0
+    assert out[3]["f_symbol"] == 0 and out[3]["f_word_count"] == 1
+    assert out[4]["f_bullet"] == 0
+    assert out[5]["f_alpha"] == 0 and out[5]["f_stop"] == 0
+    # exactly 10% symbolic words: 10*6 < 60 is FALSE -> flag fails
+    edge = " ".join(
+        ["w#x"] * 6 + ["with the and that more words go"] * 7 + ["pad"] * 5
+    )
+    e = gopher_quality(
+        spark.createDataFrame([(9, edge)], "doc_id bigint, text string")
+    ).collect()[0]
+    assert e.n_words == 60 and e.f_symbol == 0
+
+
+def test_lm_score_orders_by_reference_fit(spark):
     """A doc made of common reference words must outscore a doc of
     unseen words; unseen terms smooth to ln(1/(N+V)) instead of -inf;
     an EMPTY reference scores every token ln(1)=0 (GREATEST guard);
