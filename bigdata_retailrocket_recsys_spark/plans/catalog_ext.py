@@ -8974,3 +8974,62 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source").isNull() | (F.col("source") != "src0")),
         docs.filter(F.col("source") == "src0"),
     )
+
+
+@query(
+    "q_stream_corpus_intake",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND (source IS NULL OR source <> 'src0')
+    ), qf AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM base
+    ), gated AS (
+        SELECT text, source FROM qf
+        WHERE (LEAST(n_toks / 64.0, 1.0) * 0.5
+               + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25
+               + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25) >= 0.5
+          AND n_toks >= 5.0
+    ), keyed AS (
+        SELECT source AS domain, md5(norm) AS digest,
+               CAST(len(list_filter(string_split(norm, ' '),
+                                    t -> t <> '')) AS BIGINT) AS n_tok
+        FROM (SELECT source,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+              FROM gated)
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM (SELECT DISTINCT domain, digest, n_tok FROM keyed)
+    GROUP BY domain
+    """,
+)
+def q_stream_corpus_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus intake (streaming/corpus_intake
+    .run_streaming_corpus_intake): the pipeline's front half — quality
+    gate + exact digest dedup — run as a real multi-micro-batch
+    Structured Streaming job (staged files, maxFilesPerTrigger,
+    AvailableNow, memory sink, complete mode). Dedup state is keyed on
+    (domain, digest of NORMALIZED text); the normalized token count is a
+    function of the digest, so the per-domain aggregate is
+    arrival-order-independent and equals the batch DISTINCT → full
+    DuckDB oracle. Production bounds the seen-digest state via
+    dropDuplicatesWithinWatermark or the persisted digest table
+    (q_corpus_incremental); this entry proves the ingest-time gate."""
+    from bigdata_retailrocket_recsys_spark.streaming.corpus_intake import (
+        run_streaming_corpus_intake,
+    )
+
+    return run_streaming_corpus_intake(spark, sf_dir)
