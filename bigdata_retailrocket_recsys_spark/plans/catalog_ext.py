@@ -9033,3 +9033,66 @@ def q_stream_corpus_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_corpus_intake(spark, sf_dir)
+
+
+@query(
+    "q_dedup_embed_apply",
+    oracle="""
+    WITH RECURSIVE v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+    ), pairs AS (
+        SELECT a.vec_id AS s, b.vec_id AS d
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.vec, b.vec) >= 0.42
+    ), edges AS (
+        SELECT s, d FROM pairs UNION SELECT d, s FROM pairs
+    ), reach(s, d) AS (
+        SELECT vec_id, vec_id FROM embeddings WHERE vec_id IS NOT NULL
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), clusters AS (
+        SELECT s AS vec_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e JOIN clusters c USING (vec_id)
+    WHERE c.vec_id = c.cluster_id
+    """,
+)
+def q_dedup_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup APPLY (the SemDeDup shape, Abbas et al. 2023):
+    embedding-cosine near-dup pairs (label-blocked, the oracled margin
+    threshold of q_dedup_embed_cosine) → connected components → one
+    canonical keeper per cluster (min id) → surviving rows. Completes
+    the dedup-family APPLY set: exact (q_corpus_pipeline), Jaccard
+    (q_dedup_apply), substring (q_dedup_substring_apply), and now
+    embedding tier. NULL-embedding rows cannot pair, so they survive as
+    singleton keepers — same node-set rule on both engines. At 100 TB
+    the pair stage swaps to the LSH-banded variant
+    (q_dedup_embed_cosine_lsh) with identical downstream composition."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="label",
+        min_cosine=0.42,
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        emb.filter(F.col("vec_id").isNotNull()).select("vec_id"),
+        pairs,
+        node_col="vec_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    keepers = cc.filter(F.col("vec_id") == F.col("cluster_id")).select(
+        "vec_id"
+    )
+    return emb.join(keepers, "vec_id", "left_semi").select(
+        "vec_id", "label"
+    )
