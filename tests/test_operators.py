@@ -3315,6 +3315,36 @@ def test_build_corpus_neardup_strip_stage_semantics(spark):
     assert out == {3: ("srcA", 4), 4: ("srcA", 4)}
 
 
+def test_streaming_corpus_intake_gates_and_dedups(spark, tmp_path):
+    """The intake stream drops the low-quality doc, collapses exact
+    normalized duplicates across micro-batches, excludes the eval
+    source, and sums normalized token counts per domain."""
+    from bigdata_retailrocket_recsys_spark.streaming.corpus_intake import (
+        run_streaming_corpus_intake,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "srcA"),
+            (2, good.upper() + "!!", "srcA"),   # same NORMALIZED text
+            (3, "1 2 3 4 5 6 7 8 9 10 11 12", "srcA"),  # digit-heavy: gated
+            (4, good, "src0"),                  # eval source: excluded
+            (5, good + " tail", "srcB"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r.domain: (r.n_docs, r.n_tokens)
+        for r in run_streaming_corpus_intake(
+            spark, sf, sink_table="bdrr_test_intake"
+        ).collect()
+    }
+    assert out == {"srcA": (1, 12), "srcB": (1, 13)}
+
+
 def test_dsir_importance_ranks_target_like_docs(spark):
     """A raw doc sharing the target's bigrams must get a higher
     importance weight than an unrelated doc; docs with no features
