@@ -276,3 +276,68 @@ def build_corpus_incremental(
         F.col(domain_col).alias("domain"),
         n_tok.alias("n_tok"),
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain corpus REPORT CARD — the first query a data team runs
+    on a new corpus snapshot: volume (docs, whitespace tokens), exact
+    duplication (distinct normalized-text digests vs rows), heuristic
+    quality (Gopher-pass share), and model-based quality (average
+    reference-LM log-probability) in one per-domain rollup.
+
+    Composes three oracled scorers (:func:`~...operators.text
+    .gopher_quality`, :func:`~...operators.text.lm_score`, the
+    normalized digest of the dedup stage) over ONE pass of per-doc
+    metrics; all aggregates are exact integers except the final
+    average, which is ONE IEEE division guarded against empty-token
+    domains (NULL, not NaN — NaN stringifies differently per engine).
+
+    Output: (domain, n_docs, n_words, n_distinct, n_gopher_pass,
+    lm_logprob_u, lm_tokens, lm_avg).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        gopher_quality,
+        lm_score,
+    )
+
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        id_col,
+        F.col(domain_col).alias("domain"),
+        F.md5(normalize_text(text_col)).alias("__digest"),
+    )
+    g = gopher_quality(docs).select(id_col, "n_words", "gopher_pass")
+    lm = lm_score(docs, reference).select(
+        id_col,
+        F.col("n_tokens").alias("__lm_tok"),
+        F.col("logprob_u").alias("__lm_lp"),
+    )
+    per_doc = base.join(g, id_col).join(lm, id_col, "left")
+    agg = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.countDistinct("__digest").cast("bigint").alias("n_distinct"),
+        F.sum("gopher_pass").cast("bigint").alias("n_gopher_pass"),
+        F.sum(F.coalesce("__lm_lp", F.lit(0)))
+        .cast("bigint")
+        .alias("lm_logprob_u"),
+        F.sum(F.coalesce("__lm_tok", F.lit(0)))
+        .cast("bigint")
+        .alias("lm_tokens"),
+    )
+    return agg.withColumn(
+        "lm_avg",
+        F.when(
+            F.col("lm_tokens") > 0,
+            F.col("lm_logprob_u").cast("double")
+            / (F.col("lm_tokens").cast("double") * F.lit(1e6)),
+        ),
+    )

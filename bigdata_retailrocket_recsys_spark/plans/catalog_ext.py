@@ -9096,3 +9096,117 @@ def q_dedup_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(keepers, "vec_id", "left_semi").select(
         "vec_id", "label"
     )
+
+
+@query(
+    "q_corpus_profile",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), dig AS (
+        SELECT doc_id, source AS domain,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS digest
+        FROM base
+    ), gm AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(lines), 1) AS BIGINT) AS n_lines,
+               CAST(COALESCE(list_sum(list_transform(words,
+                    w -> strlen(w))), 0) AS BIGINT) AS sum_chars,
+               CAST(len(list_filter(words, w -> position('#' IN w) > 0))
+                    + len(list_filter(words, w -> position('...' IN w) > 0))
+                    + len(list_filter(words, w -> position('…' IN w) > 0))
+                    AS BIGINT) AS n_symbols,
+               CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+                    AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                    AS BIGINT) AS n_ell_end,
+               CAST(len(list_filter(words,
+                    w -> regexp_matches(w, '[A-Za-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_distinct(list_filter(
+                    list_transform(words, w -> lower(w)),
+                    w -> w IN ('the','be','to','of','and','that','have',
+                               'with')))) AS BIGINT) AS n_stop
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t <> '') AS words,
+                     list_filter(string_split_regex(text, '\n'),
+                                 l -> trim(l) <> '') AS lines
+              FROM base)
+    ), gf AS (
+        SELECT doc_id, n_words,
+               CAST(n_words >= 50 AND n_words <= 100000
+                    AND 3 * n_words <= sum_chars
+                    AND sum_chars <= 10 * n_words
+                    AND 10 * n_symbols < n_words
+                    AND 10 * n_bullet < 9 * n_lines
+                    AND 10 * n_ell_end < 3 * n_lines
+                    AND 5 * n_alpha > 4 * n_words
+                    AND n_stop >= 2 AS BIGINT) AS gopher_pass
+        FROM gm
+    ), ref AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS term
+        FROM documents WHERE source = 'src0' AND text IS NOT NULL
+    ), lmt AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c_w FROM ref GROUP BY term
+    ), tot AS (
+        SELECT CAST(COALESCE(SUM(c_w), 0) AS BIGINT) AS n_ref,
+               CAST(COUNT(*) AS BIGINT) AS v_ref
+        FROM lmt
+    ), dt AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c_dt
+        FROM (SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '')) AS term
+              FROM base)
+        GROUP BY doc_id, term
+    ), lmdoc AS (
+        SELECT doc_id, SUM(c_dt) AS lm_tok,
+               SUM(c_dt * CAST(FLOOR(ln((CAST(COALESCE(l.c_w, 0) AS DOUBLE)
+                          + 1.0)
+                     / GREATEST(CAST(t.n_ref AS DOUBLE)
+                                + CAST(t.v_ref AS DOUBLE), 1.0))
+                     * 1e6) AS BIGINT)) AS lm_lp
+        FROM dt LEFT JOIN lmt l USING (term) CROSS JOIN tot t
+        GROUP BY doc_id
+    ), agg AS (
+        SELECT d.domain,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(g.n_words) AS BIGINT) AS n_words,
+               CAST(COUNT(DISTINCT d.digest) AS BIGINT) AS n_distinct,
+               CAST(SUM(g.gopher_pass) AS BIGINT) AS n_gopher_pass,
+               CAST(SUM(COALESCE(m.lm_lp, 0)) AS BIGINT) AS lm_logprob_u,
+               CAST(SUM(COALESCE(m.lm_tok, 0)) AS BIGINT) AS lm_tokens
+        FROM dig d JOIN gf g USING (doc_id) LEFT JOIN lmdoc m USING (doc_id)
+        GROUP BY d.domain
+    )
+    SELECT *,
+           CASE WHEN lm_tokens > 0
+                THEN CAST(lm_logprob_u AS DOUBLE)
+                     / (CAST(lm_tokens AS DOUBLE) * 1e6)
+           END AS lm_avg
+    FROM agg
+    """,
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus REPORT CARD (pipelines/corpus.corpus_profile):
+    volume, exact-dup rate (distinct normalized digests vs rows),
+    Gopher-pass share, and reference-LM average log-probability in one
+    rollup — the first query a data team runs on a new snapshot.
+    Composes three oracled scorers; every aggregate is an exact integer
+    except the final average (ONE IEEE division, NULL-guarded for
+    zero-token domains — NaN stringifies differently per engine)."""
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        corpus_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_profile(docs, docs.filter(F.col("source") == "src0"))
