@@ -3315,6 +3315,40 @@ def test_build_corpus_neardup_strip_stage_semantics(spark):
     assert out == {3: ("srcA", 4), 4: ("srcA", 4)}
 
 
+def test_corpus_profile_rollup(spark):
+    """Per-domain report card: duplicate normalized texts collapse in
+    n_distinct, Gopher passes are counted, zero-token docs contribute 0
+    LM tokens (lm_avg NULL-guarded), and NULL domains form their row."""
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        corpus_profile,
+    )
+
+    good = " ".join(
+        ["the quick brown fox jumps with energy and grace that counts"]
+        * 6
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good, "srcA"),
+            (2, good.upper() + "!", "srcA"),  # same normalized digest
+            (3, "tiny doc", "srcA"),          # fails Gopher word count
+            (4, "lone", None),                # NULL domain row
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "the fox")], "doc_id bigint, text string"
+    )
+    out = {r.domain: r for r in corpus_profile(docs, ref).collect()}
+    a = out["srcA"]
+    assert (a.n_docs, a.n_distinct, a.n_gopher_pass) == (3, 2, 2)
+    # 11-word sentence × 6 per doc; '!' glues to doc 2's last word
+    assert a.n_words == 66 + 66 + 2
+    assert a.lm_tokens == 66 + 66 + 2 and a.lm_avg is not None
+    n = out[None]
+    assert (n.n_docs, n.n_distinct, n.n_gopher_pass) == (1, 1, 0)
+
+
 def test_streaming_corpus_intake_gates_and_dedups(spark, tmp_path):
     """The intake stream drops the low-quality doc, collapses exact
     normalized duplicates across micro-batches, excludes the eval
