@@ -201,6 +201,10 @@ def build_corpus_incremental(
     min_quality: float = 0.5,
     min_tokens: int = 5,
     shingle_n: int = 3,
+    corpus_signatures: DataFrame | None = None,
+    near_dup_hash_fn: str = "xxhash64",
+    near_dup_num_hashes: int = 16,
+    near_dup_bands: int = 4,
 ) -> DataFrame:
     """INCREMENTAL corpus maintenance — the daily-delta path: only the
     NEW batch is gated, deduped, and decontaminated; the existing corpus
@@ -215,6 +219,10 @@ def build_corpus_incremental(
 
       quality gate (batch-narrow filter) → eval-source exclusion →
       exact dedup vs corpus digests + within-batch (keeper = min id) →
+      [``corpus_signatures``: NEAR-dup drop — batch docs sharing any
+      MinHash-LSH band with the persisted corpus signature table are
+      removed; banded batch signatures broadcast past a scan of the
+      table, no corpus text, no corpus shuffle] →
       3-gram decontamination vs the eval split → accepted docs
 
     Output: ``(id, domain, n_tok)`` — the rows to APPEND to the corpus
@@ -254,6 +262,22 @@ def build_corpus_incremental(
         id_col,
         "left_semi",
     )
+    if corpus_signatures is not None:
+        from bigdata_retailrocket_recsys_spark.operators.dedup import (
+            minhash_lsh_candidates_vs_corpus,
+        )
+
+        near = minhash_lsh_candidates_vs_corpus(
+            fresh,
+            corpus_signatures=corpus_signatures,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_hashes=near_dup_num_hashes,
+            bands=near_dup_bands,
+            hash_fn=near_dup_hash_fn,
+        ).select(F.col("batch_doc").alias(id_col)).distinct()
+        fresh = fresh.join(near, id_col, "left_anti")
     flags = contamination_check(
         eval_docs, fresh, id_col=id_col, text_col=text_col,
         shingle_n=shingle_n,

@@ -9210,3 +9210,167 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return corpus_profile(docs, docs.filter(F.col("source") == "src0"))
+
+
+@query(
+    "q_corpus_incremental_neardup",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qf AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM base
+    ), gated AS (
+        SELECT doc_id, text, source FROM qf
+        WHERE (LEAST(n_toks / 64.0, 1.0) * 0.5
+               + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25
+               + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25) >= 0.5
+          AND n_toks >= 5.0
+    ), corp AS (
+        SELECT doc_id, text FROM gated
+        WHERE doc_id % 4 <> 0 AND (source IS NULL OR source <> 'src0')
+    ), cdig AS (
+        SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM corp
+    ), bat AS (
+        SELECT doc_id, text, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM gated
+        WHERE doc_id % 4 = 0 AND (source IS NULL OR source <> 'src0')
+    ), surv AS (
+        SELECT * FROM bat WHERE dk NOT IN (SELECT dk FROM cdig)
+    ), keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY dk
+    ), fresh AS (
+        SELECT s.doc_id, s.text, s.source
+        FROM surv s JOIN keep USING (doc_id)
+    ), csh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM corp))
+    ), bsh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh))
+    ), csig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM csh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), bsig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM bsh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), cband AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM csig GROUP BY doc, j // 4
+    ), bband AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM bsig GROUP BY doc, j // 4
+    ), near AS (
+        SELECT DISTINCT b.doc
+        FROM bband b JOIN cband c
+          ON b.band = c.band AND b.bucket = c.bucket
+    ), fresh2 AS (
+        SELECT * FROM fresh WHERE doc_id NOT IN (SELECT doc FROM near)
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM base WHERE source = 'src0'))
+    ), tr_sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh2))
+    ), cont AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM tr_sh GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.source AS domain,
+           CAST(len(list_filter(
+               string_split_regex(trim(lower(f.text)), '\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tok
+    FROM fresh2 f JOIN cont c USING (doc_id)
+    WHERE c.n_hit * 2 < c.n_sh
+    """,
+)
+def q_corpus_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus maintenance with the NEAR-dup stage ON
+    (pipelines/corpus.build_corpus_incremental + corpus_signatures):
+    yesterday's corpus exists as TWO persisted artifacts — the 16-byte
+    digest table (exact tier) and the MinHash signature table (near
+    tier, md5 oracle hash) — and today's batch is gated, exact-deduped
+    against digests + within itself, NEAR-deduped against the signature
+    table (banded batch signatures broadcast past a scan — no corpus
+    text, no corpus shuffle), and decontaminated. The full daily-delta
+    twin of q_corpus_pipeline_neardup; the whole chain value-hashed in
+    one CTE composition."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        content_digest_table,
+        minhash_signatures_table,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        normalize_text,
+        quality_filter,
+    )
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "text", "source")
+    corp = (
+        quality_filter(base.filter(F.col("doc_id") % 4 != 0))
+        .filter(F.col("source").isNull() | (F.col("source") != "src0"))
+        .withColumn("__norm", normalize_text("text"))
+    )
+    dig_path = _session_tmp(spark, "corpus_incnd_digests")
+    sig_path = _session_tmp(spark, "corpus_incnd_sigs")
+    content_digest_table(corp, dig_path, key_cols=["__norm"])
+    minhash_signatures_table(
+        corp, sig_path, id_col="doc_id", text_col="text",
+        shingle_n=3, num_hashes=16, hash_fn="md5",
+    )
+    return build_corpus_incremental(
+        base.filter(F.col("doc_id") % 4 == 0),
+        spark.read.parquet(dig_path),
+        base.filter(F.col("source") == "src0"),
+        eval_source="src0",
+        corpus_signatures=spark.read.parquet(sig_path),
+        near_dup_hash_fn="md5",
+    )
