@@ -1005,3 +1005,79 @@ def strip_boilerplate(
         .alias("n_removed"),
         F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
+
+
+def strip_repeated_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """LINE-grain cross-document dedup — the CCNet paragraph/line pass
+    (Wenzek et al. 2020 dedupe Common Crawl at paragraph hash grain
+    before anything token-level): every non-blank line whose NORMALIZED
+    form appears in ≥ ``min_docs`` DISTINCT documents (nav chrome,
+    cookie banners, footers) is removed and each document is rebuilt
+    from its surviving lines in original order. Complements
+    :func:`strip_boilerplate` (token n-gram spans WITHIN lines — the two
+    passes catch different geometry: whole repeated lines vs repeated
+    runs embedded in unique lines).
+
+    Relational shape: one posexplode by line, document-prevalence count
+    on the 16-byte md5 of the normalized line (never the line text —
+    the digest-shuffle rule), anti-join, ``array_join`` rebuild with
+    ``\\n``. Blank/whitespace-only lines never count as repeated content
+    and are preserved verbatim (structure, not content). Shuffles: one
+    by digest (map-side combinable count), one by doc (rebuild) — both
+    bounded.
+
+    Output: (id, n_lines [non-blank], n_removed, text_clean).
+    """
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__d"), F.col(text_col).alias("__text"))
+    lines = base.select(
+        "__d", F.posexplode(F.split("__text", r"\n")).alias("__p", "__l")
+    ).withColumn(
+        "__h",
+        F.when(
+            F.trim("__l") != "",
+            F.md5(F.trim(F.regexp_replace(F.lower("__l"), r"\s+", " "))),
+        ),
+    )
+    # lines feeds the prevalence count AND the anti-join (S7)
+    lines = lines.cache()
+    prevalent = (
+        lines.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.countDistinct("__d").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    kept = lines.join(prevalent, "__h", "left_anti")
+    rebuilt = kept.groupBy("__d").agg(
+        F.sum(
+            F.when(F.col("__h").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__l"))),
+                lambda x: x["__l"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    totals = lines.groupBy("__d").agg(
+        F.sum(F.when(F.col("__h").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines")
+    )
+    return totals.join(rebuilt, "__d", "left").select(
+        F.col("__d").alias(id_col),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

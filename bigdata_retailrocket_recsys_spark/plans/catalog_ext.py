@@ -9374,3 +9374,61 @@ def q_corpus_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_signatures=spark.read.parquet(sig_path),
         near_dup_hash_fn="md5",
     )
+
+
+@query(
+    "q_text_strip_repeated_lines",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), l AS (
+        SELECT doc_id, p - 1 AS p, lns[p] AS ln
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS lns
+              FROM base),
+             LATERAL (SELECT unnest(generate_series(1, len(lns))) AS p)
+    ), h AS (
+        SELECT doc_id, p, ln,
+               CASE WHEN trim(ln) <> '' THEN
+                   md5(trim(regexp_replace(lower(ln), '\s+', ' ', 'g')))
+               END AS hh
+        FROM l
+    ), prev AS (
+        SELECT hh FROM h WHERE hh IS NOT NULL
+        GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 3
+    ), kept AS (
+        SELECT * FROM h
+        WHERE hh IS NULL OR hh NOT IN (SELECT hh FROM prev)
+    ), reb AS (
+        SELECT doc_id,
+               SUM(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END) AS n_kept,
+               string_agg(ln, chr(10) ORDER BY p ASC) AS text_clean
+        FROM kept GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lines
+        FROM h GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines,
+           CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_text_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-grain cross-document dedup (operators/text
+    .strip_repeated_lines — the CCNet paragraph pass, Wenzek et al.
+    2020): non-blank lines whose normalized form appears in ≥3 distinct
+    documents are removed; each doc is rebuilt from survivors in
+    original order (blank lines preserved verbatim — structure, not
+    content). Prevalence counts shuffle 16-byte digests of normalized
+    lines, never line text. Complements q_text_strip_boilerplate (token
+    n-gram spans WITHIN lines). The cleaned TEXT itself is hashed."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        strip_repeated_lines,
+    )
+
+    return strip_repeated_lines(
+        _t(spark, sf_dir, "documents"), min_docs=3
+    )

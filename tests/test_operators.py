@@ -3315,6 +3315,34 @@ def test_build_corpus_neardup_strip_stage_semantics(spark):
     assert out == {3: ("srcA", 4), 4: ("srcA", 4)}
 
 
+def test_strip_repeated_lines_geometry(spark):
+    """Prevalence is DISTINCT-document count: a footer in 3 docs is cut,
+    a line shared by only 2 docs stays, a line repeated twice WITHIN one
+    doc stays (1 distinct doc), normalization collapses case/whitespace,
+    and blank lines are preserved verbatim."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        strip_repeated_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\ncookie  banner\n\nbody one"),
+            (2, "COOKIE BANNER\nbody two\nshared pair"),
+            (3, "body three\nCookie Banner\nshared pair"),
+            (4, "solo\nsolo"),   # within-doc repeat: 1 distinct doc
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in strip_repeated_lines(docs, min_docs=3).collect()
+    }
+    assert out[1] == (3, 1, "unique alpha\n\nbody one")  # blank kept
+    assert out[2] == (3, 1, "body two\nshared pair")     # pair: 2 docs
+    assert out[3] == (3, 1, "body three\nshared pair")
+    assert out[4] == (2, 0, "solo\nsolo")
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
