@@ -1026,11 +1026,21 @@ def strip_repeated_lines(
 
     Relational shape: one posexplode by line, document-prevalence count
     on the 16-byte md5 of the normalized line (never the line text —
-    the digest-shuffle rule), anti-join, ``array_join`` rebuild with
-    ``\\n``. Blank/whitespace-only lines never count as repeated content
+    the digest-shuffle rule), LEFT join back as a membership flag, then
+    ONE groupBy per document produces n_lines, n_removed, AND the
+    rebuilt text (the removal filter runs INSIDE the collected struct
+    array). Blank/whitespace-only lines never count as repeated content
     and are preserved verbatim (structure, not content). Shuffles: one
-    by digest (map-side combinable count), one by doc (rebuild) — both
-    bounded.
+    by digest (map-side combinable count), one by digest for the
+    membership join, ONE by doc for the rebuild (the r9 form paid two).
+
+    Cache story: nothing corpus-sized is cached. ``prevalent`` is
+    bounded (digests in ≥ ``min_docs`` docs — the boilerplate
+    vocabulary) and is eagerly ``localCheckpoint``-ed, so the line frame
+    is tokenized twice (once under the checkpoint, once for the rebuild)
+    — the duplicated_spans A/B measured cache-vs-retokenize as
+    break-even inside noise, and retokenizing avoids a session-lifetime
+    corpus-sized cache entirely.
 
     Output: (id, n_lines [non-blank], n_removed, text_clean).
     """
@@ -1046,38 +1056,40 @@ def strip_repeated_lines(
             F.md5(F.trim(F.regexp_replace(F.lower("__l"), r"\s+", " "))),
         ),
     )
-    # lines feeds the prevalence count AND the anti-join (S7)
-    lines = lines.cache()
     prevalent = (
         lines.filter(F.col("__h").isNotNull())
         .groupBy("__h")
         .agg(F.countDistinct("__d").alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
-        .select("__h")
-    )
-    kept = lines.join(prevalent, "__h", "left_anti")
-    rebuilt = kept.groupBy("__d").agg(
-        F.sum(
-            F.when(F.col("__h").isNotNull(), 1).otherwise(0)
-        ).cast("bigint").alias("__n_kept"),
+        .select("__h", F.lit(1).alias("__rm"))
+    ).localCheckpoint(eager=True)
+    flagged = lines.join(prevalent, "__h", "left")
+    out = flagged.groupBy("__d").agg(
+        F.sum(F.when(F.col("__h").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines"),
+        F.sum(F.when(F.col("__rm").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__p", "__l"))),
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "__p",
+                                F.col("__rm").isNotNull().alias("__r"),
+                                "__l",
+                            )
+                        )
+                    ),
+                    lambda x: ~x["__r"],
+                ),
                 lambda x: x["__l"],
             ),
             "\n",
         ).alias("text_clean"),
     )
-    totals = lines.groupBy("__d").agg(
-        F.sum(F.when(F.col("__h").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_lines")
-    )
-    return totals.join(rebuilt, "__d", "left").select(
-        F.col("__d").alias(id_col),
-        "n_lines",
-        (F.col("n_lines") - F.coalesce("__n_kept", F.lit(0)))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    return out.select(
+        F.col("__d").alias(id_col), "n_lines", "n_removed", "text_clean"
     )

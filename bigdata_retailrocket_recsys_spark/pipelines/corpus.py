@@ -48,6 +48,7 @@ from bigdata_retailrocket_recsys_spark.operators.splits import (
 from bigdata_retailrocket_recsys_spark.operators.text import (
     normalize_text,
     quality_filter,
+    strip_repeated_lines,
 )
 
 
@@ -71,23 +72,35 @@ def build_corpus(
     strip_substrings: bool = False,
     substring_n: int = 5,
     substring_min_occurrences: int = 2,
+    strip_lines: bool = False,
+    line_min_docs: int = 3,
 ) -> DataFrame:
     """Run the corpus pipeline; returns the kept training docs as
     ``(id, domain, n_tok, cum_tok)`` (the budget-sample surface).
 
     Stages, in order (the RefinedWeb/FineWeb shape):
 
-      quality gate → exact dedup → [``near_dup``: MinHash-LSH candidate
-      pairs → exact-Jaccard verification → connected components → one
-      canonical keeper per cluster] → [``strip_substrings``: corpus-wide
-      duplicated-span REMOVAL — downstream stages run on the CLEANED
-      text; docs stripped to nothing are dropped] → decontamination →
-      per-domain token-budget cut
+      [``strip_lines``: LINE-grain cross-document dedup — the CCNet
+      paragraph pass, run FIRST as Wenzek et al. do (boilerplate lines
+      must not rescue a junk doc through the gate, inflate token
+      budgets, or perturb MinHash signatures); every later stage sees
+      the line-cleaned text, and docs stripped to nothing are dropped]
+      → quality gate → exact dedup → [``near_dup``: MinHash-LSH
+      candidate pairs → exact-Jaccard verification → connected
+      components → one canonical keeper per cluster] →
+      [``strip_substrings``: corpus-wide duplicated-span REMOVAL —
+      downstream stages run on the CLEANED text; docs stripped to
+      nothing are dropped] → decontamination → per-domain
+      token-budget cut
 
-    The two bracketed stages are off by default (the four-stage
+    The bracketed stages are off by default (the four-stage
     ``q_corpus_pipeline`` contract is unchanged); ``near_dup_hash_fn``
     is ``xxhash64`` for the scale tier and ``'md5'`` for the
     cross-engine-replayable oracle tier (the minhash_signatures split).
+    Line prevalence for ``strip_lines`` is counted over the WHOLE
+    corpus including the eval split (one consistent cleaned view — the
+    eval docs used as the decontamination reference are line-stripped
+    too).
 
     ``eval_source`` rows are the decontamination reference and are
     excluded from the output corpus by construction. NULL-``domain``
@@ -99,6 +112,19 @@ def build_corpus(
     base = docs.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(id_col, text_col, domain_col)
+    if strip_lines:
+        # CCNet order: the paragraph/line pass runs before everything —
+        # prevalence over the whole corpus, docs rebuilt from surviving
+        # lines, emptied docs dropped rather than shipped blank
+        stripped = strip_repeated_lines(
+            docs, id_col=id_col, text_col=text_col, min_docs=line_min_docs
+        )
+        base = base.select(id_col, domain_col).join(
+            stripped.filter(F.col("text_clean") != "").select(
+                id_col, F.col("text_clean").alias(text_col)
+            ),
+            id_col,
+        ).select(id_col, text_col, domain_col)
     if cache:
         base = base.cache()
     gated = quality_filter(
@@ -115,10 +141,13 @@ def build_corpus(
     train = gated.join(keepers, id_col, "left_semi").filter(
         F.col(domain_col).isNull() | (F.col(domain_col) != eval_source)
     )
-    if cache and (near_dup or strip_substrings):
-        # train feeds the LSH candidates, the Jaccard verification, the
-        # CC node list, the keeper semi-join, and/or the strip +
-        # domain-join pair (S7)
+    if cache:
+        # train is multiply referenced on EVERY path — at minimum the
+        # contamination shingle scan + the clean anti-join (default
+        # path), plus the LSH candidates / Jaccard verification / CC
+        # node list / keeper semi-join / strip+domain-join pair when
+        # the bracketed stages are on (S7: Spark never reuses a
+        # twice-referenced exchange; VERDICT r9 #5)
         train = train.cache()
     if near_dup:
         cand = minhash_lsh_candidates(

@@ -3315,6 +3315,50 @@ def test_build_corpus_neardup_strip_stage_semantics(spark):
     assert out == {3: ("srcA", 4), 4: ("srcA", 4)}
 
 
+def test_build_corpus_strip_lines_runs_before_gate(spark):
+    """CCNet stage order: the line pass runs BEFORE the quality gate, so
+    a junk doc padded with a prevalent boilerplate footer is gated on
+    its CLEANED text (3 own tokens < min_tokens) and dropped — if the
+    strip ran after the gate the footer's 6 tokens would have rescued
+    it. Survivors' n_tok counts cleaned text only, docs stripped to
+    nothing are dropped, and a sub-threshold shared line survives into
+    the token count."""
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus,
+    )
+
+    footer = "all rights reserved by the example corp"
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny junk doc\n" + footer, "srcA"),
+            (2, "real body one with plenty of words here\n" + footer, "srcA"),
+            (3, "real body two with plenty of words here too\n" + footer,
+             "srcA"),
+            (4, footer, "srcA"),  # stripped to nothing -> dropped
+            (5, "real body three has enough words\nrare pair line", "srcA"),
+            (6, "real body four has enough words\nrare pair line", "srcA"),
+            (7, "eval reference text", "src0"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        r.doc_id: r.n_tok
+        for r in build_corpus(
+            docs,
+            eval_source="src0",
+            budget_tokens=1000,
+            min_quality=0.0,
+            min_tokens=5,
+            strip_lines=True,
+            line_min_docs=3,
+        ).collect()
+    }
+    # 1: 3 own tokens after strip -> gated out; 4: emptied -> dropped;
+    # 2/3: 8/9 own tokens; 5/6: body 6 + surviving pair line 3 = 9
+    # ('rare pair line' is in only 2 docs < min_docs)
+    assert out == {2: 8, 3: 9, 5: 9, 6: 9}
+
+
 def test_strip_repeated_lines_geometry(spark):
     """Prevalence is DISTINCT-document count: a footer in 3 docs is cut,
     a line shared by only 2 docs stays, a line repeated twice WITHIN one
