@@ -868,13 +868,23 @@ def jaccard_verify(
     one IEEE expression over exact integer counts — deterministic
     cross-engine (the q_dedup_clusters rule).
 
+    The pair list is ``distinct()``-ed up front (candidate-bounded,
+    cheap): a duplicated (doc_a, doc_b) row would double ``n_common``
+    through the intersection join while n_a/n_b stay fixed — jaccard >
+    1 and a wrongly-surviving pair (ADVICE r9 #2). The island pattern
+    applies (ADVICE r9 #1): the output is candidate-bounded and the
+    corpus-sized shingle cache is released before returning — verified
+    pairs are eagerly ``localCheckpoint``-ed at CALL time (the
+    duplicated_spans discipline), so the returned frame holds no
+    lineage into the freed cache.
+
     Output: doc_a, doc_b, n_common, n_a, n_b, jaccard.
     """
     sh = shingle_rows(
         docs, id_col=id_col, text_col=text_col, n=shingle_n
     ).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    p = pairs.select("doc_a", "doc_b")
+    p = pairs.select("doc_a", "doc_b").distinct()
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
     common = (
@@ -896,9 +906,11 @@ def jaccard_verify(
             ),
         )
     )
-    return out.filter(F.col("jaccard") >= min_jaccard).select(
+    verified = out.filter(F.col("jaccard") >= min_jaccard).select(
         "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
-    )
+    ).localCheckpoint(eager=True)
+    sh.unpersist()
+    return verified
 
 
 def connected_components(

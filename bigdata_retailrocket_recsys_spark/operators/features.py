@@ -465,8 +465,12 @@ def dsir_importance(
         )
     rawf = _buckets(raw)
     tgtf = _buckets(target)
-    # bucket tables are bounded by n_buckets (cached: each feeds its
-    # totals aggregate AND the scoring join — S7)
+    # bucket tables are bounded by n_buckets (≤10k rows at the default —
+    # NOT corpus-sized; cached: each feeds its totals aggregate AND the
+    # scoring join, S7). The caches outlive the call on purpose: they
+    # back the returned LAZY frame — unpersisting here would recompute
+    # both at the caller's action; bounded size makes that safe
+    # (ADVICE r9 #1 cache-lifetime audit).
     rc = rawf.groupBy("b").agg(
         F.count(F.lit(1)).cast("bigint").alias("c_r")
     ).cache()

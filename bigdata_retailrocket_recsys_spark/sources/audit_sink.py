@@ -106,10 +106,18 @@ class AuditJsonlWriter(DataSourceWriter):
                     # foreign/hand-written manifest without 'parts':
                     # every existing part file is COMMITTED state, not
                     # an orphan — continue numbering after the highest
-                    # existing part instead of deleting them all
+                    # existing part instead of deleting them all. Its
+                    # 'rows' field can't be trusted either (ADVICE r9
+                    # #3): recount by line-counting the kept parts
+                    # (bounded, local JSONL) so the rewritten manifest
+                    # matches what a glob reader actually sees.
                     prior_parts = (
                         max(n for n, _ in existing) + 1 if existing else 0
                     )
+                    prior_rows = 0
+                    for _, p in existing:
+                        with open(p, "r", encoding="utf-8") as pf:
+                            prior_rows += sum(1 for _ln in pf)
             for num, p in existing:
                 if num >= prior_parts:
                     os.remove(p)

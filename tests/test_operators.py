@@ -2852,6 +2852,25 @@ def test_jsonl_audit_sink_commit_protocol(spark, tmp_path):
         1 for p in parts5 for _ in open(os.path.join(path, p))
     )
     assert n_lines5 == 165  # all four prior parts survived intact
+    # foreign manifest with an INACCURATE rows count (ADVICE r9 #3):
+    # 'rows' can't be trusted when 'parts' is absent — the sink must
+    # RECOUNT by line-counting the kept parts, so the rewritten
+    # manifest equals what a glob reader sees, not 1 + 7
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write('{"rows": 1}')
+    df6 = spark.range(7).selectExpr(
+        "id + 4000 AS event_id", "CAST(id % 3 AS STRING) AS event_type"
+    ).repartition(1)
+    df6.write.format("jsonl_audit").option("path", path).mode(
+        "append"
+    ).save()
+    manifest6 = json.load(open(os.path.join(path, "_SUCCESS")))
+    assert manifest6 == {"rows": 172, "parts": 6}
+    parts6 = sorted(n for n in os.listdir(path) if n.startswith("part-"))
+    n_lines6 = sum(
+        1 for p in parts6 for _ in open(os.path.join(path, p))
+    )
+    assert n_lines6 == 172
 
 
 def test_bfs_distances_chain_and_cutoff(spark):
@@ -3571,6 +3590,31 @@ def test_jaccard_verify_filters_candidates(spark):
     }
     # (1,2): |{a,b,c}| / |{a,b,c,d,x}| = 0.6 survives; (1,3): 0 dropped
     assert out == {(1, 2): (3, 4, 4, 0.6)}
+
+
+def test_jaccard_verify_dedupes_candidate_pairs(spark):
+    """A duplicated (doc_a, doc_b) candidate row must NOT double
+    n_common through the intersection join (jaccard would exceed 1 and
+    a sub-threshold pair would wrongly survive) — the operator
+    distinct()s its pair input (ADVICE r9 #2)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        jaccard_verify,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a x y z")],
+        "doc_id bigint, text string",
+    )
+    # jaccard(1,2) = |{a}| / |{a,b,c,d,x,y,z}| = 1/7; tripled candidate
+    # rows would make n_common=3 -> 3/5 = 0.6 and wrongly pass 0.5
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2)], "doc_a bigint, doc_b bigint"
+    )
+    out = jaccard_verify(pairs, docs, shingle_n=1, min_jaccard=0.1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_common, r.n_a, r.n_b) == (1, 4, 4)
+    assert abs(r.jaccard - 1 / 7) < 1e-12
 
 
 def test_strip_duplicated_spans_geometry(spark):

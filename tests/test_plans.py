@@ -541,3 +541,22 @@ def test_strip_repeated_lines_one_doc_exchange_no_cache(spark):
     assert plan.count("hashpartitioning(__d") == 1, plan[:1500]
     assert "InMemoryTableScan" not in plan, plan[:1500]
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_profile_two_corpus_scans(spark):
+    """The report card fuses the digest + Gopher columns into ONE corpus
+    projection (gopher_metric_exprs); only the LM token bag pays its own
+    pass. Plan must show exactly 2 FULL-corpus scans (fused metrics + LM
+    doc bag) — the only other parquet scans allowed are the reference
+    split, pushed-filtered to source='src0' (its cached LM subtree
+    prints once per reference) (VERDICT r9 #2)."""
+    import re as _re
+
+    plan = plan_str(QUERIES["q_corpus_profile"].fn(spark, SF_DIR), "simple")
+    scans = _re.findall(r"FileScan parquet[^\n]*", plan)
+    full = [s for s in scans if "src0" not in s]
+    assert len(full) == 2, "\n".join(scans)
+    assert all("src0" in s for s in scans[len(full):]) or len(scans) == len(
+        full
+    ), "\n".join(scans)
+    assert "BatchEvalPython" not in plan
