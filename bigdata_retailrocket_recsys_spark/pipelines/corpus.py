@@ -331,6 +331,87 @@ def build_corpus_incremental(
     )
 
 
+def corpus_commit(
+    batch: DataFrame,
+    accepted: DataFrame,
+    *,
+    digest_path: str,
+    corpus_path: str | None = None,
+    signature_path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """COMMIT an increment — the append half of the daily-delta loop
+    (:func:`build_corpus_incremental` decides WHAT to keep; this
+    persists it so increment N+1 is exact w.r.t. increment N,
+    VERDICT r9 #3). Appends, per artifact:
+
+    - ``digest_path`` (required): the accepted docs' 16-byte md5
+      digests of NORMALIZED text — the :func:`~bigdata_retailrocket_
+      recsys_spark.operators.dedup.content_digest_table` schema and
+      key (``md5(normalize_text)``), so the next
+      ``incremental_exact_dedup`` anti-join sees them.
+    - ``signature_path`` (optional): the accepted docs' MinHash
+      signatures under the SAME ``shingle_n``/``num_hashes``/
+      ``hash_fn`` the corpus table was built with
+      (:func:`minhash_signatures_table` schema), so the next
+      ``minhash_lsh_candidates_vs_corpus`` band-join sees them.
+    - ``corpus_path`` (optional): the accepted docs themselves
+      ``(id, text, domain)`` — the corpus rows a snapshot re-cut or a
+      profile reads.
+
+    ``accepted`` is :func:`build_corpus_incremental`'s output (its id
+    column selects which batch docs commit); digests are distinct and
+    disjoint from the table BY CONSTRUCTION (the incremental dedup
+    already dropped both corpus-colliding and within-batch-duplicate
+    rows), so plain parquet appends keep the digest table globally
+    distinct without a read-modify-write cycle — each commit costs
+    batch-sized work only. Appends are per-artifact atomic (parquet
+    _SUCCESS) but not transactional ACROSS the three paths; re-running
+    a partially-failed commit requires caller-side idempotency (a
+    warehouse would wrap this in a table format's transaction).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    committed = (
+        batch.filter(
+            F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(id_col, text_col, domain_col)
+        .join(accepted.select(id_col), id_col, "left_semi")
+    )
+    # committed MUST be pinned with a lineage-TRUNCATING eager
+    # localCheckpoint, not .cache(): ``accepted``'s plan typically READS
+    # digest_path/signature_path (the incremental anti-join / band
+    # join), and Spark's post-write refreshByPath INVALIDATES any cache
+    # whose lineage touches the written path — with a cache, the first
+    # append would silently rebuild ``committed`` against the
+    # just-appended digests, every accepted doc would self-collide, and
+    # the remaining artifacts would commit ZERO rows (measured, r10).
+    # Batch-sized, so checkpoint storage is bounded.
+    committed = committed.localCheckpoint(eager=True)
+    committed.select(
+        F.md5(normalize_text(text_col)).alias("dup_key")
+    ).distinct().write.mode("append").parquet(digest_path)
+    if signature_path is not None:
+        minhash_signatures(
+            committed,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            hash_fn=hash_fn,
+        ).write.mode("append").parquet(signature_path)
+    if corpus_path is not None:
+        committed.write.mode("append").parquet(corpus_path)
+
+
 def corpus_profile(
     docs: DataFrame,
     reference: DataFrame,

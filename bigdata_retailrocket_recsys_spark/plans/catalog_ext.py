@@ -9602,3 +9602,257 @@ def q_corpus_pipeline_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_lines=True,
         line_min_docs=3,
     )
+
+
+@query(
+    "q_corpus_incremental_commit",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qf AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM base
+    ), gated AS (
+        SELECT doc_id, text, source FROM qf
+        WHERE (LEAST(n_toks / 64.0, 1.0) * 0.5
+               + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25
+               + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25) >= 0.5
+          AND n_toks >= 5.0
+    ), corp0 AS (
+        SELECT doc_id, text FROM gated
+        WHERE doc_id % 4 IN (2, 3)
+          AND (source IS NULL OR source <> 'src0')
+    ), dig0 AS (
+        SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM corp0
+    ), bat1 AS (
+        SELECT doc_id, text, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM gated
+        WHERE doc_id % 4 = 1 AND (source IS NULL OR source <> 'src0')
+    ), surv1 AS (
+        SELECT * FROM bat1 WHERE dk NOT IN (SELECT dk FROM dig0)
+    ), keep1 AS (
+        SELECT MIN(doc_id) AS doc_id FROM surv1 GROUP BY dk
+    ), fresh1 AS (
+        SELECT s.doc_id, s.text, s.source, s.dk
+        FROM surv1 s JOIN keep1 USING (doc_id)
+    ), csh0 AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM corp0))
+    ), f1sh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh1))
+    ), csig0 AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM csh0, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), f1sig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM f1sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), cband0 AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM csig0 GROUP BY doc, j // 4
+    ), f1band AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM f1sig GROUP BY doc, j // 4
+    ), near1 AS (
+        SELECT DISTINCT b.doc
+        FROM f1band b JOIN cband0 c
+          ON b.band = c.band AND b.bucket = c.bucket
+    ), fresh1b AS (
+        SELECT * FROM fresh1 WHERE doc_id NOT IN (SELECT doc FROM near1)
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM base WHERE source = 'src0'))
+    ), t1sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh1b))
+    ), cont1 AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM t1sh GROUP BY doc_id
+    ), acc1 AS (
+        SELECT f.doc_id, f.text, f.source, f.dk
+        FROM fresh1b f JOIN cont1 c USING (doc_id)
+        WHERE c.n_hit * 2 < c.n_sh
+    ), dig1 AS (
+        SELECT dk FROM dig0
+        UNION
+        SELECT DISTINCT dk FROM acc1
+    ), sigall AS (
+        SELECT doc, j, h FROM csig0
+        UNION ALL
+        SELECT doc, j, h FROM f1sig
+        WHERE doc IN (SELECT doc_id FROM acc1)
+    ), cband1 AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM sigall GROUP BY doc, j // 4
+    ), bat2 AS (
+        SELECT doc_id, text, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM gated
+        WHERE doc_id % 4 = 0 AND (source IS NULL OR source <> 'src0')
+    ), surv2 AS (
+        SELECT * FROM bat2 WHERE dk NOT IN (SELECT dk FROM dig1)
+    ), keep2 AS (
+        SELECT MIN(doc_id) AS doc_id FROM surv2 GROUP BY dk
+    ), fresh2 AS (
+        SELECT s.doc_id, s.text, s.source
+        FROM surv2 s JOIN keep2 USING (doc_id)
+    ), f2sh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh2))
+    ), f2sig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM f2sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), f2band AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM f2sig GROUP BY doc, j // 4
+    ), near2 AS (
+        SELECT DISTINCT b.doc
+        FROM f2band b JOIN cband1 c
+          ON b.band = c.band AND b.bucket = c.bucket
+    ), fresh2b AS (
+        SELECT * FROM fresh2 WHERE doc_id NOT IN (SELECT doc FROM near2)
+    ), t2sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh2b))
+    ), cont2 AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM t2sh GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.source AS domain,
+           CAST(len(list_filter(
+               string_split_regex(trim(lower(f.text)), '\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tok
+    FROM fresh2b f JOIN cont2 c USING (doc_id)
+    WHERE c.n_hit * 2 < c.n_sh
+    """,
+)
+def q_corpus_incremental_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO increments through the FULL daily-delta loop — decide +
+    COMMIT + decide again (pipelines/corpus.corpus_commit, VERDICT r9
+    #3): day-0 corpus (doc_id % 4 ∈ {2,3}) persists its digest +
+    md5-MinHash signature tables; the day-1 batch (% 4 = 1) is gated,
+    exact-deduped vs the digests, NEAR-deduped vs the signatures,
+    decontaminated, then corpus_commit APPENDS its accepted digests and
+    signatures; the day-2 batch (% 4 = 0) runs the same chain against
+    the COMMITTED state — so a day-2 doc duplicating (exactly or
+    near) a day-1 acceptance is dropped, which only happens if the
+    commit round-trip is correct. The whole two-increment composition
+    is value-hashed by ONE DuckDB CTE chain."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        content_digest_table,
+        minhash_signatures_table,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        normalize_text,
+        quality_filter,
+    )
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus_incremental,
+        corpus_commit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "text", "source")
+    eval_docs = base.filter(F.col("source") == "src0")
+    corp0 = (
+        quality_filter(base.filter((F.col("doc_id") % 4).isin(2, 3)))
+        .filter(F.col("source").isNull() | (F.col("source") != "src0"))
+        .withColumn("__norm", normalize_text("text"))
+    )
+    dig_path = _session_tmp(spark, "corpus_commit_digests")
+    sig_path = _session_tmp(spark, "corpus_commit_sigs")
+    content_digest_table(corp0, dig_path, key_cols=["__norm"])
+    minhash_signatures_table(
+        corp0, sig_path, id_col="doc_id", text_col="text",
+        shingle_n=3, num_hashes=16, hash_fn="md5",
+    )
+    day1 = base.filter(F.col("doc_id") % 4 == 1)
+    acc1 = build_corpus_incremental(
+        day1,
+        spark.read.parquet(dig_path),
+        eval_docs,
+        eval_source="src0",
+        corpus_signatures=spark.read.parquet(sig_path),
+        near_dup_hash_fn="md5",
+    )
+    corpus_commit(
+        day1,
+        acc1,
+        digest_path=dig_path,
+        signature_path=sig_path,
+        shingle_n=3,
+        num_hashes=16,
+        hash_fn="md5",
+    )
+    day2 = base.filter(F.col("doc_id") % 4 == 0)
+    return build_corpus_incremental(
+        day2,
+        spark.read.parquet(dig_path),
+        eval_docs,
+        eval_source="src0",
+        corpus_signatures=spark.read.parquet(sig_path),
+        near_dup_hash_fn="md5",
+    )

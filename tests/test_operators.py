@@ -3378,6 +3378,78 @@ def test_build_corpus_strip_lines_runs_before_gate(spark):
     assert out == {2: 8, 3: 9, 5: 9, 6: 9}
 
 
+def test_corpus_commit_survives_refresh_invalidation(spark, tmp_path):
+    """REGRESSION (r10): corpus_commit's accepted-rows frame depends on
+    a READ of digest_path (the incremental anti-join). Spark's
+    post-write refreshByPath invalidates any cache whose lineage
+    touches the written path — with a .cache() pin, the digest append
+    silently rebuilt `committed` against the just-appended digests,
+    every doc self-collided, and the signature/corpus artifacts
+    committed ZERO rows. The eager localCheckpoint pin must keep all
+    three appends consistent."""
+    import duckdb as _dd
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        content_digest_table,
+        minhash_signatures_table,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        normalize_text,
+    )
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus_incremental,
+        corpus_commit,
+    )
+
+    dig = str(tmp_path / "dig")
+    sig = str(tmp_path / "sig")
+    corp = str(tmp_path / "corp")
+    day0 = spark.createDataFrame(
+        [(100, "old corpus doc with plenty of words here", "srcA")],
+        "doc_id bigint, text string, source string",
+    ).withColumn("__norm", normalize_text("text"))
+    content_digest_table(day0, dig, key_cols=["__norm"])
+    minhash_signatures_table(day0, sig, hash_fn="md5")
+    day1 = spark.createDataFrame(
+        [
+            (1, "brand new document with many unique tokens inside", "srcA"),
+            (2, "old corpus doc with plenty of words here", "srcA"),  # dup
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    eval_docs = day1.filter("1=0")
+    acc1 = build_corpus_incremental(
+        day1,
+        spark.read.parquet(dig),
+        eval_docs,
+        min_quality=0.0,
+        min_tokens=1,
+        corpus_signatures=spark.read.parquet(sig),
+        near_dup_hash_fn="md5",
+    )
+    corpus_commit(
+        day1, acc1, digest_path=dig, signature_path=sig,
+        corpus_path=corp, hash_fn="md5",
+    )
+    # doc 1 accepted; all three artifacts must see exactly it
+    n_dig = _dd.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{dig}/*.parquet')"
+    ).fetchone()[0]
+    sig_docs = sorted(
+        r[0] for r in _dd.sql(
+            f"SELECT DISTINCT doc FROM read_parquet('{sig}/*.parquet')"
+        ).fetchall()
+    )
+    corp_ids = sorted(
+        r[0] for r in _dd.sql(
+            f"SELECT doc_id FROM read_parquet('{corp}/*.parquet')"
+        ).fetchall()
+    )
+    assert n_dig == 2
+    assert sig_docs == [1, 100]
+    assert corp_ids == [1]
+
+
 def test_strip_repeated_lines_geometry(spark):
     """Prevalence is DISTINCT-document count: a footer in 3 docs is cut,
     a line shared by only 2 docs stays, a line repeated twice WITHIN one
