@@ -15,6 +15,43 @@ Scale design notes:
   sizes from per-doc counts. No UDF, no quadratic all-pairs.
 - ``embedding_cosine_pairs``: blocked all-pairs cosine for calibration;
   production path is LSH/IVF (similarity.py).
+
+Cache-lifetime audit (VERDICT r9 #7) — every ``.cache()``/checkpoint in
+this module, classified:
+
+==============================  =============================  ==========
+site                            cached set                     lifetime
+==============================  =============================  ==========
+minhash_lsh_candidates :437     (doc, band, md5) — corpus-     backs the
+(df= mode only)                 proportional but NARROW        lazy return
+                                (~50 B/doc·band)               (see below)
+simhash*_near_pairs :619/:1390  (doc, sig) — 1 narrow row/doc  lazy return
+ngram_jaccard_pairs :744        distinct (doc, shingle) —      lazy return
+(df= mode only)                 corpus-TOKEN-proportional
+ngram_jaccard_prefix :823       ranked shingle prefix —        lazy return
+                                corpus-token-proportional
+jaccard_verify :~895            distinct (doc, shingle)        EAGERLY
+                                                               FREED (the
+                                                               island rule)
+_span_islands_lazy :1531        span frame                     freed by
+                                                               caller after
+                                                               island
+                                                               checkpoint
+connected_components* / LSH     per-round labels / bucket      eager local-
+                                frames                         Checkpoint,
+                                                               bounded
+==============================  =============================  ==========
+
+"Lazy return" caches cannot be freed in-operator: they back the returned
+DataFrame, and unpersisting before the caller's action would recompute
+the subtree per consumer (2-3×). They are bounded by ONE narrow row per
+doc (or per doc-shingle for the Jaccard tiers), and each has a
+zero-cache warehouse twin that scans a persisted table instead
+(``signatures=`` / ``shingles=`` modes) — at 100 TB the persisted table
+IS the materialization and nothing lives in executor storage. Operators
+whose output is bounded (jaccard_verify, the span islands, CC labels)
+eagerly checkpoint the bounded output and free the big cache before
+returning (the dot_topk_int8 rule).
 """
 
 from __future__ import annotations

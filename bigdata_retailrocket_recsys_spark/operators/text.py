@@ -1121,3 +1121,175 @@ def strip_repeated_lines(
     return out.select(
         F.col("__d").alias(id_col), "n_lines", "n_removed", "text_clean"
     )
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher REPETITION rules (Rae et al. 2021, §A1.2 — the companion
+    to the §A1.1 quality gate in :func:`gopher_quality`): documents
+    dominated by repeated content are filtered on four published
+    signals — duplicate-line fraction (≤ 0.30), duplicate-line
+    CHARACTER fraction (≤ 0.20), top-2-gram character fraction
+    (≤ 0.20), and duplicated-5-gram character fraction (≤ 0.15).
+
+    Conventions, stated exactly (open reproductions vary):
+
+    - lines are non-blank ``\\n``-split lines, compared TRIMMED but
+      otherwise verbatim; a line occurring c times contributes c−1
+      duplicate occurrences (the first is content, repeats are dups).
+    - n-grams are lowercased whitespace-token n-grams, FULL windows
+      only; "characters" are UTF-8 BYTES of the space-joined gram (the
+      cross-engine rule from gopher_quality), counted over ALL
+      occurrences for the dup-5-gram rule (Rae et al. count characters
+      "contained in" duplicated n-grams; overlap is not deduplicated —
+      the standard approximation) and over the single most frequent
+      2-gram (ties broken lexicographically) for the top-2-gram rule.
+    - denominators: total non-blank-line bytes for the line-char rule,
+      total trimmed text bytes for the n-gram rules, line count for the
+      line rule.
+
+    Every rule is an INTEGER cross-multiplication (``10·dup ≤ 3·n`` for
+    0.30), so flags — and every output column — are exact on any
+    engine; zero-denominator documents pass vacuously (0 ≤ 0).
+    ``rep_pass`` is the conjunction.
+
+    Scale shape: three map-side-combinable (doc, unit) → doc aggregate
+    chains (lines, 2-grams, 5-grams), each keyed by doc id; no windows
+    except the per-doc top-1 (rank-limit pushed by WindowGroupLimit),
+    no UDFs, nothing cached. Output: (id, n_lines, dup_line_u,
+    dup_line_chars_u, tot_line_chars, tot_chars, top2_chars,
+    dup5_chars, f_dup_line, f_dup_line_chars, f_top2, f_dup5,
+    rep_pass).
+    """
+    from pyspark.sql import Window
+
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__d"),
+        F.col(text_col).alias("__text"),
+        F.octet_length(F.trim(F.col(text_col)))
+        .cast("bigint")
+        .alias("tot_chars"),
+    )
+
+    lines = base.select(
+        "__d",
+        F.explode(
+            F.filter(
+                F.split("__text", r"\n"), lambda ln: F.trim(ln) != F.lit("")
+            )
+        ).alias("__l"),
+    ).select("__d", F.trim("__l").alias("__l"))
+    lstat = (
+        lines.groupBy("__d", "__l")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("__d")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_line_u"),
+            F.sum(F.col("c") * F.octet_length("__l"))
+            .cast("bigint")
+            .alias("tot_line_chars"),
+            F.sum(
+                F.when(
+                    F.col("c") > 1,
+                    (F.col("c") - 1) * F.octet_length("__l"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dup_line_chars_u"),
+        )
+    )
+
+    def _gram_rows(n: int) -> DataFrame:
+        toks = ws_tokens(F.lower(F.col("__text")))
+        grams = toks
+        for i in range(1, n):
+            grams = F.zip_with(
+                grams,
+                F.slice(toks, i + 1, F.greatest(F.size(toks) - i, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return (
+            base.select("__d", F.explode(grams).alias("g"))
+            .filter(F.col("g").isNotNull())
+            .groupBy("__d", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    w2 = Window.partitionBy("__d").orderBy(F.col("c").desc(), F.col("g").asc())
+    top2 = (
+        _gram_rows(2)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__d",
+            (F.col("c") * F.octet_length("g"))
+            .cast("bigint")
+            .alias("top2_chars"),
+        )
+    )
+    dup5 = _gram_rows(5).groupBy("__d").agg(
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.octet_length("g")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("dup5_chars")
+    )
+
+    j = (
+        base.select("__d", "tot_chars")
+        .join(lstat, "__d", "left")
+        .join(top2, "__d", "left")
+        .join(dup5, "__d", "left")
+        .select(
+            "__d",
+            "tot_chars",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in [
+                    "n_lines",
+                    "dup_line_u",
+                    "tot_line_chars",
+                    "dup_line_chars_u",
+                    "top2_chars",
+                    "dup5_chars",
+                ]
+            ],
+        )
+    )
+    flags = {
+        "f_dup_line": F.lit(10) * F.col("dup_line_u")
+        <= F.lit(3) * F.col("n_lines"),
+        "f_dup_line_chars": F.lit(10) * F.col("dup_line_chars_u")
+        <= F.lit(2) * F.col("tot_line_chars"),
+        "f_top2": F.lit(10) * F.col("top2_chars")
+        <= F.lit(2) * F.col("tot_chars"),
+        "f_dup5": F.lit(100) * F.col("dup5_chars")
+        <= F.lit(15) * F.col("tot_chars"),
+    }
+    out = j.select(
+        F.col("__d").alias(id_col),
+        "n_lines",
+        "dup_line_u",
+        "dup_line_chars_u",
+        "tot_line_chars",
+        "tot_chars",
+        "top2_chars",
+        "dup5_chars",
+        *[v.cast("int").alias(k) for k, v in flags.items()],
+    )
+    passes = None
+    for k in flags:
+        c = F.col(k) == 1
+        passes = c if passes is None else (passes & c)
+    return out.withColumn("rep_pass", passes.cast("int"))

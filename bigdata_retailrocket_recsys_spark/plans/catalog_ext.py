@@ -9856,3 +9856,99 @@ def q_corpus_incremental_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_signatures=spark.read.parquet(sig_path),
         near_dup_hash_fn="md5",
     )
+
+
+@query(
+    "q_text_gopher_repetition",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(strlen(trim(text)) AS BIGINT) AS tot_chars
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), l AS (
+        SELECT doc_id, trim(ln) AS ln
+        FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+              FROM base)
+        WHERE trim(ln) <> ''
+    ), lg AS (
+        SELECT doc_id, ln, COUNT(*) AS c FROM l GROUP BY doc_id, ln
+    ), lstat AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+                   AS dup_line_u,
+               CAST(SUM(c * strlen(ln)) AS BIGINT) AS tot_line_chars,
+               CAST(SUM(CASE WHEN c > 1 THEN (c - 1) * strlen(ln)
+                             ELSE 0 END) AS BIGINT) AS dup_line_chars_u
+        FROM lg GROUP BY doc_id
+    ), t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM base
+    ), g2c AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     array_to_string(list_slice(toks, st, st + 1), ' ') AS g
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS st
+                    FROM t WHERE len(toks) >= 2))
+        GROUP BY doc_id, g
+    ), top2 AS (
+        SELECT doc_id, CAST(c * strlen(g) AS BIGINT) AS top2_chars
+        FROM g2c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+    ), g5c AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     array_to_string(list_slice(toks, st, st + 4), ' ') AS g
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 4)) AS st
+                    FROM t WHERE len(toks) >= 5))
+        GROUP BY doc_id, g
+    ), dup5 AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN c > 1 THEN c * strlen(g) ELSE 0 END)
+                    AS BIGINT) AS dup5_chars
+        FROM g5c GROUP BY doc_id
+    ), j AS (
+        SELECT b.doc_id, b.tot_chars,
+               COALESCE(ls.n_lines, 0) AS n_lines,
+               COALESCE(ls.dup_line_u, 0) AS dup_line_u,
+               COALESCE(ls.dup_line_chars_u, 0) AS dup_line_chars_u,
+               COALESCE(ls.tot_line_chars, 0) AS tot_line_chars,
+               COALESCE(t2.top2_chars, 0) AS top2_chars,
+               COALESCE(d5.dup5_chars, 0) AS dup5_chars
+        FROM base b
+        LEFT JOIN lstat ls USING (doc_id)
+        LEFT JOIN top2 t2 USING (doc_id)
+        LEFT JOIN dup5 d5 USING (doc_id)
+    )
+    SELECT doc_id, n_lines, dup_line_u, dup_line_chars_u, tot_line_chars,
+           tot_chars, top2_chars, dup5_chars,
+           CAST(10 * dup_line_u <= 3 * n_lines AS INT) AS f_dup_line,
+           CAST(10 * dup_line_chars_u <= 2 * tot_line_chars AS INT)
+               AS f_dup_line_chars,
+           CAST(10 * top2_chars <= 2 * tot_chars AS INT) AS f_top2,
+           CAST(100 * dup5_chars <= 15 * tot_chars AS INT) AS f_dup5,
+           CAST(10 * dup_line_u <= 3 * n_lines
+                AND 10 * dup_line_chars_u <= 2 * tot_line_chars
+                AND 10 * top2_chars <= 2 * tot_chars
+                AND 100 * dup5_chars <= 15 * tot_chars AS INT) AS rep_pass
+    FROM j
+    """,
+)
+def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION rules (operators/text.gopher_repetition — Rae
+    et al. 2021 §A1.2, the companion to q_text_gopher_quality's §A1.1
+    gate): duplicate-line fraction/char-fraction, top-2-gram char
+    fraction, duplicated-5-gram char fraction, each an INTEGER
+    cross-multiplication over UTF-8 byte lengths — every output column
+    exact on any engine, zero-denominator docs pass vacuously. Three
+    map-side-combinable (doc, unit) aggregate chains; the per-doc top-1
+    rides a WindowGroupLimit rank, no UDF, nothing cached."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    return gopher_repetition(_t(spark, sf_dir, "documents"))

@@ -3733,3 +3733,40 @@ def test_strip_duplicated_spans_geometry(spark):
         3: (5, 5, ""),
         4: (1, 0, "solo"),
     }
+
+
+def test_gopher_repetition_geometry(spark):
+    """Hand-computed Rae §A1.2 geometry: a one-token-spam doc fails the
+    top-2-gram and dup-5-gram char rules; a repeated-line doc fails both
+    line rules but passes dup-5-gram (all its 5-grams are distinct); a
+    clean doc passes everything. All columns integer-exact."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        gopher_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "alpha beta\nalpha beta\nalpha beta\ngamma delta"),
+            # long enough that one 2-gram is < 20% of total bytes (the
+            # top-2-gram rule fails SHORT docs even without repetition)
+            (3, " ".join(f"word{i}" for i in range(30))),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in gopher_repetition(docs).collect()}
+    r1 = out[1]
+    # 5 occurrences of 'spam spam' (9 bytes) over 29 bytes; 2 of the
+    # duplicated 5-gram (24 bytes)
+    assert (r1["top2_chars"], r1["dup5_chars"], r1["tot_chars"]) == (45, 48, 29)
+    assert (r1["f_top2"], r1["f_dup5"], r1["rep_pass"]) == (0, 0, 0)
+    assert (r1["f_dup_line"], r1["f_dup_line_chars"]) == (1, 1)
+    r2 = out[2]
+    assert (r2["n_lines"], r2["dup_line_u"]) == (4, 2)
+    assert (r2["tot_line_chars"], r2["dup_line_chars_u"]) == (41, 20)
+    assert (r2["f_dup_line"], r2["f_dup_line_chars"]) == (0, 0)
+    assert (r2["top2_chars"], r2["dup5_chars"]) == (30, 0)
+    assert (r2["f_top2"], r2["f_dup5"], r2["rep_pass"]) == (0, 1, 0)
+    r3 = out[3]
+    assert r3["rep_pass"] == 1
+    assert (r3["dup_line_u"], r3["dup5_chars"]) == (0, 0)
