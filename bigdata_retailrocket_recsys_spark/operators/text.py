@@ -1293,3 +1293,66 @@ def gopher_repetition(
         c = F.col(k) == 1
         passes = c if passes is None else (passes & c)
     return out.withColumn("rep_pass", passes.cast("int"))
+
+
+def token_entropy(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token (Shannon) entropy in nats — the standard
+    lexical-diversity quality signal between :func:`token_repetition`'s
+    top-token share and a real LM score: near-0 entropy is one token
+    repeated (spam), ln(n) is all-distinct tokens; machine-generated
+    keyword stuffing and template boilerplate sit far below natural
+    text for the same length.
+
+    Cross-engine determinism (the LM_CONTRIB_SQL discipline): H =
+    ln(n) − Σ c·ln(c)/n is computed as an ALL-INTEGER numerator
+    ``n·⌊ln(n)·1e6⌋ − Σ c·⌊ln(c)·1e6⌋`` (per-count µ-floored ln, summed
+    exactly) over denominator ``n·1e6`` — ONE IEEE division at the end,
+    so even the double value-hashes. ``is_low_entropy`` (< 1 nat) is an
+    integer comparison on the numerator. Tokens are lowercased
+    whitespace tokens (the lm_score convention); zero-token docs are
+    absent (no distribution to score).
+
+    Scale shape: explode → (doc, token) count → per-doc aggregate, both
+    map-side combinable, keyed by doc id; no window, no UDF, no cache.
+    Output: (id, n_tokens, n_distinct, entropy_u [bigint numerator],
+    entropy [double, nats], is_low_entropy [int]).
+    """
+    tok = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__d"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("__t"),
+    ).filter(F.col("__t") != "")
+    cnt = tok.groupBy("__d", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ln_u = "CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1e6) AS BIGINT)"
+    per = cnt.groupBy("__d").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * F.expr(ln_u.format(x="c")))
+        .cast("bigint")
+        .alias("__sum_clnc"),
+    )
+    entropy_u = (
+        F.col("n_tokens") * F.expr(ln_u.format(x="n_tokens"))
+        - F.col("__sum_clnc")
+    ).cast("bigint")
+    return per.select(
+        F.col("__d").alias(id_col),
+        "n_tokens",
+        "n_distinct",
+        entropy_u.alias("entropy_u"),
+        (
+            entropy_u.cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1e6))
+        ).alias("entropy"),
+        (entropy_u < F.col("n_tokens") * F.lit(1_000_000))
+        .cast("int")
+        .alias("is_low_entropy"),
+    )

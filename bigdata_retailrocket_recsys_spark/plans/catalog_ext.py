@@ -9952,3 +9952,48 @@ def q_text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return gopher_repetition(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_text_token_entropy",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+                   AS t
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), cnt AS (
+        SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE t <> '' GROUP BY doc_id, t
+    ), per AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6)
+                                 AS BIGINT)) AS BIGINT) AS sum_clnc
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(n_tokens * CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1e6)
+                                AS BIGINT) - sum_clnc AS BIGINT) AS entropy_u,
+           CAST(n_tokens * CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1e6)
+                                AS BIGINT) - sum_clnc AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * 1e6) AS entropy,
+           CAST(n_tokens * CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 1e6)
+                                AS BIGINT) - sum_clnc
+                < n_tokens * 1000000 AS INT) AS is_low_entropy
+    FROM per
+    """,
+)
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy (operators/text.token_entropy)
+    — the lexical-diversity quality gate: H = ln(n) − Σ c·ln(c)/n over
+    lowercased whitespace tokens, computed as an ALL-INTEGER µ-floored
+    numerator over n·1e6 (the LM_CONTRIB_SQL discipline) so even the
+    final double value-hashes cross-engine; is_low_entropy (< 1 nat) is
+    an integer comparison on the numerator. Two map-side-combinable
+    aggregates keyed by doc id."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        token_entropy,
+    )
+
+    return token_entropy(_t(spark, sf_dir, "documents"))

@@ -3770,3 +3770,34 @@ def test_gopher_repetition_geometry(spark):
     r3 = out[3]
     assert r3["rep_pass"] == 1
     assert (r3["dup_line_u"], r3["dup5_chars"]) == (0, 0)
+
+
+def test_token_entropy_extremes(spark):
+    """Entropy geometry: one token repeated n times -> exactly 0 nats
+    (low-entropy flag on); n all-distinct tokens -> entropy_u =
+    n·⌊ln(n)·1e6⌋ (every c=1 contributes ⌊ln(1)·1e6⌋ = 0); a mixed doc
+    lands strictly between; zero-token docs are absent."""
+    import math
+
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        token_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "a b c d e f g h"),
+            (3, "x x y"),
+            (4, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in token_entropy(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["entropy_u"], out[1]["is_low_entropy"]) == (0, 1)
+    n = out[2]["n_tokens"]
+    assert out[2]["entropy_u"] == n * math.floor(math.log(n) * 1e6)
+    assert out[2]["is_low_entropy"] == 0  # ln(8) ≈ 2.08 nats
+    # doc 3: 3·⌊ln3·1e6⌋ − 2·⌊ln2·1e6⌋ over 3e6 ≈ 0.637 nats
+    assert 0 < out[3]["entropy"] < out[2]["entropy"]
+    assert out[3]["is_low_entropy"] == 1
