@@ -9997,3 +9997,152 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_corpus_snapshot_recut",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qf AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM base
+    ), gated AS (
+        SELECT doc_id, text, source FROM qf
+        WHERE (LEAST(n_toks / 64.0, 1.0) * 0.5
+               + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25
+               + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25) >= 0.5
+          AND n_toks >= 5.0
+    ), corp0 AS (
+        SELECT doc_id, text, source FROM gated
+        WHERE doc_id % 4 <> 0 AND (source IS NULL OR source <> 'src0')
+    ), cdig AS (
+        SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM corp0
+    ), bat AS (
+        SELECT doc_id, text, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM gated
+        WHERE doc_id % 4 = 0 AND (source IS NULL OR source <> 'src0')
+    ), surv AS (
+        SELECT * FROM bat WHERE dk NOT IN (SELECT dk FROM cdig)
+    ), keep AS (
+        SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY dk
+    ), fresh AS (
+        SELECT s.doc_id, s.text, s.source
+        FROM surv s JOIN keep USING (doc_id)
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM base WHERE source = 'src0'))
+    ), tr_sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh))
+    ), cont AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM tr_sh GROUP BY doc_id
+    ), acc1 AS (
+        SELECT f.doc_id, f.text, f.source
+        FROM fresh f JOIN cont c USING (doc_id)
+        WHERE c.n_hit * 2 < c.n_sh
+    ), snap AS (
+        SELECT doc_id, text, source FROM corp0
+        UNION ALL
+        SELECT doc_id, text, source FROM acc1
+    ), toks AS (
+        SELECT doc_id, source AS domain,
+               CAST(len(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS hk
+        FROM snap
+    ), cum AS (
+        SELECT doc_id, domain, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY domain ORDER BY hk ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM toks
+    )
+    SELECT doc_id, domain, n_tok, cum_tok FROM cum WHERE cum_tok <= 700
+    """,
+)
+def q_corpus_snapshot_recut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-time budget RE-CUT over the COMMITTED corpus-rows
+    artifact — the global half the incremental path defers ('a token
+    budget is a corpus-global property re-cut at snapshot time, not per
+    delta'): day-0 gated corpus rows are bootstrapped through
+    corpus_commit (digests + corpus rows — the same helper both
+    increments use), a day-1 batch is decided incrementally and
+    committed, and the read-back snapshot (day-0 ∪ day-1 acceptances)
+    is cut per domain by token_budget_sample. Locks the corpus-rows
+    round-trip (write → append → scan) AND that the incremental n_tok
+    convention composes with the budget window. Output is the
+    budget-sample surface (id, domain, n_tok, cum_tok)."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        token_budget_sample,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        quality_filter,
+    )
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus_incremental,
+        corpus_commit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "text", "source")
+    corp0 = quality_filter(base.filter(F.col("doc_id") % 4 != 0)).filter(
+        F.col("source").isNull() | (F.col("source") != "src0")
+    )
+    dig_path = _session_tmp(spark, "corpus_recut_digests")
+    corpus_path = _session_tmp(spark, "corpus_recut_rows")
+    import shutil
+
+    for p in (dig_path, corpus_path):
+        shutil.rmtree(p, ignore_errors=True)
+    corpus_commit(
+        corp0,
+        corp0.select("doc_id"),
+        digest_path=dig_path,
+        corpus_path=corpus_path,
+    )
+    day1 = base.filter(F.col("doc_id") % 4 == 0)
+    acc1 = build_corpus_incremental(
+        day1,
+        spark.read.parquet(dig_path),
+        base.filter(F.col("source") == "src0"),
+        eval_source="src0",
+    )
+    corpus_commit(
+        day1, acc1, digest_path=dig_path, corpus_path=corpus_path
+    )
+    snapshot = spark.read.parquet(corpus_path)
+    return token_budget_sample(
+        snapshot, 700, id_col="doc_id", text_col="text", domain_col="source"
+    )
