@@ -10146,3 +10146,135 @@ def q_corpus_snapshot_recut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         snapshot, 700, id_col="doc_id", text_col="text", domain_col="source"
     )
+
+
+@query(
+    "q_stream_corpus_commit",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qf AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM base
+    ), gated AS (
+        SELECT doc_id, text, source FROM qf
+        WHERE (LEAST(n_toks / 64.0, 1.0) * 0.5
+               + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25
+               + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25) >= 0.5
+          AND n_toks >= 5.0
+    ), dig0 AS (
+        SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM gated
+        WHERE doc_id % 4 IN (2, 3)
+          AND (source IS NULL OR source <> 'src0')
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM base WHERE source = 'src0'))
+    ), bat1 AS (
+        SELECT doc_id, text, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM gated
+        WHERE doc_id % 4 = 1 AND (source IS NULL OR source <> 'src0')
+    ), surv1 AS (
+        SELECT * FROM bat1 WHERE dk NOT IN (SELECT dk FROM dig0)
+    ), keep1 AS (
+        SELECT MIN(doc_id) AS doc_id FROM surv1 GROUP BY dk
+    ), fresh1 AS (
+        SELECT s.doc_id, s.text, s.source, s.dk
+        FROM surv1 s JOIN keep1 USING (doc_id)
+    ), t1sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh1))
+    ), cont1 AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM t1sh GROUP BY doc_id
+    ), acc1 AS (
+        SELECT f.doc_id, f.text, f.source, f.dk
+        FROM fresh1 f JOIN cont1 c USING (doc_id)
+        WHERE c.n_hit * 2 < c.n_sh
+    ), dig1 AS (
+        SELECT dk FROM dig0 UNION SELECT dk FROM acc1
+    ), bat2 AS (
+        SELECT doc_id, text, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+        FROM gated
+        WHERE doc_id % 4 = 0 AND (source IS NULL OR source <> 'src0')
+    ), surv2 AS (
+        SELECT * FROM bat2 WHERE dk NOT IN (SELECT dk FROM dig1)
+    ), keep2 AS (
+        SELECT MIN(doc_id) AS doc_id FROM surv2 GROUP BY dk
+    ), fresh2 AS (
+        SELECT s.doc_id, s.text, s.source
+        FROM surv2 s JOIN keep2 USING (doc_id)
+    ), t2sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM fresh2))
+    ), cont2 AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM t2sh GROUP BY doc_id
+    ), acc2 AS (
+        SELECT f.doc_id, f.text, f.source
+        FROM fresh2 f JOIN cont2 c USING (doc_id)
+        WHERE c.n_hit * 2 < c.n_sh
+    ), snap AS (
+        SELECT doc_id, text, source FROM acc1
+        UNION ALL
+        SELECT doc_id, text, source FROM acc2
+    )
+    SELECT doc_id, source AS domain,
+           CAST(len(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               t -> t <> '')) AS BIGINT) AS n_tok
+    FROM snap
+    """,
+)
+def q_stream_corpus_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING daily-delta commit loop (streaming/corpus_intake
+    .run_streaming_corpus_commit): every micro-batch is decided against
+    the committed corpus state and committed back inside foreachBatch —
+    batch 2's exact-dedup anti-join must see batch 1's appended digests,
+    which only happens if the per-batch corpus_commit round-trip is
+    correct (the q_corpus_incremental_commit semantics, driven by the
+    streaming engine). Two staged files under maxFilesPerTrigger=1 +
+    latestFirst=false pin the batch order, so the committed corpus-rows
+    artifact is deterministic and the whole loop value-hashes against
+    the two-step batch CTE chain."""
+    from bigdata_retailrocket_recsys_spark.streaming.corpus_intake import (
+        run_streaming_corpus_commit,
+    )
+
+    return run_streaming_corpus_commit(spark, sf_dir)

@@ -86,3 +86,96 @@ def run_streaming_corpus_intake(
     )
     q.awaitTermination()
     return spark.table(sink_table)
+
+
+def run_streaming_corpus_commit(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    eval_source: str = "src0",
+) -> DataFrame:
+    """The FULL streaming daily-delta loop: each micro-batch is DECIDED
+    against the committed corpus state and COMMITTED back inside
+    ``foreachBatch`` — the shape a 100 TB crawl ingest actually runs
+    (decide + append per shard, never a nightly rebuild). Batch N+1's
+    exact-dedup anti-join sees batch N's digests because
+    ``pipelines.corpus.corpus_commit`` appended them (and its eager
+    lineage-truncating checkpoint keeps the multi-artifact commit
+    consistent — the refreshByPath trap, CLAUDE.md).
+
+    Determinism for the oracle: the day-0 corpus (doc_id % 4 ∈ {2,3},
+    gated) seeds the digest table; the batch stream is TWO staged files
+    (% 4 = 1, then % 4 = 0) under ``maxFilesPerTrigger=1`` +
+    ``latestFirst=false`` (the late-drop staging pattern), so the
+    commit order — and therefore which duplicate wins across batches —
+    is pinned, and the final corpus-rows artifact equals the two-step
+    batch chain exactly.
+
+    Output: the committed rows (doc_id, domain, n_tok).
+    """
+    import shutil as _sh
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        content_digest_table,
+    )
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus_incremental,
+        corpus_commit,
+    )
+
+    pin_streaming_confs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "text", "source")
+    corp0 = (
+        quality_filter(base.filter((F.col("doc_id") % 4).isin(2, 3)))
+        .filter(F.col("source").isNull() | (F.col("source") != eval_source))
+        .withColumn("__norm", normalize_text("text"))
+    )
+    dig_path = session_scratch(spark, "stream_commit_digests")
+    rows_path = session_scratch(spark, "stream_commit_rows")
+    _sh.rmtree(rows_path, ignore_errors=True)  # append-only artifact
+    content_digest_table(corp0, dig_path, key_cols=["__norm"])
+    stage = session_scratch(spark, "stream_commit_stage")
+    base.filter(F.col("doc_id") % 4 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage + "/f=0")
+    base.filter(F.col("doc_id") % 4 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage + "/f=1")
+    eval_docs = base.filter(F.col("source") == eval_source)
+
+    def _decide_and_commit(batch_df: DataFrame, _batch_id: int) -> None:
+        acc = build_corpus_incremental(
+            batch_df,
+            spark.read.parquet(dig_path),
+            eval_docs,
+            eval_source=eval_source,
+        )
+        corpus_commit(
+            batch_df, acc, digest_path=dig_path, corpus_path=rows_path
+        )
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage + "/f=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_decide_and_commit)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.parquet(rows_path)
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
+    ).cast("bigint")
+    return snap.select(
+        "doc_id", F.col("source").alias("domain"), n_tok.alias("n_tok")
+    )

@@ -390,6 +390,22 @@ def probe_corpus(n_docs: int) -> None:
         )
         .cache()
     )
+    strip_lines = os.environ.get("BDRR_CORPUS_STRIPLINES", "") == "1"
+    if strip_lines:
+        # real line structure for the CCNet paragraph pass: a prevalent
+        # footer on even ids (stripped), a per-doc unique line (kept)
+        docs = docs.withColumn(
+            "text",
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.when(
+                    F.pmod(F.col("doc_id"), 2) == 0,
+                    F.lit("subscribe to our newsletter for updates"),
+                ),
+                F.concat(F.lit("ref "), F.col("doc_id").cast("string")),
+            ),
+        )
     n = docs.count()
     print(f"[corpus] docs materialized: {n:,}", flush=True)
     # budget sized to keep ~25% of each domain's tokens (30 tok/doc)
@@ -405,9 +421,11 @@ def probe_corpus(n_docs: int) -> None:
         # not gate selectivity
         min_quality=0.3,
         # BDRR_CORPUS_NEARDUP=1 probes the full RefinedWeb shape (the
-        # q_corpus_pipeline_neardup composition, xxhash64 scale tier)
+        # q_corpus_pipeline_neardup composition, xxhash64 scale tier);
+        # BDRR_CORPUS_STRIPLINES=1 adds the CCNet-first line pass
         near_dup=near_dup,
         strip_substrings=near_dup,
+        strip_lines=strip_lines,
     )
     agg = kept.agg(
         F.count(F.lit(1)).alias("n_docs"),
