@@ -1659,3 +1659,101 @@ def strip_duplicated_spans(
         .alias("n_removed"),
         "text_clean",
     )
+
+
+def strip_contaminated_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """SURGICAL benchmark decontamination — remove the overlapping
+    SPANS instead of dropping whole documents: every training-doc token
+    covered by a token ``n``-gram that appears anywhere in the eval
+    split is cut and the document is rebuilt from survivors in original
+    order. The scalpel to :func:`contamination_check`'s axe (which
+    flags ≥50%-contaminated docs for dropping): a long document quoting
+    one benchmark question keeps its other 99% instead of dying, the
+    trade most open pipelines actually want for partial overlap.
+
+    Relational shape (the strip_repeated_lines one-pass discipline):
+    token rows (posexplode) → spans via ``lead`` windows per doc →
+    semi-join against the eval split's ONE corpus-wide distinct shingle
+    set (eval sets are benchmark-sized — the semi broadcasts) → covered
+    positions via ``sequence`` explode (overlapping spans union through
+    the distinct) → LEFT join back as a membership flag → ONE groupBy
+    per doc emits n_tokens, n_removed, AND the rebuilt text (the
+    removal filter runs inside the collected struct array). Fully
+    covered documents come back with ``text_clean = ''``.
+
+    Output: (id, n_tokens, n_removed, text_clean).
+    """
+    from pyspark.sql import Window
+
+    base = train_df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__d"), F.col(text_col).alias("__text"))
+    tok = base.select(
+        "__d", F.posexplode(ws_tokens("__text")).alias("__p", "__t")
+    )
+    w = Window.partitionBy("__d").orderBy("__p")
+    span = F.concat_ws(
+        " ", F.col("__t"), *[F.lead("__t", j).over(w) for j in range(1, n)]
+    )
+    last = F.lead("__t", n - 1).over(w)
+    spans = (
+        tok.select(
+            "__d", F.col("__p").alias("__s"), span.alias("shingle"),
+            last.alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    ev = (
+        shingle_rows(
+            eval_df, id_col=id_col, text_col=text_col, n=n, distinct=False
+        )
+        .select("shingle")
+        .distinct()
+    )
+    covered = (
+        spans.join(ev, "shingle", "left_semi")
+        .select(
+            "__d",
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + F.lit(n - 1))
+            ).alias("__p"),
+        )
+        .distinct()
+        .withColumn("__rm", F.lit(1))
+    )
+    flagged = tok.join(covered, ["__d", "__p"], "left")
+    out = flagged.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__rm").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "__p",
+                                F.col("__rm").isNotNull().alias("__r"),
+                                "__t",
+                            )
+                        )
+                    ),
+                    lambda x: ~x["__r"],
+                ),
+                lambda x: x["__t"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return out.select(
+        F.col("__d").alias(id_col), "n_tokens", "n_removed", "text_clean"
+    )

@@ -10278,3 +10278,69 @@ def q_stream_corpus_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_corpus_commit(spark, sf_dir)
+
+
+@query(
+    "q_decontaminate_spans",
+    oracle=r"""
+    WITH tr AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND (source IS NULL OR source <> 'src0')
+    ), ev AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND source = 'src0'))
+    ), tok AS (
+        SELECT doc_id, p - 1 AS p, toks[p] AS t
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS p
+              FROM tr)
+    ), sp AS (
+        SELECT doc_id, st - 1 AS s,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS span
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS st
+              FROM tr WHERE len(toks) >= 3)
+    ), cov AS (
+        SELECT DISTINCT doc_id, p
+        FROM (SELECT doc_id, unnest(generate_series(s, s + 2)) AS p
+              FROM sp WHERE span IN (SELECT shingle FROM ev))
+    ), flagged AS (
+        SELECT t.doc_id, t.p, t.t, c.p IS NOT NULL AS rm
+        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           COALESCE(string_agg(CASE WHEN NOT rm THEN t END, ' '
+                               ORDER BY p ASC), '') AS text_clean
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination (operators/dedup
+    .strip_contaminated_spans): every train token covered by a 3-gram
+    present anywhere in the eval split (source='src0') is cut and the
+    doc rebuilt in original order — the scalpel to contamination_check's
+    whole-doc drop (a doc quoting one benchmark question keeps its
+    other 99%). One corpus-wide distinct eval shingle set semi-joined
+    to train spans, covered positions unioned through a distinct, ONE
+    by-doc groupBy rebuilds (the strip_repeated_lines one-pass shape).
+    The cleaned TEXT itself is hashed."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        strip_contaminated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_contaminated_spans(
+        docs.filter(F.col("source").isNull() | (F.col("source") != "src0")),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+    )

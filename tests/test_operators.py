@@ -3801,3 +3801,35 @@ def test_token_entropy_extremes(spark):
     # doc 3: 3·⌊ln3·1e6⌋ − 2·⌊ln2·1e6⌋ over 3e6 ≈ 0.637 nats
     assert 0 < out[3]["entropy"] < out[2]["entropy"]
     assert out[3]["is_low_entropy"] == 1
+
+
+def test_strip_contaminated_spans_geometry(spark):
+    """Surgical decontamination geometry: a doc quoting one eval 3-gram
+    loses exactly the covered window (overlapping windows union); a doc
+    equal to an eval doc is stripped to ''; a clean doc passes through;
+    docs shorter than n can never be cut."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        strip_contaminated_spans,
+    )
+
+    train = spark.createDataFrame(
+        [
+            # 'q1 q2 q3' at positions 2-4; also 'q2 q3 q4'? no — q4 absent
+            (1, "intro words q1 q2 q3 outro tail"),
+            (2, "q1 q2 q3 q4"),        # covers [0,2] and [1,3] -> all 4
+            (3, "totally unrelated body"),
+            (4, "q1 q2"),              # shorter than n -> untouched
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 and more")], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in strip_contaminated_spans(train, ev, n=3).collect()
+    }
+    assert out[1] == (7, 3, "intro words outro tail")
+    assert out[2] == (4, 4, "")
+    assert out[3] == (3, 0, "totally unrelated body")
+    assert out[4] == (2, 0, "q1 q2")
