@@ -40,6 +40,7 @@ from bigdata_retailrocket_recsys_spark.operators.dedup import (
     exact_dedup,
     jaccard_verify,
     minhash_lsh_candidates,
+    strip_contaminated_spans,
     strip_duplicated_spans,
 )
 from bigdata_retailrocket_recsys_spark.operators.splits import (
@@ -74,9 +75,17 @@ def build_corpus(
     substring_min_occurrences: int = 2,
     strip_lines: bool = False,
     line_min_docs: int = 3,
+    decontaminate_mode: str = "drop",
 ) -> DataFrame:
     """Run the corpus pipeline; returns the kept training docs as
     ``(id, domain, n_tok, cum_tok)`` (the budget-sample surface).
+
+    ``decontaminate_mode``: ``'drop'`` (default — ≥50%-contaminated docs
+    removed whole, the q_corpus_pipeline contract) or ``'strip'``
+    (surgical — eval-overlapping spans are CUT via
+    :func:`~bigdata_retailrocket_recsys_spark.operators.dedup
+    .strip_contaminated_spans`, the rest of each doc survives, the
+    budget charges cleaned token counts, emptied docs drop).
 
     Stages, in order (the RefinedWeb/FineWeb shape):
 
@@ -197,18 +206,43 @@ def build_corpus(
             id_col,
         )
     eval_docs = base.filter(F.col(domain_col) == eval_source)
-    # contamination_check(reference_side, checked_side): per CHECKED doc,
-    # the share of its shingles found in the REFERENCE corpus — each
-    # surviving train doc is checked against the eval split's shingle set
-    flags = contamination_check(
-        eval_docs, train, id_col=id_col, text_col=text_col,
-        shingle_n=shingle_n,
-    )
-    clean = train.join(
-        flags.filter(F.col("contaminated") == 1).select(id_col),
-        id_col,
-        "left_anti",
-    )
+    if decontaminate_mode == "strip":
+        # surgical decontamination: cut the eval-overlapping spans and
+        # keep the rest of the document (strip_contaminated_spans);
+        # docs stripped to nothing drop; the budget charges the CLEANED
+        # token counts
+        stripped = strip_contaminated_spans(
+            train,
+            eval_docs,
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
+        )
+        clean = train.select(id_col, domain_col).join(
+            stripped.filter(F.col("text_clean") != "").select(
+                id_col, F.col("text_clean").alias(text_col)
+            ),
+            id_col,
+        )
+    elif decontaminate_mode == "drop":
+        # contamination_check(reference_side, checked_side): per CHECKED
+        # doc, the share of its shingles found in the REFERENCE corpus —
+        # each surviving train doc is checked against the eval split's
+        # shingle set and ≥50%-contaminated docs drop whole
+        flags = contamination_check(
+            eval_docs, train, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n,
+        )
+        clean = train.join(
+            flags.filter(F.col("contaminated") == 1).select(id_col),
+            id_col,
+            "left_anti",
+        )
+    else:
+        raise ValueError(
+            f"decontaminate_mode must be 'drop' or 'strip', "
+            f"got {decontaminate_mode!r}"
+        )
     return token_budget_sample(
         clean,
         budget_tokens,

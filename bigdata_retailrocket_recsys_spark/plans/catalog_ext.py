@@ -10344,3 +10344,110 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0"),
         n=3,
     )
+
+
+@query(
+    "q_corpus_pipeline_surgical",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qf AS (
+        SELECT doc_id, text, source,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM base
+    ), gated AS (
+        SELECT doc_id, text, source FROM qf
+        WHERE (LEAST(n_toks / 64.0, 1.0) * 0.5
+               + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25
+               + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0, 1.0))
+                   * 0.25) >= 0.5
+          AND n_toks >= 5.0
+    ), keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+              FROM gated)
+        GROUP BY dk
+    ), train AS (
+        SELECT g.doc_id, g.text, g.source,
+               string_split_regex(trim(g.text), '\s+') AS toks
+        FROM gated g JOIN keepers k USING (doc_id)
+        WHERE g.source IS NULL OR g.source <> 'src0'
+    ), ev AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM base WHERE source = 'src0'))
+    ), tok AS (
+        SELECT doc_id, p - 1 AS p, toks[p] AS t
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS p
+              FROM train)
+    ), sp AS (
+        SELECT doc_id, st - 1 AS s,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS span
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 2)) AS st
+              FROM train WHERE len(toks) >= 3)
+    ), cov AS (
+        SELECT DISTINCT doc_id, p
+        FROM (SELECT doc_id, unnest(generate_series(s, s + 2)) AS p
+              FROM sp WHERE span IN (SELECT shingle FROM ev))
+    ), reb AS (
+        SELECT t.doc_id,
+               COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t.t END, ' '
+                                   ORDER BY t.p ASC), '') AS text_clean
+        FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+        GROUP BY t.doc_id
+    ), clean AS (
+        SELECT t.doc_id, r.text_clean AS text, t.source
+        FROM train t JOIN reb r USING (doc_id)
+        WHERE r.text_clean <> ''
+    ), toks2 AS (
+        SELECT doc_id, source AS domain,
+               CAST(len(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS hk
+        FROM clean
+    ), cum AS (
+        SELECT doc_id, domain, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY domain ORDER BY hk ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM toks2
+    )
+    SELECT doc_id, domain, n_tok, cum_tok FROM cum WHERE cum_tok <= 700
+    """,
+)
+def q_corpus_pipeline_surgical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline with SURGICAL decontamination
+    (build_corpus(decontaminate_mode='strip')): instead of dropping
+    ≥50%-contaminated docs whole, every eval-overlapping 3-gram span is
+    CUT (strip_contaminated_spans), the rest of each doc survives, the
+    budget charges CLEANED token counts, and emptied docs drop. The
+    whole quality→dedup→span-strip→budget composition is hashed by one
+    DuckDB CTE chain — any off-by-one in the covered-position union
+    shifts a token count and breaks the budget hash."""
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus,
+    )
+
+    return build_corpus(
+        _t(spark, sf_dir, "documents"),
+        eval_source="src0",
+        budget_tokens=700,
+        decontaminate_mode="strip",
+    )
