@@ -454,3 +454,46 @@ def epoch_shuffle(
         )
         .drop("__h")
     )
+
+
+def top_share_by_score(
+    df: DataFrame,
+    *,
+    group_col: str,
+    score_col: str,
+    share_num: int,
+    share_den: int,
+    id_col: str,
+) -> DataFrame:
+    """Keep the TOP ``share_num/share_den`` fraction of each group's rows
+    by score — the FineWeb-style "keep the best q% per domain" quality
+    cut between a hard threshold (corpus-size-sensitive) and a fixed
+    k-per-group (density-insensitive). The share is an exact RATIONAL:
+    a row with rank ``rn`` survives iff ``rn · share_den ≤ share_num ·
+    n_group`` (integer cross-multiplication — no float share, no
+    cross-engine rounding), i.e. exactly ``floor(share · n)`` rows per
+    group; groups too small for one slot vanish.
+
+    Ranking is deterministic: score DESC, then md5(id) (content-defined
+    tiebreak for equal scores), then id. Shape: ONE window partitioned
+    by group (rank + group count share the partitioning — one
+    exchange); rank-limit pushes via WindowGroupLimit only for constant
+    limits, so the count rides the same window instead. Output: input
+    columns + ``__rn``/``__n`` dropped.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), h.asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(
+            F.col("__rn") * F.lit(int(share_den))
+            <= F.lit(int(share_num)) * F.col("__n")
+        )
+        .drop("__rn", "__n")
+    )

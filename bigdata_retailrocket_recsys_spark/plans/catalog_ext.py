@@ -10451,3 +10451,71 @@ def q_corpus_pipeline_surgical(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=700,
         decontaminate_mode="strip",
     )
+
+
+@query(
+    "q_quality_share_cut",
+    oracle=r"""
+    WITH f AS (
+        SELECT doc_id, source AS domain,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                   AS n_toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \t\n]'))
+                   AS DOUBLE) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   AS n_digit
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), qu AS (
+        SELECT doc_id, domain,
+               CAST(FLOOR((LEAST(n_toks / 64.0, 1.0) * 0.5
+                 + (1.0 - LEAST(n_punct / GREATEST(n_chars, 1.0) * 4.0,
+                                1.0)) * 0.25
+                 + (1.0 - LEAST(n_digit / GREATEST(n_chars, 1.0) * 4.0,
+                                1.0)) * 0.25) * 1e9) AS BIGINT) AS quality_u
+        FROM f
+    )
+    SELECT doc_id, domain, quality_u
+    FROM qu
+    QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY domain
+                ORDER BY quality_u DESC,
+                         md5(CAST(doc_id AS VARCHAR)) ASC,
+                         doc_id ASC) * 4
+            <= 1 * COUNT(*) OVER (PARTITION BY domain)
+    """,
+)
+def q_quality_share_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain top-quality-share cut (operators/splits
+    .top_share_by_score): keep exactly floor(n/4) best-scored docs per
+    domain — the FineWeb 'best q% per domain' move, between a hard
+    threshold and a fixed k-per-group. The share is an exact rational
+    (rn·4 ≤ 1·n integer cross-multiplication), the score is the
+    µ-floored composite quality (floor(score·1e9) bigint — the
+    sanctioned float rule), ties break on md5(id) then id. ONE window
+    partitioning serves both the rank and the group count."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        top_share_by_score,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        _quality_exprs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, _, _, _, _, score = _quality_exprs("text")
+    qu = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.floor(score * F.lit(1e9)).cast("bigint").alias("quality_u"),
+    )
+    return top_share_by_score(
+        qu,
+        group_col="domain",
+        score_col="quality_u",
+        share_num=1,
+        share_den=4,
+        id_col="doc_id",
+    )

@@ -3833,3 +3833,25 @@ def test_strip_contaminated_spans_geometry(spark):
     assert out[2] == (4, 4, "")
     assert out[3] == (3, 0, "totally unrelated body")
     assert out[4] == (2, 0, "q1 q2")
+
+
+def test_top_share_by_score_exact_rational(spark):
+    """floor(share·n) rows survive per group: 10 rows at 1/4 -> 2;
+    3 rows at 1/4 -> 0 (group vanishes); ties break content-defined
+    (md5(id)) so equal scores pick a deterministic winner."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        top_share_by_score,
+    )
+
+    rows = [(i, "a", 100 - i) for i in range(10)]  # scores 100..91
+    rows += [(100 + i, "b", 5) for i in range(3)]  # tiny group, all tied
+    df = spark.createDataFrame(rows, "doc_id bigint, g string, s bigint")
+    out = sorted(
+        (r.g, r.doc_id)
+        for r in top_share_by_score(
+            df, group_col="g", score_col="s", share_num=1, share_den=4,
+            id_col="doc_id",
+        ).collect()
+    )
+    # group a: floor(10/4)=2 best scores -> ids 0,1; group b: floor(3/4)=0
+    assert out == [("a", 0), ("a", 1)]
