@@ -560,3 +560,18 @@ def test_corpus_profile_two_corpus_scans(spark):
         full
     ), "\n".join(scans)
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_pipeline_ccnet_and_surgical_plan_shape(spark):
+    """The two r10 pipeline variants must keep the family's discipline:
+    no Python eval, no cartesian/nested-loop join, keeper/decon joins as
+    semi/anti hash joins, shared frames cached. The ccnet variant's
+    line-prevalence set rides an eagerly-checkpointed scan (bounded),
+    never a corpus-sized cache."""
+    for name in ("q_corpus_pipeline_ccnet", "q_corpus_pipeline_surgical"):
+        plan = plan_str(QUERIES[name].fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, (name, plan[:500])
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "LeftSemi" in plan, (name, plan[:500])
+        assert "InMemoryTableScan" in plan, name
