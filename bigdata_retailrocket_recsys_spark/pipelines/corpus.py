@@ -76,6 +76,7 @@ def build_corpus(
     strip_lines: bool = False,
     line_min_docs: int = 3,
     decontaminate_mode: str = "drop",
+    gate=None,
 ) -> DataFrame:
     """Run the corpus pipeline; returns the kept training docs as
     ``(id, domain, n_tok, cum_tok)`` (the budget-sample surface).
@@ -86,6 +87,13 @@ def build_corpus(
     :func:`~bigdata_retailrocket_recsys_spark.operators.dedup
     .strip_contaminated_spans`, the rest of each doc survives, the
     budget charges cleaned token counts, emptied docs drop).
+
+    ``gate``: optional ``Callable[[DataFrame], DataFrame]`` replacing
+    the default composite-score quality gate (``quality_filter`` with
+    ``min_quality``/``min_tokens``) — pass a narrow FILTER (e.g. the
+    Gopher-rules conjunction from ``gopher_metric_exprs``) and the rest
+    of the pipeline composes unchanged. The gate must not rename or
+    drop the id/text/domain columns.
 
     Stages, in order (the RefinedWeb/FineWeb shape):
 
@@ -136,12 +144,15 @@ def build_corpus(
         ).select(id_col, text_col, domain_col)
     if cache:
         base = base.cache()
-    gated = quality_filter(
-        base,
-        text_col=text_col,
-        min_quality=min_quality,
-        min_tokens=min_tokens,
-    ).withColumn("__norm", normalize_text(text_col))
+    if gate is not None:
+        gated = gate(base).withColumn("__norm", normalize_text(text_col))
+    else:
+        gated = quality_filter(
+            base,
+            text_col=text_col,
+            min_quality=min_quality,
+            min_tokens=min_tokens,
+        ).withColumn("__norm", normalize_text(text_col))
     if cache:
         gated = gated.cache()
     keepers = exact_dedup(gated, key_cols=["__norm"], id_col=id_col).select(

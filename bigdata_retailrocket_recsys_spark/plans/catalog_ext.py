@@ -10519,3 +10519,134 @@ def q_quality_share_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         share_den=4,
         id_col="doc_id",
     )
+
+
+@query(
+    "q_corpus_pipeline_gopher",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, source FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), gm AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(lines), 1) AS BIGINT) AS n_lines,
+               CAST(COALESCE(list_sum(list_transform(words,
+                    w -> strlen(w))), 0) AS BIGINT) AS sum_chars,
+               CAST(len(list_filter(words, w -> position('#' IN w) > 0))
+                    + len(list_filter(words, w -> position('...' IN w) > 0))
+                    + len(list_filter(words, w -> position('…' IN w) > 0))
+                    AS BIGINT) AS n_symbols,
+               CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^[-*•‣▪]')))
+                    AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '(\.\.\.|…)$')))
+                    AS BIGINT) AS n_ell_end,
+               CAST(len(list_filter(words,
+                    w -> regexp_matches(w, '[A-Za-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_distinct(list_filter(
+                    list_transform(words, w -> lower(w)),
+                    w -> w IN ('the','be','to','of','and','that','have',
+                               'with')))) AS BIGINT) AS n_stop
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t <> '') AS words,
+                     list_filter(string_split_regex(text, '\n'),
+                                 l -> trim(l) <> '') AS lines
+              FROM base)
+    ), gated AS (
+        SELECT b.doc_id, b.text, b.source
+        FROM base b JOIN gm USING (doc_id)
+        WHERE gm.n_words >= 50 AND gm.n_words <= 100000
+          AND 3 * gm.n_words <= gm.sum_chars
+          AND gm.sum_chars <= 10 * gm.n_words
+          AND 10 * gm.n_symbols < gm.n_words
+          AND 10 * gm.n_bullet < 9 * gm.n_lines
+          AND 10 * gm.n_ell_end < 3 * gm.n_lines
+          AND 5 * gm.n_alpha > 4 * gm.n_words
+          AND gm.n_stop >= 2
+    ), keepers AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM (SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS dk
+              FROM gated)
+        GROUP BY dk
+    ), train AS (
+        SELECT g.doc_id, g.text, g.source
+        FROM gated g JOIN keepers k USING (doc_id)
+        WHERE g.source IS NULL OR g.source <> 'src0'
+    ), ev_sh AS (
+        SELECT DISTINCT array_to_string(list_slice(toks, st, st + 2), ' ')
+                   AS shingle
+        FROM (SELECT toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+                    FROM base WHERE source = 'src0'))
+    ), tr_sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS shingle
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM train))
+    ), cont AS (
+        SELECT doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN shingle IN (SELECT shingle FROM ev_sh)
+                        THEN 1 ELSE 0 END) AS n_hit
+        FROM tr_sh GROUP BY doc_id
+    ), clean AS (
+        SELECT t.doc_id, t.text, t.source
+        FROM train t JOIN cont c USING (doc_id)
+        WHERE c.n_hit * 2 < c.n_sh
+    ), toks AS (
+        SELECT doc_id, source AS domain,
+               CAST(len(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_tok,
+               md5(CAST(doc_id AS VARCHAR)) AS hk
+        FROM clean
+    ), cum AS (
+        SELECT doc_id, domain, n_tok,
+               CAST(SUM(n_tok) OVER (
+                   PARTITION BY domain ORDER BY hk ASC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        FROM toks
+    )
+    SELECT doc_id, domain, n_tok, cum_tok FROM cum WHERE cum_tok <= 700
+    """,
+)
+def q_corpus_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline gated by the GOPHER rules instead of the
+    composite score (build_corpus's pluggable ``gate`` hook, r10): the
+    Rae et al. §A1.1 seven-flag conjunction (gopher_metric_exprs — the
+    same fused expression tree corpus_profile uses) runs as the narrow
+    first-pass filter, and dedup → decontamination → budget compose
+    unchanged. Proves the gate seam: a user can swap in any published
+    heuristic gate without touching the rest of the pipeline, and the
+    whole composition still value-hashes end-to-end."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        gopher_metric_exprs,
+    )
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus,
+    )
+
+    def _gopher_gate(df: DataFrame) -> DataFrame:
+        _nw, _nl, flags = gopher_metric_exprs("text")
+        cond = None
+        for v in flags.values():
+            cond = v if cond is None else (cond & v)
+        return df.filter(cond)
+
+    return build_corpus(
+        _t(spark, sf_dir, "documents"),
+        eval_source="src0",
+        budget_tokens=700,
+        gate=_gopher_gate,
+    )
