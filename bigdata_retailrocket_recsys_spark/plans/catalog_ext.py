@@ -10525,7 +10525,8 @@ def q_quality_share_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_corpus_pipeline_gopher",
     oracle=r"""
     WITH base AS (
-        SELECT doc_id, text, source FROM documents
+        SELECT doc_id, text || ' the of and it is' AS text, source
+        FROM documents
         WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ), gm AS (
         SELECT doc_id,
@@ -10629,7 +10630,12 @@ def q_corpus_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-pass filter, and dedup → decontamination → budget compose
     unchanged. Proves the gate seam: a user can swap in any published
     heuristic gate without touching the rest of the pipeline, and the
-    whole composition still value-hashes end-to-end."""
+    whole composition still value-hashes end-to-end.
+
+    The synthetic fixture tokens contain no English stop words, so the
+    Gopher stop-word rule would zero the corpus (probed) — the entry
+    stages a deterministic stopword-bearing suffix in BOTH engines,
+    making ~half the docs pass and the gate genuinely selective."""
     from bigdata_retailrocket_recsys_spark.operators.text import (
         gopher_metric_exprs,
     )
@@ -10644,8 +10650,16 @@ def q_corpus_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             cond = v if cond is None else (cond & v)
         return df.filter(cond)
 
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "text",
+        F.when(
+            F.col("text").isNotNull(),
+            F.concat(F.col("text"), F.lit(" the of and it is")),
+        ),
+    )
     return build_corpus(
-        _t(spark, sf_dir, "documents"),
+        staged,
         eval_source="src0",
         budget_tokens=700,
         gate=_gopher_gate,
