@@ -9436,6 +9436,7 @@ def q_text_strip_repeated_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_corpus_pipeline_ccnet",
+    headline=True,
     oracle=r"""
     WITH staged AS (
         SELECT doc_id, source,
