@@ -1123,6 +1123,76 @@ def strip_repeated_lines(
     )
 
 
+def dedup_lines_within(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document repeated-line dedup — keep the FIRST occurrence of
+    each normalized non-blank line inside a document and drop later
+    repeats (north-star extension, SURVEY §2.11 — no reference
+    counterpart). The complement of :func:`strip_repeated_lines` at the
+    opposite grain: that pass removes lines prevalent ACROSS documents
+    (nav chrome); this one removes a document's OWN internal repetition
+    (scraped pages that stutter the same paragraph, log spam, copy-paste
+    loops) without any cross-document state at all.
+
+    Relational shape: posexplode by line, first-occurrence flag via
+    ``row_number() over (partition by doc, line-digest order by pos)``
+    (blank/whitespace-only lines are structure, not content — ALL are
+    preserved, never deduped), then ONE groupBy per document rebuilds the
+    text from kept lines in original order. Two exchanges — by
+    (doc, digest) for the window, by doc for the rebuild — both keyed on
+    16-byte md5 digests of normalized lines, never line text. Nothing is
+    cached; per-key state is one window row.
+
+    Output: (id, n_lines [non-blank], n_removed, text_clean).
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__d"), F.col(text_col).alias("__text"))
+    lines = base.select(
+        "__d", F.posexplode(F.split("__text", r"\n")).alias("__p", "__l")
+    ).withColumn(
+        "__h",
+        F.when(
+            F.trim("__l") != "",
+            F.md5(F.trim(F.regexp_replace(F.lower("__l"), r"\s+", " "))),
+        ),
+    )
+    w = Window.partitionBy("__d", "__h").orderBy("__p")
+    flagged = lines.withColumn(
+        "__keep",
+        F.col("__h").isNull() | (F.row_number().over(w) == 1),
+    )
+    out = flagged.groupBy("__d").agg(
+        F.sum(F.when(F.col("__h").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lines"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("__p", "__keep", "__l"))
+                    ),
+                    lambda x: x["__keep"],
+                ),
+                lambda x: x["__l"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return out.select(
+        F.col("__d").alias(id_col), "n_lines", "n_removed", "text_clean"
+    )
+
+
 def gopher_repetition(
     docs: DataFrame,
     *,

@@ -10665,3 +10665,63 @@ def q_corpus_pipeline_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=700,
         gate=_gopher_gate,
     )
+
+
+@query(
+    "q_text_dedup_lines_within",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, replace(text, ' ', chr(10)) AS text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), l AS (
+        SELECT doc_id, p - 1 AS p, lns[p] AS ln
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS lns
+              FROM base),
+             LATERAL (SELECT unnest(generate_series(1, len(lns))) AS p)
+    ), h AS (
+        SELECT doc_id, p, ln,
+               CASE WHEN trim(ln) <> '' THEN
+                   md5(trim(regexp_replace(lower(ln), '\s+', ' ', 'g')))
+               END AS hh
+        FROM l
+    ), k AS (
+        SELECT doc_id, p, ln, hh,
+               (hh IS NULL OR ROW_NUMBER() OVER (
+                    PARTITION BY doc_id, hh ORDER BY p) = 1) AS keep
+        FROM h
+    ), reb AS (
+        SELECT doc_id,
+               string_agg(ln, chr(10) ORDER BY p ASC) AS text_clean
+        FROM k WHERE keep GROUP BY doc_id
+    ), tot AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed
+        FROM k GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines, t.n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def q_text_dedup_lines_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line dedup (operators/text
+    .dedup_lines_within): keep the FIRST occurrence of each normalized
+    non-blank line inside a document, drop later repeats — the
+    internal-stutter cleaner (scraped pages repeating a paragraph, log
+    spam), complementing q_text_strip_repeated_lines' CROSS-document
+    prevalence pass. First-occurrence flag = row_number over
+    (doc, line-digest); blank lines are structure and always survive.
+    The fixture's documents are single-line, so BOTH engines stage
+    deterministic line structure by splitting on spaces (every token a
+    line — the fixtures' repeated tokens make the op genuinely
+    selective). Cleaned TEXT is hashed."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        dedup_lines_within,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn("text", F.translate("text", " ", "\n"))
+    return dedup_lines_within(staged)

@@ -3478,6 +3478,35 @@ def test_strip_repeated_lines_geometry(spark):
     assert out[4] == (2, 0, "solo\nsolo")
 
 
+def test_dedup_lines_within_geometry(spark):
+    """Keep-FIRST semantics at within-doc grain: a line repeated inside
+    one doc keeps only its first occurrence (later repeats dropped even
+    when interleaved), normalization collapses case/whitespace, blank
+    lines are ALL preserved (never deduped against each other), and
+    cross-document repetition is invisible (no shared state)."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        dedup_lines_within,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nALPHA\n\n\nAlpha  \ngamma"),
+            (2, "alpha\nalpha"),  # same line cross-doc: untouched in d1
+            (3, ""),              # empty text: one blank line, kept
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in dedup_lines_within(docs).collect()
+    }
+    # d1: 5 non-blank lines, 'ALPHA'/'Alpha  ' normalize to 'alpha' and
+    # drop; BOTH blank lines survive in place.
+    assert out[1] == (5, 2, "alpha\nbeta\n\n\ngamma")
+    assert out[2] == (2, 1, "alpha")
+    assert out[3] == (0, 0, "")
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
