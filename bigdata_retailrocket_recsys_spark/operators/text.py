@@ -1123,6 +1123,99 @@ def strip_repeated_lines(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — for every pair of sources,
+    how much distinct shingle vocabulary they share (north-star
+    extension, SURVEY §2.11 — no reference counterpart). The corpus
+    diagnostic behind mixture design and leakage triage: a high-overlap
+    source pair means one is a mirror/re-crawl of the other (dedup
+    before mixing) or a contamination channel into an eval split.
+
+    Relational shape: distinct (source, shingle-digest) rows — shuffles
+    16-byte md5 digests, never shingle text — then a digest self-join
+    (src_a < src_b) counts shared vocabulary; per-source totals and the
+    full pair grid come from a source-cardinality-bounded frame joined
+    broadcast. Pairs sharing nothing still appear (n_shared = 0).
+
+    Scale note: the self-join emits C(k,2) rows per digest where k =
+    #sources containing that shingle — total cost Σ_digest C(k,2),
+    bounded by |distinct digests| · C(|sources|,2). Fine for the
+    hundreds-of-domains regime this report targets; for web-scale
+    domain counts, pre-bucket sources or sample digests upstream.
+
+    Output: (src_a, src_b, n_a, n_b, n_shared, jaccard, overlap_coef) —
+    exact integers plus two single IEEE divisions (cross-engine-safe).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.dedup import shingles
+
+    base = docs.filter(
+        F.col(group_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(text_col).isNotNull()
+    )
+    sh = (
+        base.select(
+            F.col(group_col).alias("__g"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+        )
+        .filter(F.col("__s") != "")
+        .select("__g", F.md5("__s").alias("__h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("src_a"), F.col("b.__g").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    grid = (
+        sizes.alias("sa")
+        .join(
+            F.broadcast(sizes.alias("sb")),
+            F.col("sa.__g") < F.col("sb.__g"),
+        )
+        .select(
+            F.col("sa.__g").alias("src_a"),
+            F.col("sb.__g").alias("src_b"),
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+        )
+    )
+    out = grid.join(common, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint").alias(
+            "n_shared"
+        ),
+    )
+    shared = F.col("n_shared").cast("double")
+    return out.select(
+        "*",
+        (shared / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+            "double"
+        )).alias("jaccard"),
+        (shared / F.least("n_a", "n_b").cast("double")).alias(
+            "overlap_coef"
+        ),
+    )
+
+
 def dedup_lines_within(
     docs: DataFrame,
     *,

@@ -10725,3 +10725,59 @@ def q_text_dedup_lines_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     staged = docs.withColumn("text", F.translate("text", " ", "\n"))
     return dedup_lines_within(staged)
+
+
+@query(
+    "q_corpus_overlap_matrix",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+        WHERE source IS NOT NULL AND doc_id IS NOT NULL
+          AND text IS NOT NULL
+    ), sh AS (
+        SELECT DISTINCT source,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT source, toks,
+                     unnest(generate_series(
+                         1, GREATEST(len(toks) - 2, 1))) AS st
+              FROM tok)
+        WHERE array_to_string(list_slice(toks, st, st + 2), ' ') <> ''
+    ), sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM sh GROUP BY source
+    ), common AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT sa.source AS src_a, sb.source AS src_b,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(COALESCE(c.n_shared, 0) AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - COALESCE(c.n_shared, 0)
+                      AS DOUBLE) AS jaccard,
+           CAST(COALESCE(c.n_shared, 0) AS DOUBLE)
+               / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) AS overlap_coef
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN common c ON c.src_a = sa.source AND c.src_b = sb.source
+    """,
+)
+def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram overlap matrix (operators/text
+    .source_overlap_matrix) — per source pair, shared distinct shingle
+    vocabulary with Jaccard and overlap coefficient: the mixture-design /
+    leakage-triage report (a near-1 overlap_coef flags a mirror or a
+    contamination channel). Distinct (source, digest) rows shuffle
+    16-byte md5 digests, never shingle text; the pair grid is a
+    source-cardinality-bounded broadcast so zero-overlap pairs still
+    appear. Exact integers + two single IEEE divisions."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        source_overlap_matrix,
+    )
+
+    return source_overlap_matrix(
+        _t(spark, sf_dir, "documents"), shingle_n=3
+    )

@@ -3507,6 +3507,38 @@ def test_dedup_lines_within_geometry(spark):
     assert out[3] == (0, 0, "")
 
 
+def test_source_overlap_matrix(spark):
+    """Pair grid is complete (zero-overlap pairs appear with n_shared=0),
+    shared vocabulary is DISTINCT-shingle grain (within-source repeats
+    collapse), NULL-source docs are excluded, and jaccard/overlap_coef
+    come out exact."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "s1"),
+            (2, "a b", "s1"),      # duplicate shingle within s1: collapses
+            (3, "a b c d", "s2"),  # shares 'a b' with s1
+            (4, "x y", "s3"),      # shares nothing
+            (5, "zz", None),       # NULL source: dropped
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {
+        (r.src_a, r.src_b): r
+        for r in source_overlap_matrix(docs, shingle_n=2).collect()
+    }
+    assert set(out) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = out[("s1", "s2")]
+    # s1 = {'a b'}; s2 = {'a b','b c','c d'} -> shared 1
+    assert (r12.n_a, r12.n_b, r12.n_shared) == (1, 3, 1)
+    assert r12.jaccard == 1 / 3 and r12.overlap_coef == 1.0
+    assert out[("s1", "s3")].n_shared == 0
+    assert out[("s1", "s3")].jaccard == 0.0
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
