@@ -950,6 +950,85 @@ def jaccard_verify(
     return verified
 
 
+def lsh_audit(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash-LSH recall/precision AUDIT — "measure, don't guess" made a
+    first-class operator (north-star extension, SURVEY §2.11 — no
+    reference counterpart): compare the banded candidate set against
+    exact n-gram-Jaccard ground truth and report the confusion counts.
+    The operational answer to "is (num_hashes, bands) tuned right for
+    this corpus?" — run it on a sampled corpus slice before committing a
+    banding config to a 100 TB dedup pass.
+
+    - truth  = pairs with exact distinct-shingle Jaccard ≥ ``min_jaccard``
+      (:func:`ngram_jaccard_pairs`, global — no blocking, the same pair
+      universe LSH searches)
+    - cand   = banded MinHash candidates
+      (:func:`minhash_lsh_candidates`, same shingle grain)
+    - n_misses (truth the bands never surfaced) are RECALL failures —
+      the silent-data-loss direction; n_false_alarms are wasted
+      verification work (harmless to correctness — jaccard_verify
+      drops them).
+
+    One full-outer join of two distinct pair sets, then a single global
+    aggregate — one row, ALL-INTEGER (recall/precision are ratios of
+    these counts; emitting them as doubles would NULL on an empty truth
+    set and NULL doubles stringify asymmetrically cross-engine).
+
+    Cost note: exact ground truth shares shingles via self-join — cost
+    is Σ_shingle C(docs-containing,2), corpus-squared in the worst case.
+    That is inherent to an audit (you are buying the true answer); run
+    it at sample scale, not on the full corpus.
+
+    Output: one row (n_truth, n_candidates, n_hits, n_misses,
+    n_false_alarms).
+    """
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    truth = ngram_jaccard_pairs(
+        df=base,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        min_jaccard=min_jaccard,
+    ).select("doc_a", "doc_b", F.lit(1).alias("__t"))
+    cand = minhash_lsh_candidates(
+        base,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_fn=hash_fn,
+    ).select("doc_a", "doc_b", F.lit(1).alias("__c"))
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+
+    def _n(cond: Column) -> Column:
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint")
+
+    t = F.col("__t").isNotNull()
+    c = F.col("__c").isNotNull()
+    return j.agg(
+        _n(t).alias("n_truth"),
+        _n(c).alias("n_candidates"),
+        _n(t & c).alias("n_hits"),
+        _n(t & ~c).alias("n_misses"),
+        _n(~t & c).alias("n_false_alarms"),
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

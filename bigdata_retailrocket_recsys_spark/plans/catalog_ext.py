@@ -10781,3 +10781,84 @@ def q_corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(
         _t(spark, sf_dir, "documents"), shingle_n=3
     )
+
+
+@query(
+    "q_dedup_lsh_audit",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), sh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM base)
+    ), shd AS (
+        SELECT DISTINCT doc, s FROM sh
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM shd GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM shd a JOIN shd b ON a.s = b.s AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ), truth AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    ), sig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), band AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM sig GROUP BY doc, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ), fj AS (
+        SELECT t.doc_a IS NOT NULL AS is_t, c.doc_a IS NOT NULL AS is_c
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT
+        CAST(COALESCE(SUM(CASE WHEN is_t THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_truth,
+        CAST(COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_candidates,
+        CAST(COALESCE(SUM(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_hits,
+        CAST(COALESCE(SUM(CASE WHEN is_t AND NOT is_c THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_misses,
+        CAST(COALESCE(SUM(CASE WHEN NOT is_t AND is_c THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_false_alarms
+    FROM fj
+    """,
+)
+def q_dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall/precision audit (operators/dedup.lsh_audit,
+    md5 tier): banded candidates vs exact 3-gram-Jaccard ground truth
+    (≥ 0.5), one ALL-INTEGER confusion row — n_truth, n_candidates,
+    n_hits, n_misses (recall failures, the silent-data-loss direction),
+    n_false_alarms (wasted verify work). The whole
+    truth-chain + signature-chain + full-outer confusion join is
+    value-hashed; the xxhash64 scale tier threads through hash_fn. Run
+    at sample scale before committing a banding config to a full-corpus
+    dedup pass."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import lsh_audit
+
+    return lsh_audit(
+        _t(spark, sf_dir, "documents"),
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+        min_jaccard=0.5,
+        hash_fn="md5",
+    )

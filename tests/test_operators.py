@@ -3539,6 +3539,30 @@ def test_source_overlap_matrix(spark):
     assert out[("s1", "s3")].jaccard == 0.0
 
 
+def test_lsh_audit(spark):
+    """Exact duplicates are truth AND candidates (a hit); an unrelated
+    doc contributes nothing; an EMPTY corpus still yields one all-zero
+    row (the coalesce guard — sum over an empty frame is NULL)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import lsh_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (3, "completely different words here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    r = lsh_audit(docs, shingle_n=3, hash_fn="md5").collect()[0]
+    assert (r.n_truth, r.n_candidates, r.n_hits) == (1, 1, 1)
+    assert (r.n_misses, r.n_false_alarms) == (0, 0)
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    z = lsh_audit(empty, hash_fn="md5").collect()
+    assert len(z) == 1
+    assert tuple(z[0]) == (0, 0, 0, 0, 0)
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
