@@ -65,6 +65,77 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    *,
+    splits: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    hash_fn: str = "xxhash64",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/eval split — assign duplicate CLUSTERS to
+    splits, not documents (north-star extension, SURVEY §2.11 — no
+    reference counterpart). A per-document hash split leaks: two
+    near-identical documents land on opposite sides and the eval set
+    silently contains training data (the classic benchmark-contamination
+    bug). Here every document first joins its near-dup connected
+    component (banded MinHash candidates → exact-Jaccard verification →
+    :func:`~bigdata_retailrocket_recsys_spark.operators.dedup
+    .connected_components`), then :func:`hash_split` keys on the CLUSTER
+    id — all members of a component share one split by construction, so
+    no near-dup pair ever straddles the boundary.
+
+    Same stability contract as :func:`hash_split` (content-defined,
+    rerun/reshard-stable) with one caveat: the cluster id is the
+    component's min doc id, so adding NEW near-dup documents can merge
+    components and move a cluster — leakage-safety is per-snapshot,
+    which is inherent to any dedup-aware split.
+
+    Output: (id, cluster_id, split).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    cand = minhash_lsh_candidates(
+        base,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        hash_fn=hash_fn,
+    ).select("doc_a", "doc_b")
+    edges = jaccard_verify(
+        cand,
+        base,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        min_jaccard=min_jaccard,
+    ).select("doc_a", "doc_b")
+    cc = connected_components(
+        base.select(id_col),
+        edges,
+        node_col=id_col,
+        src_col="doc_a",
+        dst_col="doc_b",
+    )
+    return hash_split(
+        cc, key_cols=["cluster_id"], splits=splits, split_col=split_col
+    )
+
+
 def kfold_assign(
     df: DataFrame,
     *,

@@ -10862,3 +10862,85 @@ def q_dedup_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_jaccard=0.5,
         hash_fn="md5",
     )
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), sh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM base)
+    ), shd AS (
+        SELECT DISTINCT doc, s FROM sh
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM shd GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM shd a JOIN shd b ON a.s = b.s AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ), sig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), band AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM sig GROUP BY doc, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ), verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc = c.doc_a
+        JOIN sizes sb ON sb.doc = c.doc_b
+        WHERE CAST(m.n_common AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - m.n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM verified
+        UNION SELECT doc_b, doc_a FROM verified
+    ), reach(s, d) AS (
+        SELECT doc_id, doc_id FROM base
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), cc AS (
+        SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < 'cccd'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM cc
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware 80/20 split (operators/splits.leakage_safe_split,
+    md5 tier): banded MinHash candidates → exact-Jaccard verification
+    (≥ 0.5) → connected components → hash_split keyed on the CLUSTER id,
+    so no near-dup pair ever straddles the train/eval boundary (the
+    benchmark-contamination bug a per-doc hash split commits). Oracle:
+    the same candidate+verify chain, a recursive-CTE transitive closure,
+    and the identical fixed-width-hex md5 threshold ('cccd' = 0.8 of the
+    16-bit space)."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        leakage_safe_split,
+    )
+
+    return leakage_safe_split(
+        _t(spark, sf_dir, "documents"),
+        splits=[("train", 0.8), ("eval", 0.2)],
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+        min_jaccard=0.5,
+        hash_fn="md5",
+    )

@@ -3563,6 +3563,39 @@ def test_lsh_audit(spark):
     assert tuple(z[0]) == (0, 0, 0, 0, 0)
 
 
+def test_leakage_safe_split(spark):
+    """All members of a near-dup component share one split (a transitive
+    A~B~C chain collapses to one cluster even if A and C are not
+    directly similar), singletons are their own cluster, and fractions
+    route through the same md5 thresholds as hash_split."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        leakage_safe_split,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = a + " iota"      # near-dup of a
+    c = b + " kappa"     # near-dup of b, farther from a
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, "totally unrelated words only here")],
+        "doc_id bigint, text string",
+    )
+    rows = leakage_safe_split(
+        docs,
+        splits=[("train", 0.8), ("eval", 0.2)],
+        shingle_n=2,
+        min_jaccard=0.5,
+        hash_fn="md5",
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == 4
+    assert (
+        by_id[1].cluster_id == by_id[2].cluster_id == by_id[3].cluster_id == 1
+    )
+    assert by_id[1].split == by_id[2].split == by_id[3].split
+    assert by_id[4].cluster_id == 4
+    assert all(r.split in ("train", "eval") for r in rows)
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
