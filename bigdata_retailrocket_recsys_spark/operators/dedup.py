@@ -247,6 +247,7 @@ def shingle_rows(
     text_col: str,
     n: int = 3,
     distinct: bool = True,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """(doc, shingle) rows — the scalable shingle producer.
 
@@ -261,20 +262,28 @@ def shingle_rows(
     own exchange disappears, and a following groupBy("doc") reuses the
     lead-window's hashpartitioning(doc) instead of re-exchanging from
     (doc, shingle). Jaccard set-intersection consumers need the default
-    ``distinct=True``."""
+    ``distinct=True``.
+
+    ``carry_cols`` rides extra per-document columns (a blocking key, a
+    source/domain) through the explode — free (narrow), saving the
+    join-back a consumer grouping by something other than doc would
+    otherwise pay."""
     from pyspark.sql import Window
 
+    carry = list(carry_cols or [])
     tok = df.select(
         F.col(id_col).alias("doc"),
+        *[F.col(c) for c in carry],
         F.posexplode(ws_tokens(text_col)).alias("pos", "tok"),
     )
     if n == 1:
-        out = tok.select("doc", F.col("tok").alias("shingle"))
+        out = tok.select("doc", *carry, F.col("tok").alias("shingle"))
         return out.distinct() if distinct else out
     w = Window.partitionBy("doc").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
     out = tok.select(
         "doc",
+        *carry,
         "pos",
         F.concat_ws(" ", *leads).alias("shingle"),
         leads[-1].isNotNull().alias("full"),
@@ -282,7 +291,7 @@ def shingle_rows(
     )
     out = out.filter(
         F.col("full") | ((F.col("pos") == 0) & (F.col("doc_len") < n))
-    ).select("doc", "shingle")
+    ).select("doc", *carry, "shingle")
     return out.distinct() if distinct else out
 
 

@@ -1123,6 +1123,82 @@ def strip_repeated_lines(
     )
 
 
+def c4_rules(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — the T5 corpus
+    filter), completing the published-heuristic gate family next to
+    Gopher (§A1.1/§A1.2), CCNet and DSIR:
+
+    - LINE level: keep only lines that end in terminal punctuation
+      (``. ! ? "``) AND contain ≥ ``min_words_per_line`` whitespace
+      words; the document is rebuilt from kept lines in order.
+    - PAGE level: drop (flag) documents with fewer than
+      ``min_sentences`` sentences (terminal-punctuation count over the
+      KEPT text), any curly brace (code), or the phrase "lorem ipsum"
+      anywhere in the ORIGINAL text (case-insensitive) — the brace and
+      lorem probes run on the raw page, as in C4.
+
+    (The C4 bad-word-list rule is corpus-policy, not engine mechanics —
+    supply it as an extra filter if needed.)
+
+    Scale story: ALL array higher-order functions on the line array —
+    narrow, zero shuffle, whole-stage codegen; per-element regexes are
+    line-local so there is no re-tokenize blow-up. Every flag is an
+    integer; ``text_clean`` is the kept-lines rebuild.
+
+    Output: (id, n_lines, n_kept_lines, n_sentences, has_brace,
+    has_lorem, c4_pass, text_clean).
+    """
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line),
+    )
+    out = base.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+    n_sent = F.regexp_count(F.col("text_clean"), F.lit("[.!?]")).cast(
+        "bigint"
+    )
+    has_brace = (
+        F.contains(F.col("__text"), F.lit("{"))
+        | F.contains(F.col("__text"), F.lit("}"))
+    ).cast("int")
+    has_lorem = F.contains(
+        F.lower(F.col("__text")), F.lit("lorem ipsum")
+    ).cast("int")
+    return out.select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        n_sent.alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        (
+            (n_sent >= min_sentences)
+            & (has_brace == 0)
+            & (has_lorem == 0)
+        )
+        .cast("int")
+        .alias("c4_pass"),
+        "text_clean",
+    )
+
+
 def source_overlap_matrix(
     docs: DataFrame,
     *,
@@ -1143,6 +1219,13 @@ def source_overlap_matrix(
     (src_a < src_b) counts shared vocabulary; per-source totals and the
     full pair grid come from a source-cardinality-bounded frame joined
     broadcast. Pairs sharing nothing still appear (n_shared = 0).
+    Shingles come from the tokenize-once lead-window producer
+    (``shingle_rows`` with the source carried through the explode — the
+    array-HOF ``shingles()`` form re-tokenizes per position and measured
+    ~7× slower end-to-end at 50k docs); the distinct digest frame feeds
+    three consumers (sizes + both join sides) so it is S7-cached, and —
+    the island pattern — the bounded |sources|² output is eagerly
+    localCheckpoint-ed and the cache released before returning.
 
     Scale note: the self-join emits C(k,2) rows per digest where k =
     #sources containing that shingle — total cost Σ_digest C(k,2),
@@ -1153,7 +1236,9 @@ def source_overlap_matrix(
     Output: (src_a, src_b, n_a, n_b, n_shared, jaccard, overlap_coef) —
     exact integers plus two single IEEE divisions (cross-engine-safe).
     """
-    from bigdata_retailrocket_recsys_spark.operators.dedup import shingles
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        shingle_rows,
+    )
 
     base = docs.filter(
         F.col(group_col).isNotNull()
@@ -1161,13 +1246,20 @@ def source_overlap_matrix(
         & F.col(text_col).isNotNull()
     )
     sh = (
-        base.select(
-            F.col(group_col).alias("__g"),
-            F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+        shingle_rows(
+            base,
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
+            distinct=False,
+            carry_cols=[group_col],
         )
-        .filter(F.col("__s") != "")
-        .select("__g", F.md5("__s").alias("__h"))
+        .filter(F.col("shingle") != "")
+        .select(
+            F.col(group_col).alias("__g"), F.md5("shingle").alias("__h")
+        )
         .distinct()
+        .cache()
     )
     sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
@@ -1205,7 +1297,7 @@ def source_overlap_matrix(
         ),
     )
     shared = F.col("n_shared").cast("double")
-    return out.select(
+    result = out.select(
         "*",
         (shared / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
             "double"
@@ -1213,7 +1305,9 @@ def source_overlap_matrix(
         (shared / F.least("n_a", "n_b").cast("double")).alias(
             "overlap_coef"
         ),
-    )
+    ).localCheckpoint(eager=True)
+    sh.unpersist()
+    return result
 
 
 def dedup_lines_within(

@@ -10944,3 +10944,100 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_jaccard=0.5,
         hash_fn="md5",
     )
+
+
+@query(
+    "q_text_c4_rules",
+    oracle=r"""
+    WITH staged AS (
+        SELECT doc_id,
+               concat_ws(chr(10),
+                   text || CASE WHEN ((doc_id % 2) + 2) % 2 = 0
+                                THEN '.' ELSE '' END,
+                   'too short',
+                   CASE WHEN ((doc_id % 5) + 5) % 5 = 0
+                        THEN 'lorem ipsum filler text here.' END,
+                   CASE WHEN ((doc_id % 7) + 7) % 7 = 0
+                        THEN 'code { block } sample line.' END,
+                   CASE WHEN ((doc_id % 3) + 3) % 3 = 0
+                        THEN 'one two three. four five six. '
+                             || 'seven eight nine. ten eleven twelve. '
+                             || 'final words here.' END
+               ) AS text
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), k AS (
+        SELECT doc_id, text,
+               string_split(text, chr(10)) AS lns,
+               list_filter(string_split(text, chr(10)),
+                   x -> regexp_matches(trim(x), '[.!?"]$')
+                        AND len(string_split_regex(trim(x), '\s+')) >= 3)
+                   AS kept
+        FROM staged
+    )
+    SELECT doc_id,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(len(regexp_extract_all(
+               COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]'))
+               AS BIGINT) AS n_sentences,
+           CAST(contains(text, '{') OR contains(text, '}') AS INT)
+               AS has_brace,
+           CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+           CAST(len(regexp_extract_all(
+                    COALESCE(array_to_string(kept, chr(10)), ''),
+                    '[.!?]')) >= 5
+                AND NOT (contains(text, '{') OR contains(text, '}'))
+                AND NOT contains(lower(text), 'lorem ipsum') AS INT)
+               AS c4_pass,
+           COALESCE(array_to_string(kept, chr(10)), '') AS text_clean
+    FROM k
+    """,
+)
+def q_text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (operators/text.c4_rules — Raffel et al. 2020
+    §2.2, the T5 corpus filter): line level keeps only
+    terminal-punctuation lines with ≥3 words; page level flags
+    <5 sentences, curly braces (code), and 'lorem ipsum' — completing
+    the published-heuristic family (Gopher §A1.1/§A1.2, CCNet, DSIR).
+    All array higher-order functions, narrow, zero shuffle. The
+    single-line fixture has no punctuation/braces, so BOTH engines
+    stage deterministic structure (terminal '.' on even ids, a
+    too-short line, lorem/brace/sentence lines on 5/7/3 residues —
+    sign-safe modulo for negative adversarial ids); kept-lines TEXT is
+    hashed."""
+    from bigdata_retailrocket_recsys_spark.operators.text import c4_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "text",
+        F.when(
+            F.col("text").isNotNull() & F.col("doc_id").isNotNull(),
+            F.concat_ws(
+                "\n",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit(".")
+                    ).otherwise(F.lit("")),
+                ),
+                F.lit("too short"),
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                    F.lit("lorem ipsum filler text here."),
+                ),
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+                    F.lit("code { block } sample line."),
+                ),
+                F.when(
+                    F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                    F.lit(
+                        "one two three. four five six. "
+                        "seven eight nine. ten eleven twelve. "
+                        "final words here."
+                    ),
+                ),
+            ),
+        ),
+    )
+    return c4_rules(staged, min_words_per_line=3, min_sentences=5)

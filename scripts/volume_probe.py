@@ -440,9 +440,79 @@ def probe_corpus(n_docs: int) -> None:
     )
 
 
+def probe_r10ops(n_docs: int) -> None:
+    """Round-10 session-2 operators at volume: within-doc line dedup,
+    cross-source overlap matrix, leakage-safe split (xxhash64 scale
+    tier), and the LSH audit at its intended SAMPLE scale (exact ground
+    truth is corpus-squared worst-case by design — see the docstring)."""
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import lsh_audit
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        leakage_safe_split,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        dedup_lines_within,
+        source_overlap_matrix,
+    )
+
+    docs = synth_documents(spark, n_docs).withColumn(
+        "source", F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(20)))
+    ).cache()
+    print(f"[r10ops] docs materialized: {docs.count():,}", flush=True)
+
+    t0 = time.time()
+    lined = docs.withColumn("text", F.translate("text", " ", "\n"))
+    agg = dedup_lines_within(lined).agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_removed").alias("nr")
+    ).collect()[0]
+    print(
+        f"[r10ops] dedup_lines_within over {n_docs:,} docs: "
+        f"{agg['nr']:,}/{agg['nl']:,} lines removed "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    m = source_overlap_matrix(docs, shingle_n=3).agg(
+        F.count(F.lit(1)).alias("pairs"), F.sum("n_shared").alias("sh")
+    ).collect()[0]
+    print(
+        f"[r10ops] source_overlap_matrix (20 sources) over {n_docs:,} docs: "
+        f"{m['pairs']:,} pairs / {m['sh']:,} shared shingles "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    split_counts = leakage_safe_split(
+        docs, splits=[("train", 0.8), ("eval", 0.2)]
+    ).groupBy("split").count().collect()
+    print(
+        f"[r10ops] leakage_safe_split over {n_docs:,} docs: "
+        f"{sorted((r['split'], r['count']) for r in split_counts)} "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    n_sample = min(100_000, n_docs)
+    sample = docs.filter(F.col("doc_id") < n_sample)
+    t0 = time.time()
+    r = lsh_audit(sample).collect()[0]
+    print(
+        f"[r10ops] lsh_audit over {n_sample:,}-doc sample: "
+        f"truth={r['n_truth']:,} cand={r['n_candidates']:,} "
+        f"hits={r['n_hits']:,} misses={r['n_misses']:,} "
+        f"false={r['n_false_alarms']:,} in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    docs.unpersist()
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("probe", choices=["tpch", "ops", "corpus", "spans"])
+    p.add_argument("probe", choices=["tpch", "ops", "corpus", "spans", "r10ops"])
     p.add_argument("--copies", type=int, default=20)
     p.add_argument("--docs", type=int, default=1_000_000)
     p.add_argument("--edges", type=int, default=3_000_000)
@@ -458,6 +528,8 @@ def main() -> None:
         probe_corpus(a.docs)
     elif a.probe == "spans":
         probe_spans(a.docs)
+    elif a.probe == "r10ops":
+        probe_r10ops(a.docs)
     else:
         probe_ops(a.docs, a.edges)
 

@@ -3596,6 +3596,34 @@ def test_leakage_safe_split(spark):
     assert all(r.split in ("train", "eval") for r in rows)
 
 
+def test_c4_rules_geometry(spark):
+    """Line rule needs BOTH terminal punctuation and >=3 words; sentence
+    count runs over KEPT text only; brace/lorem probes run on the
+    ORIGINAL page (a dropped code line still poisons the page); pass
+    needs >=5 sentences and clean probes."""
+    from bigdata_retailrocket_recsys_spark.operators.text import c4_rules
+
+    five = "one two three. four five six. s seven eight. nine ten ok. end of page."
+    docs = spark.createDataFrame(
+        [
+            (1, five),                          # 5 sentences, clean: pass
+            (2, "no punct line here\nshort."),  # line1 no punct, line2 <3 words
+            (3, five + "\nx = { 1 }"),          # brace on a DROPPED line
+            (4, five.replace("end of page.", "Lorem Ipsum dolor sit.")),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in c4_rules(docs).collect()}
+    assert (out[1].n_kept_lines, out[1].n_sentences, out[1].c4_pass) == (
+        1, 5, 1,
+    )
+    assert (out[2].n_lines, out[2].n_kept_lines, out[2].c4_pass) == (2, 0, 0)
+    assert out[2].text_clean == ""
+    assert (out[3].has_brace, out[3].c4_pass) == (1, 0)
+    assert out[3].n_sentences == 5  # kept text is clean, page is not
+    assert (out[4].has_lorem, out[4].c4_pass) == (1, 0)
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
