@@ -1123,6 +1123,86 @@ def strip_repeated_lines(
     )
 
 
+def length_outlier_gate(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Per-domain robust length-outlier gate — Tukey's IQR fence over
+    token counts, computed per source (north-star extension, SURVEY
+    §2.11 — no reference counterpart). Absolute length cutoffs are wrong
+    across domains (tweets vs papers); the robust per-domain fence
+    [Q1 − 1.5·IQR, Q3 + 1.5·IQR] adapts, and quartiles (unlike mean/std)
+    don't move when the outliers themselves are extreme.
+
+    ALL-INTEGER arithmetic: quartiles are ORDER STATISTICS
+    (percentile_disc semantics — the value at rank ceil(q·n), an actual
+    observed count, deterministic under ties) and the 1.5 factor is the
+    cross-multiplication ``2·v < 2·Q1 − 3·IQR`` — exact on any engine.
+
+    Scale shape: one narrow token-count projection, ONE sharded global
+    rank per group (range exchange + broadcast offset table — never a
+    single-reducer per-domain window; the anomaly-MAD machinery), a
+    groups-bounded quartile table broadcast back (null-safe equi-join so
+    a NULL domain forms its own group rather than silently dropping).
+
+    Output: (id, group, n_tok, q1, q3, is_outlier).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_global_rank,
+    )
+
+    counts = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(ws_tokens(text_col)).cast("bigint").alias("n_tok"),
+    )
+    ranked = _sharded_global_rank(
+        counts,
+        [F.col("n_tok"), F.col(id_col)],
+        n_shards,
+        [group_col],
+    ).select(
+        group_col,
+        "n_tok",
+        (F.col("__rn") + F.col("__off")).alias("__rank"),
+        F.col("__n"),
+    )
+    q1pos = F.expr("(__n + 3) div 4")
+    q3pos = F.expr("(3 * __n + 3) div 4")
+    qs = ranked.groupBy(group_col).agg(
+        F.max(F.when(F.col("__rank") == q1pos, F.col("n_tok")))
+        .cast("bigint")
+        .alias("q1"),
+        F.max(F.when(F.col("__rank") == q3pos, F.col("n_tok")))
+        .cast("bigint")
+        .alias("q3"),
+    )
+    joined = counts.alias("c").join(
+        F.broadcast(qs.alias("q")),
+        F.col(f"c.{group_col}").eqNullSafe(F.col(f"q.{group_col}")),
+    )
+    iqr = F.col("q.q3") - F.col("q.q1")
+    return joined.select(
+        F.col(f"c.{id_col}").alias(id_col),
+        F.col(f"c.{group_col}").alias(group_col),
+        F.col("c.n_tok").alias("n_tok"),
+        F.col("q.q1").alias("q1"),
+        F.col("q.q3").alias("q3"),
+        (
+            (2 * F.col("c.n_tok") < 2 * F.col("q.q1") - 3 * iqr)
+            | (2 * F.col("c.n_tok") > 2 * F.col("q.q3") + 3 * iqr)
+        )
+        .cast("int")
+        .alias("is_outlier"),
+    )
+
+
 def c4_rules(
     docs: DataFrame,
     *,

@@ -290,7 +290,18 @@ def _sharded_global_rank(
         .alias("__off"),
         F.sum("__cnt").over(w_all).cast("bigint").alias("__n"),
     )
-    return local.join(F.broadcast(offs), ["__shard", *gnames])
+    # null-SAFE equality on the group columns: a plain name-list join
+    # drops NULL-group rows entirely (caught by q_quality_length_iqr on
+    # the adversarial fixture — a NULL source must form its own group,
+    # not vanish). Window partitioning and groupBy already treat NULL as
+    # a group; the join-back must too.
+    loc, off = local.alias("__l"), offs.alias("__o")
+    cond = F.col("__l.__shard") == F.col("__o.__shard")
+    for g in gnames:
+        cond = cond & F.col(f"__l.{g}").eqNullSafe(F.col(f"__o.{g}"))
+    return loc.join(F.broadcast(off), cond).select(
+        "__l.*", F.col("__o.__off").alias("__off"), F.col("__o.__n").alias("__n")
+    )
 
 
 def global_rank(

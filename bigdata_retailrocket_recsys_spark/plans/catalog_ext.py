@@ -11041,3 +11041,64 @@ def q_text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return c4_rules(staged, min_words_per_line=3, min_sentences=5)
+
+
+@query(
+    "q_quality_length_iqr",
+    oracle=r"""
+    WITH staged AS (
+        SELECT doc_id, source,
+               CASE WHEN ((doc_id % 97) + 97) % 97 = 0
+                    THEN repeat(text || ' ', 12) ELSE text END AS text
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), c AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok
+        FROM staged
+    ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_tok, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM c
+    ), q AS (
+        SELECT source,
+               CAST(MAX(CASE WHEN rnk = (n + 3) // 4 THEN n_tok END)
+                    AS BIGINT) AS q1,
+               CAST(MAX(CASE WHEN rnk = (3 * n + 3) // 4 THEN n_tok END)
+                    AS BIGINT) AS q3
+        FROM r GROUP BY source
+    )
+    SELECT c.doc_id, c.source, c.n_tok, q.q1, q.q3,
+           CAST(2 * c.n_tok < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                OR 2 * c.n_tok > 2 * q.q3 + 3 * (q.q3 - q.q1) AS INT)
+               AS is_outlier
+    FROM c JOIN q ON c.source IS NOT DISTINCT FROM q.source
+    """,
+)
+def q_quality_length_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain robust length-outlier gate (operators/text
+    .length_outlier_gate): Tukey IQR fence over token counts, quartiles
+    as ORDER STATISTICS (value at rank ceil(q·n) — deterministic under
+    ties) and the 1.5 factor as the integer cross-multiplication
+    2·v < 2·Q1 − 3·IQR — all-integer, exact on any engine. One sharded
+    per-group global rank (never a single-reducer domain window), a
+    groups-bounded quartile table broadcast back null-safe. The entry
+    stages a few extreme docs (×12 token repeat on the 97-residue, both
+    engines) so the fence genuinely fires."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        length_outlier_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & (F.pmod(F.col("doc_id"), F.lit(97)) == 0),
+            F.repeat(F.concat(F.col("text"), F.lit(" ")), 12),
+        ).otherwise(F.col("text")),
+    )
+    return length_outlier_gate(staged)

@@ -3624,6 +3624,30 @@ def test_c4_rules_geometry(spark):
     assert (out[4].has_lorem, out[4].c4_pass) == (1, 0)
 
 
+def test_length_outlier_gate(spark):
+    """Quartiles are order statistics at rank ceil(q·n); the 1.5-IQR
+    fence is integer cross-multiplication; a NULL group forms its OWN
+    group (the _sharded_global_rank null-safe join-back regression —
+    a name-list join silently dropped NULL-group rows)."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        length_outlier_gate,
+    )
+
+    mk = lambda n: " ".join(["w"] * n)
+    rows = [(i, mk(n), "s1") for i, n in enumerate([10, 11, 12, 13, 100])]
+    rows += [(100, mk(5), None), (101, mk(500), None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r.doc_id: r for r in length_outlier_gate(docs).collect()}
+    assert len(out) == 7  # NULL-source docs survive as their own group
+    # s1: sorted [10,11,12,13,100], n=5 -> q1 at rank 2 (=11), q3 at
+    # rank ceil(3.75)=4 (=13); fence high = 13 + 1.5*2 = 16 -> 100 out
+    assert (out[4].q1, out[4].q3, out[4].is_outlier) == (11, 13, 1)
+    assert out[0].is_outlier == 0
+    # NULL group: n=2 -> q1 at rank 1 (=5), q3 at rank ceil(1.5)=2 (=500)
+    assert (out[100].q1, out[100].q3) == (5, 500)
+    assert out[100].is_outlier == 0  # fence: [5-742.5, 500+742.5]
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
