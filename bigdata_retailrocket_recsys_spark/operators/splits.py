@@ -527,6 +527,72 @@ def epoch_shuffle(
     )
 
 
+def epoch_shuffle_stratified(
+    df: DataFrame,
+    epoch: int,
+    *,
+    id_col: str,
+    group_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Domain-INTERLEAVED per-epoch training order (north-star
+    extension, SURVEY §2.11 — no reference counterpart): a plain epoch
+    shuffle leaves domain runs by chance, and a domain-sorted corpus
+    produces catastrophic clumping — long stretches of one-source
+    batches destabilize training. This order round-robins domains:
+    every document gets a within-domain shuffle rank (md5(epoch:id) —
+    the :func:`epoch_shuffle` hash), and the global position sorts by
+    (within_rank, md5(epoch:domain), id) — position 1..k are the k
+    domains' first picks, then their seconds, and so on; exhausted
+    domains simply drop out of later rounds.
+
+    Same determinism contract as :func:`epoch_shuffle` (content-defined,
+    engine/rerun-stable, changes completely per epoch) and the same
+    scale shape twice: BOTH ranks are sharded global ranks (the grouped
+    form range-leads with the domain so each domain's shards stay
+    contiguous) — no single-reducer window at any size. NULL ids are
+    dropped (hash-key rule); a NULL domain forms its own stratum (the
+    null-safe grouped-rank join-back).
+
+    Output: input columns + ``within_rank`` + ``shuffle_pos``.
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_global_rank,
+        global_rank,
+    )
+
+    h = F.md5(
+        F.concat_ws(":", F.lit(str(int(epoch))), F.col(id_col).cast("string"))
+    )
+    base = df.filter(F.col(id_col).isNotNull()).withColumn("__h", h)
+    ranked = _sharded_global_rank(
+        base, [F.col("__h").asc(), F.col(id_col).asc()], n_shards, [group_col]
+    )
+    within = ranked.withColumn(
+        "within_rank", (F.col("__rn") + F.col("__off")).cast("bigint")
+    ).drop("__shard", "__rn", "__off", "__n", "__h")
+    gh = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(str(int(epoch))),
+            F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null")),
+        )
+    )
+    return (
+        global_rank(
+            within.withColumn("__gh", gh),
+            [
+                F.col("within_rank").asc(),
+                F.col("__gh").asc(),
+                F.col(id_col).asc(),
+            ],
+            n_shards=n_shards,
+            out_col="shuffle_pos",
+        )
+        .drop("__gh")
+    )
+
+
 def top_share_by_score(
     df: DataFrame,
     *,

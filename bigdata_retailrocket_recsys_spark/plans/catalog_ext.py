@@ -11102,3 +11102,45 @@ def q_quality_length_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return length_outlier_gate(staged)
+
+
+@query(
+    "q_epoch_shuffle_stratified",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, source FROM documents WHERE doc_id IS NOT NULL
+    ), w AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS BIGINT) AS within_rank
+        FROM base
+    )
+    SELECT doc_id, source, within_rank,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY within_rank ASC,
+                        md5('3:' || COALESCE(CAST(source AS VARCHAR),
+                                             chr(0) || 'null')) ASC,
+                        doc_id ASC) AS BIGINT) AS shuffle_pos
+    FROM w
+    """,
+)
+def q_epoch_shuffle_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-INTERLEAVED per-epoch training order (operators/splits
+    .epoch_shuffle_stratified, epoch=3): within-domain md5(epoch:id)
+    shuffle rank, then global position by (within_rank, md5(epoch:
+    domain), id) — positions round-robin the domains (every k-th block
+    is one pick per surviving domain), killing the domain clumping a
+    plain shuffle leaves to chance. BOTH ranks are sharded global ranks
+    (grouped form range-leads with the domain); a NULL domain is its own
+    stratum. Oracle: the two plain ROW_NUMBERs the sharded forms must
+    equal."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        epoch_shuffle_stratified,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_shuffle_stratified(
+        docs, 3, id_col="doc_id", group_col="source"
+    )

@@ -3648,6 +3648,34 @@ def test_length_outlier_gate(spark):
     assert out[100].is_outlier == 0  # fence: [5-742.5, 500+742.5]
 
 
+def test_epoch_shuffle_stratified(spark):
+    """Round-robin interleave: the first k positions are one pick per
+    domain (within_rank 1 block), exhausted domains drop out of later
+    rounds, positions are a total permutation, and the order changes
+    between epochs."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        epoch_shuffle_stratified,
+    )
+
+    rows = [(i, "d1") for i in range(4)] + [(10, "d2"), (11, "d2"), (20, "d3")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    out = epoch_shuffle_stratified(
+        docs, 1, id_col="doc_id", group_col="source"
+    ).collect()
+    assert sorted(r.shuffle_pos for r in out) == list(range(1, 8))
+    by_pos = {r.shuffle_pos: r for r in out}
+    # block 1 = one pick per domain; block 2 likewise; then d1 alone
+    assert {by_pos[p].source for p in (1, 2, 3)} == {"d1", "d2", "d3"}
+    assert {by_pos[p].source for p in (4, 5)} == {"d1", "d2"}
+    assert [by_pos[p].source for p in (6, 7)] == ["d1", "d1"]
+    out2 = epoch_shuffle_stratified(
+        docs, 2, id_col="doc_id", group_col="source"
+    ).collect()
+    assert {(r.doc_id, r.shuffle_pos) for r in out2} != {
+        (r.doc_id, r.shuffle_pos) for r in out
+    }
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
