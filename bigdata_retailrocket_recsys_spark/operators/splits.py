@@ -527,6 +527,53 @@ def epoch_shuffle(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — sequential
+    Poisson sampling (Ohlsson 1998, the πps family; north-star
+    extension, SURVEY §2.11 — no reference counterpart): every row gets
+    key = u / w with u = (h+1)/2³² a content-defined uniform from
+    md5(id), and the sample is the k SMALLEST keys — heavier rows draw
+    smaller keys, inclusion probability ≈ k·w/Σw. The training-data use:
+    token-weighted or quality-weighted corpus subsampling that is
+    reproducible across runs, engines and partitionings (same contract
+    as :func:`hash_split` — no RNG state, rows never move on rerun).
+
+    Float discipline: h is the first 8 md5 hex chars as an integer, so
+    u = (h+1)/2³² is an EXACT dyadic rational (power-of-two division
+    never rounds), and key = u/w is ONE IEEE division of exact operands
+    — bit-identical on any engine, no libm anywhere (the ln-based
+    Efraimidis–Spirakis key would need the floor-quantize workaround).
+
+    Scale shape: narrow key projection + global top-k (sort + limit —
+    Spark's TakeOrderedAndProject, per-partition heaps then a k-row
+    merge; never a full sort or single-reducer window). NULL ids and
+    non-positive weights are dropped (hash-key rule / πps domain).
+
+    Output: input columns + ``sample_key``, the k smallest keys.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    base = df.filter(
+        F.col(id_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + 1).cast("double") / F.lit(4294967296.0)
+    key = u / F.col(weight_col).cast("double")
+    return (
+        base.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def epoch_shuffle_stratified(
     df: DataFrame,
     epoch: int,

@@ -11144,3 +11144,45 @@ def q_epoch_shuffle_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle_stratified(
         docs, 3, id_col="doc_id", group_col="source"
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle=r"""
+    WITH c AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT doc_id, source, n_tok,
+           (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     ::BIGINT + 1 AS DOUBLE) / 4294967296.0)
+               / CAST(n_tok AS DOUBLE) AS sample_key
+    FROM c WHERE n_tok > 0
+    ORDER BY sample_key ASC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted corpus subsample without replacement
+    (operators/splits.weighted_sample, k=50, weight = whitespace token
+    count): sequential Poisson sampling — key = u/w with u=(h+1)/2³²
+    from md5(id), take the k smallest; inclusion probability ≈ k·w/Σw.
+    u is an exact dyadic rational (power-of-two division) and the key
+    is ONE IEEE division of exact operands, so even the double key
+    value-hashes cross-engine; no libm. Global top-k is
+    TakeOrderedAndProject — per-partition heaps, never a full sort."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).cast("bigint").alias("n_tok"),
+    )
+    return weighted_sample(base, 50, id_col="doc_id", weight_col="n_tok")

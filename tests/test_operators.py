@@ -3676,6 +3676,35 @@ def test_epoch_shuffle_stratified(spark):
     }
 
 
+def test_weighted_sample(spark):
+    """Exactly k rows with the smallest u/w keys, rerun-identical; a row
+    with overwhelming weight is effectively certain to be included;
+    non-positive weights and NULL ids are dropped."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        weighted_sample,
+    )
+
+    rows = [(i, 10) for i in range(100)] + [
+        (1000, 10**9),   # u/w shrunk 1e8-fold: certain inclusion
+        (1001, 0),       # dropped: non-positive weight
+        (None, 10),      # dropped: NULL id
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = weighted_sample(docs, 10, id_col="doc_id", weight_col="w")
+    ids = sorted(r.doc_id for r in got.collect())
+    assert len(ids) == 10
+    assert 1000 in ids and 1001 not in ids
+    again = sorted(
+        r.doc_id
+        for r in weighted_sample(
+            docs, 10, id_col="doc_id", weight_col="w"
+        ).collect()
+    )
+    assert again == ids
+    keys = [r.sample_key for r in got.collect()]
+    assert all(k > 0 for k in keys)
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
