@@ -527,6 +527,59 @@ def epoch_shuffle(
     )
 
 
+def rank_calibrate(
+    df: DataFrame,
+    *,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Per-domain rank-percentile calibration (north-star extension,
+    SURVEY §2.11 — no reference counterpart): replace a raw score with
+    its within-domain percentile pct = (rank−1)/(n−1). Raw quality
+    scores are not comparable ACROSS domains (a mediocre paper outscores
+    a great tweet on length-based heuristics); rank calibration makes
+    "top 10% of its domain" mean the same thing everywhere — the
+    cross-domain-fair input to a global cut like top_share_by_score.
+
+    Determinism: rank orders by (score, id) — total, tie-stable; pct is
+    ONE IEEE division of exact integers (a single-row domain is pinned
+    to 0.5, the only n−1 = 0 case). The rank is a sharded per-group
+    global rank (range exchange + broadcast offsets, null-safe
+    join-back — never a single-reducer domain window, NULL domains form
+    their own stratum).
+
+    Output: (id, group, score, rnk, n, pct).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_global_rank,
+    )
+
+    base = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col), F.col(group_col), F.col(score_col)
+    )
+    ranked = _sharded_global_rank(
+        base,
+        [F.col(score_col).asc(), F.col(id_col).asc()],
+        n_shards,
+        [group_col],
+    )
+    rnk = (F.col("__rn") + F.col("__off")).cast("bigint")
+    return ranked.select(
+        id_col,
+        group_col,
+        score_col,
+        rnk.alias("rnk"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.when(F.col("__n") == 1, F.lit(0.5))
+        .otherwise(
+            (rnk - 1).cast("double") / (F.col("__n") - 1).cast("double")
+        )
+        .alias("pct"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

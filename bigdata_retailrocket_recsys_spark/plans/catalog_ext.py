@@ -11186,3 +11186,51 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_tok"),
     )
     return weighted_sample(base, 50, id_col="doc_id", weight_col="n_tok")
+
+
+@query(
+    "q_quality_rank_calibrate",
+    oracle=r"""
+    WITH c AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), r AS (
+        SELECT doc_id, source, n_tok,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_tok ASC, doc_id ASC)
+                    AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM c
+    )
+    SELECT doc_id, source, n_tok, rnk, n,
+           CASE WHEN n = 1 THEN 0.5
+                ELSE CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+           END AS pct
+    FROM r
+    """,
+)
+def q_quality_rank_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rank-percentile calibration (operators/splits
+    .rank_calibrate, score = token count): pct = (rank−1)/(n−1) within
+    each source — raw scores are not comparable across domains, rank
+    percentiles are ("top 10% of its domain" means the same thing
+    everywhere). Rank is a sharded per-group global rank with the
+    null-safe join-back; pct is ONE IEEE division of exact integers
+    (single-row domains pinned to 0.5), so the double value-hashes."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        rank_calibrate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.size(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).cast("bigint").alias("n_tok"),
+    )
+    return rank_calibrate(
+        base, group_col="source", score_col="n_tok", id_col="doc_id"
+    )

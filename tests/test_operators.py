@@ -3705,6 +3705,27 @@ def test_weighted_sample(spark):
     assert all(k > 0 for k in keys)
 
 
+def test_rank_calibrate(spark):
+    """Percentiles span [0,1] per domain, ties break by id (stable),
+    a single-row domain pins to 0.5, and NULL domains form their own
+    stratum."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        rank_calibrate,
+    )
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 20), (4, "a", 30),
+            (5, "b", 999), (6, None, 7), (7, None, 8)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, s bigint")
+    out = {r.doc_id: r for r in rank_calibrate(
+        docs, group_col="source", score_col="s", id_col="doc_id"
+    ).collect()}
+    assert len(out) == 7
+    assert (out[1].pct, out[4].pct) == (0.0, 1.0)
+    assert (out[2].rnk, out[3].rnk) == (2, 3)  # tie broken by id
+    assert out[5].pct == 0.5                   # single-row domain
+    assert (out[6].pct, out[7].pct) == (0.0, 1.0)  # NULL stratum
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
