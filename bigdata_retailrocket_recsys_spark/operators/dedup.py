@@ -799,6 +799,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame | None = None,
+    *,
+    shingles: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    shingle_n: int = 1,
+    min_containment: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC near-superset pairs — shingle-set CONTAINMENT
+    c(A→B) = |A∩B| / |A| instead of Jaccard (north-star extension,
+    SURVEY §2.11 — no reference counterpart). Jaccard misses the
+    quote/syndication geometry: a 50-shingle article embedded verbatim
+    in a 5000-shingle aggregation page has Jaccard ≈ 0.01 but
+    containment 1.0. A pair survives when EITHER direction's containment
+    reaches ``min_containment``; both directions are emitted so the
+    caller can tell which side is the contained one.
+
+    Same relational chain as :func:`ngram_jaccard_pairs` (distinct
+    shingles → blocked self-join → intersection counts) — pairs sharing
+    no shingle can't reach any positive threshold, so the shared-shingle
+    join is complete for containment too. Each containment is ONE IEEE
+    division of exact integer counts (cross-engine-deterministic).
+
+    Scale note: unlike Jaccard-tuned MinHash banding, standard LSH
+    candidates are biased AGAINST high-containment/low-Jaccard pairs —
+    this operator is the exact tier; at corpus scale block it (the
+    ``block_cols``) or run it on candidate unions from a
+    containment-aware index.
+
+    Output: doc_a, doc_b, n_common, n_a, n_b, containment_a,
+    containment_b (a = containment of doc_a's set in doc_b's).
+    """
+    pairs = ngram_jaccard_pairs(
+        df,
+        shingles=shingles,
+        id_col=id_col,
+        text_col=text_col,
+        block_cols=block_cols,
+        shingle_n=shingle_n,
+        min_jaccard=0.0,
+    )
+    c_a = F.col("n_common").cast("double") / F.col("n_a").cast("double")
+    c_b = F.col("n_common").cast("double") / F.col("n_b").cast("double")
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(
+            F.greatest("containment_a", "containment_b")
+            >= F.lit(min_containment)
+        )
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     *,

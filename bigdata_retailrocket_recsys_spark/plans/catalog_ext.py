@@ -11234,3 +11234,55 @@ def q_quality_rank_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_calibrate(
         base, group_col="source", score_col="n_tok", id_col="doc_id"
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id AS doc, lang, source,
+               unnest(string_split_regex(trim(text), '\s+')) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM tok GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+         AND a.lang = b.lang AND a.source = b.source
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE)
+               AS containment_a,
+           CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)
+               AS containment_b
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE GREATEST(CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE),
+                   CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE))
+              >= 0.9
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-superset pairs (operators/dedup
+    .containment_pairs): shingle-set containment |A∩B|/|A| instead of
+    Jaccard — the quote/syndication geometry Jaccard misses (a short
+    article embedded in a long aggregation page has Jaccard ≈ 0 but
+    containment 1). Blocked on (lang, source) like the Jaccard entry;
+    both directions emitted, pair survives when either reaches 0.9.
+    Each containment is ONE IEEE division of exact integer counts."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_n=1,
+        min_containment=0.9,
+    )

@@ -3726,6 +3726,30 @@ def test_rank_calibrate(spark):
     assert (out[6].pct, out[7].pct) == (0.0, 1.0)  # NULL stratum
 
 
+def test_containment_pairs(spark):
+    """The asymmetric geometry Jaccard misses: a short doc fully inside
+    a long one survives at containment 0.9 with tiny Jaccard; both
+    directions are reported; unrelated pairs don't appear."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    small = "alpha beta gamma"
+    big = small + " " + " ".join(f"x{i}" for i in range(57))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated stuff entirely")],
+        "doc_id bigint, text string",
+    )
+    out = containment_pairs(
+        docs, shingle_n=1, min_containment=0.9
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b, r.n_common, r.n_a, r.n_b) == (1, 2, 3, 3, 60)
+    assert r.containment_a == 1.0 and r.containment_b == 0.05
+    # Jaccard would be 3/60 = 0.05 — invisible to a 0.5 Jaccard gate
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
