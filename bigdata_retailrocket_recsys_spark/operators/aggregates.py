@@ -109,3 +109,51 @@ def time_decay_popularity(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Exact WEIGHTED median per group (north-star extension, SURVEY
+    §2.11 — no reference counterpart): the smallest value v whose
+    cumulative weight reaches half the group total — the robust center
+    when observations carry importance (token counts, revenue, sample
+    weights), where a plain median over rows is wrong.
+
+    ALL-INTEGER for integer weights: the halving is the
+    cross-multiplication ``2·cum ≥ W`` (never a /2), so the result is
+    exact on any engine. Shape: one map-side-combinable pre-aggregation
+    to (group, value) grain — which also makes the cumsum's order key
+    unique, the `_sharded_prefix_sum` precondition — then a sharded
+    range prefix sum (group-leading contiguous shards + broadcast
+    offsets; never a single-reducer group window), then one min-over-
+    qualifying aggregate. NULL groups form their own group (null-safe
+    machinery); NULL values/weights are dropped.
+
+    Output: (group, w_median, total_w).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_prefix_sum,
+    )
+
+    collapsed = (
+        df.filter(
+            F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+        )
+        .groupBy(group_col, value_col)
+        .agg(F.sum(weight_col).cast("bigint").alias("__w"))
+    )
+    cum = _sharded_prefix_sum(
+        collapsed, [F.col(value_col).asc()], "__w", n_shards, [group_col]
+    )
+    return cum.groupBy(group_col).agg(
+        F.min(
+            F.when(2 * F.col("__cum") >= F.col("__tot"), F.col(value_col))
+        ).alias("w_median"),
+        F.max(F.col("__tot")).cast("bigint").alias("total_w"),
+    )

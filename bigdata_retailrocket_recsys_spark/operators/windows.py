@@ -304,6 +304,76 @@ def _sharded_global_rank(
     )
 
 
+def _sharded_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    weight_col: str,
+    n_shards: int,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Internal: df + ``__cum``/``__tot`` where ``__cum`` is the
+    inclusive running sum of ``weight_col`` over ``order_by`` (per
+    ``partition_by`` group if given) and ``__tot`` the group total —
+    the `_sharded_global_rank` move applied to SUMS: one range
+    exchange (group-leading, so each group's shards are contiguous),
+    per-shard windowed cumsum, and a ≤ groups·shards-row broadcast
+    offset table. Never a single-reducer window.
+
+    PRECONDITION: ``order_by`` must be unique within each group
+    (pre-aggregate to one row per key first) — RangePartitioner keeps
+    equal keys in one shard, but intra-tie cumsum order would still be
+    nondeterministic. The per-shard frame is CACHED (offsets derive
+    from it; Spark never reuses the subtree) — same S7 price as
+    `_sharded_global_rank`."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    grp = [F.col(c) for c in (partition_by or [])]
+    gnames = list(partition_by or [])
+    part = df.repartitionByRange(n_shards, *grp, *order_by).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "__lcum",
+        F.sum(weight_col).over(
+            Window.partitionBy("__shard", *gnames)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).cache()
+    counts = local.groupBy("__shard", *gnames).agg(
+        F.sum(weight_col).alias("__cnt")
+    )
+    w_prev = Window.partitionBy(*gnames).orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy(*gnames).orderBy("__shard").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "__shard",
+        *gnames,
+        F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0))
+        .cast("bigint")
+        .alias("__coff"),
+        F.sum("__cnt").over(w_all).cast("bigint").alias("__tot"),
+    )
+    loc, off = local.alias("__l"), offs.alias("__o")
+    cond = F.col("__l.__shard") == F.col("__o.__shard")
+    for g in gnames:
+        cond = cond & F.col(f"__l.{g}").eqNullSafe(F.col(f"__o.{g}"))
+    return (
+        loc.join(F.broadcast(off), cond)
+        .select(
+            "__l.*",
+            (F.col("__l.__lcum") + F.col("__o.__coff"))
+            .cast("bigint")
+            .alias("__cum"),
+            F.col("__o.__tot").alias("__tot"),
+        )
+        .drop("__lcum")
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_by: list[Column],

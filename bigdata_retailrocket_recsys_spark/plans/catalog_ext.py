@@ -11286,3 +11286,85 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=1,
         min_containment=0.9,
     )
+
+
+@query(
+    "q_scan_provenance",
+    oracle=r"""
+    SELECT doc_id, 'documents.parquet' AS file_name,
+           CAST(length('documents.parquet') > 0 AS INT) AS has_provenance
+    FROM documents WHERE doc_id IS NOT NULL
+    """,
+)
+def q_scan_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-provenance columns on a parquet scan (Spark's hidden
+    `_metadata` struct — the lineage surface a 100 TB ingest needs to
+    answer "which crawl shard did this row come from"): every row
+    carries its source file's basename, selected straight off the scan
+    (zero cost — no shuffle, constant-folded per split). Oracle is a
+    literal contract (the fixture table is exactly one known file, the
+    q_scan_csv_corrupt pattern): every row must carry the right
+    basename — a reader that lost or mangled provenance breaks the
+    hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        F.col("_metadata.file_name").alias("file_name"),
+        (F.length(F.col("_metadata.file_path")) > 0)
+        .cast("int")
+        .alias("has_provenance"),
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle=r"""
+    WITH c AS (
+        SELECT source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), g AS (
+        SELECT source, n_tok, CAST(SUM(n_chars) AS BIGINT) AS w
+        FROM c GROUP BY source, n_tok
+    ), cum AS (
+        SELECT source, n_tok, w,
+               CAST(SUM(w) OVER (PARTITION BY source ORDER BY n_tok ASC)
+                    AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS tot
+        FROM g
+    )
+    SELECT source,
+           MIN(CASE WHEN 2 * cw >= tot THEN n_tok END) AS w_median,
+           MAX(tot) AS total_w
+    FROM cum GROUP BY source
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-weighted median token count per source
+    (operators/aggregates.weighted_median): smallest value whose
+    cumulative weight reaches half the group total, halving as the
+    integer cross-multiplication 2·cum ≥ W — exact on any engine. One
+    (group, value) pre-aggregation (making the cumsum key unique), a
+    sharded range prefix sum (_sharded_prefix_sum — group-leading
+    contiguous shards + broadcast offsets, never a single-reducer
+    window), one min-over-qualifying aggregate."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        weighted_median,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return weighted_median(
+        base, group_col="source", value_col="n_tok", weight_col="n_chars"
+    )

@@ -3750,6 +3750,32 @@ def test_containment_pairs(spark):
     # Jaccard would be 3/60 = 0.05 — invisible to a 0.5 Jaccard gate
 
 
+def test_weighted_median(spark):
+    """Smallest value whose cumulative weight reaches half the total
+    (2·cum >= W, lower median at the exact-half boundary); repeated
+    values merge their weights first; NULL groups form a group."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        weighted_median,
+    )
+
+    rows = [
+        ("a", 1, 1), ("a", 2, 1), ("a", 3, 98),      # heavy tail wins
+        ("b", 10, 5), ("b", 20, 5),                  # exact half: lower
+        ("b", 10, 0),                                # merges, weight 0
+        (None, 7, 1),
+    ]
+    docs = spark.createDataFrame(rows, "g string, v bigint, w bigint")
+    out = {
+        r.g: (r.w_median, r.total_w)
+        for r in weighted_median(
+            docs, group_col="g", value_col="v", weight_col="w"
+        ).collect()
+    }
+    assert out["a"] == (3, 100)
+    assert out["b"] == (10, 10)   # cum(10)=5, 2*5 >= 10 -> lower value
+    assert out[None] == (7, 1)
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
