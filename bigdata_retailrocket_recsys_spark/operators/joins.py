@@ -433,6 +433,65 @@ def salted_join(
     return f.join(d, [on, "__salt"], how).drop("__salt")
 
 
+def fuzzy_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    key_col: str,
+    block_cols: list[str],
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy self-join — pairs whose ``key_col`` strings are
+    within ``max_distance`` Levenshtein edits, joined only WITHIN the
+    blocking key (north-star extension, SURVEY §2.11 — no reference
+    counterpart). The entity-resolution staple for short strings (product
+    titles, author names, URLs after normalization) where token-set
+    similarity is useless — one typo changes every shingle but is 1 edit.
+
+    Scale shape: the equi-join on ``block_cols`` is a plain shuffled
+    hash join; Levenshtein runs only inside blocks, so cost is
+    Σ_block C(rows,2) · O(len²) — choose blocks accordingly (brand,
+    zip, lang). A cheap length-difference prune
+    (|len(a)−len(b)| ≤ d ⇒ necessary for distance ≤ d) runs before the
+    DP so most pairs never pay it. Everything JVM built-ins
+    (``levenshtein`` is codegen'd); distance is an exact integer on any
+    engine.
+
+    Output: (id_a, id_b, key_a, key_b, distance) with id_a < id_b.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(key_col).alias("__k"),
+        *block_cols,
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    # length prune is a necessary condition for the edit bound — it
+    # stays in the join condition so Catalyst filters before the DP
+    cond = cond & (
+        F.abs(F.length("a.__k") - F.length("b.__k")) <= max_distance
+    )
+    return (
+        a.join(b, cond)
+        .filter(F.levenshtein("a.__k", "b.__k") <= max_distance)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__k").alias("key_a"),
+            F.col("b.__k").alias("key_b"),
+            F.levenshtein("a.__k", "b.__k")
+            .cast("bigint")
+            .alias("distance"),
+        )
+    )
+
+
 def semi(df: DataFrame, other: DataFrame, on: list[str]) -> DataFrame:
     """LEFT SEMI — rows of df with a match in other (SQL EXISTS)."""
     return df.join(other, on, "left_semi")

@@ -1123,6 +1123,51 @@ def strip_repeated_lines(
     )
 
 
+def mojibake_gate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bad_pct: int = 1,
+) -> DataFrame:
+    """Encoding-damage gate — flag documents polluted by U+FFFD
+    replacement characters (the tombstone every lossy decode leaves
+    behind) or C0 control characters (NUL-family bytes that survive a
+    bad charset sniff; tab/newline/CR are legitimate structure and
+    excluded). The crawl-cleaning step before any token-level quality
+    rule — mojibake inflates vocabulary and poisons dedup digests
+    (north-star extension, SURVEY §2.11 — no reference counterpart).
+
+    Narrow, shuffle-free, whole-stage codegen: two regexp counts + an
+    integer cross-multiplication gate ``100·bad > max_bad_pct·chars``
+    (code-point lengths on both engines, never a float ratio).
+
+    Output: (id, n_chars, n_replacement, n_control, is_mojibake).
+    """
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    )
+    n_repl = F.regexp_count(F.col(text_col), F.lit("�")).cast(
+        "bigint"
+    )
+    n_ctrl = F.regexp_count(
+        F.col(text_col), F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+    ).cast("bigint")
+    n_chars = F.length(F.col(text_col)).cast("bigint")
+    return base.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        (
+            100 * (n_repl + n_ctrl)
+            > F.lit(int(max_bad_pct)) * n_chars
+        )
+        .cast("int")
+        .alias("is_mojibake"),
+    )
+
+
 def length_outlier_gate(
     docs: DataFrame,
     *,

@@ -11368,3 +11368,95 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_median(
         base, group_col="source", value_col="n_tok", weight_col="n_chars"
     )
+
+
+@query(
+    "q_text_mojibake",
+    oracle=r"""
+    WITH staged AS (
+        SELECT doc_id,
+               CASE WHEN ((doc_id % 11) + 11) % 11 = 0
+                    THEN text || ' ' || repeat(chr(65533), 5)
+                    WHEN ((doc_id % 13) + 13) % 13 = 0
+                    THEN text || chr(7) || chr(1) || 'tail'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+               AS n_replacement,
+           CAST(len(regexp_extract_all(text,
+               '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_control,
+           CAST(100 * (len(regexp_extract_all(text, chr(65533)))
+                       + len(regexp_extract_all(text,
+                             '[\x00-\x08\x0b\x0c\x0e-\x1f]')))
+                > 1 * length(text) AS INT) AS is_mojibake
+    FROM staged
+    """,
+)
+def q_text_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage gate (operators/text.mojibake_gate): count U+FFFD
+    replacement chars (lossy-decode tombstones) and C0 control chars
+    (tab/newline/CR excluded — legitimate structure), gate on the
+    integer cross-multiplication 100·bad > 1·chars. Narrow, zero
+    shuffle. The clean fixture is staged in BOTH engines: replacement
+    runs on the 11-residue, BEL/SOH control bytes on the 13-residue,
+    sign-safe modulo for adversarial ids."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        mojibake_gate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull(),
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+                F.concat(
+                    F.col("text"), F.lit(" "), F.lit("�" * 5)
+                ),
+            )
+            .when(
+                F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+                F.concat(
+                    F.col("text"), F.lit("\x07\x01tail")
+                ),
+            )
+            .otherwise(F.col("text")),
+        ),
+    )
+    return mojibake_gate(staged, max_bad_pct=1)
+
+
+@query(
+    "q_join_fuzzy_levenshtein",
+    oracle=r"""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS key_a, b.p_name AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (operators/joins.fuzzy_pairs): part-name
+    pairs within 2 Levenshtein edits inside one brand — the
+    entity-resolution staple for short strings where token-set
+    similarity is useless (one typo changes every shingle but is 1
+    edit). Equi-join on the block key, a length-difference prune ahead
+    of the DP, exact integer distance on any engine."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import (
+        fuzzy_pairs,
+    )
+
+    return fuzzy_pairs(
+        _t(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        key_col="p_name",
+        block_cols=["p_brand"],
+        max_distance=2,
+    )

@@ -3776,6 +3776,56 @@ def test_weighted_median(spark):
     assert out[None] == (7, 1)
 
 
+def test_mojibake_gate(spark):
+    """Replacement chars and C0 controls count; tab/newline/CR are
+    structure and do NOT count; the 1% gate is integer
+    cross-multiplication."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        mojibake_gate,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text\twith\nstructure\r ok"),
+            (2, "bad �� decode"),
+            (3, "x" * 1000 + "\x01"),  # 1 control in 1001 chars: 0.1%
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in mojibake_gate(docs).collect()}
+    assert (out[1].n_replacement, out[1].n_control, out[1].is_mojibake) == (
+        0, 0, 0,
+    )
+    assert (out[2].n_replacement, out[2].is_mojibake) == (2, 1)
+    assert (out[3].n_control, out[3].is_mojibake) == (1, 0)
+
+
+def test_fuzzy_pairs(spark):
+    """One typo (1 edit) pairs; different blocks never pair even at
+    distance 0; the length prune is a pure optimization (a pair at the
+    exact length bound still survives)."""
+    from bigdata_retailrocket_recsys_spark.operators.joins import (
+        fuzzy_pairs,
+    )
+
+    rows = [
+        (1, "chocolate lace", "b1"),
+        (2, "chocolate lace", "b2"),   # identical, other block: no pair
+        (3, "chocolate lacy", "b1"),   # 1 substitution
+        (4, "chocolate lace xx", "b1"),  # +3 chars: pruned and >2 edits
+        (5, "chocolate la", "b1"),     # -2 chars: exactly at bound, 2 edits
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string, blk string")
+    out = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_pairs(
+            df, id_col="id", key_col="name", block_cols=["blk"],
+            max_distance=2,
+        ).collect()
+    }
+    assert out == {(1, 3): 1, (1, 5): 2, (3, 5): 2}
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
