@@ -575,3 +575,26 @@ def test_corpus_pipeline_ccnet_and_surgical_plan_shape(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "LeftSemi" in plan, (name, plan[:500])
         assert "InMemoryTableScan" in plan, name
+
+
+def test_fuzzy_pairs_is_equi_join(spark):
+    """The blocked fuzzy join must plan as an EQUI join on the block key
+    (Levenshtein + length prune as post-join filters) — never a
+    quadratic nested loop over the whole table."""
+    plan = plan_str(
+        QUERIES["q_join_fuzzy_levenshtein"].fn(spark, SF_DIR), "simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_overlap_matrix_digest_join_is_equi(spark):
+    """source_overlap_matrix: the corpus-sized digest self-join must be
+    an equi join; the ONE BroadcastNestedLoopJoin allowed is the
+    intentional sources² pair grid (a sizes × sizes broadcast, bounded
+    by source cardinality)."""
+    plan = plan_str(
+        QUERIES["q_corpus_overlap_matrix"].fn(spark, SF_DIR), "simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
