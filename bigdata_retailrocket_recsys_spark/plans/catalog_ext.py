@@ -11460,3 +11460,74 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["p_brand"],
         max_distance=2,
     )
+
+
+@query(
+    "q_multimodal_neardup",
+    oracle=r"""
+    WITH a AS (
+        SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), s AS (
+        SELECT asset_id, hx, n,
+               unnest(generate_series(1, GREATEST(n, 1), 64)) AS off
+        FROM a
+    ), c AS (
+        SELECT asset_id,
+               CAST(GREATEST(LEAST(64, n - off + 1), 0) AS INT)
+                   AS chunk_len,
+               md5(substring(hx, CAST(off AS BIGINT) * 2 - 1, 128))
+                   AS ch
+        FROM s
+    ), sh AS (
+        SELECT DISTINCT asset_id AS doc, ch AS shingle
+        FROM c WHERE chunk_len > 0 OR ch = md5('')
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+    ), common AS (
+        SELECT a2.doc AS doc_a, b2.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a2 JOIN sh b2
+          ON a2.shingle = b2.shingle AND a2.doc < b2.doc
+        GROUP BY a2.doc, b2.doc
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY near-dup at chunk grain: assets sharing ≥ 0.5 Jaccard of
+    their 64-byte chunk digests — the blob-dedup tier for media shards
+    (re-uploads, appended/truncated files; chunks are digested, payload
+    bytes never shuffle). Composition: attach_fake_media →
+    chunk_binary (the q_multimodal_chunk plumbing) → chunk digests as
+    shingles → ngram_jaccard_pairs(shingles=). Fixed-offset chunks mean
+    one INSERTED byte shifts every later chunk (content-defined chunking
+    is the remedy at ingest); byte-identical and tail-modified blobs are
+    caught. DuckDB replays the chunks as hex slices (the hex-injective
+    q_multimodal_chunk trick)."""
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        chunk_binary,
+    )
+
+    assets = attach_fake_media(
+        _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        ),
+        id_col="doc_id",
+        payload_from="text",
+    )
+    chunks = chunk_binary(assets, chunk_bytes=64, overlap_bytes=0)
+    sh = chunks.select(
+        F.col("asset_id").alias("doc"),
+        F.md5(F.hex("chunk")).alias("shingle"),
+    ).distinct()
+    return ngram_jaccard_pairs(shingles=sh, min_jaccard=0.5)

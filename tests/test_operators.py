@@ -3826,6 +3826,48 @@ def test_fuzzy_pairs(spark):
     assert out == {(1, 3): 1, (1, 5): 2, (3, 5): 2}
 
 
+def test_multimodal_chunk_neardup_geometry(spark):
+    """Chunk-digest Jaccard catches byte-identical and tail-modified
+    blobs; a byte INSERTED at the front shifts every fixed-offset chunk
+    and is invisible (the documented fixed-chunking limitation)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        chunk_binary,
+    )
+
+    base = "A" * 256  # 4 chunks of 64
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base[:192] + "B" * 64),  # tail modified: 3/5 shared...
+            (3, "Z" + base),             # 1 byte inserted at front
+        ],
+        "doc_id bigint, text string",
+    )
+    assets = attach_fake_media(docs, id_col="doc_id", payload_from="text")
+    chunks = chunk_binary(assets, chunk_bytes=64, overlap_bytes=0)
+    sh = chunks.select(
+        F.col("asset_id").alias("doc"), F.md5(F.hex("chunk")).alias("shingle")
+    ).distinct()
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(shingles=sh, min_jaccard=0.0)
+        .filter(F.col("jaccard") > 0)
+        .collect()
+    }
+    # doc1 digests: {AAAA} (all 4 chunks identical) -> n=1
+    # doc2: {AAAA, BBBB} -> shared 1, union 2 -> 0.5
+    assert pairs[(1, 2)] == 0.5
+    # doc3's chunks all start with the shifted Z/A boundary: ZAAA.., AAAA?
+    # 257 bytes -> chunks at 1,65,129,193,257: [Z+63A],[64A],[64A],[64A],[A]
+    # distinct = {ZA..., AAAA(64), A(1)} — shares the 64A chunk with doc1
+    assert (1, 3) in pairs  # front-insert still shares the aligned-64A run
+    assert pairs[(1, 3)] < 1.0
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
