@@ -33,6 +33,12 @@ ngram_jaccard_prefix :823       ranked shingle prefix —        lazy return
 jaccard_verify :~895            distinct (doc, shingle)        EAGERLY
                                                                FREED (the
                                                                island rule)
+containment_pairs :805          via ngram_jaccard_pairs        lazy return
+                                (df= mode)                     (same class)
+lsh_audit :~1035                distinct (doc, shingle) —      EAGERLY
+                                owned here, 1-row output       FREED; the
+                                                               banded cache
+                                                               stays lazy
 _span_islands_lazy :1531        span frame                     freed by
                                                                caller after
                                                                island
@@ -1066,12 +1072,13 @@ def lsh_audit(
     base = docs.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     )
+    # own the big distinct-shingle frame (the truth tier's 3 consumers)
+    # so it can be FREED: the output is one bounded row — island rule
+    sh = shingle_rows(
+        base, id_col=id_col, text_col=text_col, n=shingle_n
+    ).cache()
     truth = ngram_jaccard_pairs(
-        df=base,
-        id_col=id_col,
-        text_col=text_col,
-        shingle_n=shingle_n,
-        min_jaccard=min_jaccard,
+        shingles=sh, min_jaccard=min_jaccard
     ).select("doc_a", "doc_b", F.lit(1).alias("__t"))
     cand = minhash_lsh_candidates(
         base,
@@ -1091,13 +1098,15 @@ def lsh_audit(
 
     t = F.col("__t").isNotNull()
     c = F.col("__c").isNotNull()
-    return j.agg(
+    out = j.agg(
         _n(t).alias("n_truth"),
         _n(c).alias("n_candidates"),
         _n(t & c).alias("n_hits"),
         _n(t & ~c).alias("n_misses"),
         _n(~t & c).alias("n_false_alarms"),
-    )
+    ).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def connected_components(
