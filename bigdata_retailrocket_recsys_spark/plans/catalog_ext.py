@@ -11531,3 +11531,100 @@ def q_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.hex("chunk")).alias("shingle"),
     ).distinct()
     return ngram_jaccard_pairs(shingles=sh, min_jaccard=0.5)
+
+
+@query(
+    "q_corpus_ccnet_buckets",
+    oracle=r"""
+    WITH ref AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   t -> t <> '')) AS term
+        FROM documents WHERE source = 'src0' AND text IS NOT NULL
+    ), lm AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c_w FROM ref GROUP BY term
+    ), tot AS (
+        SELECT CAST(COALESCE(SUM(c_w), 0) AS BIGINT) AS n_ref,
+               CAST(COUNT(*) AS BIGINT) AS v_ref
+        FROM lm
+    ), dt AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c_dt
+        FROM (SELECT doc_id,
+                     unnest(list_filter(
+                         string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t <> '')) AS term
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        GROUP BY doc_id, term
+    ), contrib AS (
+        SELECT doc_id, c_dt,
+               c_dt * CAST(FLOOR(ln((CAST(COALESCE(l.c_w, 0) AS DOUBLE)
+                          + 1.0)
+                     / GREATEST(CAST(t.n_ref AS DOUBLE)
+                                + CAST(t.v_ref AS DOUBLE), 1.0))
+                     * 1e6) AS BIGINT) AS lp
+        FROM dt LEFT JOIN lm l USING (term) CROSS JOIN tot t
+    ), scored AS (
+        SELECT doc_id,
+               CAST(SUM(c_dt) AS BIGINT) AS n_tokens,
+               CAST(SUM(lp) AS BIGINT) AS logprob_u
+        FROM contrib GROUP BY doc_id
+    ), with_src AS (
+        SELECT s.doc_id, d.source, s.n_tokens, s.logprob_u
+        FROM scored s JOIN documents d USING (doc_id)
+    ), r AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY logprob_u DESC, doc_id ASC) AS BIGINT) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM with_src
+    )
+    SELECT doc_id, source, n_tokens, logprob_u,
+           CASE 1 + (3 * (rnk - 1)) // n
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM r
+    """,
+)
+def q_corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3 — the
+    step after LM scoring): per DOMAIN, rank documents by LM
+    log-probability and cut into terciles — 'head' is the low-perplexity
+    third CCNet trains on, 'tail' the discard candidate; per-domain
+    terciles (not global) so no domain is wholesale dropped for being
+    unlike the reference. Composition: lm_score (µ-floored integer
+    logprob_u — the INTEGER sort key, no float ordering anywhere) →
+    sharded per-domain global rank (null-safe) → integer tercile
+    1 + 3·(rank−1) div n. Zero-token docs have no distribution and are
+    absent (the lm_score contract)."""
+    from bigdata_retailrocket_recsys_spark.operators.text import lm_score
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_global_rank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lm_score(
+        docs, docs.filter(F.col("source") == "src0"),
+        id_col="doc_id", text_col="text",
+    ).select("doc_id", "n_tokens", "logprob_u")
+    with_src = scored.join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    ranked = _sharded_global_rank(
+        with_src,
+        [F.col("logprob_u").desc(), F.col("doc_id").asc()],
+        32,
+        ["source"],
+    )
+    # integer tercile: 1 + (3·(rank−1)) div n, rank = __rn + __off
+    tercile = F.lit(1) + F.expr("(3 * (__rn + __off - 1)) div __n")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "logprob_u",
+        F.when(tercile == 1, F.lit("head"))
+        .when(tercile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

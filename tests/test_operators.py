@@ -3868,6 +3868,20 @@ def test_multimodal_chunk_neardup_geometry(spark):
     assert pairs[(1, 3)] < 1.0
 
 
+def test_ccnet_tercile_arithmetic():
+    """1 + (3·(rank−1)) div n splits any n into buckets of sizes
+    ceil/floor within 1 of n/3, covers every rank, and is monotone."""
+    for n in (1, 2, 3, 4, 5, 7, 10, 100):
+        buckets = [1 + (3 * (r - 1)) // n for r in range(1, n + 1)]
+        assert buckets[0] == 1 and buckets[-1] == 3 if n >= 3 else True
+        assert all(b in (1, 2, 3) for b in buckets)
+        assert buckets == sorted(buckets)
+        from collections import Counter
+        c = Counter(buckets)
+        if n >= 3:
+            assert max(c.values()) - min(c.values()) <= 1
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
