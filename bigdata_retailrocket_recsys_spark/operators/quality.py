@@ -206,3 +206,48 @@ def enforce_k_anonymity(
         df.withColumn("k_group_n", F.count(F.lit(1)).over(w).cast("bigint"))
         .filter(F.col("k_group_n") >= k)
     )
+
+
+def enforce_l_diversity(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity release gate — the k-anonymity companion
+    (Machanavajjhala et al. 2007): a group can be large (k-anonymous)
+    yet still leak if everyone in it shares the same SENSITIVE value
+    (the homogeneity attack — "all 80 rows in that zip/day are the same
+    user"). Suppress every row whose quasi-identifier group holds fewer
+    than ``l`` DISTINCT sensitive values.
+
+    Shape: Spark does not allow distinct aggregates in a window, so the
+    per-group distinct count is a two-phase aggregate —
+    distinct (quasi, sensitive) → count per quasi — joined back on the
+    quasi key NULL-SAFELY (a NULL quasi value is itself a
+    quasi-identifier; its group must gate like any other, not vanish
+    through a null-unsafe join — the _sharded_global_rank lesson). The
+    group-count frame is quasi-cardinality-bounded.
+
+    Output: surviving rows + ``l_distinct`` (the group's distinct
+    sensitive count, for downstream generalization to calibrate).
+    """
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    counts = (
+        df.select(*quasi_cols, sensitive_col)
+        .distinct()
+        .groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("l_distinct"))
+    )
+    left, right = df.alias("__r"), counts.alias("__c")
+    cond = None
+    for c in quasi_cols:
+        e = F.col(f"__r.{c}").eqNullSafe(F.col(f"__c.{c}"))
+        cond = e if cond is None else (cond & e)
+    return (
+        left.join(F.broadcast(right), cond)
+        .filter(F.col("__c.l_distinct") >= l)
+        .select("__r.*", F.col("__c.l_distinct").alias("l_distinct"))
+    )

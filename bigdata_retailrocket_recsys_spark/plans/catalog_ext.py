@@ -11628,3 +11628,48 @@ def q_corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d') AS day_str
+        FROM events
+    ), c AS (
+        SELECT event_type, day_str,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct
+        FROM (SELECT DISTINCT event_type, day_str, user_id FROM b)
+        GROUP BY event_type, day_str
+    )
+    SELECT b.event_id, b.user_id, b.event_type, b.day_str, c.l_distinct
+    FROM b JOIN c ON b.event_type IS NOT DISTINCT FROM c.event_type
+               AND b.day_str IS NOT DISTINCT FROM c.day_str
+    WHERE c.l_distinct >= 50
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate (operators/quality.enforce_l_diversity,
+    l=50 over sensitive user_id): the k-anonymity companion — a large
+    group still leaks when everyone in it shares one sensitive value
+    (the homogeneity attack), so groups with < l DISTINCT users are
+    suppressed. Selective at the driver SF (42–67 distinct users per
+    (event_type, day) group). Two-phase distinct count (no distinct
+    window aggregates in Spark) joined back NULL-SAFELY; NULL counts as
+    one observable sensitive value on both engines (distinct-subquery
+    count, not COUNT(DISTINCT))."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        enforce_l_diversity,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )
+    return enforce_l_diversity(
+        ev, quasi_cols=["event_type", "day_str"],
+        sensitive_col="user_id", l=50,
+    )

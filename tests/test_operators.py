@@ -3882,6 +3882,29 @@ def test_ccnet_tercile_arithmetic():
             assert max(c.values()) - min(c.values()) <= 1
 
 
+def test_enforce_l_diversity(spark):
+    """A big-but-homogeneous group is suppressed (the attack k-anonymity
+    misses), a small diverse group survives, NULL quasi groups gate like
+    any other, and NULL sensitive counts as one observable value."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        enforce_l_diversity,
+    )
+
+    rows = (
+        [(i, "zipA", 7) for i in range(10)]          # 10 rows, 1 user
+        + [(100, "zipB", 1), (101, "zipB", 2), (102, "zipB", 3)]
+        + [(200, None, 4), (201, None, None)]         # NULL quasi group
+    )
+    df = spark.createDataFrame(rows, "row_id bigint, zip string, u int")
+    out = enforce_l_diversity(
+        df, quasi_cols=["zip"], sensitive_col="u", l=2
+    ).collect()
+    got = {r.row_id: r.l_distinct for r in out}
+    assert all(i not in got for i in range(10))   # homogeneous: gone
+    assert got[100] == got[101] == got[102] == 3  # diverse: kept
+    assert got[200] == got[201] == 2              # NULL quasi, NULL=value
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
