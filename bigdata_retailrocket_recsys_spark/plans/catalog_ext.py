@@ -11673,3 +11673,73 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, quasi_cols=["event_type", "day_str"],
         sensitive_col="user_id", l=50,
     )
+
+
+@query(
+    "q_entity_resolution",
+    oracle=r"""
+    WITH RECURSIVE p AS (
+        SELECT p_partkey, p_brand, p_name FROM part
+        WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+    ), pairs AS (
+        SELECT a.p_partkey AS ia, b.p_partkey AS ib
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ), edges AS (
+        SELECT ia AS s, ib AS d FROM pairs
+        UNION SELECT ib, ia FROM pairs
+    ), reach(s, d) AS (
+        SELECT p_partkey, p_partkey FROM p
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), cc AS (
+        SELECT s AS p_partkey, MIN(d) AS entity_id FROM reach GROUP BY s
+    )
+    SELECT p.p_partkey, p.p_brand, p.p_name, cc.entity_id,
+           CAST(p.p_partkey = cc.entity_id AS INT) AS is_canonical
+    FROM p JOIN cc USING (p_partkey)
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (operators/joins.fuzzy_pairs →
+    operators/dedup.connected_components): brand-blocked part-name
+    pairs within 2 edits become edges, transitive closure assigns every
+    part an entity id (min member key), one canonical record per
+    entity — the classic MDM/catalog-dedup pipeline as a composition of
+    named engine operators. Oracle: the same Levenshtein pair set + a
+    recursive-CTE closure."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.joins import (
+        fuzzy_pairs,
+    )
+
+    parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_partkey").isNotNull() & F.col("p_name").isNotNull()
+    ).select("p_partkey", "p_brand", "p_name")
+    pairs = fuzzy_pairs(
+        parts,
+        id_col="p_partkey",
+        key_col="p_name",
+        block_cols=["p_brand"],
+        max_distance=2,
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        parts.select("p_partkey"),
+        pairs,
+        node_col="p_partkey",
+        src_col="id_a",
+        dst_col="id_b",
+    ).select("p_partkey", F.col("cluster_id").alias("entity_id"))
+    return parts.join(cc, "p_partkey").select(
+        "p_partkey",
+        "p_brand",
+        "p_name",
+        "entity_id",
+        (F.col("p_partkey") == F.col("entity_id"))
+        .cast("int")
+        .alias("is_canonical"),
+    )
