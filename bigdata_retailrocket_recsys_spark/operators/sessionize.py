@@ -84,3 +84,71 @@ def session_stats(
             "duration_us"
         ),
     )
+
+
+def sessionize_capped(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    max_minutes: int = 240,
+    session_col: str = "session_id",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap sessionization with a MAXIMUM session duration (north-star
+    extension, SURVEY §2.11 — no reference counterpart): gap-only
+    sessions are unbounded — a bot firing every 29 minutes produces one
+    week-long session that poisons per-session aggregates. After the
+    30-min-gap assignment, any session longer than ``max_minutes`` is
+    split at fixed multiples of the cap from the SESSION START
+    (sub-session = elapsed div cap — the standard deterministic
+    semantics; the "restart the clock at each split" variant is
+    inherently sequential and needs stateful streaming, which
+    ``streaming/`` provides).
+
+    Two windows over ONE (user, ts) partitioning: the gap flags + run
+    ids reuse :func:`sessionize`'s frame, the session-start min is a
+    frameless aggregate over (user, run) — Spark plans both behind a
+    single exchange when the leading partition keys agree. Integer
+    microsecond arithmetic end-to-end.
+
+    Output: input columns + ``session_col``
+    (``"<user>_<run>_<subsession>"``).
+    """
+    df = df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    order: list[Column] = [F.col(ts_col)]
+    for c in tiebreak_cols or []:
+        order.append(F.col(c))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(ts_col).over(w)
+    )
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > F.lit(gap_minutes * 60 * 1_000_000)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_run = df.withColumn("__run", run)
+    w_run = Window.partitionBy(user_col, "__run")
+    start_us = F.min(F.unix_micros(F.col(ts_col))).over(w_run)
+    # integer division: unix-micros delta and the cap are exact bigints
+    sub = F.expr(
+        f"(unix_micros({ts_col}) - __start) div "
+        f"{max_minutes * 60 * 1_000_000}"
+    )
+    return (
+        with_run.withColumn("__start", start_us)
+        .withColumn(
+            session_col,
+            F.concat_ws(
+                "_",
+                F.col(user_col).cast("string"),
+                F.col("__run").cast("string"),
+                sub.cast("string"),
+            ),
+        )
+        .drop("__run", "__start")
+    )

@@ -11743,3 +11743,63 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_canonical"),
     )
+
+
+@query(
+    "q_sessionize_capped",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, user_id, ts, epoch_us(ts) AS us
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), g AS (
+        SELECT *,
+               CASE WHEN us - LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), r AS (
+        SELECT *,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run
+        FROM g
+    ), s AS (
+        SELECT *, MIN(us) OVER (PARTITION BY user_id, run) AS start_us
+        FROM r
+    )
+    SELECT event_id, user_id, us,
+           CAST(user_id AS VARCHAR) || '_' || CAST(run AS VARCHAR)
+               || '_' || CAST((us - start_us) // 600000000 AS VARCHAR)
+               AS session_id
+    FROM s
+    """,
+)
+def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-capped sessionization (operators/sessionize
+    .sessionize_capped, 30-min gap + 10-MINUTE cap so the split
+    genuinely fires at fixture scale — 314 events land in sub>0
+    sub-sessions at sf0.01; production would use hours): gap-only
+    sessions are unbounded — a bot firing just inside the gap produces
+    one week-long session that poisons per-session aggregates — so
+    sessions longer than the cap split at fixed multiples from the
+    start. Two windows sharing one (user, ts) partitioning; integer
+    microsecond arithmetic end-to-end; event_id tiebreak makes the
+    order total. Event time is rendered as epoch MICROSECONDS (raw
+    timestamps are outside the stringify-safe type pairs)."""
+    from bigdata_retailrocket_recsys_spark.operators.sessionize import (
+        sessionize_capped,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize_capped(
+        ev,
+        gap_minutes=30,
+        max_minutes=10,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "session_id",
+    )

@@ -3905,6 +3905,36 @@ def test_enforce_l_diversity(spark):
     assert got[200] == got[201] == 2              # NULL quasi, NULL=value
 
 
+def test_sessionize_capped(spark):
+    """A sub-gap event stream longer than the cap splits at fixed
+    multiples of the cap from the session start; a real gap restarts
+    BOTH the run and the sub-session clock."""
+    from datetime import datetime, timezone
+
+    from bigdata_retailrocket_recsys_spark.operators.sessionize import (
+        sessionize_capped,
+    )
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp()
+    mk = lambda m: datetime.fromtimestamp(t0 + m * 60, tz=timezone.utc)
+    rows = [
+        (1, 1, mk(0)), (2, 1, mk(20)), (3, 1, mk(40)),  # 40min run, 30cap
+        (4, 1, mk(120)),                                # gap: new run
+        (5, 2, mk(0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, ts timestamp")
+    out = {
+        r.event_id: r.session_id
+        for r in sessionize_capped(
+            df, gap_minutes=30, max_minutes=30, tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert out[1] == "1_1_0" and out[2] == "1_1_0"
+    assert out[3] == "1_1_1"      # 40 min from start: second sub-session
+    assert out[4] == "1_2_0"      # real gap: run 2, clock reset
+    assert out[5] == "2_1_0"
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
