@@ -11803,3 +11803,73 @@ def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
         "session_id",
     )
+
+
+@query(
+    "q_scd2_build",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, epoch_us(ts) AS us, event_type
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL
+    ), o AS (
+        SELECT user_id, us, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_type) AS rn
+        FROM b
+    ), chg AS (
+        SELECT user_id, us, event_type, rn
+        FROM (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+                            ORDER BY rn) AS prev
+              FROM o)
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           CAST(us AS BIGINT) AS eff_from_us,
+           CAST(COALESCE(LEAD(us) OVER (PARTITION BY user_id ORDER BY rn),
+                         -1) AS BIGINT) AS eff_to_us,
+           CAST(LEAD(us) OVER (PARTITION BY user_id ORDER BY rn) IS NULL
+                AS INT) AS is_current
+    FROM chg
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch SCD2 (slowly-changing-dimension type 2) BUILD — the
+    warehouse companion to the streaming SCD2-enrich: per user, collapse
+    the event stream to CHANGE rows (value ≠ previous value), then
+    validity intervals [eff_from, eff_to) via lead(), open interval
+    flagged is_current (eff_to rendered −1, not NULL — NULL bigints
+    stringify asymmetrically nowhere but NULL semantics stay explicit
+    via the flag). Three windows over ONE (user, order) partitioning;
+    epoch-micros rendering (raw timestamps are outside the
+    stringify-safe pairs); (ts, value) tiebreak makes the order total
+    so ties collapse identically on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    b = ev.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_type")
+    o = b.withColumn("rn", F.row_number().over(w)).withColumn(
+        "prev", F.lag("event_type").over(w)
+    )
+    chg = o.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    nxt = F.lead("us").over(w2)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("us").cast("bigint").alias("eff_from_us"),
+        F.coalesce(nxt, F.lit(-1)).cast("bigint").alias("eff_to_us"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )

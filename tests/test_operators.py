@@ -3935,6 +3935,35 @@ def test_sessionize_capped(spark):
     assert out[5] == "2_1_0"
 
 
+def test_scd2_build_intervals(spark):
+    """Consecutive identical values collapse into one validity interval,
+    a change closes the previous interval at the change time, the last
+    interval is open (is_current, eff_to = -1), and intervals tile the
+    key's timeline with no gaps."""
+    import sys
+    sys.path.insert(0, ".")
+    from __spark_entry__ import queries
+
+    # drive through the catalog entry on a staged micro-fixture by
+    # reusing its logic via a direct window replay would duplicate it;
+    # instead assert the interval algebra on the sf0.001 fixture output
+    out = queries()["q_scd2_build"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert out and all(r.eff_from_us is not None for r in out)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.eff_from_us)
+        cur = [r for r in rows if r.is_current == 1]
+        assert len(cur) == 1 and cur[0] is rows[-1]
+        assert cur[0].eff_to_us == -1
+        for a, b in zip(rows, rows[1:]):
+            assert a.eff_to_us == b.eff_from_us  # tiling, no gaps
+            assert a.event_type != b.event_type or a.eff_from_us != b.eff_from_us
+
+
 def test_corpus_profile_rollup(spark):
     """Per-domain report card: duplicate normalized texts collapse in
     n_distinct, Gopher passes are counted, zero-token docs contribute 0
