@@ -140,3 +140,58 @@ def binary_auc(
             / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+
+
+def reciprocal_rank_eval(
+    test_next: DataFrame,
+    topk: DataFrame,
+    *,
+    item_col: str = "item",
+    group_col: str = "event_type",
+    k: int = 10,
+) -> DataFrame:
+    """MRR@k — mean reciprocal rank of the true next item in a candidate
+    list — as an EXACT-integer relational plan (the third standard
+    offline recsys metric after hit-rate and DCG; rank-sensitive like
+    DCG but with the 1/rank weighting retrieval papers report).
+
+    Float-free trick: 1/rank for rank ∈ 1..k is made exact by scaling
+    with L = lcm(1..k) (k=10 → 2520): ``rr_scaled = L div rank`` is an
+    exact integer, so ``Σ rr_scaled`` aggregates without rounding and
+    MRR = Σ/(L·n) needs ONE final IEEE division (bit-identical
+    cross-engine — the binary_auc discipline). Misses contribute 0.
+
+    Same join shape as :func:`next_item_eval`: the k-row candidate
+    table broadcasts, facts never shuffle except the final group
+    rollup. Returns per group: (n_test, n_hits, rr_scale,
+    rr_sum_scaled, mrr).
+    """
+    import math
+
+    scale = math.lcm(*range(1, k + 1))
+    joined = test_next.join(
+        F.broadcast(topk.filter(F.col("rank") <= k)), item_col, "left"
+    )
+    hit = F.col("rank").isNotNull()
+    agg = joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        F.sum(
+            F.when(hit, F.expr(f"CAST({scale} AS BIGINT) div rank")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rr_sum_scaled"),
+    )
+    return agg.select(
+        group_col,
+        "n_test",
+        "n_hits",
+        F.lit(scale).cast("bigint").alias("rr_scale"),
+        "rr_sum_scaled",
+        (
+            F.col("rr_sum_scaled").cast("double")
+            / (F.col("n_test") * F.lit(scale)).cast("double")
+        ).alias("mrr"),
+    )

@@ -251,3 +251,116 @@ def enforce_l_diversity(
         .filter(F.col("__c.l_distinct") >= l)
         .select("__r.*", F.col("__c.l_distinct").alias("l_distinct"))
     )
+
+
+def enforce_t_closeness(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    bucket_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """t-closeness release gate (Li, Li, Venkatasubramanian 2007) — the
+    third of the privacy trio after k-anonymity and l-diversity: a
+    group can be large AND diverse yet still leak if its SENSITIVE
+    distribution is skewed vs the table at large ("that zip/day is 90%
+    high-value purchases"). Suppress every row whose quasi-identifier
+    group's ordered-EMD to the GLOBAL sensitive distribution exceeds
+    ``t = t_num / t_den``.
+
+    For an ORDERED sensitive attribute (``bucket_col``, an integer
+    bucket; callers COALESCE NULLs to a sentinel bucket so every row
+    participates), EMD has the closed form
+    ``(1/(m-1)) * Σ_i |Σ_{j<=i} (p_j - q_j)|`` over the m ordered
+    buckets. Kept exact/all-integer by cross-multiplication: with group
+    counts g_j (size n_g) and global counts c_j (size N), the scaled
+    prefix is ``s_i = Σ_{j<=i} (g_j·N − c_j·n_g)`` and the gate is
+    ``t_den·Σ|s_i| <= t_num·(m−1)·n_g·N`` — no division anywhere, so
+    the verdict is bit-identical cross-engine. (At counts beyond ~3e9
+    the g·N products need DECIMAL(38,0); bigint is exact to 2^63 and
+    fine at any per-table N where n_g·N < 9e18.)
+
+    Shuffle shape: one groupBy per grain (global bucket counts — m rows,
+    broadcast; group sizes; (group, bucket) counts), a dense
+    groups×buckets grid via broadcast cross join (|groups|·m rows), a
+    cumulative window per group over the m-bounded bucket axis, and a
+    broadcast join-back to rows NULL-SAFELY on the quasi key (NULL
+    quasi values are themselves quasi-identifiers — the
+    _sharded_global_rank lesson). Output: surviving rows + ``emd_abs``
+    (the scaled Σ|s_i|) and ``t_group_n``.
+    """
+    if t_den <= 0 or t_num < 0:
+        raise ValueError(f"need t_num >= 0, t_den > 0; got {t_num}/{t_den}")
+    from pyspark.sql import Window
+
+    tot = df.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    stats = tot.agg(
+        F.sum("__c").cast("bigint").alias("__N"),
+        F.count(F.lit(1)).cast("bigint").alias("__m"),
+    )
+    grp = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_g")
+    )
+    gc = df.groupBy(*quasi_cols, bucket_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__g")
+    )
+    grid = grp.crossJoin(F.broadcast(tot))
+    cond = None
+    for c in quasi_cols:
+        e = F.col(f"__grid.{c}").eqNullSafe(F.col(f"__gc.{c}"))
+        cond = e if cond is None else (cond & e)
+    cond = cond & (
+        F.col(f"__grid.{bucket_col}") == F.col(f"__gc.{bucket_col}")
+    )
+    joined = (
+        grid.alias("__grid")
+        .join(gc.alias("__gc"), cond, "left")
+        .select(
+            *[F.col(f"__grid.{c}") for c in quasi_cols],
+            F.col(f"__grid.{bucket_col}"),
+            F.col("__grid.__n_g"),
+            F.col("__grid.__c"),
+            F.coalesce(F.col("__gc.__g"), F.lit(0)).cast("bigint").alias("__g"),
+        )
+        .crossJoin(F.broadcast(stats))
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = joined.withColumn(
+        "__s",
+        F.sum(
+            F.col("__g") * F.col("__N") - F.col("__c") * F.col("__n_g")
+        ).over(w),
+    )
+    emd = cum.groupBy(*quasi_cols).agg(
+        F.max("__n_g").alias("__n_g"),
+        F.sum(F.abs(F.col("__s"))).cast("bigint").alias("emd_abs"),
+        F.max("__N").alias("__N"),
+        F.max("__m").alias("__m"),
+    )
+    left, right = df.alias("__r"), emd.alias("__e")
+    jc = None
+    for c in quasi_cols:
+        e = F.col(f"__r.{c}").eqNullSafe(F.col(f"__e.{c}"))
+        jc = e if jc is None else (jc & e)
+    return (
+        left.join(F.broadcast(right), jc)
+        .filter(
+            F.lit(t_den) * F.col("__e.emd_abs")
+            <= F.lit(t_num)
+            * (F.col("__e.__m") - 1)
+            * F.col("__e.__n_g")
+            * F.col("__e.__N")
+        )
+        .select(
+            "__r.*",
+            F.col("__e.emd_abs").alias("emd_abs"),
+            F.col("__e.__n_g").alias("t_group_n"),
+        )
+    )

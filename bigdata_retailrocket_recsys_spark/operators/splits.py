@@ -734,3 +734,45 @@ def top_share_by_score(
         )
         .drop("__rn", "__n")
     )
+
+
+def temporal_embargo_split(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    cutoff: str,
+    horizon_seconds: int,
+    embargo_seconds: int,
+) -> DataFrame:
+    """Purged walk-forward split with embargo (Lopez de Prado 2018,
+    "Advances in Financial ML" ch. 7 — the leakage-safe temporal CV for
+    forecasting/training on event streams). A naive ts < cutoff split
+    leaks twice: a train sample whose LABEL window [ts, ts+horizon]
+    crosses the cutoff has peeked at test time ("purge" it), and test
+    samples immediately after the cutoff share serial correlation with
+    late train samples ("embargo" them). Labels:
+
+    - ``train``:   ts + horizon < cutoff        (label fully resolved pre-cut)
+    - ``purged``:  ts < cutoff <= ts + horizon  (label straddles the cut)
+    - ``embargo``: cutoff <= ts < cutoff + embargo
+    - ``test``:    ts >= cutoff + embargo
+
+    A real training run keeps only train + test; purged/embargo rows are
+    returned labeled (not dropped) so the caller can audit how much data
+    the hygiene cost — the split is a pure zero-shuffle projection
+    (four timestamp comparisons), trivially scan-parallel at 100 TB and
+    partition-prunable when the table is date-partitioned. NULL
+    timestamps are unassignable and excluded. Comparisons are on exact
+    epoch microseconds — no float time arithmetic.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    cut = F.unix_micros(F.lit(cutoff).cast("timestamp"))
+    h = F.lit(int(horizon_seconds) * 1_000_000)
+    e = F.lit(int(embargo_seconds) * 1_000_000)
+    return df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "split",
+        F.when(us + h < cut, F.lit("train"))
+        .when(us < cut, F.lit("purged"))
+        .when(us < cut + e, F.lit("embargo"))
+        .otherwise(F.lit("test")),
+    )

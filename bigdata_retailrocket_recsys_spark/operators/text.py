@@ -1738,3 +1738,195 @@ def token_entropy(
         .cast("int")
         .alias("is_low_entropy"),
     )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain lexical diversity at 1/2/3-gram grain — the corpus-QA
+    degeneracy report (self-repetition / templated-text detection at the
+    SOURCE grain, where :func:`token_entropy` and
+    :func:`gopher_repetition` score single documents). A domain whose
+    distinct-trigram share collapses is boilerplate-heavy or
+    machine-generated even when each individual page looks fine —
+    the aggregate-grain signal corpus curators cut sources on
+    (type-token ratio / distinct-n-gram diversity, the Self-BLEU-family
+    statistic computable exactly at 100 TB).
+
+    Tokenizes ONCE (posexplode) and forms bigrams/trigrams with lead()
+    windows per doc — the shingle_rows discipline; NEVER an array-HOF
+    over an inlined tokenize (the r10 re-tokenize-per-position lesson).
+    Shuffle shape: one exchange by doc for the lead windows, then one
+    grouped multi-distinct aggregate by domain (Expand ×3, partial
+    distinct map-side). All outputs exact integers; the three diversity
+    ratios are integer-div ppm (distinct·1e6 div instances), NULL for a
+    grain with zero instances. NULL domains group together (a real
+    corpus slice); NULL id/text rows contribute nothing.
+
+    Output: (domain, n_tokens, n_uni, n_big_inst, n_big, n_tri_inst,
+    n_tri, ttr_ppm, big_ppm, tri_ppm).
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        docs.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__d"),
+            F.col(domain_col).alias("domain"),
+            F.posexplode(ws_tokens(F.lower(F.col(text_col)))).alias(
+                "__pos", "__t"
+            ),
+        )
+        .filter(F.col("__t") != "")
+    )
+    w = Window.partitionBy("__d").orderBy("__pos")
+    l1, l2 = F.lead("__t", 1).over(w), F.lead("__t", 2).over(w)
+    grams = tok.select(
+        "domain",
+        F.col("__t").alias("uni"),
+        F.when(l1.isNotNull(), F.concat_ws(" ", F.col("__t"), l1)).alias(
+            "big"
+        ),
+        F.when(
+            l1.isNotNull() & l2.isNotNull(),
+            F.concat_ws(" ", F.col("__t"), l1, l2),
+        ).alias("tri"),
+    )
+    agg = grams.groupBy("domain").agg(
+        F.count("uni").cast("bigint").alias("n_tokens"),
+        F.countDistinct("uni").cast("bigint").alias("n_uni"),
+        F.count("big").cast("bigint").alias("n_big_inst"),
+        F.countDistinct("big").cast("bigint").alias("n_big"),
+        F.count("tri").cast("bigint").alias("n_tri_inst"),
+        F.countDistinct("tri").cast("bigint").alias("n_tri"),
+    )
+
+    def _ppm(dis: str, inst: str):
+        return F.when(
+            F.col(inst) > 0,
+            F.expr(f"({dis} * CAST(1000000 AS BIGINT)) div {inst}"),
+        ).cast("bigint")
+
+    return agg.select(
+        "domain",
+        "n_tokens",
+        "n_uni",
+        "n_big_inst",
+        "n_big",
+        "n_tri_inst",
+        "n_tri",
+        _ppm("n_uni", "n_tokens").alias("ttr_ppm"),
+        _ppm("n_big", "n_big_inst").alias("big_ppm"),
+        _ppm("n_tri", "n_tri_inst").alias("tri_ppm"),
+    )
+
+
+def bm25_hard_negatives(
+    corpus: DataFrame,
+    query_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "q_id",
+    qtext_col: str = "q_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 5,
+    positives: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for embedding/contrastive training: for each
+    query document, the top-k BM25-scored corpus documents that are NOT
+    the query itself (nor a known positive) — lexically confusable
+    neighbors, the negatives that actually teach a bi-encoder (DPR /
+    sentence-transformers practice; random negatives are too easy).
+
+    Relational shape, scale-first: the query set is benchmark-sized by
+    contract, so the distinct (qid, term) table BROADCASTS past the
+    corpus scan; the corpus reduces to per-(doc, term) tf restricted to
+    query terms BEFORE any join (semi-join on the broadcast term set —
+    the filter-pushdown of retrieval), plus a cached one-row-per-doc
+    length table; df and corpus totals are tiny broadcast aggregates.
+    Scoring sums µ-floored BM25_CONTRIB_SQL bigints (the exact tree the
+    DuckDB oracle parses), so ranking is deterministic cross-engine
+    (bm25_u DESC, doc id ASC). The per-query top-k is a rank-limit
+    window partitioned by qid (WindowGroupLimit — each partition keeps
+    <= top_k rows per query before the sort).
+
+    ``positives``: optional (qid_col, id_col) pairs anti-joined out
+    (labeled true pairs must not become negatives). Output:
+    (qid, neg_id, n_terms_hit, bm25_u, rank).
+    """
+    from pyspark.sql import Window
+
+    qterms = (
+        query_docs.filter(
+            F.col(qid_col).isNotNull() & F.col(qtext_col).isNotNull()
+        )
+        .select(
+            F.col(qid_col).alias("qid"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(qtext_col))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    tok = _bag_tokens(corpus, id_col, text_col)
+    dl = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dl")
+    ).cache()
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_dl").cast("bigint").alias("tot_dl"),
+    )
+    tf = (
+        tok.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "semi"
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tf"))
+    )
+    dfq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_df")
+    )
+    contrib = F.expr(
+        BM25_CONTRIB_SQL.format(
+            N="n_docs", df="n_df", tf="n_tf", dl="n_dl", totdl="tot_dl",
+            k1p1=repr(k1 + 1.0), k1_1mb=repr(k1 * (1.0 - b)), k1b=repr(k1 * b),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("qid") != F.col(id_col))
+        .groupBy("qid", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.sum(contrib).cast("bigint").alias("bm25_u"),
+        )
+    )
+    if positives is not None:
+        pos = positives.select(
+            F.col(qid_col).alias("qid"), F.col(id_col)
+        )
+        scored = scored.join(pos, ["qid", id_col], "anti")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("bm25_u").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("qid"),
+            F.col(id_col).alias("neg_id"),
+            "n_terms_hit",
+            "bm25_u",
+            "rank",
+        )
+    )

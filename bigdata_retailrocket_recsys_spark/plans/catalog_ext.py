@@ -11873,3 +11873,371 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit(-1)).cast("bigint").alias("eff_to_us"),
         nxt.isNull().cast("int").alias("is_current"),
     )
+
+
+@query(
+    "q_t_closeness",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d') AS day_str,
+               COALESCE(CASE WHEN value >= -1000000000000.0
+                              AND value <= 1000000000000.0
+                             THEN CAST(floor(value / 50.0) AS BIGINT) END,
+                        -1) AS vb
+        FROM events
+    ), tot AS (
+        SELECT vb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY vb
+    ), n AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS N,
+               CAST(COUNT(*) AS BIGINT) AS m FROM tot
+    ), grp AS (
+        SELECT event_type, day_str, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM b GROUP BY 1, 2
+    ), gc AS (
+        SELECT event_type, day_str, vb, CAST(COUNT(*) AS BIGINT) AS g
+        FROM b GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT grp.event_type, grp.day_str, grp.n_g, tot.vb, tot.c,
+               COALESCE(gc.g, 0) AS g
+        FROM grp CROSS JOIN tot
+        LEFT JOIN gc ON grp.event_type IS NOT DISTINCT FROM gc.event_type
+                    AND grp.day_str IS NOT DISTINCT FROM gc.day_str
+                    AND tot.vb = gc.vb
+    ), cum AS (
+        SELECT event_type, day_str, n_g, N, m,
+               SUM(g * N - c * n_g) OVER (
+                   PARTITION BY event_type, day_str ORDER BY vb) AS s
+        FROM grid CROSS JOIN n
+    ), emd AS (
+        SELECT event_type, day_str, MAX(n_g) AS n_g,
+               CAST(SUM(ABS(s)) AS BIGINT) AS emd_abs,
+               MAX(N) AS N, MAX(m) AS m
+        FROM cum GROUP BY 1, 2
+    )
+    SELECT b.event_id, b.user_id, b.event_type, b.day_str, b.vb,
+           e.emd_abs, CAST(e.n_g AS BIGINT) AS t_group_n
+    FROM b JOIN emd e
+      ON b.event_type IS NOT DISTINCT FROM e.event_type
+     AND b.day_str IS NOT DISTINCT FROM e.day_str
+    WHERE 200 * e.emd_abs <= 3 * (e.m - 1) * e.n_g * e.N
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release gate (operators/quality.enforce_t_closeness,
+    t = 3/200 over quasi (event_type, day) with the sensitive attribute
+    ordered into width-50 value buckets) — completes the privacy trio:
+    k-anonymity bounds group SIZE, l-diversity bounds sensitive
+    CARDINALITY, t-closeness bounds the group's sensitive DISTRIBUTION
+    distance (ordered EMD) from the global one — the skew attack the
+    other two miss. All-integer cross-multiplied EMD (no division, see
+    the operator docstring), selective at the driver SF (~45% of
+    (event_type, day) groups pass at t=0.015). NaN/±inf/outlier values
+    share the -1 sentinel bucket on both engines via the identical
+    range-CASE (both treat NaN as greater than any finite value)."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        enforce_t_closeness,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    vb = F.coalesce(
+        F.when(
+            (v >= -1.0e12) & (v <= 1.0e12),
+            F.floor(v / F.lit(50.0)),
+        ).cast("bigint"),
+        F.lit(-1).cast("bigint"),
+    )
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        vb.alias("vb"),
+    )
+    return enforce_t_closeness(
+        b,
+        quasi_cols=["event_type", "day_str"],
+        bucket_col="vb",
+        t_num=3,
+        t_den=200,
+    )
+
+
+@query(
+    "q_split_temporal_embargo",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS us,
+           CASE WHEN epoch_us(ts) + 86400000000
+                     < epoch_us(TIMESTAMP '2024-01-25') THEN 'train'
+                WHEN epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-25')
+                     THEN 'purged'
+                WHEN epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-25')
+                     + 172800000000 THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events WHERE ts IS NOT NULL
+    """,
+)
+def q_split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged walk-forward split with embargo (operators/splits.
+    temporal_embargo_split; Lopez de Prado 2018 ch.7): cutoff
+    2024-01-25, 1-day label horizon (train rows whose label window
+    straddles the cutoff are PURGED), 2-day embargo after the cutoff —
+    the leakage-safe temporal train/test split for event-stream
+    models, as a zero-shuffle exact-epoch-microsecond projection.
+    Timestamps render as epoch micros (raw timestamps are outside the
+    stringify-safe type pairs)."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        temporal_embargo_split,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    out = temporal_embargo_split(
+        ev,
+        ts_col="ts",
+        cutoff="2024-01-25",
+        horizon_seconds=86400,
+        embargo_seconds=172800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").cast("bigint").alias("us"),
+        "split",
+    )
+
+
+@query(
+    "q_text_ngram_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), pos AS (
+        SELECT doc_id, source, i, t[i] AS tok
+        FROM (SELECT doc_id, source, t,
+                     unnest(range(1, len(t) + 1)) AS i FROM toks)
+    ), led AS (
+        SELECT source, doc_id, i, tok,
+               LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS l1,
+               LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS l2
+        FROM pos
+    ), g AS (
+        SELECT source, tok AS uni,
+               CASE WHEN l1 IS NOT NULL
+                    THEN tok || ' ' || l1 END AS big,
+               CASE WHEN l1 IS NOT NULL AND l2 IS NOT NULL
+                    THEN tok || ' ' || l1 || ' ' || l2 END AS tri
+        FROM led
+    )
+    SELECT source AS domain,
+           CAST(COUNT(uni) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT uni) AS BIGINT) AS n_uni,
+           CAST(COUNT(big) AS BIGINT) AS n_big_inst,
+           CAST(COUNT(DISTINCT big) AS BIGINT) AS n_big,
+           CAST(COUNT(tri) AS BIGINT) AS n_tri_inst,
+           CAST(COUNT(DISTINCT tri) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN COUNT(uni) > 0 THEN
+                COUNT(DISTINCT uni) * 1000000 // COUNT(uni) END
+                AS BIGINT) AS ttr_ppm,
+           CAST(CASE WHEN COUNT(big) > 0 THEN
+                COUNT(DISTINCT big) * 1000000 // COUNT(big) END
+                AS BIGINT) AS big_ppm,
+           CAST(CASE WHEN COUNT(tri) > 0 THEN
+                COUNT(DISTINCT tri) * 1000000 // COUNT(tri) END
+                AS BIGINT) AS tri_ppm
+    FROM g GROUP BY source
+    """,
+)
+def q_text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain distinct-n-gram diversity report (operators/text.
+    ngram_diversity) — the SOURCE-grain degeneracy signal (collapsing
+    distinct-trigram share = templated/machine text even when each page
+    passes doc-grain gates). Tokenize-once lead-window n-grams (the
+    shingle_rows discipline, never an inlined-array-HOF re-tokenize),
+    one multi-distinct aggregate by domain; all-integer outputs with
+    integer-div ppm ratios."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        ngram_diversity,
+    )
+
+    return ngram_diversity(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_eval_mrr",
+    oracle="""
+    WITH it AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 AS item
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), pop AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS n
+        FROM it WHERE ts < TIMESTAMP '2024-01-25' GROUP BY item
+    ), topk AS (
+        SELECT item,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, item ASC)
+                    AS BIGINT) AS rank
+        FROM pop QUALIFY rank <= 10
+    ), test AS (
+        SELECT event_type, item FROM (
+            SELECT event_type, item,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM it WHERE ts >= TIMESTAMP '2024-01-25'
+        ) WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(2520 AS BIGINT) AS rr_scale,
+           CAST(SUM(CASE WHEN rank IS NOT NULL THEN 2520 // rank
+                         ELSE 0 END) AS BIGINT) AS rr_sum_scaled,
+           CAST(SUM(CASE WHEN rank IS NOT NULL THEN 2520 // rank
+                         ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) * 2520 AS DOUBLE) AS mrr
+    FROM test LEFT JOIN topk USING (item)
+    GROUP BY event_type
+    """,
+)
+def q_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 offline evaluation (operators/evaluation.
+    reciprocal_rank_eval) — the rank-weighted companion to
+    q_eval_nextitem's hit-rate/DCG on the same temporal holdout
+    (popularity top-10 trained pre-cut, per-user FIRST post-cut item).
+    1/rank made EXACT by lcm(1..10)=2520 scaling (2520 div rank is an
+    integer for every rank <= 10), summed exactly; the final mean is
+    ONE IEEE division of two exact integers — bit-identical
+    cross-engine (the binary_auc float discipline)."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        reciprocal_rank_eval,
+    )
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    it = ev.filter(F.col("user_id").isNotNull() & k.isNotNull()).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        (k % 50).alias("item"),
+    )
+    cut = F.lit("2024-01-25").cast("timestamp")
+    topk = popularity_topk(it.filter(F.col("ts") < cut), item_col="item", k=10)
+    test = (
+        it.filter(F.col("ts") >= cut)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").asc(), F.col("event_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", "item")
+    )
+    return reciprocal_rank_eval(
+        test, topk, item_col="item", group_col="event_type", k=10
+    )
+
+
+@query(
+    "q_mine_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id AS qid, text
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND strlen(text) >= 30
+        ORDER BY doc_id ASC LIMIT 3
+    ), qt AS (
+        SELECT DISTINCT qid, term FROM (
+            SELECT qid,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS term
+            FROM q
+        ) WHERE term <> ''
+    ), tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ), tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dl
+        FROM tok2 GROUP BY doc_id
+    ), st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_dl) AS BIGINT) AS tot_dl FROM dl
+    ), tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_tf
+        FROM tok2 WHERE term IN (SELECT DISTINCT term FROM qt)
+        GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_df FROM tf GROUP BY term
+    ), c AS (
+        SELECT doc_id, term, {{contrib}} AS u
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+    ), sc AS (
+        SELECT qt.qid, c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               CAST(SUM(u) AS BIGINT) AS bm25_u
+        FROM c JOIN qt USING (term)
+        WHERE c.doc_id <> qt.qid
+        GROUP BY qt.qid, c.doc_id
+    )
+    SELECT qid, doc_id AS neg_id, n_terms_hit, bm25_u,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY bm25_u DESC, doc_id ASC) AS rank
+          FROM sc)
+    WHERE rank <= 5
+    """.format(contrib=_BM25_ORACLE_CONTRIB),
+)
+def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining (operators/text.bm25_hard_negatives):
+    for each of 3 deterministic query docs (lowest non-null ids), the
+    top-5 lexically-closest OTHER corpus docs — the negatives that
+    train a bi-encoder (DPR practice; random negatives are too easy).
+    The benchmark-sized query term set broadcasts past the corpus scan
+    (semi-join pushes the term filter below the tf shuffle); scoring
+    sums the µ-floored BM25_CONTRIB_SQL tree shared verbatim with the
+    oracle, so the per-query ranking (bm25_u DESC, id ASC) is
+    deterministic cross-engine; per-query top-5 is a WindowGroupLimit
+    rank window."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        bm25_hard_negatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    qd = (
+        docs.filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            # BYTE length (octet_length ≡ DuckDB strlen) — the Gopher
+            # pairing; char-grain length() counts UTF-16 units on Spark
+            & (F.octet_length("text") >= 30)
+        )
+        .select(F.col("doc_id").alias("q_id"), F.col("text").alias("q_text"))
+        .orderBy(F.col("q_id").asc())
+        .limit(3)
+    )
+    return bm25_hard_negatives(
+        docs,
+        qd,
+        id_col="doc_id",
+        text_col="text",
+        qid_col="q_id",
+        qtext_col="q_text",
+        top_k=5,
+    )

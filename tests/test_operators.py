@@ -4341,3 +4341,147 @@ def test_top_share_by_score_exact_rational(spark):
     )
     # group a: floor(10/4)=2 best scores -> ids 0,1; group b: floor(3/4)=0
     assert out == [("a", 0), ("a", 1)]
+
+
+def test_t_closeness_gate_semantics(spark):
+    """A group whose sensitive distribution EXACTLY matches the global
+    one has EMD 0 (survives any t >= 0); a maximally skewed group is
+    suppressed at small t. Hand-checked integers: global = {0: 6, 1: 6},
+    g1 = {0: 3, 1: 3} (s = 3*12-6*6 = 0 -> emd 0), g2 = {0: 3} wait —
+    see inline construction: g2 all in bucket 0 -> |s| = 3*12-6*3 = 18."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        enforce_t_closeness,
+    )
+
+    rows = [("g1", 0)] * 3 + [("g1", 1)] * 3 + [("g2", 0)] * 3 + [("g2", 1)] * 3
+    # skew g2: move its bucket-1 rows to bucket 0
+    rows = [("g1", 0)] * 3 + [("g1", 1)] * 3 + [("g2", 0)] * 6
+    df = spark.createDataFrame(rows, "q string, vb bigint")
+    # global: bucket0 = 9, bucket1 = 3, N = 12, m = 2
+    # g1 (n=6): s_0 = 3*12 - 9*6 = -18 -> emd_abs = 18
+    #           gate at t=1/4: 4*18 <= 1*(2-1)*6*12=72 -> pass (equal)
+    # g2 (n=6): s_0 = 6*12 - 9*6 = 18 -> emd_abs = 18 -> same gate, pass
+    out = enforce_t_closeness(
+        df, quasi_cols=["q"], bucket_col="vb", t_num=1, t_den=4
+    )
+    assert out.count() == 12
+    # tighter t = 1/5: 5*18 = 90 > 72 -> both suppressed
+    out2 = enforce_t_closeness(
+        df, quasi_cols=["q"], bucket_col="vb", t_num=1, t_den=5
+    )
+    assert out2.count() == 0
+    # a group matching the global mix exactly: emd 0, survives t=0
+    rows3 = [("a", 0)] * 3 + [("a", 1)] * 1 + [("b", 0)] * 3 + [("b", 1)] * 1
+    df3 = spark.createDataFrame(rows3, "q string, vb bigint")
+    out3 = enforce_t_closeness(
+        df3, quasi_cols=["q"], bucket_col="vb", t_num=0, t_den=1
+    )
+    assert out3.count() == 8
+    assert {r.emd_abs for r in out3.collect()} == {0}
+
+
+def test_temporal_embargo_split_boundaries(spark):
+    """Exact boundary semantics: ts+h == cutoff is PURGED (strict <
+    for train); ts == cutoff+e is TEST (strict < for embargo); NULL ts
+    excluded."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        temporal_embargo_split,
+    )
+    import datetime as dt
+
+    c = dt.datetime(2024, 1, 25)
+    h, e = 3600, 7200
+    rows = [
+        (1, c - dt.timedelta(seconds=3601)),  # ts+h < cutoff -> train
+        (2, c - dt.timedelta(seconds=3600)),  # ts+h == cutoff -> purged
+        (3, c - dt.timedelta(seconds=1)),     # purged
+        (4, c),                               # embargo
+        (5, c + dt.timedelta(seconds=7199)),  # embargo
+        (6, c + dt.timedelta(seconds=7200)),  # test
+        (7, None),                            # excluded
+    ]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp")
+    out = {
+        r.id: r.split
+        for r in temporal_embargo_split(
+            df, ts_col="ts", cutoff="2024-01-25",
+            horizon_seconds=h, embargo_seconds=e,
+        ).collect()
+    }
+    assert out == {
+        1: "train", 2: "purged", 3: "purged",
+        4: "embargo", 5: "embargo", 6: "test",
+    }
+
+
+def test_ngram_diversity_exact_counts(spark):
+    """Hand-checked grid: 'a b a b' -> 4 tokens, 2 distinct; bigrams
+    [a b, b a, a b] -> 3 inst / 2 distinct; trigrams [a b a, b a b]
+    -> 2 inst / 2 distinct. A one-token doc adds a unigram but no
+    bigram/trigram instances."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        ngram_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b", "s1"), (2, "z", "s1"), (3, None, "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r.domain: r for r in ngram_diversity(df).collect()}
+    r = out["s1"]
+    assert (r.n_tokens, r.n_uni) == (5, 3)
+    assert (r.n_big_inst, r.n_big) == (3, 2)
+    assert (r.n_tri_inst, r.n_tri) == (2, 2)
+    assert r.ttr_ppm == 3 * 1000000 // 5
+    assert r.big_ppm == 2 * 1000000 // 3
+    assert "s2" not in out  # NULL text contributes nothing -> no row
+
+
+def test_reciprocal_rank_eval_scaling(spark):
+    """2520 div rank is exact for rank 1..10; misses add 0; mrr is the
+    one-division mean. ranks 1 and 4 -> 2520 + 630 = 3150 over n=3."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        reciprocal_rank_eval,
+    )
+
+    test = spark.createDataFrame(
+        [("g", 10), ("g", 40), ("g", 99)], "event_type string, item bigint"
+    )
+    topk = spark.createDataFrame(
+        [(10, 1), (40, 4)], "item bigint, rank bigint"
+    )
+    r = reciprocal_rank_eval(test, topk, k=10).collect()[0]
+    assert (r.n_test, r.n_hits, r.rr_scale, r.rr_sum_scaled) == (
+        3, 2, 2520, 3150,
+    )
+    assert r.mrr == 3150 / (3 * 2520)
+
+
+def test_bm25_hard_negatives_excludes_self_and_positives(spark):
+    """The query doc never appears as its own negative; labeled
+    positives are anti-joined out; ranking is (bm25_u DESC, id ASC)."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        bm25_hard_negatives,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana cherry date"),   # closest to q=1
+            (3, "apple banana"),
+            (4, "apple"),
+            (5, "unrelated words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    qd = corpus.filter("doc_id = 1").selectExpr(
+        "doc_id AS q_id", "text AS q_text"
+    )
+    out = bm25_hard_negatives(corpus, qd, top_k=10).collect()
+    ids = [r.neg_id for r in sorted(out, key=lambda r: r.rank)]
+    assert 1 not in ids          # self excluded
+    assert 5 not in ids          # no shared term
+    assert set(ids) == {2, 3, 4}
+    pos = spark.createDataFrame([(1, 2)], "q_id bigint, doc_id bigint")
+    out2 = bm25_hard_negatives(corpus, qd, top_k=10, positives=pos).collect()
+    assert {r.neg_id for r in out2} == {3, 4}
