@@ -157,3 +157,68 @@ def weighted_median(
         ).alias("w_median"),
         F.max(F.col("__tot")).cast("bigint").alias("total_w"),
     )
+
+
+def rolling_distinct_actives(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / WAU-style rolling distinct actives: for every calendar day
+    with activity, the distinct users that day (dau) and over the
+    trailing ``window_days`` window (wau) plus the stickiness ratio
+    (dau/wau in ppm) — the growth-analytics curve a sliding-window
+    DISTINCT cannot express as a plain window aggregate (distinct
+    window aggs are banned; the trailing-range window trick only sums).
+
+    Shape chosen for 100 TB: facts collapse to DISTINCT (user, day)
+    pairs FIRST (the only corpus-sized shuffle, 8-byte keys); each pair
+    then explodes to the ``window_days`` window-END days it contributes
+    to (constant ×7 inflation — an equi-join shape, never a
+    BroadcastNestedLoop band join), is semi-joined to the bounded
+    REAL-activity-day set (a window ending on a day with no events is
+    not a reporting row), re-distinct-ed at (user, end_day) grain and
+    counted. All integers; days render as epoch days (dates are outside
+    the stringify-safe type pairs — CLAUDE.md).
+
+    Output: (epoch_day, dau, wau, stickiness_ppm), one row per active
+    day.
+    """
+    pairs = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.unix_date(F.to_date(F.col(ts_col))).cast("bigint").alias("__d"),
+        )
+        .distinct()
+    )
+    days = pairs.select("__d").distinct()
+    dau = pairs.groupBy("__d").agg(
+        F.countDistinct("__u").cast("bigint").alias("dau")
+    )
+    ends = pairs.select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("__d"), F.col("__d") + F.lit(int(window_days) - 1)
+            )
+        ).alias("__e"),
+    ).join(days.select(F.col("__d").alias("__e")), "__e", "semi")
+    wau = ends.groupBy("__e").agg(
+        # countDistinct dedups the (user, end_day) grain itself — no
+        # pre-distinct exchange needed
+        F.countDistinct("__u").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, dau["__d"] == wau["__e"])
+        .select(
+            F.col("__d").alias("epoch_day"),
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 1000000 AS BIGINT) div wau")
+            .cast("bigint")
+            .alias("stickiness_ppm"),
+        )
+    )

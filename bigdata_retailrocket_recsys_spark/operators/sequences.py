@@ -332,3 +332,87 @@ def frequent_sequences(
         F.array_join(F.flatten("sequence"), ">").alias("pattern"),
         F.col("freq").cast("bigint").alias("freq"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: list[str] | None = None,
+    lookback_seconds: int = 604800,
+) -> DataFrame:
+    """Multi-touch marketing attribution — per conversion, credit the
+    touch events (clicks/views) in its lookback window, reported per
+    channel under the three standard models at once: FIRST-touch,
+    LAST-touch, and LINEAR (equal split). The funnel/cohort family's
+    missing sibling: funnels count ordered step reach, attribution
+    answers "which channel gets credit for the conversion".
+
+    Exact-integer throughout: linear credit is ``1e6 div n`` ppm per
+    touch (integer division — a conversion's total credit is n·(1e6
+    div n), deliberately the floor allocation rather than a float
+    split); first/last are rank==1 flags under a TOTAL order
+    ((ts, touch id) asc / desc). Join shape: conversions ⋈ touches is
+    an EQUI join on user with the lookback band as a residual
+    predicate (touch strictly before the conversion, within
+    ``lookback_seconds``) — never a cross/BNLJ; the three window
+    functions (count, rank asc, rank desc) share ONE partitioning by
+    conversion id (one exchange; partitions are bounded by a user's
+    touch density in one lookback window). NULL user/ts rows cannot
+    join or be ranked and are excluded up front.
+
+    Output per channel: (channel, n_touches, n_conversions, n_first,
+    n_last, credit_ppm).
+    """
+    touch_types = touch_types or ["click", "view"]
+    base = events.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+    )
+    conv = base.filter(F.col("__t") == conversion_type).select(
+        F.col("__id").alias("conv_id"),
+        F.col("__u"),
+        F.col("__us").alias("__cus"),
+    )
+    tch = base.filter(F.col("__t").isin(touch_types)).select(
+        F.col("__id").alias("touch_id"),
+        F.col("__u"),
+        F.col("__t").alias("channel"),
+        F.col("__us").alias("__tus"),
+    )
+    lb = int(lookback_seconds) * 1_000_000
+    j = conv.join(
+        tch,
+        (conv["__u"] == tch["__u"])
+        & (tch["__tus"] < conv["__cus"])
+        & (tch["__tus"] >= conv["__cus"] - F.lit(lb)),
+    ).select("conv_id", "channel", "touch_id", "__tus")
+    wp = Window.partitionBy("conv_id")
+    wf = wp.orderBy(F.col("__tus").asc(), F.col("touch_id").asc())
+    wl = wp.orderBy(F.col("__tus").desc(), F.col("touch_id").desc())
+    r = (
+        j.withColumn("__n", F.count(F.lit(1)).over(wp))
+        .withColumn("__rf", F.row_number().over(wf))
+        .withColumn("__rl", F.row_number().over(wl))
+    )
+    return r.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_conversions"),
+        F.sum(F.when(F.col("__rf") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_first"),
+        F.sum(F.when(F.col("__rl") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_last"),
+        F.sum(F.expr("CAST(1000000 AS BIGINT) div __n"))
+        .cast("bigint")
+        .alias("credit_ppm"),
+    )

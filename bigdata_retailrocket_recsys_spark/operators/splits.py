@@ -776,3 +776,96 @@ def temporal_embargo_split(
         .when(us < cut + e, F.lit("embargo"))
         .otherwise(F.lit("test")),
     )
+
+
+def curriculum_anneal_order(
+    df: DataFrame,
+    *,
+    id_col: str,
+    score_col: str,
+    anneal_num: int,
+    anneal_den: int,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Two-phase curriculum ordering for LLM training: the bulk of the
+    data first (phase 1, content-shuffled), then an ANNEAL tail of the
+    top ``anneal_num/anneal_den`` share by quality score (phase 2) —
+    the "finish mid-training on the highest-quality slice" schedule
+    (Llama-3 / MiniCPM-style annealing) as a deterministic ordering
+    artifact. ``score_col`` is any integer quality signal (Gopher pass
+    count, µ-floored LM score, token count — pluggable).
+
+    Phase assignment is the exact-rational top-share rule
+    (``rn·den <= num·n`` over rank by score DESC NULLS LAST,
+    md5-of-id tiebreak, id — a total order, so the phase set is
+    engine-independent). Within each phase the training order is a
+    fresh content-defined shuffle (rank of md5('phase:id')), and the
+    GLOBAL order offsets phase 2 after phase 1 — output ``ord`` is a
+    permutation of 1..n (unit-locked). No single-reducer window
+    anywhere: both ranks are sharded (`global_rank` shard+offset;
+    ``partition_by=['phase']`` handles exactly-2 huge groups), and the
+    phase-count offset table is 2 rows broadcast.
+
+    Output: (id, score, phase, ord).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
+
+    base = df.select(
+        F.col(id_col), F.col(score_col).cast("bigint").alias("__score")
+    ).filter(F.col(id_col).isNotNull())
+    h = F.md5(F.col(id_col).cast("string"))
+    ranked = global_rank(
+        base,
+        [F.col("__score").desc_nulls_last(), h.asc(), F.col(id_col).asc()],
+        n_shards=n_shards,
+        out_col="__qr",
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    phased = ranked.crossJoin(F.broadcast(n)).select(
+        id_col,
+        "__score",
+        F.when(
+            F.col("__qr") * F.lit(int(anneal_den))
+            <= F.lit(int(anneal_num)) * F.col("__n"),
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("phase"),
+    )
+    sh = F.md5(
+        F.concat_ws(":", F.col("phase").cast("string"),
+                    F.col(id_col).cast("string"))
+    )
+    inphase = global_rank(
+        phased,
+        [sh.asc(), F.col(id_col).asc()],
+        n_shards=n_shards,
+        partition_by=["phase"],
+        out_col="__pr",
+    )
+    # phase offsets: phase 1 starts at 0; phase 2 starts after phase 1.
+    # ONE always-1-row aggregate (an empty phase 1 — anneal share 1 —
+    # must yield offset 0, not an empty frame that crossJoins to zero
+    # rows), broadcast.
+    p1 = phased.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("phase") == 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("__p1n")
+    )
+    inj = inphase.crossJoin(F.broadcast(p1))
+    return inj.select(
+        id_col,
+        F.col("__score").alias("score"),
+        "phase",
+        (
+            F.col("__pr")
+            + F.when(F.col("phase") == 2, F.col("__p1n")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("ord"),
+    )

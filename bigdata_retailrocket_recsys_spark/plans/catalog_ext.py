@@ -12241,3 +12241,151 @@ def q_mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         qtext_col="q_text",
         top_k=5,
     )
+
+
+@query(
+    "q_attribution_touch",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), conv AS (
+        SELECT event_id AS conv_id, user_id, us AS cus
+        FROM b WHERE event_type = 'purchase'
+    ), tch AS (
+        SELECT event_id AS touch_id, user_id, event_type AS channel,
+               us AS tus
+        FROM b WHERE event_type IN ('click', 'view')
+    ), j AS (
+        SELECT conv_id, channel, touch_id, tus,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY tus ASC, touch_id ASC) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY tus DESC, touch_id DESC) AS rl
+        FROM conv JOIN tch USING (user_id)
+        WHERE tch.tus < conv.cus
+          AND tch.tus >= conv.cus - 604800000000
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+           CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_last,
+           CAST(SUM(1000000 // n) AS BIGINT) AS credit_ppm
+    FROM j GROUP BY channel
+    """,
+)
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (operators/sequences.touch_attribution):
+    per purchase conversion, the click/view touches in a 7-day lookback
+    credited under first-touch, last-touch, and linear models AT ONCE —
+    the funnel family's missing sibling. Equi join on user with the
+    lookback band as a residual predicate (never BNLJ); three windows
+    share ONE conversion-id partitioning; linear credit is exact
+    integer ppm (1e6 div n)."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        touch_attribution,
+    )
+
+    return touch_attribution(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_agg_rolling_distinct",
+    oracle="""
+    WITH p AS (
+        SELECT DISTINCT user_id AS u,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), days AS (SELECT DISTINCT d FROM p),
+    dau AS (
+        SELECT d, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+        FROM p GROUP BY d
+    ), ends AS (
+        SELECT u, unnest(range(d, d + 7)) AS e FROM p
+    ), wau AS (
+        SELECT e, CAST(COUNT(DISTINCT u) AS BIGINT) AS wau
+        FROM ends WHERE e IN (SELECT d FROM days) GROUP BY e
+    )
+    SELECT dau.d AS epoch_day, dau.dau, wau.wau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN wau ON dau.d = wau.e
+    """,
+)
+def q_agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU rolling distinct actives + stickiness (operators/
+    aggregates.rolling_distinct_actives, 7-day window) — the growth
+    curve a sliding-window DISTINCT cannot express (distinct window
+    aggs are banned on both engines). Facts collapse to distinct
+    (user, epoch-day) pairs first; each pair explodes to the 7
+    window-end days it serves (equi-join shape, constant inflation —
+    never a band BNLJ); bounded real-day semi-join; exact integers,
+    days as epoch days."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        rolling_distinct_actives,
+    )
+
+    return rolling_distinct_actives(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q_curriculum_anneal",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               COALESCE(CAST(n_chars AS BIGINT), -1) AS score
+        FROM documents WHERE doc_id IS NOT NULL
+    ), r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   ORDER BY score DESC,
+                            md5(CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS qr,
+               COUNT(*) OVER () AS n
+        FROM b
+    ), ph AS (
+        SELECT doc_id, score,
+               CASE WHEN qr * 5 <= 1 * n THEN 2 ELSE 1 END AS phase
+        FROM r
+    ), o AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY phase
+                   ORDER BY md5(CAST(phase AS VARCHAR) || ':'
+                                || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS pr
+        FROM ph
+    ), p1 AS (
+        SELECT CAST(SUM(CASE WHEN phase = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p1n
+        FROM ph
+    )
+    SELECT doc_id, score, CAST(phase AS INT) AS phase,
+           CAST(pr + CASE WHEN phase = 2 THEN p1n ELSE 0 END
+                AS BIGINT) AS ord
+    FROM o CROSS JOIN p1
+    """,
+)
+def q_curriculum_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase curriculum / anneal ordering (operators/splits.
+    curriculum_anneal_order, top-1/5 anneal share, score = n_chars as
+    the pluggable integer quality signal): the bulk first
+    content-shuffled, then the top-quality fifth as the anneal tail —
+    ord is a permutation of 1..n (unit-locked), phase set and order
+    engine-exact (score coalesced to -1: no NULL ordering semantics in
+    play; md5 tiebreaks). Sharded ranks only (partition_by handles the
+    exactly-2 huge phase groups); 1-row/2-row offset frames
+    broadcast."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        curriculum_anneal_order,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("n_chars").cast("bigint"), F.lit(-1)).alias("score")
+    )
+    return curriculum_anneal_order(
+        docs, id_col="doc_id", score_col="score", anneal_num=1, anneal_den=5
+    )

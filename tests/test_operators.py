@@ -4485,3 +4485,90 @@ def test_bm25_hard_negatives_excludes_self_and_positives(spark):
     pos = spark.createDataFrame([(1, 2)], "q_id bigint, doc_id bigint")
     out2 = bm25_hard_negatives(corpus, qd, top_k=10, positives=pos).collect()
     assert {r.neg_id for r in out2} == {3, 4}
+
+
+def test_touch_attribution_models(spark):
+    """Hand-checked: conv at t=100 for user 1; touches click@10(view?),
+    view@50, click@90 -> n=3, first=click@10, last=click@90, linear
+    credit 333333 ppm each. A touch outside the lookback and a touch
+    AT the conversion instant (not strictly before) are excluded."""
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        touch_attribution,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, 1, "click", s(10)),
+        (2, 1, "view", s(50)),
+        (3, 1, "click", s(90)),
+        (4, 1, "purchase", s(100)),
+        (5, 1, "click", s(100)),          # not strictly before -> excluded
+        (6, 1, "click", s(-700000)),      # outside 604800s lookback
+        (7, 2, "view", s(10)),            # other user, no conversion
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    out = {r.channel: r for r in touch_attribution(df).collect()}
+    assert out["click"].n_touches == 2
+    assert out["click"].n_first == 1 and out["click"].n_last == 1
+    assert out["view"].n_first == 0 and out["view"].n_last == 0
+    assert out["click"].credit_ppm == 2 * (1000000 // 3)
+    assert out["view"].credit_ppm == 1000000 // 3
+    assert out["click"].n_conversions == 1
+
+
+def test_rolling_distinct_actives_window(spark):
+    """Users u1 active day 0 and 3, u2 day 3: dau(0)=1, dau(3)=2;
+    wau(3) counts both (day 0 within the trailing 7) -> 2;
+    wau(0) = 1 (nothing before). Day 10 (beyond window of day 3)
+    sees only its own activity."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        rolling_distinct_actives,
+    )
+    import datetime as dt
+
+    d = lambda n, h=0: dt.datetime(1970, 1, 1 + n, h)
+    rows = [(1, d(0)), (1, d(0, 5)), (1, d(3)), (2, d(3)), (2, d(10))]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = {r.epoch_day: (r.dau, r.wau) for r in
+           rolling_distinct_actives(df).collect()}
+    # day 10's trailing window is [4, 10] — day-3 activity is outside,
+    # so wau(10) = {u2} alone
+    assert out == {0: (1, 1), 3: (2, 2), 10: (1, 1)}
+
+
+def test_curriculum_anneal_order_permutation(spark):
+    """ord is a permutation of 1..n; phase 2 is exactly floor(share·n)
+    rows and holds the TOP scores; every phase-2 ord comes after every
+    phase-1 ord; the ordering is reproducible (two runs identical)."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        curriculum_anneal_order,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "doc_id bigint, s bigint"
+    )
+    out = curriculum_anneal_order(
+        df, id_col="doc_id", score_col="s", anneal_num=1, anneal_den=4
+    ).collect()
+    assert sorted(r.ord for r in out) == list(range(1, 21))
+    p2 = {r.doc_id for r in out if r.phase == 2}
+    assert p2 == {15, 16, 17, 18, 19}          # top-5 scores
+    max1 = max(r.ord for r in out if r.phase == 1)
+    min2 = min(r.ord for r in out if r.phase == 2)
+    assert max1 < min2
+    out2 = curriculum_anneal_order(
+        df, id_col="doc_id", score_col="s", anneal_num=1, anneal_den=4,
+        n_shards=7,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # anneal share 1: every row is phase 2, offset from an EMPTY phase 1
+    # must be 0 (the empty-frame crossJoin bug guard)
+    out3 = curriculum_anneal_order(
+        df, id_col="doc_id", score_col="s", anneal_num=1, anneal_den=1
+    ).collect()
+    assert sorted(r.ord for r in out3) == list(range(1, 21))
+    assert {r.phase for r in out3} == {2}
