@@ -195,3 +195,74 @@ def reciprocal_rank_eval(
             / (F.col("n_test") * F.lit(scale)).cast("double")
         ).alias("mrr"),
     )
+
+
+def exposure_coverage_gini(
+    recs: DataFrame,
+    catalog: DataFrame,
+    *,
+    item_col: str = "item",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Catalog coverage + Gini exposure concentration of a
+    recommendation slate — the BEYOND-accuracy offline metrics
+    (Castells/Vargas diversity line): hit-rate can look great while the
+    recommender only ever shows 40 blockbusters; coverage counts the
+    catalog share that gets ANY exposure, Gini measures how unequally
+    exposure concentrates (0 = uniform, →1 = one item takes all).
+
+    Exact-integer identity: with exposure counts x_i sorted ASC
+    (rank i = 1..n, ties broken by item — the Σ(2i−n−1)x_i statistic is
+    TIE-INVARIANT since x is constant within a tie group and ranks are
+    contiguous), ``gini = Σ(2i−n−1)·x_i / (n·Σx)``: numerator and
+    denominator are exact bigints, ONE final IEEE division. Ranks come
+    from the sharded `global_rank` (no single-reducer window over the
+    item vocabulary); the 1-row totals frame broadcasts.
+
+    Output (one row): (n_recommended, catalog_n, coverage_ppm,
+    gini_num, gini_den, gini).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
+
+    exp = recs.filter(F.col(item_col).isNotNull()).groupBy(item_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__x")
+    )
+    ranked = global_rank(
+        exp,
+        [F.col("__x").asc(), F.col(item_col).asc()],
+        n_shards=n_shards,
+        out_col="__i",
+    )
+    cat_n = catalog.select(item_col).filter(
+        F.col(item_col).isNotNull()
+    ).distinct().agg(F.count(F.lit(1)).cast("bigint").alias("__cn"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recommended"),
+        F.sum("__x").cast("bigint").alias("__sx"),
+        F.sum(
+            (F.lit(2) * F.col("__i") - F.lit(1)) * F.col("__x")
+        ).cast("bigint").alias("__s2ix"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(cat_n))
+        .select(
+            "n_recommended",
+            F.col("__cn").alias("catalog_n"),
+            F.expr(
+                "CAST(n_recommended * 1000000 AS BIGINT) div __cn"
+            ).alias("coverage_ppm"),
+            (F.col("__s2ix") - F.col("n_recommended") * F.col("__sx"))
+            .cast("bigint")
+            .alias("gini_num"),
+            (F.col("n_recommended") * F.col("__sx"))
+            .cast("bigint")
+            .alias("gini_den"),
+            (
+                (F.col("__s2ix") - F.col("n_recommended") * F.col("__sx"))
+                .cast("double")
+                / (F.col("n_recommended") * F.col("__sx")).cast("double")
+            ).alias("gini"),
+        )
+    )

@@ -152,3 +152,64 @@ def sessionize_capped(
         )
         .drop("__run", "__start")
     )
+
+
+def concurrency_sweep(
+    sessions: DataFrame,
+    *,
+    session_col: str = "session_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Max concurrent sessions per day — the capacity-planning sweep
+    ("how many users were on at once?"), computed as the classic
+    interval +1/−1 boundary walk WITHOUT a single-reducer window: each
+    session [start, end] (inclusive µs) emits +1 at start and −1 at
+    end+1; the global running sum over the TOTAL boundary order
+    (us, delta, session id) is a `_sharded_prefix_sum` (range-contiguous
+    shards + a broadcast offset table), so concurrency-after-boundary is
+    exact and deterministic at any shard count. Ties at one instant
+    process closes (−1) before opens (+1) — a back-to-back handoff never
+    double-counts.
+
+    Reported at boundary grain: a day with zero boundaries (fully
+    spanned by one long session) has no row — documented, the sweep is
+    about PEAKS and peaks move only at boundaries.
+
+    Output: (day_str, max_concurrent, n_boundaries) per active day.
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_prefix_sum,
+    )
+
+    b = sessions.select(
+        F.col(start_col).cast("bigint").alias("us"),
+        F.lit(1).cast("bigint").alias("delta"),
+        F.col(session_col).alias("sid"),
+    ).unionByName(
+        sessions.select(
+            (F.col(end_col).cast("bigint") + F.lit(1)).alias("us"),
+            F.lit(-1).cast("bigint").alias("delta"),
+            F.col(session_col).alias("sid"),
+        )
+    )
+    c = _sharded_prefix_sum(
+        b,
+        [F.col("us").asc(), F.col("delta").asc(), F.col("sid").asc()],
+        "delta",
+        n_shards,
+    )
+    return (
+        c.select(
+            F.date_format(F.timestamp_micros("us"), "yyyy-MM-dd").alias(
+                "day_str"
+            ),
+            F.col("__cum").alias("conc"),
+        )
+        .groupBy("day_str")
+        .agg(
+            F.max("conc").cast("bigint").alias("max_concurrent"),
+            F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+        )
+    )

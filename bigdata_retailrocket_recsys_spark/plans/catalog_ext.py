@@ -12389,3 +12389,251 @@ def q_curriculum_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_anneal_order(
         docs, id_col="doc_id", score_col="score", anneal_num=1, anneal_den=5
     )
+
+
+@query(
+    "q_max_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(user_id AS VARCHAR) || '_' || CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS VARCHAR) AS session_id
+        FROM flagged
+    ), s AS (
+        SELECT session_id,
+               MIN(epoch_us(ts)) AS start_us,
+               MAX(epoch_us(ts)) AS end_us
+        FROM sess GROUP BY session_id
+    ), bd AS (
+        SELECT start_us AS us, 1 AS delta, session_id AS sid FROM s
+        UNION ALL
+        SELECT end_us + 1, -1, session_id FROM s
+    ), c AS (
+        SELECT us,
+               SUM(delta) OVER (ORDER BY us, delta, sid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM bd
+    )
+    SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day_str,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries
+    FROM c GROUP BY 1
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent sessions per day (operators/sessionize.
+    concurrency_sweep over 30-min-gap session intervals) — the
+    capacity-planning sweep as an interval +1/−1 boundary walk whose
+    global running sum is a SHARDED prefix sum (range-contiguous
+    shards + broadcast offsets — never a single-reducer window; the
+    q_agg_weighted_median move applied to a time axis). Closes before
+    opens at one instant; boundary-grain peaks; exact integers."""
+    from bigdata_retailrocket_recsys_spark.operators.sessionize import (
+        concurrency_sweep,
+        session_stats,
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(
+        ev, user_col="user_id", ts_col="ts", gap_minutes=30,
+        tiebreak_cols=["event_id"],
+    )
+    return concurrency_sweep(session_stats(s))
+
+
+@query(
+    "q_eval_coverage_gini",
+    oracle="""
+    WITH it AS (
+        SELECT user_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 AS item,
+               ts, event_id
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ), cnt AS (
+        SELECT user_id, item, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(epoch_us(ts)) AS first_us
+        FROM it GROUP BY user_id, item
+    ), recs AS (
+        SELECT user_id, item FROM (
+            SELECT user_id, item,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY n DESC, item ASC) AS rn
+            FROM cnt
+        ) WHERE rn <= 3
+    ), exp AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS x
+        FROM recs GROUP BY item
+    ), ranked AS (
+        SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, item ASC) AS i
+        FROM exp
+    ), t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM((2 * i - 1) * x) AS BIGINT) AS s2ix
+        FROM ranked
+    ), cat AS (
+        SELECT CAST(COUNT(DISTINCT item) AS BIGINT) AS cn FROM it
+    )
+    SELECT n AS n_recommended, cn AS catalog_n,
+           CAST(n * 1000000 // cn AS BIGINT) AS coverage_ppm,
+           CAST(s2ix - n * sx AS BIGINT) AS gini_num,
+           CAST(n * sx AS BIGINT) AS gini_den,
+           CAST(s2ix - n * sx AS DOUBLE) / CAST(n * sx AS DOUBLE) AS gini
+    FROM t CROSS JOIN cat
+    """,
+)
+def q_eval_coverage_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy slate metrics (operators/evaluation.
+    exposure_coverage_gini): catalog coverage + Gini exposure
+    concentration of each user's top-3 most-interacted items — a
+    recommender can ace hit-rate while showing only blockbusters; this
+    is the report that catches it. Tie-invariant exact-integer Gini
+    (Σ(2i−n−1)x over an ASC sharded rank), ONE IEEE division, 1-row
+    frames broadcast."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        exposure_coverage_gini,
+    )
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    it = ev.filter(F.col("user_id").isNotNull() & k.isNotNull()).select(
+        "user_id", (k % 50).alias("item")
+    )
+    cnt = it.groupBy("user_id", "item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    recs = (
+        cnt.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("n").desc(), F.col("item").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "item")
+    )
+    return exposure_coverage_gini(recs, it.select("item"))
+
+
+@query(
+    "q_privacy_release",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d') AS day_str,
+               COALESCE(CASE WHEN value >= -1000000000000.0
+                              AND value <= 1000000000000.0
+                             THEN CAST(floor(value / 50.0) AS BIGINT) END,
+                        -1) AS vb
+        FROM events
+    ), kk AS (
+        SELECT * FROM (
+            SELECT b.*,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type, day_str)
+                        AS BIGINT) AS k_group_n
+            FROM b
+        ) WHERE k_group_n >= 60
+    ), ld AS (
+        SELECT event_type, day_str, CAST(COUNT(*) AS BIGINT) AS l_distinct
+        FROM (SELECT DISTINCT event_type, day_str, user_id FROM kk)
+        GROUP BY 1, 2
+    ), l2 AS (
+        SELECT kk.*, ld.l_distinct FROM kk JOIN ld
+          ON kk.event_type IS NOT DISTINCT FROM ld.event_type
+         AND kk.day_str IS NOT DISTINCT FROM ld.day_str
+        WHERE ld.l_distinct >= 50
+    ), tot AS (
+        SELECT vb, CAST(COUNT(*) AS BIGINT) AS c FROM l2 GROUP BY vb
+    ), n AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS N,
+               CAST(COUNT(*) AS BIGINT) AS m FROM tot
+    ), grp AS (
+        SELECT event_type, day_str, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM l2 GROUP BY 1, 2
+    ), gc AS (
+        SELECT event_type, day_str, vb, CAST(COUNT(*) AS BIGINT) AS g
+        FROM l2 GROUP BY 1, 2, 3
+    ), grid AS (
+        SELECT grp.event_type, grp.day_str, grp.n_g, tot.vb, tot.c,
+               COALESCE(gc.g, 0) AS g
+        FROM grp CROSS JOIN tot
+        LEFT JOIN gc ON grp.event_type IS NOT DISTINCT FROM gc.event_type
+                    AND grp.day_str IS NOT DISTINCT FROM gc.day_str
+                    AND tot.vb = gc.vb
+    ), cum AS (
+        SELECT event_type, day_str, n_g, N, m,
+               SUM(g * N - c * n_g) OVER (
+                   PARTITION BY event_type, day_str ORDER BY vb) AS s
+        FROM grid CROSS JOIN n
+    ), emd AS (
+        SELECT event_type, day_str, MAX(n_g) AS n_g,
+               CAST(SUM(ABS(s)) AS BIGINT) AS emd_abs,
+               MAX(N) AS N, MAX(m) AS m
+        FROM cum GROUP BY 1, 2
+    )
+    SELECT l2.event_id, l2.user_id, l2.event_type, l2.day_str, l2.vb,
+           l2.k_group_n, l2.l_distinct, e.emd_abs,
+           CAST(e.n_g AS BIGINT) AS t_group_n
+    FROM l2 JOIN emd e
+      ON l2.event_type IS NOT DISTINCT FROM e.event_type
+     AND l2.day_str IS NOT DISTINCT FROM e.day_str
+    WHERE 200 * e.emd_abs <= 3 * (e.m - 1) * e.n_g * e.N
+    """,
+)
+def q_privacy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The privacy trio COMPOSED as one release pipeline: k-anonymity
+    (k=60) → l-diversity (l=50) → t-closeness (t=3/200), each stage
+    recomputed over the previous stage's survivors — ordering matters
+    semantically (k/l keep or drop WHOLE groups so their stats are
+    stage-invariant, but t's GLOBAL reference distribution is the
+    post-k∧l table, exactly what a staged release pipeline compares
+    against). Selective at every stage at the driver SF
+    (10000 → 8449 → 7688 → 3480). Composition of the three named
+    operators; one CTE chain hashes the whole thing."""
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        enforce_k_anonymity,
+        enforce_l_diversity,
+        enforce_t_closeness,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    vb = F.coalesce(
+        F.when((v >= -1.0e12) & (v <= 1.0e12),
+               F.floor(v / F.lit(50.0))).cast("bigint"),
+        F.lit(-1).cast("bigint"),
+    )
+    b = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        vb.alias("vb"),
+    )
+    quasi = ["event_type", "day_str"]
+    kk = enforce_k_anonymity(b, quasi_cols=quasi, k=60)
+    l2 = enforce_l_diversity(
+        kk, quasi_cols=quasi, sensitive_col="user_id", l=50
+    )
+    return enforce_t_closeness(
+        l2, quasi_cols=quasi, bucket_col="vb", t_num=3, t_den=200
+    )

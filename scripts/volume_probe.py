@@ -510,12 +510,157 @@ def probe_r10ops(n_docs: int) -> None:
     docs.unpersist()
 
 
+def synth_events(spark: SparkSession, n: int):
+    """Synthetic event stream: ``n`` events over 30 days, n//50 users,
+    5 types (purchase rare), deterministic value column."""
+    base = spark.range(n).repartition(64)
+    t0 = F.lit("2024-01-01").cast("timestamp")
+    return base.select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(max(n // 50, 1))).alias("user_id"),
+        F.timestamp_micros(
+            F.unix_micros(t0)
+            + F.pmod(F.xxhash64(F.col("id") + 7), F.lit(30 * 86400)) * 1_000_000
+        ).alias("ts"),
+        F.when(F.pmod(F.xxhash64(F.col("id") + 13), F.lit(20)) == 0,
+               F.lit("purchase"))
+        .when(F.pmod(F.xxhash64(F.col("id") + 13), F.lit(20)) < 10,
+              F.lit("click"))
+        .otherwise(F.lit("view"))
+        .alias("event_type"),
+        (F.pmod(F.xxhash64(F.col("id") + 23), F.lit(50000)).cast("double")
+         / F.lit(100.0)).alias("value"),
+    )
+
+
+def probe_r10s3(n_docs: int, n_events: int) -> None:
+    """Round-10 session-3 operators at volume: per-domain n-gram
+    diversity (the Expand-×3 multi-distinct agg), BM25 hard negatives
+    (broadcast query terms vs a corpus bag), touch attribution +
+    DAU/WAU rolling distinct + t-closeness over a 10M event stream,
+    curriculum anneal ordering (two sharded ranks) over 10M rows."""
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        rolling_distinct_actives,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.quality import (
+        enforce_t_closeness,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.sequences import (
+        touch_attribution,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        curriculum_anneal_order,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        bm25_hard_negatives,
+        ngram_diversity,
+    )
+
+    docs = synth_documents(spark, n_docs).withColumn(
+        "source", F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(20)))
+    ).cache()
+    print(f"[r10s3] docs materialized: {docs.count():,}", flush=True)
+
+    t0 = time.time()
+    d = ngram_diversity(docs).agg(
+        F.sum("n_tokens").alias("nt"), F.sum("n_tri").alias("ntri")
+    ).collect()[0]
+    print(
+        f"[r10s3] ngram_diversity over {n_docs:,} docs: "
+        f"{d['nt']:,} tokens / {d['ntri']:,} distinct trigrams "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    qd = (
+        docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(333333)) == 7)
+        .limit(3)
+        .selectExpr("doc_id AS q_id", "text AS q_text")
+    )
+    t0 = time.time()
+    hn = bm25_hard_negatives(docs, qd, top_k=10).collect()
+    print(
+        f"[r10s3] bm25_hard_negatives (3 queries) over {n_docs:,} docs: "
+        f"{len(hn)} negatives in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    docs.unpersist()
+
+    ev = synth_events(spark, n_events).cache()
+    print(f"[r10s3] events materialized: {ev.count():,}", flush=True)
+
+    t0 = time.time()
+    at = touch_attribution(ev).collect()
+    print(
+        f"[r10s3] touch_attribution over {n_events:,} events: "
+        f"{sorted((r['channel'], r['n_touches']) for r in at)} "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    rd = rolling_distinct_actives(ev).agg(
+        F.count(F.lit(1)).alias("days"), F.max("wau").alias("maxwau")
+    ).collect()[0]
+    print(
+        f"[r10s3] rolling_distinct_actives over {n_events:,} events: "
+        f"{rd['days']} days, max wau {rd['maxwau']:,} "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    b = ev.select(
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.coalesce(F.floor(F.col("value") / F.lit(50.0)), F.lit(-1))
+        .cast("bigint")
+        .alias("vb"),
+    )
+    tc = enforce_t_closeness(
+        b, quasi_cols=["event_type", "day_str"], bucket_col="vb",
+        t_num=3, t_den=200,
+    ).count()
+    print(
+        f"[r10s3] enforce_t_closeness over {n_events:,} events: "
+        f"{tc:,} rows released in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    rows = spark.range(n_events).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("score"),
+    )
+    cu = curriculum_anneal_order(
+        rows, id_col="doc_id", score_col="score", anneal_num=1, anneal_den=5
+    )
+    c2 = cu.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n"), F.max("ord").alias("mx")
+    ).collect()
+    print(
+        f"[r10s3] curriculum_anneal_order over {n_events:,} rows: "
+        f"{sorted((r['phase'], r['n'], r['mx']) for r in c2)} "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    ev.unpersist()
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("probe", choices=["tpch", "ops", "corpus", "spans", "r10ops"])
+    p.add_argument(
+        "probe",
+        choices=["tpch", "ops", "corpus", "spans", "r10ops", "r10s3"],
+    )
     p.add_argument("--copies", type=int, default=20)
     p.add_argument("--docs", type=int, default=1_000_000)
     p.add_argument("--edges", type=int, default=3_000_000)
+    p.add_argument("--events", type=int, default=10_000_000)
     p.add_argument(
         "--queries",
         default="q_tpch_q2,q_tpch_q8,q_tpch_q9,q_tpch_q12,q_tpch_q17,"
@@ -530,6 +675,8 @@ def main() -> None:
         probe_spans(a.docs)
     elif a.probe == "r10ops":
         probe_r10ops(a.docs)
+    elif a.probe == "r10s3":
+        probe_r10s3(a.docs, a.events)
     else:
         probe_ops(a.docs, a.edges)
 

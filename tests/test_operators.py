@@ -4572,3 +4572,53 @@ def test_curriculum_anneal_order_permutation(spark):
     ).collect()
     assert sorted(r.ord for r in out3) == list(range(1, 21))
     assert {r.phase for r in out3} == {2}
+
+
+def test_concurrency_sweep_overlaps(spark):
+    """Three sessions: A [0,100], B [50,150] (overlap 50-100 -> 2),
+    C [101,200] (starts AFTER A's end+1 boundary: at us=101 A's -1
+    processes BEFORE C's +1 — max stays 2). Inclusive-end semantics:
+    a session [x, x] still counts at x."""
+    from bigdata_retailrocket_recsys_spark.operators.sessionize import (
+        concurrency_sweep,
+    )
+
+    base = 1704067200_000_000  # 2024-01-01 UTC in us
+    rows = [
+        ("A", base + 0, base + 100),
+        ("B", base + 50, base + 150),
+        ("C", base + 101, base + 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "session_id string, start_us bigint, end_us bigint"
+    )
+    out = concurrency_sweep(df).collect()
+    assert len(out) == 1
+    assert out[0].day_str == "2024-01-01"
+    assert out[0].max_concurrent == 2
+    assert out[0].n_boundaries == 6
+
+
+def test_exposure_coverage_gini_identities(spark):
+    """Uniform exposure -> gini 0; all exposure on one item -> gini
+    (n-1)/n over the recommended set; coverage counts distinct
+    recommended over distinct catalog."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        exposure_coverage_gini,
+    )
+
+    cat = spark.createDataFrame([(i,) for i in range(10)], "item bigint")
+    uni = spark.createDataFrame(
+        [(i % 5,) for i in range(10)], "item bigint"
+    )  # items 0..4, 2 each
+    r = exposure_coverage_gini(uni, cat).collect()[0]
+    assert (r.n_recommended, r.catalog_n, r.coverage_ppm) == (5, 10, 500000)
+    assert r.gini_num == 0 and r.gini == 0.0
+    skew = spark.createDataFrame(
+        [(0,)] * 96 + [(1,), (2,), (3,), (4,)], "item bigint"
+    )
+    r2 = exposure_coverage_gini(skew, cat).collect()[0]
+    # x sorted asc = [1,1,1,1,96]; num = sum((2i-6)*x) = -4-2+0+2+4*96
+    assert r2.gini_num == (-4 - 2 + 0 + 2 + 4 * 96)
+    assert r2.gini_den == 5 * 100
+    assert abs(r2.gini - 0.76) < 1e-12

@@ -598,3 +598,65 @@ def test_overlap_matrix_digest_join_is_equi(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_attribution_one_conv_partitioning_no_bnlj(spark):
+    """touch_attribution: conversions ⋈ touches must be an EQUI join on
+    user (lookback band as residual, never a nested loop), and the
+    three windows (count, first-rank, last-rank) must share ONE
+    Exchange on conversion id."""
+    plan = plan_str(QUERIES["q_attribution_touch"].fn(spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1, plan
+
+
+def test_hard_negatives_broadcast_terms_and_group_limit(spark):
+    """bm25_hard_negatives: the benchmark-sized query term set joins as
+    a broadcast (never shuffling the corpus bag against it as SMJ on
+    term alone... the tf/df joins may SMJ, but no quadratic shape), and
+    the per-query top-k pushes below the window as WindowGroupLimit."""
+    plan = plan_str(
+        QUERIES["q_mine_hard_negatives"].fn(spark, SF_DIR), "simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_rolling_distinct_equi_only(spark):
+    """rolling_distinct_actives: the window-membership expansion must be
+    the explode+semi-join equi shape — a trailing-days BAND join would
+    plan as BroadcastNestedLoopJoin and melt at fact scale."""
+    plan = plan_str(
+        QUERIES["q_agg_rolling_distinct"].fn(spark, SF_DIR), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_t_closeness_joinback_broadcasts(spark):
+    """enforce_t_closeness: the per-group EMD verdict table is
+    groups-bounded and must broadcast back to the fact rows (the
+    k-anonymity/l-diversity join-back discipline)."""
+    plan = plan_str(QUERIES["q_t_closeness"].fn(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_max_concurrency_prefix_sum_is_sharded(spark):
+    """concurrency_sweep: the boundary running sum must be the
+    range-sharded prefix-sum shape (rangepartitioning exchange over the
+    fact-sized boundary frame) — the only SinglePartition window allowed
+    is the shard-count-bounded offset table."""
+    plan = plan_str(QUERIES["q_max_concurrency"].fn(spark, SF_DIR), "simple")
+    assert "rangepartitioning" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_privacy_release_joinbacks_broadcast(spark):
+    """The composed k→l→t pipeline: every per-group verdict table is
+    groups-bounded and must join back as a broadcast."""
+    plan = plan_str(QUERIES["q_privacy_release"].fn(spark, SF_DIR), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
