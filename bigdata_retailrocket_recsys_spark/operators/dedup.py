@@ -1916,3 +1916,43 @@ def strip_contaminated_spans(
     return out.select(
         F.col("__d").alias(id_col), "n_tokens", "n_removed", "text_clean"
     )
+
+
+def keeper_by_score(
+    cc: DataFrame,
+    scores: DataFrame,
+    *,
+    node_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Canonical-record selection per near-dup cluster by QUALITY rather
+    than min id — the keeper policy production dedup actually wants
+    (keep the longest / highest-LM-scored member; the min-id keeper the
+    pipelines default to is deterministic but quality-blind). Rank
+    within each cluster by (score DESC, md5(id), id) — a total order,
+    so the keeper set is engine-exact; callers coalesce NULL scores to
+    a sentinel first (no NULL ordering semantics in play).
+
+    One window partitioned by cluster id (cluster sizes are bounded by
+    the near-dup geometry — a 'cluster' of millions would mean the
+    verify threshold is broken, and the rank-1 probe degrades to one
+    hot partition; cap upstream if that's possible). Output:
+    (node, cluster, score, is_keeper int).
+    """
+    from pyspark.sql import Window
+
+    j = cc.select(node_col, cluster_col).join(
+        scores.select(node_col, score_col), node_col
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(),
+        F.md5(F.col(node_col).cast("string")).asc(),
+        F.col(node_col).asc(),
+    )
+    return j.select(
+        node_col,
+        cluster_col,
+        score_col,
+        (F.row_number().over(w) == 1).cast("int").alias("is_keeper"),
+    )

@@ -12637,3 +12637,111 @@ def q_privacy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enforce_t_closeness(
         l2, quasi_cols=quasi, bucket_col="vb", t_num=3, t_den=200
     )
+
+
+@query(
+    "q_dedup_keeper_quality",
+    oracle=r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), sh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM base)
+    ), shd AS (
+        SELECT DISTINCT doc, s FROM sh
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM shd GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM shd a JOIN shd b ON a.s = b.s AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ), sig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), band AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM sig GROUP BY doc, j // 4
+    ), cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ), verified AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc = c.doc_a
+        JOIN sizes sb ON sb.doc = c.doc_b
+        WHERE CAST(m.n_common AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - m.n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM verified
+        UNION SELECT doc_b, doc_a FROM verified
+    ), reach(s, d) AS (
+        SELECT doc_id, doc_id FROM base
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), cc AS (
+        SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+    ), q AS (
+        SELECT cc.doc_id, cc.cluster_id,
+               COALESCE(CAST(d.n_chars AS BIGINT), -1) AS quality
+        FROM cc JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, quality,
+           CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+                ORDER BY quality DESC,
+                         md5(CAST(doc_id AS VARCHAR)) ASC,
+                         doc_id ASC) = 1 AS INT) AS is_keeper
+    FROM q
+    """,
+)
+def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based canonical keeper per near-dup cluster
+    (operators/dedup.keeper_by_score over the md5 MinHash→verify→CC
+    chain): production dedup keeps the BEST member (longest /
+    highest-scored), not the min id — this is the APPLY policy that
+    completes the cluster tier (q_dedup_apply keeps min-id). Quality =
+    n_chars coalesced to -1 (pluggable integer signal); total-order
+    rank (quality DESC, md5(id), id) makes the keeper set engine-exact.
+    Oracle: the leakage-safe chain's recursive-CTE closure + the same
+    rank."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        keeper_by_score,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    cand = minhash_lsh_candidates(
+        base, id_col="doc_id", text_col="text", shingle_n=3,
+        num_hashes=16, bands=4, hash_fn="md5",
+    ).select("doc_a", "doc_b")
+    edges = jaccard_verify(
+        cand, base, id_col="doc_id", text_col="text", shingle_n=3,
+        min_jaccard=0.5,
+    ).select("doc_a", "doc_b")
+    cc = connected_components(
+        base.select("doc_id"), edges, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+    scores = base.select(
+        "doc_id",
+        F.coalesce(F.col("n_chars").cast("bigint"), F.lit(-1)).alias(
+            "quality"
+        ),
+    )
+    return keeper_by_score(
+        cc, scores, node_col="doc_id", cluster_col="cluster_id",
+        score_col="quality",
+    )

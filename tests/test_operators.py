@@ -4622,3 +4622,26 @@ def test_exposure_coverage_gini_identities(spark):
     assert r2.gini_num == (-4 - 2 + 0 + 2 + 4 * 96)
     assert r2.gini_den == 5 * 100
     assert abs(r2.gini - 0.76) < 1e-12
+
+
+def test_keeper_by_score_picks_quality_not_min_id(spark):
+    """In a cluster {1,2,3} where doc 3 has the best score, keeper is 3
+    (the min-id policy would pick 1); singletons are their own keeper;
+    exactly one keeper per cluster."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        keeper_by_score,
+    )
+
+    cc = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id bigint, cluster_id bigint"
+    )
+    sc = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (9, 5)], "doc_id bigint, score bigint"
+    )
+    out = keeper_by_score(cc, sc).collect()
+    keepers = {r.doc_id for r in out if r.is_keeper == 1}
+    assert keepers == {3, 9}
+    per_cluster = {}
+    for r in out:
+        per_cluster[r.cluster_id] = per_cluster.get(r.cluster_id, 0) + r.is_keeper
+    assert all(v == 1 for v in per_cluster.values())
