@@ -222,3 +222,65 @@ def rolling_distinct_actives(
             .alias("stickiness_ppm"),
         )
     )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    *,
+    group_col: str,
+    step_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM change-point detection over a per-group integer series
+    (Page 1954 — the monitoring classic: "which day did this metric's
+    level shift?"). The cumulative sum of deviations from the group
+    mean peaks (in absolute value) AT the change point; detecting it
+    needs no distributional model and no floats: with n steps and total
+    S, ``cusum_k = Σ_{i<=k} (n·v_i − S)`` is n·(the mean-deviation
+    cusum) — exact bigints via cross-multiplication (the t-closeness
+    discipline). The reported change step is the argmax of |cusum|
+    (earliest step on ties — a total order).
+
+    Shape: one per-group aggregate for (n, S) broadcast back (groups
+    are bounded — event types, metrics), one window per group over the
+    STEP axis (bounded: days/hours — a per-group series, not facts;
+    the facts were already reduced to the series by the caller), one
+    rank-1 probe. Output: (group, n_steps, change_step, cusum_abs_max).
+    """
+    from pyspark.sql import Window
+
+    g = series.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(value_col).cast("bigint").alias("__s"),
+    )
+    # NULL-SAFE join-back: a NULL group is a real series (the sharded-rank
+    # lesson — a plain equi join silently drops it)
+    left, right = series.alias("__sr"), g.alias("__g")
+    j = left.join(
+        F.broadcast(right),
+        F.col(f"__sr.{group_col}").eqNullSafe(F.col(f"__g.{group_col}")),
+    ).select("__sr.*", "__g.__n", "__g.__s")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(step_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = j.withColumn(
+        "__cusum",
+        F.sum(
+            F.col("__n") * F.col(value_col).cast("bigint") - F.col("__s")
+        ).over(w),
+    )
+    wr = Window.partitionBy(group_col).orderBy(
+        F.abs(F.col("__cusum")).desc(), F.col(step_col).asc()
+    )
+    return (
+        c.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") == 1)
+        .select(
+            group_col,
+            F.col("__n").alias("n_steps"),
+            F.col(step_col).alias("change_step"),
+            F.abs(F.col("__cusum")).cast("bigint").alias("cusum_abs_max"),
+        )
+    )

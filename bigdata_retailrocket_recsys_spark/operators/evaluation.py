@@ -266,3 +266,64 @@ def exposure_coverage_gini(
             ).alias("gini"),
         )
     )
+
+
+def forecast_mase(
+    series: DataFrame,
+    *,
+    group_col: str,
+    step_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Scaled forecast-error report per group (Hyndman & Koehler 2006's
+    MASE construction): the mean absolute error of the SEASONAL-naive
+    forecast (value ``season`` steps back) scaled by the one-step-naive
+    MAE — the unit-free "is there weekly structure worth modeling?"
+    readout (ratio < 1: seasonal-naive beats naive, seasonality is
+    real). Inputs are per-(group, step) EXACT integers (cents, counts —
+    the caller reduces facts to the series; decimal-guard floats
+    first), so both absolute-error sums are exact bigints and the
+    ratio is ONE IEEE division of cross-multiplied integers:
+    ``(sae_s·n_1) / (sae_1·n_s)``.
+
+    Lags run over the ordered step axis per group (missing steps lag to
+    the previous OBSERVED step — documented; densify upstream for
+    strict calendar lags). One window partitioning serves both lags.
+    Output: (group, n_steps, n_e1, sae1, n_es, saes, mase).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(step_col).asc())
+    v = F.col(value_col).cast("bigint")
+    d = series.select(
+        group_col,
+        step_col,
+        v.alias("__v"),
+        (v - F.lag(v, 1).over(w)).alias("__e1"),
+        (v - F.lag(v, season).over(w)).alias("__es"),
+    )
+    agg = d.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+        F.count("__e1").cast("bigint").alias("n_e1"),
+        F.coalesce(F.sum(F.abs(F.col("__e1"))), F.lit(0))
+        .cast("bigint")
+        .alias("sae1"),
+        F.count("__es").cast("bigint").alias("n_es"),
+        F.coalesce(F.sum(F.abs(F.col("__es"))), F.lit(0))
+        .cast("bigint")
+        .alias("saes"),
+    )
+    return agg.select(
+        group_col,
+        "n_steps",
+        "n_e1",
+        "sae1",
+        "n_es",
+        "saes",
+        F.when(
+            (F.col("sae1") > 0) & (F.col("n_es") > 0),
+            (F.col("saes") * F.col("n_e1")).cast("double")
+            / (F.col("sae1") * F.col("n_es")).cast("double"),
+        ).alias("mase"),
+    )

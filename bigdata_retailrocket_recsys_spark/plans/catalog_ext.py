@@ -12745,3 +12745,119 @@ def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc, scores, node_col="doc_id", cluster_col="cluster_id",
         score_col="quality",
     )
+
+
+@query(
+    "q_anomaly_cusum",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS st
+        FROM s GROUP BY event_type
+    ), cu AS (
+        SELECT s.event_type, s.d, g.n,
+               SUM(g.n * s.c - g.st) OVER (
+                   PARTITION BY s.event_type ORDER BY s.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cusum
+        FROM s JOIN g ON s.event_type IS NOT DISTINCT FROM g.event_type
+    )
+    SELECT event_type, n AS n_steps, d AS change_step,
+           CAST(ABS(cusum) AS BIGINT) AS cusum_abs_max
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY ABS(cusum) DESC, d ASC) AS r FROM cu)
+    WHERE r = 1
+    """,
+)
+def q_anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (operators/aggregates.
+    cusum_changepoint) over per-type daily event counts — "which day
+    did the level shift?" (Page 1954), float-free: cusum_k =
+    Σ(n·v_i − S) is n×the mean-deviation cusum, exact bigints by
+    cross-multiplication; argmax-|cusum| with earliest-day ties. The
+    per-group (n, S) table is groups-bounded and broadcast back
+    NULL-SAFELY; the window runs over the bounded day axis, never
+    facts."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        cusum_changepoint,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("bigint").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return cusum_changepoint(
+        s, group_col="event_type", step_col="d", value_col="c"
+    )
+
+
+@query(
+    "q_eval_forecast_mase",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(COALESCE(SUM(CASE WHEN isnan(value) OR isinf(value)
+                                      THEN NULL
+                                      ELSE CAST(value AS DECIMAL(18,2))
+                                 END) * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), e AS (
+        SELECT event_type, d, cents,
+               cents - LAG(cents, 1) OVER w AS e1,
+               cents - LAG(cents, 7) OVER w AS es
+        FROM s WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(COUNT(e1) AS BIGINT) AS n_e1,
+           CAST(COALESCE(SUM(ABS(e1)), 0) AS BIGINT) AS sae1,
+           CAST(COUNT(es) AS BIGINT) AS n_es,
+           CAST(COALESCE(SUM(ABS(es)), 0) AS BIGINT) AS saes,
+           CASE WHEN COALESCE(SUM(ABS(e1)), 0) > 0 AND COUNT(es) > 0
+                THEN CAST(COALESCE(SUM(ABS(es)), 0) * COUNT(e1) AS DOUBLE)
+                     / CAST(COALESCE(SUM(ABS(e1)), 0) * COUNT(es) AS DOUBLE)
+           END AS mase
+    FROM e GROUP BY event_type
+    """,
+)
+def q_eval_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaled seasonal-forecast-error report (operators/evaluation.
+    forecast_mase, season=7) over per-type daily revenue in EXACT cents
+    (NaN/inf-guarded decimal sums — the _dec_value rule): seasonal-naive
+    MAE over one-step-naive MAE, the Hyndman-Koehler unit-free "is
+    weekly structure real?" readout. Both error sums exact bigints; the
+    ratio is ONE IEEE division of cross-multiplied integers. Lags run
+    over observed days per type (one window partitioning serves
+    both)."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        forecast_mase,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.unix_date(F.to_date("ts")).cast("bigint").alias("d"),
+        )
+        .agg(
+            F.coalesce(
+                (F.sum(_dec_value("value", "18,2")) * 100).cast("bigint"),
+                F.lit(0),
+            ).alias("cents")
+        )
+    )
+    return forecast_mase(
+        s, group_col="event_type", step_col="d", value_col="cents", season=7
+    )

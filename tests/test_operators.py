@@ -4645,3 +4645,46 @@ def test_keeper_by_score_picks_quality_not_min_id(spark):
     for r in out:
         per_cluster[r.cluster_id] = per_cluster.get(r.cluster_id, 0) + r.is_keeper
     assert all(v == 1 for v in per_cluster.values())
+
+
+def test_cusum_changepoint_finds_level_shift(spark):
+    """Series 10×[5] then 10×[15]: the mean-deviation cusum peaks at the
+    last low step (step 10) — hand-checked: n=20, S=200, each low step
+    adds 20*5-200 = -100, each high step +100, so |cusum| maxes at 1000
+    on step 10. NULL group forms its own series (null-safe join-back)."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        cusum_changepoint,
+    )
+
+    rows = [("a", i, 5) for i in range(1, 11)]
+    rows += [("a", i, 15) for i in range(11, 21)]
+    rows += [(None, 1, 7), (None, 2, 9)]
+    df = spark.createDataFrame(rows, "g string, d bigint, c bigint")
+    out = {r.g: r for r in cusum_changepoint(
+        df, group_col="g", step_col="d", value_col="c"
+    ).collect()}
+    assert (out["a"].change_step, out["a"].cusum_abs_max) == (10, 1000)
+    assert out["a"].n_steps == 20
+    assert None in out  # NULL group not dropped
+
+
+def test_forecast_mase_weekly_structure(spark):
+    """A pure period-7 series: seasonal-naive error is 0, one-step error
+    is not -> mase 0. A constant series: both errors 0 -> mase NULL
+    (guarded division)."""
+    from bigdata_retailrocket_recsys_spark.operators.evaluation import (
+        forecast_mase,
+    )
+
+    weekly = [("w", d, 100 + (d % 7) * 10) for d in range(1, 22)]
+    const = [("c", d, 50) for d in range(1, 22)]
+    df = spark.createDataFrame(
+        weekly + const, "g string, d bigint, v bigint"
+    )
+    out = {r.g: r for r in forecast_mase(
+        df, group_col="g", step_col="d", value_col="v", season=7
+    ).collect()}
+    assert out["w"].saes == 0 and out["w"].sae1 > 0
+    assert out["w"].mase == 0.0
+    assert out["c"].mase is None
+    assert out["w"].n_es == 21 - 7 and out["w"].n_e1 == 20
