@@ -869,3 +869,60 @@ def curriculum_anneal_order(
         .cast("bigint")
         .alias("ord"),
     )
+
+
+def balanced_class_sample(
+    df: DataFrame,
+    *,
+    class_col: str,
+    id_col: str,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Class-balanced downsampling: keep exactly ``min(class sizes)``
+    rows from EVERY class — the majority-class downsampling step before
+    training on skewed labels (a fraud model fed 99.9% negatives learns
+    the prior, not the signal). Selection is content-defined (rank by
+    md5(id) within class, id tiebreak), so the kept set is
+    rerun/reshard/engine-stable — the hash_split reproducibility
+    contract applied to balancing.
+
+    Shape: class counts are a classes-bounded aggregate; the floor
+    count is a 1-row broadcast; the within-class rank is the SHARDED
+    grouped rank (``partition_by`` — exactly the few-huge-groups case,
+    null-safe so a NULL class balances like any other). Output: kept
+    rows as (id, class) + ``class_n`` (the original class size).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_rank,
+    )
+
+    base = df.select(F.col(id_col), F.col(class_col)).filter(
+        F.col(id_col).isNotNull()
+    )
+    counts = base.groupBy(class_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_n")
+    )
+    floor_n = counts.agg(F.min("class_n").alias("__m"))
+    h = F.md5(F.col(id_col).cast("string"))
+    ranked = global_rank(
+        base,
+        [h.asc(), F.col(id_col).asc()],
+        n_shards=n_shards,
+        partition_by=[class_col],
+        out_col="__r",
+    )
+    left, right = ranked.alias("__b"), counts.alias("__c")
+    out = (
+        left.join(
+            F.broadcast(right),
+            F.col(f"__b.{class_col}").eqNullSafe(F.col(f"__c.{class_col}")),
+        )
+        .crossJoin(F.broadcast(floor_n))
+        .filter(F.col("__r") <= F.col("__m"))
+        .select(
+            f"__b.{id_col}",
+            f"__b.{class_col}",
+            F.col("__c.class_n").alias("class_n"),
+        )
+    )
+    return out

@@ -1930,3 +1930,60 @@ def bm25_hard_negatives(
             "rank",
         )
     )
+
+
+def readability_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch-Kincaid-style readability proxy per document — the classic
+    pedagogical-complexity quality signal (too-low grade = fragment
+    spam, absurdly-high = OCR damage / run-on boilerplate), cheap
+    enough to run at crawl scale because every input is a regex count:
+    words (whitespace tokens), sentences (terminal-punctuation runs),
+    syllable proxy (vowel-group runs — the standard cheap
+    approximation). All-integer outputs: the two ratios are integer-div
+    ppm, and the grade is the FK linear form with µ-scaled integer
+    coefficients and zero-guarded divisors —
+    ``fk_u = 390000·w div max(s,1) + 11800000·syl div max(w,1)
+    − 15590000`` (grade ×1e6) — deterministic on any engine, no
+    floats anywhere. Zero shuffle: a pure projection over the scan.
+
+    Output: (id, n_words, n_sentences, n_syllables, wps_ppm, spw_ppm,
+    fk_u).
+    """
+    t = F.lower(F.col(text_col))
+    w = F.size(F.filter(ws_tokens(t), lambda x: x != "")).cast("bigint")
+    s = F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")).cast("bigint")
+    syl = F.regexp_count(t, F.lit(r"[aeiouy]+")).cast("bigint")
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "(n_words * CAST(1000000 AS BIGINT))"
+            " div greatest(n_sentences, 1)"
+        ).alias("wps_ppm"),
+        F.expr(
+            "(n_syllables * CAST(1000000 AS BIGINT))"
+            " div greatest(n_words, 1)"
+        ).alias("spw_ppm"),
+        F.expr(
+            "(n_words * CAST(390000 AS BIGINT))"
+            " div greatest(n_sentences, 1)"
+            " + (n_syllables * CAST(11800000 AS BIGINT))"
+            " div greatest(n_words, 1)"
+            " - CAST(15590000 AS BIGINT)"
+        ).alias("fk_u"),
+    )

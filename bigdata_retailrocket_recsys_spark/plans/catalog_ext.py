@@ -12861,3 +12861,84 @@ def q_eval_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_mase(
         s, group_col="event_type", step_col="d", value_col="cents", season=7
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, label FROM embeddings WHERE vec_id IS NOT NULL
+    ), c AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS class_n
+        FROM b GROUP BY label
+    ), m AS (SELECT MIN(class_n) AS fl FROM c),
+    r AS (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                            vec_id ASC) AS rn
+        FROM b
+    )
+    SELECT r.vec_id, r.label, c.class_n
+    FROM r JOIN c ON r.label IS NOT DISTINCT FROM c.label
+    CROSS JOIN m
+    WHERE r.rn <= m.fl
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling (operators/splits.
+    balanced_class_sample over embeddings labels): keep exactly
+    min(class sizes) rows from EVERY class — the skewed-label
+    rebalancing step before training, content-defined (md5-of-id rank
+    within class) so the kept set is rerun/reshard/engine-stable.
+    Sharded grouped rank (few-huge-groups partition_by, null-safe);
+    counts and floor broadcast."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        balanced_class_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return balanced_class_sample(emb, class_col="label", id_col="vec_id")
+
+
+@query(
+    "q_text_readability",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                '\\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+               AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                '\\s+'), x -> x <> '')) * 1000000
+                // GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS wps_ppm,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) * 1000000
+                // GREATEST(len(list_filter(string_split_regex(
+                       trim(lower(text)), '\\s+'), x -> x <> '')), 1)
+               AS BIGINT) AS spw_ppm,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                '\\s+'), x -> x <> '')) * 390000
+                // GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                + len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  * 11800000
+                  // GREATEST(len(list_filter(string_split_regex(
+                         trim(lower(text)), '\\s+'), x -> x <> '')), 1)
+                - 15590000 AS BIGINT) AS fk_u
+    FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability proxy (operators/text.
+    readability_scores): words / terminal-punctuation sentences /
+    vowel-run syllable approximation, FK grade with µ-scaled INTEGER
+    coefficients and zero-guarded integer division (all divisors and
+    numerators non-negative, so Spark div ≡ DuckDB // ≡ floor) — the
+    classic complexity quality signal as a zero-shuffle projection."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        readability_scores,
+    )
+
+    return readability_scores(_t(spark, sf_dir, "documents"))

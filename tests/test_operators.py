@@ -4688,3 +4688,49 @@ def test_forecast_mase_weekly_structure(spark):
     assert out["w"].mase == 0.0
     assert out["c"].mase is None
     assert out["w"].n_es == 21 - 7 and out["w"].n_e1 == 20
+
+
+def test_balanced_class_sample_floor_and_stability(spark):
+    """Classes {a:5, b:2, NULL:3} -> every class keeps exactly 2 rows
+    (the floor), NULL class included (null-safe); membership is
+    shard-count-invariant."""
+    from bigdata_retailrocket_recsys_spark.operators.splits import (
+        balanced_class_sample,
+    )
+
+    rows = [(i, "a") for i in range(5)] + [(10, "b"), (11, "b")]
+    rows += [(20, None), (21, None), (22, None)]
+    df = spark.createDataFrame(rows, "id bigint, cls string")
+    out = balanced_class_sample(df, class_col="cls", id_col="id").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.cls, set()).add(r.id)
+    assert {k: len(v) for k, v in by.items()} == {"a": 2, "b": 2, None: 2}
+    assert {r.class_n for r in out if r.cls == "a"} == {5}
+    out2 = balanced_class_sample(
+        df, class_col="cls", id_col="id", n_shards=5
+    ).collect()
+    key = lambda r: (r.cls or "", r.id)
+    assert sorted(key(r) for r in out) == sorted(key(r) for r in out2)
+
+
+def test_readability_scores_hand_checked(spark):
+    """'the cat sat. it ran!' -> 5 words, 2 sentence runs, vowel runs:
+    e,a,a,i,a = 5 -> wps 2.5 (2500000 ppm), spw 1.0."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        readability_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it ran!"), (2, "")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in readability_scores(df).collect()}
+    r = out[1]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+    assert r.wps_ppm == 5 * 1000000 // 2
+    assert r.spw_ppm == 1000000
+    assert r.fk_u == 5 * 390000 // 2 + 5 * 11800000 // 5 - 15590000
+    z = out[2]
+    assert (z.n_words, z.n_sentences, z.n_syllables) == (0, 0, 0)
+    assert z.fk_u == -15590000
