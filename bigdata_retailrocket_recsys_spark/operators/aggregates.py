@@ -284,3 +284,161 @@ def cusum_changepoint(
             F.abs(F.col("__cusum")).cast("bigint").alias("cusum_abs_max"),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D statistic — the continuous-metric
+    drift detector (did the VALUE distribution of slice A shift vs
+    slice B?), complementing the token-level KL monitor. D =
+    max_v |ECDF_a(v) − ECDF_b(v)| is kept EXACT by cross-multiplication:
+    ``d_scaled = max |cum_a·n_b − cum_b·n_a|`` over the ordered distinct
+    value axis, with ONE final IEEE division for the classic D ∈ [0,1].
+
+    NaN/±inf values are excluded (they order differently across
+    engines); remaining doubles compare exactly, so the distinct-value
+    collapse, the ordering, and the argmax (earliest value on ties) are
+    all engine-deterministic. Shape: one map-side-combinable collapse to
+    (value, count_a, count_b) — the only fact-sized shuffle — then TWO
+    sharded prefix sums over the distinct-value axis (no single-reducer
+    window; the distinct-value cardinality is unbounded at 100 TB),
+    joined back on the exact value key; the final argmax is a
+    TakeOrderedAndProject, never a full sort.
+
+    Output (one row): (n_a, n_b, d_scaled, at_value, ks_d).
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_prefix_sum,
+    )
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != float("inf"))
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(v.alias("__v"), F.col(group_col).alias("__g"))
+    c = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ca"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cb"),
+    )
+    ca = _sharded_prefix_sum(
+        c, [F.col("__v").asc()], "__ca", n_shards
+    ).select(
+        "__v", F.col("__cum").alias("__cma"), F.col("__tot").alias("__na")
+    )
+    cb = _sharded_prefix_sum(
+        c, [F.col("__v").asc()], "__cb", n_shards
+    ).select(
+        "__v", F.col("__cum").alias("__cmb"), F.col("__tot").alias("__nb")
+    )
+    j = ca.join(cb, "__v").withColumn(
+        "__d",
+        F.abs(
+            F.col("__cma") * F.col("__nb") - F.col("__cmb") * F.col("__na")
+        ).cast("bigint"),
+    )
+    top = j.orderBy(F.col("__d").desc(), F.col("__v").asc()).limit(1)
+    return top.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.col("__d").alias("d_scaled"),
+        F.col("__v").alias("at_value"),
+        F.when(
+            (F.col("__na") > 0) & (F.col("__nb") > 0),
+            F.col("__d").cast("double")
+            / (F.col("__na") * F.col("__nb")).cast("double"),
+        ).alias("ks_d"),
+    )
+
+
+#: Per-bucket PSI contribution (p−q)·ln(p/q) over Laplace-smoothed count
+#: ratios, µ-floored — ONE template formatted with column names for BOTH
+#: engines (the KL_CONTRIB_SQL discipline: identical IEEE tree, so the
+#: bigint contributions value-hash).
+PSI_CONTRIB_SQL = (
+    "CAST(FLOOR((CAST({sa} AS DOUBLE) / CAST({sna} AS DOUBLE)"
+    " - CAST({sb} AS DOUBLE) / CAST({snb} AS DOUBLE))"
+    " * ln((CAST({sa} AS DOUBLE) * CAST({snb} AS DOUBLE))"
+    "      / (CAST({sb} AS DOUBLE) * CAST({sna} AS DOUBLE)))"
+    " * 1e6) AS BIGINT)"
+)
+
+
+def psi_drift(
+    df: DataFrame,
+    *,
+    bucket_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Population Stability Index between two slices over a bucketed
+    metric — the scorecard-industry drift number (rule of thumb:
+    < 0.1 stable, 0.1-0.25 shifting, > 0.25 act), the BUCKETED
+    companion to the exact-ECDF `ks_two_sample`. PSI =
+    Σ (p_i − q_i)·ln(p_i/q_i); empty buckets are handled by Laplace
+    +1 smoothing on counts (deterministic — no ε-floats), with totals
+    smoothed by the bucket count m, so every bucket observed in EITHER
+    slice contributes finitely.
+
+    Cross-engine: per-bucket contributions are µ-floored through ONE
+    shared template (PSI_CONTRIB_SQL) and summed exactly; the final
+    ``psi`` double is the bigint sum over 1e6 — one IEEE division.
+    Shape: one map-side-combinable collapse to (bucket, count_a,
+    count_b) — the only fact-sized shuffle — then a buckets-bounded
+    aggregate with the 1-row totals broadcast. Output (one row):
+    (n_a, n_b, n_buckets, psi_u, psi).
+    """
+    base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(bucket_col).alias("__bk"), F.col(group_col).alias("__g")
+    )
+    c = base.groupBy("__bk").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ca"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cb"),
+    )
+    t = c.agg(
+        F.sum("__ca").cast("bigint").alias("__na"),
+        F.sum("__cb").cast("bigint").alias("__nb"),
+        F.count(F.lit(1)).cast("bigint").alias("__m"),
+    )
+    j = c.crossJoin(F.broadcast(t)).select(
+        "__na",
+        "__nb",
+        "__m",
+        (F.col("__ca") + 1).cast("bigint").alias("__sa"),
+        (F.col("__cb") + 1).cast("bigint").alias("__sb"),
+        (F.col("__na") + F.col("__m")).cast("bigint").alias("__sna"),
+        (F.col("__nb") + F.col("__m")).cast("bigint").alias("__snb"),
+    )
+    contrib = F.expr(
+        PSI_CONTRIB_SQL.format(sa="__sa", sb="__sb", sna="__sna", snb="__snb")
+    )
+    agg = j.groupBy().agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max("__m").alias("n_buckets"),
+        F.sum(contrib).cast("bigint").alias("psi_u"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_buckets",
+        "psi_u",
+        (F.col("psi_u").cast("double") / F.lit(1e6)).alias("psi"),
+    )

@@ -12942,3 +12942,142 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return readability_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_stats_ks",
+    oracle="""
+    WITH b AS (
+        SELECT value AS v, event_type AS g FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+          AND NOT isnan(value) AND NOT isinf(value)
+    ), c AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM b GROUP BY v
+    ), t AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb FROM c
+    ), cum AS (
+        SELECT v,
+               SUM(ca) OVER w AS cma, SUM(cb) OVER w AS cmb
+        FROM c
+        WINDOW w AS (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), d AS (
+        SELECT v, ABS(cma * nb - cmb * na) AS ds, na, nb,
+               ROW_NUMBER() OVER (ORDER BY ABS(cma * nb - cmb * na) DESC,
+                                  v ASC) AS r
+        FROM cum CROSS JOIN t
+    )
+    SELECT na AS n_a, nb AS n_b, CAST(ds AS BIGINT) AS d_scaled,
+           v AS at_value,
+           CASE WHEN na > 0 AND nb > 0
+                THEN CAST(ds AS DOUBLE) / CAST(na * nb AS DOUBLE) END
+               AS ks_d
+    FROM d WHERE r = 1
+    """,
+)
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (operators/aggregates.
+    ks_two_sample, click vs view over the value column) — the
+    continuous-metric drift tier next to q_domain_kl's token monitor.
+    D kept exact by cross-multiplication (max |cum_a·n_b − cum_b·n_a|
+    over the ordered distinct-value axis); ONE IEEE division at the
+    end; NaN/±inf excluded (engine-divergent ordering); TWO sharded
+    prefix sums over the unbounded value axis — never a single-reducer
+    window; argmax is TakeOrderedAndProject with earliest-value
+    ties."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        ks_two_sample,
+    )
+
+    return ks_two_sample(
+        _t(spark, sf_dir, "events"),
+        value_col="value",
+        group_col="event_type",
+        group_a="click",
+        group_b="view",
+    )
+
+
+from bigdata_retailrocket_recsys_spark.operators.aggregates import (  # noqa: E402
+    PSI_CONTRIB_SQL,
+)
+
+_PSI_ORACLE_CONTRIB = PSI_CONTRIB_SQL.format(
+    sa="sa", sb="sb", sna="sna", snb="snb"
+)
+
+
+@query(
+    "q_stats_psi",
+    oracle=f"""
+    WITH b AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN 'base' ELSE 'cur' END AS g,
+               COALESCE(CASE WHEN value >= -1000000000000.0
+                              AND value <= 1000000000000.0
+                             THEN CAST(floor(value / 50.0) AS BIGINT) END,
+                        -1) AS bk
+        FROM events WHERE ts IS NOT NULL
+    ), c AS (
+        SELECT bk,
+               CAST(SUM(CASE WHEN g = 'base' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN g = 'cur' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM b GROUP BY bk
+    ), t AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS m FROM c
+    ), j AS (
+        SELECT na, nb, m,
+               CAST(ca + 1 AS BIGINT) AS sa,
+               CAST(cb + 1 AS BIGINT) AS sb,
+               CAST(na + m AS BIGINT) AS sna,
+               CAST(nb + m AS BIGINT) AS snb
+        FROM c CROSS JOIN t
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(m) AS n_buckets,
+           CAST(SUM({_PSI_ORACLE_CONTRIB}) AS BIGINT) AS psi_u,
+           CAST(SUM({_PSI_ORACLE_CONTRIB}) AS DOUBLE) / 1e6 AS psi
+    FROM j
+    """,
+)
+def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators/aggregates.psi_drift):
+    value-bucket drift between the first half of January (baseline) and
+    the rest (current) — the scorecard-industry drift number, the
+    BUCKETED companion to q_stats_ks. Laplace +1 count smoothing (no
+    ε-floats) makes every bucket finite; per-bucket contributions
+    µ-floored through the shared PSI_CONTRIB_SQL tree and summed
+    exactly; psi = psi_u/1e6 is one IEEE division. One fact-sized
+    collapse, buckets-bounded everything else."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        psi_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    v = F.col("value")
+    vb = F.coalesce(
+        F.when((v >= -1.0e12) & (v <= 1.0e12),
+               F.floor(v / F.lit(50.0))).cast("bigint"),
+        F.lit(-1).cast("bigint"),
+    )
+    b = ev.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+            F.lit("base"),
+        )
+        .otherwise(F.lit("cur"))
+        .alias("g"),
+        vb.alias("bk"),
+    )
+    return psi_drift(
+        b, bucket_col="bk", group_col="g", group_a="base", group_b="cur"
+    )

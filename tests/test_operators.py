@@ -4734,3 +4734,56 @@ def test_readability_scores_hand_checked(spark):
     z = out[2]
     assert (z.n_words, z.n_sentences, z.n_syllables) == (0, 0, 0)
     assert z.fk_u == -15590000
+
+
+def test_ks_two_sample_identical_and_shifted(spark):
+    """Identical distributions -> D = 0; disjoint supports -> D = 1
+    (d_scaled = n_a·n_b at the last a-value); shard count does not
+    change the statistic."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        ks_two_sample,
+    )
+
+    same = [(float(i % 10), "a") for i in range(50)]
+    same += [(float(i % 10), "b") for i in range(50)]
+    df = spark.createDataFrame(same, "v double, g string")
+    r = ks_two_sample(
+        df, value_col="v", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.d_scaled, r.ks_d) == (50, 50, 0, 0.0)
+    dis = [(float(i), "a") for i in range(10)]
+    dis += [(float(100 + i), "b") for i in range(20)]
+    df2 = spark.createDataFrame(dis, "v double, g string")
+    r2 = ks_two_sample(
+        df2, value_col="v", group_col="g", group_a="a", group_b="b",
+        n_shards=5,
+    ).collect()[0]
+    assert (r2.n_a, r2.n_b) == (10, 20)
+    assert r2.d_scaled == 10 * 20 and r2.ks_d == 1.0
+    assert r2.at_value == 9.0  # earliest value where the gap peaks
+
+
+def test_psi_drift_identical_is_near_zero(spark):
+    """Identical bucket distributions -> psi ~ 0 (exactly 0 up to the
+    µ-floor, which can leave tiny negative contributions: floor(-0+) =
+    -1 per bucket worst case); a hard shift -> clearly positive psi.
+    Laplace smoothing keeps one-sided buckets finite."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        psi_drift,
+    )
+
+    same = [(i % 5, "a") for i in range(100)] + [
+        (i % 5, "b") for i in range(100)
+    ]
+    df = spark.createDataFrame(same, "bk bigint, g string")
+    r = psi_drift(
+        df, bucket_col="bk", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.n_buckets) == (100, 100, 5)
+    assert -5 <= r.psi_u <= 0  # floor can shave 1µ per bucket
+    shifted = [(0, "a")] * 100 + [(9, "b")] * 100
+    df2 = spark.createDataFrame(shifted, "bk bigint, g string")
+    r2 = psi_drift(
+        df2, bucket_col="bk", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    assert r2.n_buckets == 2 and r2.psi > 5.0  # near-disjoint -> huge
