@@ -13081,3 +13081,65 @@ def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(
         b, bucket_col="bk", group_col="g", group_a="base", group_b="cur"
     )
+
+
+@query(
+    "q_seasonal_dow_profile",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               ((CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                 + 4) % 7 + 7) % 7 AS dow
+        FROM events WHERE ts IS NOT NULL
+    ), c AS (
+        SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2
+    ), t AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+        FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow, c.n, t.total,
+           CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST(c.n * 7000000 // t.total AS BIGINT) AS index_ppm
+    FROM c JOIN t ON c.event_type IS NOT DISTINCT FROM t.event_type
+    """,
+)
+def q_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type — the weekly-shape
+    report MASE's ratio summarizes (index_ppm ≈ 1e6 = flat; a 7e6/0
+    split = fully periodic). DIALECT-FREE weekday: dow = (epoch_day +
+    4) mod 7 (1970-01-01 was a Thursday; 0 = Monday) — Spark
+    dayofweek() is 1-7 Sunday-first while DuckDB dayofweek() is 0-6,
+    so the integer form sidesteps the trap entirely; sign-safe double
+    modulo on the oracle side, pmod on Spark. All integers, two
+    integer-div ratios; group totals broadcast back null-safely."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    b = ev.select(
+        "event_type",
+        F.pmod(
+            F.unix_date(F.to_date("ts")).cast("bigint") + F.lit(4), F.lit(7)
+        ).alias("dow"),
+    )
+    c = b.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total")
+    )
+    left, right = c.alias("__c"), t.alias("__t")
+    return (
+        left.join(
+            F.broadcast(right),
+            F.col("__c.event_type").eqNullSafe(F.col("__t.event_type")),
+        )
+        .select(
+            F.col("__c.event_type").alias("event_type"),
+            F.col("__c.dow").alias("dow"),
+            F.col("__c.n").alias("n"),
+            F.col("__t.total").alias("total"),
+            F.expr("(__c.n * CAST(1000000 AS BIGINT)) div __t.total")
+            .alias("share_ppm"),
+            F.expr("(__c.n * CAST(7000000 AS BIGINT)) div __t.total")
+            .alias("index_ppm"),
+        )
+    )

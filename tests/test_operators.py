@@ -4787,3 +4787,27 @@ def test_psi_drift_identical_is_near_zero(spark):
         df2, bucket_col="bk", group_col="g", group_a="a", group_b="b"
     ).collect()[0]
     assert r2.n_buckets == 2 and r2.psi > 5.0  # near-disjoint -> huge
+
+
+def test_seasonal_dow_profile_weekday_math(spark):
+    """dow = (epoch_day + 4) mod 7 anchors 1970-01-01 (a Thursday) at 4,
+    i.e. 0 = Sunday-first-minus... the CONVENTION the query documents is
+    simply a stable 0..6 cycle — lock its two invariants: 2024-01-01
+    (epoch day 19723, a Monday) lands on 1, and 7 consecutive days hit
+    every residue exactly once."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+
+    days = [(1, "t", dt.datetime(2024, 1, 1 + i)) for i in range(7)]
+    df = spark.createDataFrame(
+        days, "id bigint, event_type string, ts timestamp"
+    )
+    b = df.select(
+        "event_type",
+        F.pmod(
+            F.unix_date(F.to_date("ts")).cast("bigint") + F.lit(4), F.lit(7)
+        ).alias("dow"),
+    )
+    rows = b.orderBy("dow").collect()
+    assert [r.dow for r in rows] == list(range(7))
+    assert rows[1].dow == 1 and (19723 + 4) % 7 == 1  # Monday anchor
