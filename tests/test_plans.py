@@ -660,3 +660,13 @@ def test_privacy_release_joinbacks_broadcast(spark):
     plan = plan_str(QUERIES["q_privacy_release"].fn(spark, SF_DIR), "simple")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ks_prefix_sums_sharded_and_topk_bounded(spark):
+    """ks_two_sample: both ECDF cumsums must be range-sharded (no
+    single-reducer window over the unbounded value axis) and the
+    argmax must compile to TakeOrderedAndProject, never a full sort."""
+    plan = plan_str(QUERIES["q_stats_ks"].fn(spark, SF_DIR), "simple")
+    assert "rangepartitioning" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
