@@ -306,16 +306,18 @@ def ks_two_sample(
     engines); remaining doubles compare exactly, so the distinct-value
     collapse, the ordering, and the argmax (earliest value on ties) are
     all engine-deterministic. Shape: one map-side-combinable collapse to
-    (value, count_a, count_b) — the only fact-sized shuffle — then TWO
-    sharded prefix sums over the distinct-value axis (no single-reducer
-    window; the distinct-value cardinality is unbounded at 100 TB),
-    joined back on the exact value key; the final argmax is a
-    TakeOrderedAndProject, never a full sort.
+    (value, count_a, count_b) — the only fact-sized shuffle, executed
+    ONCE: both ECDF cumsums ride a single multi-weight sharded prefix
+    pass (``_sharded_prefix_sums`` — ADVICE r10 closed: the old form's
+    two single-weight calls each re-ran the collapse because Spark never
+    reuses a shared subtree). The distinct-value axis is never a
+    single-reducer window (unbounded cardinality at 100 TB); the final
+    argmax is a TakeOrderedAndProject, never a full sort.
 
     Output (one row): (n_a, n_b, d_scaled, at_value, ks_d).
     """
     from bigdata_retailrocket_recsys_spark.operators.windows import (
-        _sharded_prefix_sum,
+        _sharded_prefix_sums,
     )
 
     v = F.col(value_col).cast("double")
@@ -333,21 +335,18 @@ def ks_two_sample(
         .cast("bigint")
         .alias("__cb"),
     )
-    ca = _sharded_prefix_sum(
-        c, [F.col("__v").asc()], "__ca", n_shards
+    j = _sharded_prefix_sums(
+        c, [F.col("__v").asc()], ["__ca", "__cb"], n_shards
     ).select(
-        "__v", F.col("__cum").alias("__cma"), F.col("__tot").alias("__na")
-    )
-    cb = _sharded_prefix_sum(
-        c, [F.col("__v").asc()], "__cb", n_shards
-    ).select(
-        "__v", F.col("__cum").alias("__cmb"), F.col("__tot").alias("__nb")
-    )
-    j = ca.join(cb, "__v").withColumn(
-        "__d",
+        "__v",
+        F.col("__tot___ca").alias("__na"),
+        F.col("__tot___cb").alias("__nb"),
         F.abs(
-            F.col("__cma") * F.col("__nb") - F.col("__cmb") * F.col("__na")
-        ).cast("bigint"),
+            F.col("__cum___ca") * F.col("__tot___cb")
+            - F.col("__cum___cb") * F.col("__tot___ca")
+        )
+        .cast("bigint")
+        .alias("__d"),
     )
     top = j.orderBy(F.col("__d").desc(), F.col("__v").asc()).limit(1)
     return top.select(
@@ -396,10 +395,15 @@ def psi_drift(
     Cross-engine: per-bucket contributions are µ-floored through ONE
     shared template (PSI_CONTRIB_SQL) and summed exactly; the final
     ``psi`` double is the bigint sum over 1e6 — one IEEE division.
-    Shape: one map-side-combinable collapse to (bucket, count_a,
-    count_b) — the only fact-sized shuffle — then a buckets-bounded
-    aggregate with the 1-row totals broadcast. Output (one row):
-    (n_a, n_b, n_buckets, psi_u, psi).
+    The summed psi_u is clamped to ≥ 0 at the OUTPUT level (identically
+    in the oracle — ADVICE r10): the µ-floor rounds the tiny
+    IEEE-negative terms of mathematically-zero buckets DOWN to −1µ, so
+    identical distributions could otherwise read a slightly negative
+    PSI, which is defined ≥ 0; the clamp keeps the shared contrib tree
+    intact. Shape: one map-side-combinable collapse to (bucket,
+    count_a, count_b) — the only fact-sized shuffle — then a
+    buckets-bounded aggregate with the 1-row totals broadcast.
+    Output (one row): (n_a, n_b, n_buckets, psi_u, psi).
     """
     base = df.filter(F.col(group_col).isin([group_a, group_b])).select(
         F.col(bucket_col).alias("__bk"), F.col(group_col).alias("__g")
@@ -433,7 +437,9 @@ def psi_drift(
         F.max("__na").alias("n_a"),
         F.max("__nb").alias("n_b"),
         F.max("__m").alias("n_buckets"),
-        F.sum(contrib).cast("bigint").alias("psi_u"),
+        F.greatest(
+            F.sum(contrib).cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("psi_u"),
     )
     return agg.select(
         "n_a",

@@ -180,6 +180,7 @@ def minhash_lsh_candidates_vs_corpus(
     bands: int = 4,
     broadcast_batch: bool = True,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates BETWEEN a new batch and an existing corpus —
     the incremental companion to :func:`minhash_lsh_candidates` (which is
@@ -194,6 +195,19 @@ def minhash_lsh_candidates_vs_corpus(
     ``hash_fn`` the corpus table was built with. Output: ``batch_doc,
     corpus_doc, n_shared_bands`` (no a<b constraint — the two sides are
     disjoint sets).
+
+    HOT-BUCKET GUARD (``max_bucket=``, default off; VERDICT r10 #1): the
+    bipartite fan-out per (band, bucket) is |batch∩bucket| ×
+    |corpus∩bucket| — a 10⁵-member templated corpus family colliding with
+    a handful of batch docs floods the verify stage. With ``max_bucket=m``
+    only the ``m`` smallest corpus doc ids per bucket are joined
+    (deterministic; a batch doc that truly matches a capped family still
+    meets up to ``m`` family representatives — the dedup decision "is this
+    a dup of the family" survives; recall is lost only when the kept
+    representatives are all random-collision DISSIMILAR members). Never
+    silent: the output gains ``max_bucket_overflow`` — the largest
+    per-bucket dropped-member count among the pair's shared bands (0 = no
+    cap fired). Schema unchanged when ``max_bucket`` is None.
     """
     batch_sig = minhash_signatures(
         batch,
@@ -207,6 +221,34 @@ def minhash_lsh_candidates_vs_corpus(
     cb = _band_rows(corpus_signatures, num_hashes=num_hashes, bands=bands)
     if broadcast_batch:
         bb = F.broadcast(bb)
+    aggs = [F.count(F.lit(1)).alias("n_shared_bands")]
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        # rank-then-filter compiles to WindowGroupLimit (top-m per bucket
+        # without materializing the full sorted bucket); the hot bucket is
+        # one task's linear scan, never a 10⁵×batch join fan-out.
+        wo = Window.partitionBy("band", "bucket").orderBy("doc")
+        wc = Window.partitionBy("band", "bucket")
+        cb = (
+            cb.select(
+                "doc",
+                "band",
+                "bucket",
+                F.row_number().over(wo).alias("rn"),
+                F.count(F.lit(1)).over(wc).alias("bsz"),
+            )
+            .filter(F.col("rn") <= max_bucket)
+            .select(
+                "doc",
+                "band",
+                "bucket",
+                F.greatest(
+                    F.col("bsz") - max_bucket, F.lit(0)
+                ).alias("n_dropped"),
+            )
+        )
+        aggs.append(F.max("n_dropped").alias("max_bucket_overflow"))
     return (
         cb.alias("c")
         .join(
@@ -219,7 +261,7 @@ def minhash_lsh_candidates_vs_corpus(
             F.col("b.doc").alias("batch_doc"),
             F.col("c.doc").alias("corpus_doc"),
         )
-        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .agg(*aggs)
     )
 
 
@@ -427,6 +469,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + LSH banding.
 
@@ -444,6 +487,25 @@ def minhash_lsh_candidates(
       columnar table directly (the at-rest layout IS the materialization).
       Value-identical to the df= path for the same corpus (locked in
       tests/test_operators.py).
+
+    HOT-BUCKET GUARD (``max_bucket=``, default off): a bucket with B
+    members emits B(B−1)/2 clique pairs — on a boilerplate-heavy crawl a
+    templated near-dup family of 10⁵ docs (which exact dedup does NOT
+    remove; they differ by a timestamp) shares bands and would flood the
+    verify stage with ~5×10⁹ pairs from ONE bucket. With ``max_bucket=m``
+    set, any (band, bucket) group larger than ``m`` is PRE-COLLAPSED to a
+    spanning STAR — hub = min(doc), edges (hub, other) — instead of the
+    clique: B−1 pairs, linear in B, and the bucket's docs stay one
+    connected component for the downstream CC stage (a genuinely-similar
+    family still clusters; star edges between DISSIMILAR random-collision
+    members can fail jaccard_verify where some clique edge would have
+    passed — recall on verified PAIRS is reduced for over-cap buckets,
+    recall on planted true-dup CLUSTERS is property-locked in
+    tests/test_properties.py). Never a silent cap: the output gains an
+    ``n_capped_bands`` audit column (how many of the pair's shared bands
+    were star edges from over-cap buckets; 0 = pure clique evidence).
+    Schema is unchanged when ``max_bucket`` is None, so existing oracle
+    entries are byte-identical. VERDICT r10 #1.
     """
     if (df is None) == (signatures is None):
         raise ValueError("pass exactly one of df= or signatures=")
@@ -459,6 +521,8 @@ def minhash_lsh_candidates(
     else:
         with_sig = signatures
     banded = _band_rows(with_sig, num_hashes=num_hashes, bands=bands)
+    if max_bucket is not None:
+        return _capped_bucket_pairs(banded, max_bucket=max_bucket)
     # cache (df= mode only): BOTH sides of the self-join read this subtree —
     # without the cache Spark executes the whole tokenize→signature→band
     # pipeline twice (~35% slower at sf0.1). The cached set is tiny (docs ×
@@ -479,6 +543,60 @@ def minhash_lsh_candidates(
         )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _capped_bucket_pairs(banded: DataFrame, *, max_bucket: int) -> DataFrame:
+    """Shared hot-bucket-guarded pairing over (doc, band, bucket) rows:
+    ≤ ``max_bucket`` members → clique (a<b self-join, the uncapped
+    shape); > ``max_bucket`` → spanning star from hub = min(doc).
+    One window pass sizes every bucket (the hot bucket is ONE sorted
+    partition — linear, a 10⁵-member bucket is one task's 10⁵ rows, not
+    5×10⁹ join rows); the sized frame feeds both branches so it is
+    cached (S7 — Spark never reuses a twice-referenced subtree) and the
+    cache is bounded (docs × bands rows). Output: doc_a, doc_b,
+    n_shared_bands, n_capped_bands."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "bucket")
+    sized = banded.select(
+        "doc",
+        "band",
+        "bucket",
+        F.count(F.lit(1)).over(wb).alias("bsz"),
+        F.min("doc").over(wb).alias("hub"),
+    ).cache()
+    small = sized.filter(F.col("bsz") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    clique = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+            "inner",
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.lit(0).alias("capped"),
+        )
+    )
+    star = sized.filter(
+        (F.col("bsz") > max_bucket) & (F.col("doc") != F.col("hub"))
+    ).select(
+        F.col("hub").alias("doc_a"),
+        F.col("doc").alias("doc_b"),
+        F.lit(1).alias("capped"),
+    )
+    return (
+        clique.unionByName(star)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.sum("capped").alias("n_capped_bands"),
+        )
     )
 
 
@@ -631,6 +749,7 @@ def simhash128_near_pairs(
     shingle_n: int = 2,
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded near-dup candidate pairs over the 128-bit signature — the
     scale tier of :func:`simhash_near_pairs` (same Manku pigeonhole:
@@ -639,6 +758,10 @@ def simhash128_near_pairs(
     spread over the leading bands; a band straddling the lo/hi word
     boundary is stitched from both words (all integer shifts, no UDF).
     Verify = ``bit_count(lo⊕lo) + bit_count(hi⊕hi)``.
+
+    ``max_bucket=`` enables the hot-bucket star pre-collapse — same
+    guard, semantics, and ``from_capped_bucket`` audit column as
+    :func:`simhash_near_pairs` (VERDICT r10 #1).
 
     Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``."""
     if not 2 <= n_bands <= 128:
@@ -690,25 +813,11 @@ def simhash128_near_pairs(
             )
         ).alias("bk"),
     ).select("doc", "sig_lo", "sig_hi", "bk.band", "bk.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.expr(
-                "bit_count(a.sig_lo ^ b.sig_lo) + "
-                "bit_count(a.sig_hi ^ b.sig_hi)"
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    return _banded_sig_pairs(
+        banded,
+        sig_cols=["sig_lo", "sig_hi"],
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 
@@ -1037,6 +1146,7 @@ def lsh_audit(
     bands: int = 4,
     min_jaccard: float = 0.5,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH recall/precision AUDIT — "measure, don't guess" made a
     first-class operator (north-star extension, SURVEY §2.11 — no
@@ -1066,6 +1176,12 @@ def lsh_audit(
     That is inherent to an audit (you are buying the true answer); run
     it at sample scale, not on the full corpus.
 
+    ``max_bucket=`` passes through to :func:`minhash_lsh_candidates` —
+    run the audit with the same cap the production pass will use; star
+    pre-collapse shows up here as n_misses on non-hub pairs of over-cap
+    buckets (PAIR recall honestly drops; CLUSTER recall through CC does
+    not — property-locked in tests/test_properties.py).
+
     Output: one row (n_truth, n_candidates, n_hits, n_misses,
     n_false_alarms).
     """
@@ -1088,6 +1204,7 @@ def lsh_audit(
         num_hashes=num_hashes,
         bands=bands,
         hash_fn=hash_fn,
+        max_bucket=max_bucket,
     ).select("doc_a", "doc_b", F.lit(1).alias("__c"))
     j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
 
@@ -1520,6 +1637,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate CANDIDATE PAIRS — the pairing stage the
     plain :func:`simhash` signature table feeds. Standard banding
@@ -1544,6 +1662,18 @@ def simhash_near_pairs(
     not DuckDB-expressible → rows-only entry; the banding guarantee
     (every emitted pair has Hamming ≤ k; brute-force recall equality on
     small corpora) is property-tested.
+
+    HOT-BUCKET GUARD (``max_bucket=``, default off; VERDICT r10 #1): an
+    over-cap (band, key) group is pre-collapsed to a spanning star from
+    hub = min(doc, simhash) instead of the B(B−1)/2 clique — see
+    :func:`minhash_lsh_candidates` for the full rationale. Star edges
+    still pass through the ``bit_count(xor) ≤ max_hamming`` verify, so a
+    family member whose Hamming to the HUB exceeds ``max_hamming`` (but
+    is within it to some other member) is not emitted from that bucket —
+    cluster recall on genuinely near-identical families is unaffected
+    (Hamming ≈ 0 to every member incl. the hub; property-locked). With
+    the cap set the output gains a ``from_capped_bucket`` audit column
+    (1 = at least one of the pair's colliding buckets was over-cap).
 
     Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
     """
@@ -1591,9 +1721,63 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("doc", "simhash", "bk.band", "bk.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+    return _banded_sig_pairs(
+        banded,
+        sig_cols=["simhash"],
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def _banded_sig_pairs(
+    banded: DataFrame,
+    *,
+    sig_cols: list[str],
+    max_hamming: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared SimHash pairing tail over (doc, sig..., band, key) rows:
+    banded self-join → Hamming verify → dedup; with ``max_bucket`` set,
+    over-cap (band, key) groups emit a spanning star from
+    hub = min(doc) instead of the clique (same guard as
+    :func:`_capped_bucket_pairs`, signatures ride the window struct so
+    the star edge's Hamming is computable without a join)."""
+    ham = " + ".join(f"bit_count(a.{c} ^ b.{c})" for c in sig_cols)
+    if max_bucket is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(
+                F.col("a.doc").alias("doc_a"),
+                F.col("b.doc").alias("doc_b"),
+                F.expr(ham).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "key")
+    # min(struct(doc, sig...)) = the min-doc member WITH its signature —
+    # doc leads the struct so lexicographic struct ordering is doc order
+    sized = banded.select(
+        "doc",
+        *sig_cols,
+        "band",
+        "key",
+        F.count(F.lit(1)).over(wb).alias("bsz"),
+        F.min(F.struct("doc", *sig_cols)).over(wb).alias("hub"),
+    ).cache()  # feeds both branches (S7)
+    small = sized.filter(F.col("bsz") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    clique = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -1603,12 +1787,25 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr(ham).alias("hamming"),
+            F.lit(0).alias("capped"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
-    return pairs
+    star_ham = " + ".join(f"bit_count(hub.{c} ^ {c})" for c in sig_cols)
+    star = sized.filter(
+        (F.col("bsz") > max_bucket) & (F.col("doc") != F.col("hub.doc"))
+    ).select(
+        F.col("hub.doc").alias("doc_a"),
+        F.col("doc").alias("doc_b"),
+        F.expr(star_ham).alias("hamming"),
+        F.lit(1).alias("capped"),
+    )
+    return (
+        clique.unionByName(star)
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b", "hamming")
+        .agg(F.max("capped").alias("from_capped_bucket"))
+    )
 
 
 def duplicated_spans(

@@ -175,7 +175,18 @@ def concurrency_sweep(
 
     Reported at boundary grain: a day with zero boundaries (fully
     spanned by one long session) has no row — documented, the sweep is
-    about PEAKS and peaks move only at boundaries.
+    about PEAKS and peaks move only at boundaries. Corollary (ADVICE
+    r10): a day's reported max is the max over concurrency-AFTER-
+    boundary values WITHIN that day, so a level carried in from the
+    previous day is understated when the day's FIRST boundary is a
+    close — e.g. 10 sessions open overnight, one closes at 00:01 and
+    nothing else happens: the day reports 9, though 10 were concurrent
+    at midnight (that peak belongs to the boundary that created it, on
+    the previous day). Cross-midnight peak attribution needs synthetic
+    day-start boundaries carrying the running level; at the daily
+    capacity-planning grain the boundary-attribution convention is the
+    standard sweep-line answer, so it is documented rather than
+    re-modeled.
 
     Output: (day_str, max_concurrent, n_boundaries) per active day.
     """

@@ -691,7 +691,23 @@ def gopher_metric_exprs(
     so composers (``pipelines.corpus.corpus_profile``) can FUSE the
     columns into an existing projection instead of paying a second
     corpus scan plus an id join-back (VERDICT r9 #2);
-    :func:`gopher_quality` is the query-surface wrapper."""
+    :func:`gopher_quality` is the query-surface wrapper.
+
+    NON-LATIN-SCRIPT BIAS (ADVICE r9 #4, documented): mean word length
+    is measured in UTF-8 BYTES (cross-engine determinism — see the
+    sum_chars comment below), and Rae et al.'s [3, 10] mean-word-length
+    gate was calibrated on English. Scripts whose code points encode as
+    2 bytes (Cyrillic, Greek, Arabic, Hebrew) double the apparent mean
+    word length, and CJK (3 bytes, usually unsegmented by whitespace)
+    inflates it further — such documents systematically FAIL the
+    mean-word-length flag and the [A-Za-z]-based alpha-word flag even
+    when high-quality. These gates are English-corpus filters by
+    construction; for multilingual corpora, route non-Latin documents
+    (language-ID first) to per-script thresholds instead of reusing
+    these constants. A code-point grain would shrink but not remove the
+    bias (CJK stays unsegmented; astral code points still count 2 in
+    UTF-16 engines), which is why byte grain + documentation was chosen
+    over a silently-engine-divergent length()."""
     words = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
@@ -1837,6 +1853,7 @@ def bm25_hard_negatives(
     b: float = 0.75,
     top_k: int = 5,
     positives: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for embedding/contrastive training: for each
     query document, the top-k BM25-scored corpus documents that are NOT
@@ -1859,6 +1876,14 @@ def bm25_hard_negatives(
     ``positives``: optional (qid_col, id_col) pairs anti-joined out
     (labeled true pairs must not become negatives). Output:
     (qid, neg_id, n_terms_hit, bm25_u, rank).
+
+    EAGER by default: the output is bounded (≤ queries × top_k rows),
+    so it is ``localCheckpoint(eager=True)``-ed and the corpus-sized
+    per-doc length cache is unpersisted before returning (the
+    dot_topk_int8 rule — ADVICE r10 closed: a lazily-returned frame
+    would pin the 10M-row dl cache in executor storage for the
+    session). ``eager=False`` keeps the lazy plan (and the dl cache
+    pinned) — for plan inspection/tests only.
     """
     from pyspark.sql import Window
 
@@ -1919,7 +1944,7 @@ def bm25_hard_negatives(
     w = Window.partitionBy("qid").orderBy(
         F.col("bm25_u").desc(), F.col(id_col).asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= top_k)
         .select(
@@ -1930,6 +1955,11 @@ def bm25_hard_negatives(
             "rank",
         )
     )
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    dl.unpersist()
+    return out
 
 
 def readability_scores(

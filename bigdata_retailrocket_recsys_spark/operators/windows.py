@@ -325,6 +325,28 @@ def _sharded_prefix_sum(
     nondeterministic. The per-shard frame is CACHED (offsets derive
     from it; Spark never reuses the subtree) — same S7 price as
     `_sharded_global_rank`."""
+    out = _sharded_prefix_sums(
+        df, order_by, [weight_col], n_shards, partition_by
+    )
+    return out.withColumnsRenamed(
+        {f"__cum_{weight_col}": "__cum", f"__tot_{weight_col}": "__tot"}
+    )
+
+
+def _sharded_prefix_sums(
+    df: DataFrame,
+    order_by: list[Column],
+    weight_cols: list[str],
+    n_shards: int,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Multi-weight form of :func:`_sharded_prefix_sum`: ALL the
+    running sums ride ONE range exchange, one cached per-shard frame,
+    and one broadcast offset table — for consumers that need several
+    cumulative lines over the same axis (ks_two_sample's two ECDFs;
+    ADVICE r10: the two single-weight calls each re-ran the base
+    scan+collapse). Adds ``__cum_<col>``/``__tot_<col>`` per weight
+    column."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     grp = [F.col(c) for c in (partition_by or [])]
@@ -332,16 +354,16 @@ def _sharded_prefix_sum(
     part = df.repartitionByRange(n_shards, *grp, *order_by).withColumn(
         "__shard", F.spark_partition_id()
     )
-    local = part.withColumn(
-        "__lcum",
-        F.sum(weight_col).over(
-            Window.partitionBy("__shard", *gnames)
-            .orderBy(*order_by)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    w_cum = (
+        Window.partitionBy("__shard", *gnames)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumns(
+        {f"__lcum_{wc}": F.sum(wc).over(w_cum) for wc in weight_cols}
     ).cache()
     counts = local.groupBy("__shard", *gnames).agg(
-        F.sum(weight_col).alias("__cnt")
+        *[F.sum(wc).alias(f"__cnt_{wc}") for wc in weight_cols]
     )
     w_prev = Window.partitionBy(*gnames).orderBy("__shard").rowsBetween(
         Window.unboundedPreceding, -1
@@ -352,26 +374,35 @@ def _sharded_prefix_sum(
     offs = counts.select(
         "__shard",
         *gnames,
-        F.coalesce(F.sum("__cnt").over(w_prev), F.lit(0))
-        .cast("bigint")
-        .alias("__coff"),
-        F.sum("__cnt").over(w_all).cast("bigint").alias("__tot"),
+        *[
+            F.coalesce(F.sum(f"__cnt_{wc}").over(w_prev), F.lit(0))
+            .cast("bigint")
+            .alias(f"__coff_{wc}")
+            for wc in weight_cols
+        ],
+        *[
+            F.sum(f"__cnt_{wc}")
+            .over(w_all)
+            .cast("bigint")
+            .alias(f"__tot_{wc}")
+            for wc in weight_cols
+        ],
     )
     loc, off = local.alias("__l"), offs.alias("__o")
     cond = F.col("__l.__shard") == F.col("__o.__shard")
     for g in gnames:
         cond = cond & F.col(f"__l.{g}").eqNullSafe(F.col(f"__o.{g}"))
-    return (
-        loc.join(F.broadcast(off), cond)
-        .select(
-            "__l.*",
-            (F.col("__l.__lcum") + F.col("__o.__coff"))
+    out = loc.join(F.broadcast(off), cond).select(
+        "__l.*",
+        *[
+            (F.col(f"__l.__lcum_{wc}") + F.col(f"__o.__coff_{wc}"))
             .cast("bigint")
-            .alias("__cum"),
-            F.col("__o.__tot").alias("__tot"),
-        )
-        .drop("__lcum")
+            .alias(f"__cum_{wc}")
+            for wc in weight_cols
+        ],
+        *[F.col(f"__o.__tot_{wc}").alias(f"__tot_{wc}") for wc in weight_cols],
     )
+    return out.drop(*[f"__lcum_{wc}" for wc in weight_cols])
 
 
 def global_rank(

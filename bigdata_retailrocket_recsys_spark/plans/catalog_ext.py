@@ -13044,8 +13044,10 @@ _PSI_ORACLE_CONTRIB = PSI_CONTRIB_SQL.format(
         FROM c CROSS JOIN t
     )
     SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(m) AS n_buckets,
-           CAST(SUM({_PSI_ORACLE_CONTRIB}) AS BIGINT) AS psi_u,
-           CAST(SUM({_PSI_ORACLE_CONTRIB}) AS DOUBLE) / 1e6 AS psi
+           GREATEST(CAST(SUM({_PSI_ORACLE_CONTRIB}) AS BIGINT),
+                    CAST(0 AS BIGINT)) AS psi_u,
+           CAST(GREATEST(CAST(SUM({_PSI_ORACLE_CONTRIB}) AS BIGINT),
+                         CAST(0 AS BIGINT)) AS DOUBLE) / 1e6 AS psi
     FROM j
     """,
 )

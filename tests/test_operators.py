@@ -4764,10 +4764,11 @@ def test_ks_two_sample_identical_and_shifted(spark):
 
 
 def test_psi_drift_identical_is_near_zero(spark):
-    """Identical bucket distributions -> psi ~ 0 (exactly 0 up to the
-    µ-floor, which can leave tiny negative contributions: floor(-0+) =
-    -1 per bucket worst case); a hard shift -> clearly positive psi.
-    Laplace smoothing keeps one-sided buckets finite."""
+    """Identical bucket distributions -> psi EXACTLY 0: the µ-floor can
+    shave each mathematically-zero bucket's IEEE-noise contribution down
+    to −1µ, and the output-level GREATEST clamp (ADVICE r10 — PSI is
+    defined ≥ 0) brings the sum back to 0. A hard shift -> clearly
+    positive psi. Laplace smoothing keeps one-sided buckets finite."""
     from bigdata_retailrocket_recsys_spark.operators.aggregates import (
         psi_drift,
     )
@@ -4780,7 +4781,7 @@ def test_psi_drift_identical_is_near_zero(spark):
         df, bucket_col="bk", group_col="g", group_a="a", group_b="b"
     ).collect()[0]
     assert (r.n_a, r.n_b, r.n_buckets) == (100, 100, 5)
-    assert -5 <= r.psi_u <= 0  # floor can shave 1µ per bucket
+    assert r.psi_u == 0 and r.psi == 0.0  # clamp: never negative
     shifted = [(0, "a")] * 100 + [(9, "b")] * 100
     df2 = spark.createDataFrame(shifted, "bk bigint, g string")
     r2 = psi_drift(

@@ -615,13 +615,42 @@ def test_hard_negatives_broadcast_terms_and_group_limit(spark):
     """bm25_hard_negatives: the benchmark-sized query term set joins as
     a broadcast (never shuffling the corpus bag against it as SMJ on
     term alone... the tf/df joins may SMJ, but no quadratic shape), and
-    the per-query top-k pushes below the window as WindowGroupLimit."""
+    the per-query top-k pushes below the window as WindowGroupLimit.
+    Inspected through eager=False — the production form checkpoints the
+    bounded output (its visible plan is just the checkpoint scan) and
+    frees the dl cache (ADVICE r10)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        bm25_hard_negatives,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    qd = (
+        docs.filter(
+            F.col("doc_id").isNotNull()
+            & F.col("text").isNotNull()
+            & (F.octet_length("text") >= 30)
+        )
+        .select(F.col("doc_id").alias("q_id"), F.col("text").alias("q_text"))
+        .orderBy(F.col("q_id").asc())
+        .limit(3)
+    )
     plan = plan_str(
-        QUERIES["q_mine_hard_negatives"].fn(spark, SF_DIR), "simple"
+        bm25_hard_negatives(docs, qd, eager=False), "simple"
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
+    # production form: checkpointed output, dl cache released
+    eager_plan = plan_str(
+        QUERIES["q_mine_hard_negatives"].fn(spark, SF_DIR), "simple"
+    )
+    assert "ExistingRDD" in eager_plan or "LogicalRDD" in eager_plan, (
+        eager_plan
+    )
+    spark.catalog.clearCache()
 
 
 def test_rolling_distinct_equi_only(spark):

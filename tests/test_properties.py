@@ -938,3 +938,141 @@ def test_simhash128_banding_recall_equals_bruteforce(spark, docs):
             ).collect()
         }
         assert got == exp, (nb, got, exp)
+
+
+def _hot_bucket_docs():
+    """Planted hot-bucket corpus: one templated family of 120 IDENTICAL
+    docs (identical shingle sets → identical signatures → every band is
+    one 120-member bucket — the boilerplate-crawl adversary), 10 planted
+    small true-dup pairs (identical text per pair, distinct across
+    pairs), and 20 unique-word singleton docs."""
+    fam_text = "the quick brown fox jumps over the lazy dog again today"
+    rows = [(i, fam_text) for i in range(120)]
+    for p in range(10):
+        t = f"planted pair {p} shares every single one of its tokens p{p}"
+        rows += [(1000 + 2 * p, t), (1000 + 2 * p + 1, t)]
+    rows += [
+        (2000 + i, " ".join(f"u{i}_{j}" for j in range(12))) for i in range(20)
+    ]
+    return rows
+
+
+def test_lsh_hot_bucket_cap_minhash(spark):
+    """VERDICT r10 #1 lock: the max_bucket guard bounds the in-bucket
+    self-join LINEARLY on a planted hot bucket while (a) leaving every
+    below-cap bucket byte-identical to the uncapped clique, (b) keeping
+    recall on the planted small true dups unchanged (lsh_audit: every
+    new miss is exactly a collapsed family non-hub pair), and (c)
+    preserving CLUSTER recall — connected components over the verified
+    capped pairs still put the whole family in ONE component."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components_bigstar,
+        jaccard_verify,
+        lsh_audit,
+        minhash_lsh_candidates,
+    )
+
+    F_SZ = 120
+    df = spark.createDataFrame(_hot_bucket_docs(), ["doc_id", "text"])
+    unc = minhash_lsh_candidates(df).collect()
+    cap = minhash_lsh_candidates(df, max_bucket=50).collect()
+    fam_quad = F_SZ * (F_SZ - 1) // 2
+    # uncapped: quadratic family clique (+ planted pairs + incidental
+    # band-slice false alarms — inherent to LSH, verified away later)
+    unc_fam = {
+        (r.doc_a, r.doc_b) for r in unc if r.doc_a < F_SZ and r.doc_b < F_SZ
+    }
+    assert len(unc_fam) == fam_quad
+    # capped: the family collapses to a LINEAR star from hub = min doc
+    cap_fam = {
+        (r.doc_a, r.doc_b) for r in cap if r.doc_a < F_SZ and r.doc_b < F_SZ
+    }
+    assert cap_fam == {(0, b) for b in range(1, F_SZ)}
+    assert len(cap) < len(unc)
+    planted = {(1000 + 2 * p, 1000 + 2 * p + 1) for p in range(10)}
+    kept = {
+        (r.doc_a, r.doc_b): (r.n_shared_bands, r.n_capped_bands) for r in cap
+    }
+    unc_bands = {(r.doc_a, r.doc_b): r.n_shared_bands for r in unc}
+    for pr in planted:  # below-cap buckets: clique evidence unchanged
+        assert kept[pr] == (unc_bands[pr], 0)
+    # (b) audit: misses appear ONLY from the family's star collapse
+    a_unc = lsh_audit(df).collect()[0]
+    a_cap = lsh_audit(df, max_bucket=50).collect()[0]
+    assert a_unc.n_misses == 0
+    assert a_cap.n_misses == fam_quad - (F_SZ - 1)
+    assert a_cap.n_hits == (F_SZ - 1) + 10
+    # (c) cluster recall: CC over verified capped pairs = one family
+    # component + 10 pair components
+    ver = jaccard_verify(
+        spark.createDataFrame(
+            [(a, b) for (a, b) in kept], ["doc_a", "doc_b"]
+        ),
+        df,
+        min_jaccard=0.8,
+    )
+    nodes = df.selectExpr("doc_id as node")
+    comp = connected_components_bigstar(
+        nodes, ver, src_col="doc_a", dst_col="doc_b"
+    )
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in comp.collect())
+    by_size = Counter(sizes.values())
+    assert by_size[F_SZ] == 1  # the family is ONE component
+    assert by_size[2] == 10  # planted pairs intact
+    # high cap (never fires) == uncapped values, audit col all-zero
+    hi = minhash_lsh_candidates(df, max_bucket=10**6).collect()
+    assert {(r.doc_a, r.doc_b, r.n_shared_bands) for r in hi} == {
+        (r.doc_a, r.doc_b, r.n_shared_bands) for r in unc
+    }
+    assert all(r.n_capped_bands == 0 for r in hi)
+
+
+def test_lsh_hot_bucket_cap_simhash_and_vs_corpus(spark):
+    """Same guard on the SimHash tiers (star edges verified by Hamming —
+    an identical family has Hamming 0 to its hub, so connectivity
+    survives) and on the bipartite vs-corpus path (deterministic
+    min-doc-id representatives + overflow audit)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_lsh_candidates_vs_corpus,
+        minhash_signatures_table,
+        simhash128_near_pairs,
+        simhash_near_pairs,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.scratch import (
+        session_scratch,
+    )
+
+    F_SZ = 120
+    rows = _hot_bucket_docs()
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for fn in (simhash_near_pairs, simhash128_near_pairs):
+        got = fn(df, max_bucket=50).collect()
+        fam = [r for r in got if r.doc_a < F_SZ and r.doc_b < F_SZ]
+        assert {(r.doc_a, r.doc_b) for r in fam} == {
+            (0, b) for b in range(1, F_SZ)
+        }, fn.__name__
+        assert all(r.hamming == 0 and r.from_capped_bucket == 1 for r in fam)
+        planted = [
+            r for r in got if r.doc_a >= 1000 and r.doc_b >= 1000
+        ]
+        assert len(planted) == 10 and all(
+            r.from_capped_bucket == 0 for r in planted
+        )
+    # bipartite: batch doc colliding with the capped family meets exactly
+    # the max_bucket smallest corpus ids, overflow audited
+    p = session_scratch(spark, "hotbucket_sigs")
+    minhash_signatures_table(df, p)
+    sigs = spark.read.parquet(p)
+    batch = spark.createDataFrame(
+        [(9000, rows[0][1])], ["doc_id", "text"]
+    )
+    got = minhash_lsh_candidates_vs_corpus(
+        batch, corpus_signatures=sigs, max_bucket=10
+    ).collect()
+    assert {r.corpus_doc for r in got} == set(range(10))
+    assert all(
+        r.n_shared_bands == 4 and r.max_bucket_overflow >= F_SZ - 10
+        for r in got
+    )
