@@ -13145,3 +13145,91 @@ def q_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("index_ppm"),
         )
     )
+
+
+@query(
+    "q_multimodal_neardup_cdc",
+    oracle=r"""
+    WITH a AS (
+        SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL
+          AND octet_length(encode(text)) >= 1
+    ), b AS (
+        SELECT asset_id, hx, n,
+               list_filter(
+                   list_transform(
+                       CASE WHEN n >= 8 THEN generate_series(8, n)
+                            ELSE [] END,
+                       i -> CASE WHEN substring(
+                                     md5(substring(hx, 2*(i-8)+1, 16)),
+                                     1, 2) < '04'
+                                 THEN i END),
+                   x -> x IS NOT NULL AND x < n) AS bnds
+        FROM a
+    ), d AS (
+        SELECT asset_id, hx, n, bnds,
+               unnest(generate_series(1, len(bnds) + 1)) AS k
+        FROM b
+    ), c AS (
+        SELECT asset_id,
+               md5(substring(
+                   hx,
+                   (CASE WHEN k = 1 THEN 0 ELSE bnds[k-1] END) * 2 + 1,
+                   ((CASE WHEN k = len(bnds) + 1 THEN n ELSE bnds[k] END)
+                    - (CASE WHEN k = 1 THEN 0 ELSE bnds[k-1] END)) * 2
+               )) AS ch
+        FROM d
+    ), sh AS (
+        SELECT DISTINCT asset_id AS doc, ch AS shingle FROM c
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+    ), common AS (
+        SELECT a2.doc AS doc_a, b2.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a2 JOIN sh b2
+          ON a2.shingle = b2.shingle AND a2.doc < b2.doc
+        GROUP BY a2.doc, b2.doc
+    )
+    SELECT doc_a, doc_b, n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE)
+               / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+              / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def q_multimodal_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY near-dup at CONTENT-DEFINED chunk grain (VERDICT r10 #4):
+    same composition as q_multimodal_neardup but with
+    operators/multimodal.chunk_binary_cdc — rolling-fingerprint
+    boundaries (md5 of each trailing 8-byte window's hex, cut when the
+    2-hex-char prefix < '04' ≈ 1/64 per position, expected 64-byte
+    chunks), so an INSERTED byte shifts only the chunk containing the
+    edit instead of every later chunk (insert-shift robustness
+    unit-locked in tests/test_operators.py). DuckDB replays the exact
+    boundary rule with list_transform/list_filter over the hex
+    rendering and hashes the same hex slices (the q_multimodal_chunk
+    hex-injectivity trick); Jaccard is ONE IEEE division over exact
+    integer counts."""
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        chunk_binary_cdc,
+    )
+
+    assets = attach_fake_media(
+        _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        ),
+        id_col="doc_id",
+        payload_from="text",
+    )
+    chunks = chunk_binary_cdc(assets, avg_chunk_bytes=64, window_bytes=8)
+    sh = chunks.select(
+        F.col("asset_id").alias("doc"),
+        F.md5(F.hex("chunk")).alias("shingle"),
+    ).distinct()
+    return ngram_jaccard_pairs(shingles=sh, min_jaccard=0.5)

@@ -510,6 +510,75 @@ def probe_r10ops(n_docs: int) -> None:
     docs.unpersist()
 
 
+def probe_hotbucket(n_family: int, n_filler: int = 90_000) -> None:
+    """Degenerate-corpus probe for the LSH hot-bucket guard (VERDICT r10
+    #1 done-criterion): one templated family of ``n_family`` IDENTICAL
+    docs (every band is one family-sized bucket — the boilerplate-crawl
+    adversary that exact dedup would catch here but not when each copy
+    differs by a timestamp) + ``n_filler`` unique filler docs. Measures
+    the uncapped quadratic clique vs the capped linear star for MinHash
+    and SimHash. At n_family=1e5 the uncapped form would emit ~5×10⁹
+    pairs from ONE bucket — run uncapped only while C(n,2) stays
+    countable."""
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_pairs,
+    )
+
+    fam_text = " ".join(f"tmpl{j}" for j in range(30))
+    fam = spark.range(n_family).select(
+        F.col("id").alias("doc_id"), F.lit(fam_text).alias("text")
+    )
+    filler = synth_documents(spark, n_filler).select(
+        (F.col("doc_id") + n_family).alias("doc_id"), "text"
+    )
+    docs = fam.unionByName(filler).repartition(64).cache()
+    print(f"[hotbucket] docs: {docs.count():,} (family {n_family:,})", flush=True)
+
+    if n_family <= 20_000:
+        t0 = time.time()
+        n_unc = minhash_lsh_candidates(docs).count()
+        print(
+            f"[hotbucket] minhash UNCAPPED: {n_unc:,} pairs "
+            f"in {time.time() - t0:.1f}s",
+            flush=True,
+        )
+    else:
+        print(
+            f"[hotbucket] minhash UNCAPPED skipped: would emit "
+            f"~{n_family * (n_family - 1) // 2:,} pairs from one bucket",
+            flush=True,
+        )
+    t0 = time.time()
+    cap = minhash_lsh_candidates(docs, max_bucket=256)
+    r = cap.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("n_capped_bands") > 0, 1).otherwise(0)).alias(
+            "n_star"
+        ),
+    ).collect()[0]
+    print(
+        f"[hotbucket] minhash capped(256): {r['n']:,} pairs "
+        f"({r['n_star']:,} star) in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    t0 = time.time()
+    sc = simhash_near_pairs(docs, max_bucket=256)
+    r2 = sc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("from_capped_bucket").alias("n_star"),
+    ).collect()[0]
+    print(
+        f"[hotbucket] simhash capped(256): {r2['n']:,} pairs "
+        f"({r2['n_star']:,} star) in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    docs.unpersist()
+
+
 def synth_events(spark: SparkSession, n: int):
     """Synthetic event stream: ``n`` events over 30 days, n//50 users,
     5 types (purchase rare), deterministic value column."""
@@ -655,8 +724,11 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
         "probe",
-        choices=["tpch", "ops", "corpus", "spans", "r10ops", "r10s3"],
+        choices=[
+            "tpch", "ops", "corpus", "spans", "r10ops", "r10s3", "hotbucket",
+        ],
     )
+    p.add_argument("--family", type=int, default=10_000)
     p.add_argument("--copies", type=int, default=20)
     p.add_argument("--docs", type=int, default=1_000_000)
     p.add_argument("--edges", type=int, default=3_000_000)
@@ -677,6 +749,8 @@ def main() -> None:
         probe_r10ops(a.docs)
     elif a.probe == "r10s3":
         probe_r10s3(a.docs, a.events)
+    elif a.probe == "hotbucket":
+        probe_hotbucket(a.family)
     else:
         probe_ops(a.docs, a.edges)
 
