@@ -1880,6 +1880,55 @@ def _span_tok_frame(
     )
 
 
+def _positioned_ngram_keys(
+    tok: DataFrame, *, n: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """(__d, __s, __k) positioned n-gram key rows over a
+    :func:`_span_tok_frame` — the tokenize-once lead-window shingle
+    producer shared by the batch-global span pass, the persisted
+    ngram-count artifact, and the incremental vs-corpus pass (so all
+    three agree byte-for-byte on what an n-gram key is)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__d").orderBy("__p")
+    leads = [F.col("__t")] + [F.lead("__t", j).over(w) for j in range(1, n)]
+    gram = F.concat_ws(" ", *leads)
+    if hash_fn == "xxhash64":
+        key = F.xxhash64(gram)
+    elif hash_fn == "md5":
+        key = F.md5(gram)
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return (
+        tok.select(
+            "__d",
+            F.col("__p").alias("__s"),
+            key.alias("__k"),
+            leads[-1].isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .drop("__full")
+    )
+
+
+def _islands_from_starts(starts: DataFrame, *, n: int) -> DataFrame:
+    """(__d, span_start, span_len) maximal islands over duplicated-start
+    rows (__d, __s): per-doc gaps-and-islands via the ``start −
+    row_number`` grouping key — one window, one aggregate per island."""
+    from pyspark.sql import Window
+
+    wisl = Window.partitionBy("__d").orderBy("__s")
+    islands = starts.withColumn(
+        "__grp", F.col("__s") - F.row_number().over(wisl)
+    )
+    return islands.groupBy("__d", "__grp").agg(
+        F.min("__s").cast("bigint").alias("span_start"),
+        (F.max("__s") - F.min("__s") + F.lit(n)).cast("bigint").alias(
+            "span_len"
+        ),
+    ).select("__d", "span_start", "span_len")
+
+
 def _span_islands_lazy(
     tok: DataFrame, *, n: int, min_occurrences: int
 ) -> "tuple[DataFrame, DataFrame]":
@@ -1890,21 +1939,7 @@ def _span_islands_lazy(
     semi-join, and Spark never reuses a twice-referenced exchange (S7).
     The caller must materialize ``islands`` and then ``spans.unpersist()``
     — the public wrappers do exactly that."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__d").orderBy("__p")
-    leads = [F.col("__t")] + [F.lead("__t", j).over(w) for j in range(1, n)]
-    spans = (
-        tok.select(
-            "__d",
-            F.col("__p").alias("__s"),
-            F.xxhash64(F.concat_ws(" ", *leads)).alias("__k"),
-            leads[-1].isNotNull().alias("__full"),
-        )
-        .filter(F.col("__full"))
-        .drop("__full")
-        .cache()
-    )
+    spans = _positioned_ngram_keys(tok, n=n, hash_fn="xxhash64").cache()
     dup_keys = (
         spans.groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__occ"))
@@ -1912,17 +1947,107 @@ def _span_islands_lazy(
         .select("__k")
     )
     starts = spans.join(dup_keys, "__k", "left_semi").select("__d", "__s")
-    wisl = Window.partitionBy("__d").orderBy("__s")
-    islands = starts.withColumn(
-        "__grp", F.col("__s") - F.row_number().over(wisl)
-    )
-    out = islands.groupBy("__d", "__grp").agg(
-        F.min("__s").cast("bigint").alias("span_start"),
-        (F.max("__s") - F.min("__s") + F.lit(n)).cast("bigint").alias(
-            "span_len"
-        ),
-    ).select("__d", "span_start", "span_len")
+    out = _islands_from_starts(starts, n=n)
     return out, spans
+
+
+def ngram_count_table(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Persisted corpus-wide n-gram occurrence counts ``(gram_key,
+    n_occ)`` — the at-rest artifact that makes exact-substring dedup
+    INCREMENTAL (VERDICT r10 #5: the batch-global
+    :func:`duplicated_spans` re-pays the whole-corpus n-gram pass on
+    every daily delta; with this table the corpus is tokenized ONCE per
+    snapshot, the :func:`content_digest_table` /
+    :func:`minhash_signatures_table` pattern applied to spans).
+
+    ``mode="append"`` is the COMMIT half of the loop: append a
+    committed batch's counts as DELTA rows — readers
+    (:func:`duplicated_spans_vs_corpus`) aggregate ``sum(n_occ)`` per
+    key, so delta rows keep the next increment exact without
+    rewriting the table (the digest-append discipline; at compaction
+    time a groupBy-sum rewrite is equivalent). Keys come from the
+    shared :func:`_positioned_ngram_keys` producer, so the artifact,
+    the batch pass, and the batch-global pass can never disagree on
+    n-gram identity."""
+    tok = _span_tok_frame(docs, id_col=id_col, text_col=text_col)
+    counts = (
+        _positioned_ngram_keys(tok, n=n, hash_fn=hash_fn)
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+        .select(F.col("__k").alias("gram_key"), "n_occ")
+    )
+    counts.write.mode(mode).parquet(path)
+
+
+def duplicated_spans_vs_corpus(
+    batch: DataFrame,
+    *,
+    corpus_ngrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_occurrences: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental exact-substring duplication finder — the daily-delta
+    companion to :func:`duplicated_spans` (VERDICT r10 #5): maximal
+    spans of the BATCH whose every ``n``-gram occurs at least
+    ``min_occurrences`` times across corpus ∪ batch, where the corpus
+    is represented ONLY by its persisted :func:`ngram_count_table`
+    (summed per key — delta append rows are exact): corpus text is
+    never read, never re-tokenized, never shuffled.
+
+    COMPOSITION INVARIANT (the correctness contract, unit-locked and
+    value-hashed by the two-increment oracle entry): this equals
+    ``duplicated_spans(corpus ∪ batch)`` restricted to batch documents
+    — total occurrences = corpus table counts + within-batch counts,
+    exactly the union's counts.
+
+    Shape: one by-doc shingle pass over the BATCH only (cached — feeds
+    the count aggregate and the start semi-join, S7), one key-grain
+    join against the artifact (8-byte xxhash64 keys by default; the
+    artifact's ``hash_fn`` must match), per-doc gaps-and-islands, then
+    the bounded island output is eagerly checkpointed and the cache
+    freed (the duplicated_spans rule).
+
+    Output: (id, span_start [0-based token index], span_len [tokens]).
+    """
+    tok = _span_tok_frame(batch, id_col=id_col, text_col=text_col)
+    spans = _positioned_ngram_keys(tok, n=n, hash_fn=hash_fn).cache()
+    bc = spans.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__bc")
+    )
+    cc = corpus_ngrams.groupBy("gram_key").agg(
+        F.sum("n_occ").cast("bigint").alias("__cc")
+    )
+    dup_keys = (
+        bc.join(cc, bc["__k"] == cc["gram_key"], "left")
+        .select(
+            "__k",
+            (F.col("__bc") + F.coalesce(F.col("__cc"), F.lit(0))).alias(
+                "__tot"
+            ),
+        )
+        .filter(F.col("__tot") >= min_occurrences)
+        .select("__k")
+    )
+    starts = spans.join(dup_keys, "__k", "left_semi").select("__d", "__s")
+    out = (
+        _islands_from_starts(starts, n=n)
+        .select(F.col("__d").alias(id_col), "span_start", "span_len")
+        .localCheckpoint(eager=True)
+    )
+    spans.unpersist()
+    return out
 
 
 def strip_duplicated_spans(

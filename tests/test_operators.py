@@ -4882,3 +4882,74 @@ def test_seasonal_dow_profile_weekday_math(spark):
     rows = b.orderBy("dow").collect()
     assert [r.dow for r in rows] == list(range(7))
     assert rows[1].dow == 1 and (19723 + 4) % 7 == 1  # Monday anchor
+
+
+def test_duplicated_spans_vs_corpus_composition(spark, tmp_path):
+    """Incremental substring dedup (VERDICT r10 #5) equals the
+    batch-global pass over the union, restricted to the batch — and the
+    append COMMIT keeps increment 2 exact w.r.t. increment 1's n-grams
+    without ever re-reading corpus text."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        duplicated_spans,
+        duplicated_spans_vs_corpus,
+        ngram_count_table,
+    )
+
+    shared01 = "alpha beta gamma delta epsilon zeta"  # day0 ↔ day1 dup
+    shared12 = "one two three four five six seven"    # day1 ↔ day2 dup
+    day0 = [(1, f"intro {shared01} outro0"), (2, "plain old text here x y z w v")]
+    day1 = [
+        (10, f"lead {shared01} tail1"),          # dup vs CORPUS only
+        (11, f"pre {shared12} post"),            # dup only after day2? no — within union day0∪day1 it is unique
+        (12, "completely novel tokens q r s t u"),
+    ]
+    day2 = [
+        (20, f"again {shared12} end"),           # dup vs COMMITTED day1
+        (21, "fresh unseen words aa bb cc dd ee"),
+    ]
+    d0 = spark.createDataFrame(day0, ["doc_id", "text"])
+    d1 = spark.createDataFrame(day1, ["doc_id", "text"])
+    d2 = spark.createDataFrame(day2, ["doc_id", "text"])
+
+    path = str(tmp_path / "ngrams")
+    ngram_count_table(d0, path, n=5)
+    t = spark.read.parquet(path)
+    got1 = sorted(
+        tuple(r) for r in duplicated_spans_vs_corpus(
+            d1, corpus_ngrams=t, n=5, min_occurrences=2
+        ).collect()
+    )
+    exp1 = sorted(
+        tuple(r)
+        for r in duplicated_spans(
+            d0.unionByName(d1), n=5, min_occurrences=2
+        ).collect()
+        if r[0] >= 10
+    )
+    assert got1 == exp1 and len(got1) >= 1  # the shared01 span found
+    assert all(did == 10 for did, *_ in got1)  # 11/12 have no union dup
+
+    # WITHOUT the commit, day2's shared12 span is invisible (proves the
+    # append is what carries day1 state forward) — checked BEFORE the
+    # append so the pre-commit state is unambiguous
+    got2_stale = duplicated_spans_vs_corpus(
+        d2, corpus_ngrams=t, n=5, min_occurrences=2
+    ).collect()
+    assert got2_stale == []
+
+    # COMMIT: append day1 counts; day2 must now see day1's n-grams
+    ngram_count_table(d1, path, n=5, mode="append")
+    t2 = spark.read.parquet(path)
+    got2 = sorted(
+        tuple(r) for r in duplicated_spans_vs_corpus(
+            d2, corpus_ngrams=t2, n=5, min_occurrences=2
+        ).collect()
+    )
+    exp2 = sorted(
+        tuple(r)
+        for r in duplicated_spans(
+            d0.unionByName(d1).unionByName(d2), n=5, min_occurrences=2
+        ).collect()
+        if r[0] >= 20
+    )
+    assert got2 == exp2 and [did for did, *_ in got2] == [20]
