@@ -42,6 +42,21 @@ _only = set(filter(None, os.environ.get("BDRR_ONLY", "").split(",")))
 if _only:
     qs = {k: v for k, v in qs.items() if k in _only}
 
+def _storage_now() -> tuple[int, int]:
+    """(bytes, n_rdds) currently pinned in executor storage — caches AND
+    eager localCheckpoints (both surface in getRDDStorageInfo)."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return sum(i.memSize() + i.diskSize() for i in infos), len(infos)
+
+
+# Rehearsal-long executor-storage ledger (VERDICT r10 #9): corpus-sized
+# caches that legitimately outlive one call (documented in their
+# operators) must not ACCUMULATE across a full-catalog session. The
+# external driver never calls clearCache between queries, so neither do
+# we — instead the peak and final pinned bytes are asserted bounded.
+_peak_bytes = 0
+_peak_after = ""
+
 bad = []
 for i, name in enumerate(sorted(qs)):
     try:
@@ -101,5 +116,19 @@ for i, name in enumerate(sorted(qs)):
     except Exception as ex:  # noqa: BLE001 — rehearsal must visit every query
         print(f"{i + 1:3d} {name}: ERROR {type(ex).__name__}: {str(ex)[:150]}", flush=True)
         bad.append(name)
+    finally:
+        _b, _n = _storage_now()
+        if _b > _peak_bytes:
+            _peak_bytes, _peak_after = _b, name
+_final_bytes, _final_rdds = _storage_now()
+_bound = int(os.environ.get("BDRR_STORAGE_BOUND_MB", "512")) * 1024 * 1024
+print(
+    f"STORAGE: final {_final_bytes / 1048576:.1f} MiB across "
+    f"{_final_rdds} pinned RDDs; peak {_peak_bytes / 1048576:.1f} MiB "
+    f"(after {_peak_after}); bound {_bound / 1048576:.0f} MiB",
+    flush=True,
+)
+if _peak_bytes > _bound:
+    bad.append(f"__storage_peak_{_peak_bytes}")
 print("BAD:", bad)
 sys.exit(1 if bad else 0)

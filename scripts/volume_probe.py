@@ -602,6 +602,90 @@ def synth_events(spark: SparkSession, n: int):
     )
 
 
+def probe_prefix(n_events: int) -> None:
+    """100M-row probe of the _sharded_prefix_sum family (VERDICT r10
+    #8): weighted_median / max-concurrency sweep / two-sample KS were
+    measured only to 10M — this runs them at the soak's volume, where
+    the 100M soak found the auto-broadcast cliff. Shard-offset geometry
+    under test: range exchange + per-shard cumsum + broadcast offset
+    table, never a single-reducer window."""
+    shuffle_parts = max(64, n_events // 500_000)
+    spark = get_spark(shuffle_partitions=shuffle_parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    if n_events >= 50_000_000:
+        # the 100M-soak discipline: a runtime-estimated auto-broadcast
+        # building inside one JVM saturated by concurrent sort tasks is
+        # the measured failure mode at this volume
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        ks_two_sample,
+        weighted_median,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.sessionize import (
+        concurrency_sweep,
+    )
+
+    base = spark.range(n_events).repartition(256)
+    rows = base.select(
+        F.pmod(F.xxhash64("id"), F.lit(5)).alias("grp"),
+        F.pmod(F.xxhash64(F.col("id") + 7), F.lit(100_000)).alias("v"),
+        (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(9)) + 1).alias("w"),
+    )
+    t0 = time.time()
+    med = weighted_median(
+        rows, group_col="grp", value_col="v", weight_col="w"
+    ).collect()
+    print(
+        f"[prefix] weighted_median over {n_events:,} rows / 5 groups / "
+        f"100k values: {sorted((r['grp'], r['w_median']) for r in med)} "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    ks_rows = base.select(
+        (F.pmod(F.xxhash64(F.col("id") + 3), F.lit(1_000_000)).cast("double")
+         / F.lit(1000.0)).alias("v"),
+        F.when(F.pmod(F.xxhash64(F.col("id") + 5), F.lit(2)) == 0, "a")
+        .otherwise("b")
+        .alias("g"),
+    )
+    r = ks_two_sample(
+        ks_rows, value_col="v", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    print(
+        f"[prefix] ks_two_sample over {n_events:,} rows / 1M distinct "
+        f"values: d={r['ks_d']:.6f} in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    n_sessions = n_events // 2
+    sess = spark.range(n_sessions).repartition(256).select(
+        F.col("id").alias("session_id"),
+        F.pmod(F.xxhash64("id"), F.lit(30 * 86400)).alias("s0"),
+    ).select(
+        "session_id",
+        (F.col("s0") * 1_000_000).alias("start_us"),
+        ((F.col("s0") + 600 + F.pmod(F.xxhash64(F.col("session_id") + 3),
+                                     F.lit(3600))) * 1_000_000).alias(
+            "end_us"
+        ),
+    )
+    days = concurrency_sweep(sess).orderBy(F.desc("max_concurrent")).limit(3)
+    top = [(r["day_str"], r["max_concurrent"]) for r in days.collect()]
+    print(
+        f"[prefix] concurrency_sweep over {n_sessions:,} sessions "
+        f"({n_events:,} boundaries): peak days {top} "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+
 def probe_r10s3(n_docs: int, n_events: int) -> None:
     """Round-10 session-3 operators at volume: per-domain n-gram
     diversity (the Expand-×3 multi-distinct agg), BM25 hard negatives
@@ -726,6 +810,7 @@ def main() -> None:
         "probe",
         choices=[
             "tpch", "ops", "corpus", "spans", "r10ops", "r10s3", "hotbucket",
+            "prefix",
         ],
     )
     p.add_argument("--family", type=int, default=10_000)
@@ -751,6 +836,8 @@ def main() -> None:
         probe_r10s3(a.docs, a.events)
     elif a.probe == "hotbucket":
         probe_hotbucket(a.family)
+    elif a.probe == "prefix":
+        probe_prefix(a.events)
     else:
         probe_ops(a.docs, a.edges)
 
