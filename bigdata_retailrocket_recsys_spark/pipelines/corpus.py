@@ -70,6 +70,7 @@ def build_corpus(
     near_dup_num_hashes: int = 16,
     near_dup_bands: int = 4,
     near_dup_min_jaccard: float = 0.5,
+    near_dup_max_bucket: int | None = None,
     strip_substrings: bool = False,
     substring_n: int = 5,
     substring_min_occurrences: int = 2,
@@ -170,6 +171,10 @@ def build_corpus(
         # twice-referenced exchange; VERDICT r9 #5)
         train = train.cache()
     if near_dup:
+        # near_dup_max_bucket: the hot-bucket star guard (VERDICT r10
+        # #1) — None (default) keeps the oracle-tier clique; set it for
+        # boilerplate-heavy crawls where one templated family would
+        # flood jaccard_verify from a single bucket
         cand = minhash_lsh_candidates(
             train,
             id_col=id_col,
@@ -178,6 +183,7 @@ def build_corpus(
             num_hashes=near_dup_num_hashes,
             bands=near_dup_bands,
             hash_fn=near_dup_hash_fn,
+            max_bucket=near_dup_max_bucket,
         ).select("doc_a", "doc_b")
         edges = jaccard_verify(
             cand,

@@ -1076,3 +1076,44 @@ def test_lsh_hot_bucket_cap_simhash_and_vs_corpus(spark):
         r.n_shared_bands == 4 and r.max_bucket_overflow >= F_SZ - 10
         for r in got
     )
+
+
+def test_lsh_hot_bucket_cap_embedding(spark):
+    """The same guard on the embedding sign-LSH tier: a 200-strong
+    identical-vector cluster collapses to a 199-edge star (hub = min
+    id) instead of 19,900 clique pairs, star edges still pass the exact
+    cosine verify, and a never-firing cap is value-identical to
+    uncapped."""
+    import random
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embedding_cosine_pairs_lsh,
+    )
+
+    random.seed(3)
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(200)]
+    rows += [
+        (1000 + i, [random.gauss(0, 1) for _ in range(4)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    unc = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            df, dim=4, min_cosine=0.99
+        ).collect()
+    }
+    capped = embedding_cosine_pairs_lsh(
+        df, dim=4, min_cosine=0.99, max_bucket=50
+    ).collect()
+    fam = [r for r in capped if r.id_a < 1000 and r.id_b < 1000]
+    assert {(r.id_a, r.id_b) for r in fam} == {(0, b) for b in range(1, 200)}
+    assert all(r.cosine >= 0.99 for r in capped)
+    assert len(capped) < len(unc)
+    hi = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs_lsh(
+            df, dim=4, min_cosine=0.99, max_bucket=10**6
+        ).collect()
+    }
+    assert hi == unc
