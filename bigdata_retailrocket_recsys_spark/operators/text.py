@@ -1088,10 +1088,30 @@ def strip_repeated_lines(
 
     Output: (id, n_lines [non-blank], n_removed, text_clean).
     """
+    lines = _line_rows(docs, id_col=id_col, text_col=text_col)
+    prevalent = (
+        lines.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.countDistinct("__d").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(1).alias("__rm"))
+    ).localCheckpoint(eager=True)
+    return _rebuild_without_flagged(lines, prevalent, id_col=id_col)
+
+
+def _line_rows(
+    docs: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """(__d, __p, __l, __h) positioned-line frame — ``__h`` is the
+    16-byte md5 of the NORMALIZED line (lowercased, whitespace runs
+    collapsed, trimmed), NULL for blank/whitespace-only lines. Shared
+    by the batch-global line strip, the persisted prevalence artifact,
+    and the incremental vs-corpus strip (all three agree on line
+    identity)."""
     base = docs.filter(
         F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
     ).select(F.col(id_col).alias("__d"), F.col(text_col).alias("__text"))
-    lines = base.select(
+    return base.select(
         "__d", F.posexplode(F.split("__text", r"\n")).alias("__p", "__l")
     ).withColumn(
         "__h",
@@ -1100,14 +1120,17 @@ def strip_repeated_lines(
             F.md5(F.trim(F.regexp_replace(F.lower("__l"), r"\s+", " "))),
         ),
     )
-    prevalent = (
-        lines.filter(F.col("__h").isNotNull())
-        .groupBy("__h")
-        .agg(F.countDistinct("__d").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__h", F.lit(1).alias("__rm"))
-    ).localCheckpoint(eager=True)
-    flagged = lines.join(prevalent, "__h", "left")
+
+
+def _rebuild_without_flagged(
+    lines: DataFrame, flagged_keys: DataFrame, *, id_col: str
+) -> DataFrame:
+    """Membership-join + single-groupBy rebuild shared by the line-strip
+    tiers: drop lines whose ``__h`` appears in ``flagged_keys`` (cols
+    ``__h, __rm``), rebuild each doc from survivors in original order
+    (blank lines always survive). Output: (id, n_lines, n_removed,
+    text_clean)."""
+    flagged = lines.join(flagged_keys, "__h", "left")
     out = flagged.groupBy("__d").agg(
         F.sum(F.when(F.col("__h").isNotNull(), 1).otherwise(0))
         .cast("bigint")
@@ -1137,6 +1160,84 @@ def strip_repeated_lines(
     return out.select(
         F.col("__d").alias(id_col), "n_lines", "n_removed", "text_clean"
     )
+
+
+def line_prevalence_table(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persisted per-line document-prevalence counts ``(line_key,
+    n_docs)`` — the at-rest artifact that makes the CCNet line pass
+    INCREMENTAL (the ngram_count_table pattern at line grain, VERDICT
+    r10 #5): the corpus's lines are hashed ONCE per snapshot; a daily
+    batch strips against the table without re-reading corpus text.
+
+    ``mode="append"`` is the COMMIT half: append a committed batch's
+    per-line distinct-doc counts as delta rows; readers sum per key.
+    EXACTNESS CONTRACT: increments must be DOC-DISJOINT (the daily-delta
+    contract — each document is committed exactly once), so summed
+    per-increment distinct-doc counts equal the union's distinct-doc
+    count. Line keys are 16-byte md5 of the normalized line (the
+    digest-shuffle rule); blank lines are never counted."""
+    lines = _line_rows(docs, id_col=id_col, text_col=text_col)
+    counts = (
+        lines.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(F.countDistinct("__d").cast("bigint").alias("n_docs"))
+        .select(F.col("__h").alias("line_key"), "n_docs")
+    )
+    counts.write.mode(mode).parquet(path)
+
+
+def strip_repeated_lines_vs_corpus(
+    batch: DataFrame,
+    *,
+    corpus_lines: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Incremental CCNet line strip — the daily-delta companion to
+    :func:`strip_repeated_lines` (VERDICT r10 #5): a batch line is
+    removed when its normalized form appears in ≥ ``min_docs`` DISTINCT
+    documents across corpus ∪ batch, with the corpus represented ONLY
+    by its persisted :func:`line_prevalence_table` (summed per key —
+    append deltas are exact under the doc-disjoint contract): corpus
+    text is never re-read.
+
+    COMPOSITION INVARIANT (unit-locked + two-increment oracle):
+    equals ``strip_repeated_lines(corpus ∪ batch)`` restricted to batch
+    documents. Every batch line key reaches the prevalence decision
+    through the batch side (a line absent from the batch cannot need
+    stripping), so ONE left join from batch counts to the artifact
+    decides membership; the bounded prevalent set is eagerly
+    localCheckpoint-ed (no corpus-sized cache — the r10 rewrite rule).
+
+    Output: (id, n_lines [non-blank], n_removed, text_clean).
+    """
+    lines = _line_rows(batch, id_col=id_col, text_col=text_col)
+    bc = lines.filter(F.col("__h").isNotNull()).groupBy("__h").agg(
+        F.countDistinct("__d").cast("bigint").alias("__bn")
+    )
+    cc = corpus_lines.groupBy("line_key").agg(
+        F.sum("n_docs").cast("bigint").alias("__cn")
+    )
+    prevalent = (
+        bc.join(cc, bc["__h"] == cc["line_key"], "left")
+        .select(
+            "__h",
+            (F.col("__bn") + F.coalesce(F.col("__cn"), F.lit(0))).alias(
+                "__nd"
+            ),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", F.lit(1).alias("__rm"))
+    ).localCheckpoint(eager=True)
+    return _rebuild_without_flagged(lines, prevalent, id_col=id_col)
 
 
 def mojibake_gate(

@@ -13324,3 +13324,191 @@ def q_dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.select(one, "doc_id", "span_start", "span_len").unionByName(
         s2.select(two, "doc_id", "span_start", "span_len")
     )
+
+
+@query(
+    "q_dedup_lsh_capped",
+    oracle=r"""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), seed AS (
+        SELECT doc_id, text FROM src ORDER BY doc_id ASC, text ASC LIMIT 1
+    ), fam AS (
+        SELECT 2000000000 + k AS doc_id, text
+        FROM seed, (SELECT unnest(generate_series(0, 39)) AS k)
+    ), alld AS (
+        SELECT doc_id, text FROM src
+        UNION ALL SELECT doc_id, text FROM fam
+    ), sh AS (
+        SELECT doc_id AS doc,
+               array_to_string(list_slice(toks, st, st + 2), ' ') AS s
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM alld))
+    ), sig AS (
+        SELECT doc, j, MIN(md5(CAST(j AS VARCHAR) || ':' || s)) AS h
+        FROM sh, (SELECT unnest(generate_series(0, 15)) AS j)
+        GROUP BY doc, j
+    ), band AS (
+        SELECT doc, j // 4 AS band,
+               md5(string_agg(h, '_' ORDER BY j ASC)) AS bucket
+        FROM sig GROUP BY doc, j // 4
+    ), sized AS (
+        SELECT doc, band, bucket,
+               COUNT(*) OVER (PARTITION BY band, bucket) AS bsz,
+               MIN(doc) OVER (PARTITION BY band, bucket) AS hub
+        FROM band
+    ), clique AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, 0 AS capped
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+        WHERE a.bsz <= 20
+    ), star AS (
+        SELECT hub AS doc_a, doc AS doc_b, 1 AS capped
+        FROM sized WHERE bsz > 20 AND doc <> hub
+    )
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
+           CAST(SUM(capped) AS BIGINT) AS n_capped_bands
+    FROM (SELECT * FROM clique UNION ALL SELECT * FROM star)
+    GROUP BY doc_a, doc_b
+    """,
+)
+def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-GUARDED MinHash-LSH candidates with the cap FIRING
+    (VERDICT r10 #1 made driver-visible): a 40-copy templated family of
+    the corpus's first document is unioned in, so every band holds one
+    41-member bucket — over the max_bucket=20 cap, it pre-collapses to
+    a spanning star from hub = the original document (min id), linear
+    B−1 pairs instead of the B(B−1)/2 clique, audited per pair via
+    n_capped_bands (below-cap buckets keep the exact clique evidence).
+    The ENTIRE guarded chain — md5 signatures, banding, window bucket
+    sizing, small-bucket clique, star collapse, audit counts — is
+    value-hashed against a DuckDB replay (the q_dedup_minhash_md5
+    signature CTE extended with the sized/clique/star split)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    seed = docs.orderBy(F.col("doc_id").asc(), F.col("text").asc()).limit(1)
+    fam = seed.select(
+        F.explode(F.sequence(F.lit(0), F.lit(39))).alias("k"), "text"
+    ).select(
+        (F.lit(2_000_000_000).cast("bigint") + F.col("k")).alias("doc_id"),
+        "text",
+    )
+    alld = docs.unionByName(fam)
+    return minhash_lsh_candidates(
+        alld,
+        id_col="doc_id",
+        text_col="text",
+        shingle_n=3,
+        num_hashes=16,
+        bands=4,
+        hash_fn="md5",
+        max_bucket=20,
+    )
+
+
+@query(
+    "q_text_incremental_lines",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, ((doc_id % 3) + 3) % 3 AS sl, text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), l AS (
+        SELECT doc_id, sl, p - 1 AS p, lns[p] AS ln
+        FROM (SELECT doc_id, sl, string_split(text, chr(10)) AS lns
+              FROM base),
+             LATERAL (SELECT unnest(generate_series(1, len(lns))) AS p)
+    ), h AS (
+        SELECT doc_id, sl, p, ln,
+               CASE WHEN trim(ln) <> '' THEN
+                   md5(trim(regexp_replace(lower(ln), '\s+', ' ', 'g')))
+               END AS hh
+        FROM l
+    ), prev1 AS (
+        SELECT hh FROM h WHERE hh IS NOT NULL AND sl IN (0, 1)
+        GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 3
+    ), reb1 AS (
+        SELECT doc_id,
+               SUM(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END) AS n_kept,
+               string_agg(ln, chr(10) ORDER BY p ASC) AS text_clean
+        FROM h WHERE sl = 1
+          AND (hh IS NULL OR hh NOT IN (SELECT hh FROM prev1))
+        GROUP BY doc_id
+    ), tot1 AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lines
+        FROM h WHERE sl = 1 GROUP BY doc_id
+    ), prev2 AS (
+        SELECT hh FROM h WHERE hh IS NOT NULL
+        GROUP BY hh HAVING COUNT(DISTINCT doc_id) >= 3
+    ), reb2 AS (
+        SELECT doc_id,
+               SUM(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END) AS n_kept,
+               string_agg(ln, chr(10) ORDER BY p ASC) AS text_clean
+        FROM h WHERE sl = 2
+          AND (hh IS NULL OR hh NOT IN (SELECT hh FROM prev2))
+        GROUP BY doc_id
+    ), tot2 AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN hh IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lines
+        FROM h WHERE sl = 2 GROUP BY doc_id
+    )
+    SELECT CAST(1 AS INT) AS inc, t.doc_id, t.n_lines,
+           CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tot1 t LEFT JOIN reb1 r USING (doc_id)
+    UNION ALL
+    SELECT CAST(2 AS INT) AS inc, t.doc_id, t.n_lines,
+           CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tot2 t LEFT JOIN reb2 r USING (doc_id)
+    """,
+)
+def q_text_incremental_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO increments through the incremental CCNet line-strip loop
+    (operators/text.line_prevalence_table +
+    strip_repeated_lines_vs_corpus — the line-grain half of VERDICT r10
+    #5): day-0 (doc_id ≡ 0 mod 3) persists its per-line distinct-doc
+    prevalence table once; day-1 (≡ 1) strips against artifact+batch
+    counts — exactly strip_repeated_lines(day0 ∪ day1) restricted to
+    day-1 docs, corpus text never re-read; day-1's counts are APPENDED
+    (doc-disjoint increments make summed distinct-doc deltas exact) and
+    day-2 (≡ 2) strips against the committed state. Cleaned TEXT is
+    hashed — any prevalence miscount or order bug breaks the oracle."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        line_prevalence_table,
+        strip_repeated_lines_vs_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    s = F.pmod(F.col("doc_id"), F.lit(3))
+    path = _session_tmp(spark, "inc_line_prev")
+    line_prevalence_table(docs.filter(s == 0), path)
+    s1 = strip_repeated_lines_vs_corpus(
+        docs.filter(s == 1),
+        corpus_lines=spark.read.parquet(path),
+        min_docs=3,
+    )
+    line_prevalence_table(docs.filter(s == 1), path, mode="append")
+    s2 = strip_repeated_lines_vs_corpus(
+        docs.filter(s == 2),
+        corpus_lines=spark.read.parquet(path),
+        min_docs=3,
+    )
+    cols = ["doc_id", "n_lines", "n_removed", "text_clean"]
+    return s1.select(F.lit(1).cast("int").alias("inc"), *cols).unionByName(
+        s2.select(F.lit(2).cast("int").alias("inc"), *cols)
+    )

@@ -4953,3 +4953,65 @@ def test_duplicated_spans_vs_corpus_composition(spark, tmp_path):
         if r[0] >= 20
     )
     assert got2 == exp2 and [did for did, *_ in got2] == [20]
+
+
+def test_strip_lines_vs_corpus_composition(spark, tmp_path):
+    """Incremental CCNet line strip equals the batch-global pass over
+    the union restricted to the batch; the append commit carries day-1
+    prevalence into day-2 decisions without re-reading corpus text."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        line_prevalence_table,
+        strip_repeated_lines,
+        strip_repeated_lines_vs_corpus,
+    )
+
+    footer = "subscribe to our newsletter"
+    day0 = [(1, f"alpha body one\n{footer}"), (2, f"beta body two\n{footer}")]
+    day1 = [
+        (10, f"gamma body three\n{footer}"),   # footer hits min_docs=3 via corpus
+        (11, "delta unique content\n\nwith a blank line"),
+    ]
+    day2 = [(20, f"epsilon body four\n{footer}"), (21, "zeta fresh text")]
+    d0 = spark.createDataFrame(day0, ["doc_id", "text"])
+    d1 = spark.createDataFrame(day1, ["doc_id", "text"])
+    d2 = spark.createDataFrame(day2, ["doc_id", "text"])
+
+    path = str(tmp_path / "lines")
+    line_prevalence_table(d0, path)
+    t = spark.read.parquet(path)
+    got1 = sorted(
+        tuple(r) for r in strip_repeated_lines_vs_corpus(
+            d1, corpus_lines=t, min_docs=3
+        ).collect()
+    )
+    exp1 = sorted(
+        tuple(r)
+        for r in strip_repeated_lines(
+            d0.unionByName(d1), min_docs=3
+        ).collect()
+        if r[0] >= 10
+    )
+    assert got1 == exp1
+    by = {r[0]: r for r in got1}
+    assert by[10][2] == 1 and footer not in by[10][3]  # footer stripped
+    assert by[11][2] == 0 and "\n\n" in by[11][3]      # blank line kept
+
+    # pre-commit: day2's footer sees only corpus(2) + batch(1) = 3 >= 3
+    # via day0 alone — craft the assertion through the full union instead
+    line_prevalence_table(d1, path, mode="append")
+    t2 = spark.read.parquet(path)
+    got2 = sorted(
+        tuple(r) for r in strip_repeated_lines_vs_corpus(
+            d2, corpus_lines=t2, min_docs=3
+        ).collect()
+    )
+    exp2 = sorted(
+        tuple(r)
+        for r in strip_repeated_lines(
+            d0.unionByName(d1).unionByName(d2), min_docs=3
+        ).collect()
+        if r[0] >= 20
+    )
+    assert got2 == exp2
+    by2 = {r[0]: r for r in got2}
+    assert by2[20][2] == 1 and by2[21][2] == 0
