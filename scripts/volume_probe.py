@@ -602,6 +602,106 @@ def synth_events(spark: SparkSession, n: int):
     )
 
 
+def probe_r11inc(n_docs: int, n_batch: int = 100_000) -> None:
+    """Incremental-dedup tiers at volume (VERDICT r10 #5 evidence): pay
+    the corpus n-gram/line snapshot ONCE over ``n_docs`` docs, then run
+    a ``n_batch``-doc daily batch against the artifacts — the walls to
+    compare are batch-vs-artifact vs the batch-global pass over the
+    full union (what a no-artifact pipeline re-pays daily). Plus the
+    CDC chunker's O(n·w) fingerprint cost over binary payloads."""
+    import tempfile
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        duplicated_spans,
+        duplicated_spans_vs_corpus,
+        ngram_count_table,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        chunk_binary_cdc,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        line_prevalence_table,
+        strip_repeated_lines_vs_corpus,
+    )
+
+    corpus = synth_documents(spark, n_docs).cache()
+    batch = synth_documents(spark, n_batch + n_docs).filter(
+        F.col("doc_id") >= n_docs
+    )
+    print(f"[r11inc] corpus: {corpus.count():,}, batch: {n_batch:,}", flush=True)
+    tmp = tempfile.mkdtemp(prefix="bdrr_r11inc_")
+
+    t0 = time.time()
+    ngram_count_table(corpus, f"{tmp}/ngrams", n=5)
+    t_snap = time.time() - t0
+    t0 = time.time()
+    out = duplicated_spans_vs_corpus(
+        batch, corpus_ngrams=spark.read.parquet(f"{tmp}/ngrams"), n=5
+    )
+    n_spans = out.count()
+    print(
+        f"[r11inc] ngram snapshot {t_snap:.1f}s (once); batch spans vs "
+        f"corpus: {n_spans:,} spans in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    t0 = time.time()
+    full = duplicated_spans(
+        corpus.unionByName(batch), n=5
+    ).filter(F.col("doc_id") >= n_docs).count()
+    print(
+        f"[r11inc] batch-global UNION pass (the daily re-pay without the "
+        f"artifact): {full:,} spans in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    lined_corpus = corpus.withColumn("text", F.translate("text", " ", "\n"))
+    lined_batch = batch.withColumn("text", F.translate("text", " ", "\n"))
+    t0 = time.time()
+    line_prevalence_table(lined_corpus, f"{tmp}/lines")
+    t_snap = time.time() - t0
+    t0 = time.time()
+    r = strip_repeated_lines_vs_corpus(
+        lined_batch,
+        corpus_lines=spark.read.parquet(f"{tmp}/lines"),
+        min_docs=3,
+    ).agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_removed").alias("nr")
+    ).collect()[0]
+    print(
+        f"[r11inc] line snapshot {t_snap:.1f}s (once); batch line strip vs "
+        f"corpus: {r['nr']:,}/{r['nl']:,} removed in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    assets = batch.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.concat_ws(
+                " ", F.array_repeat(F.col("text"), 10)
+            ),
+            "utf-8",
+        ).alias("payload"),  # ~2 KB binary per asset
+    )
+    assets = assets.localCheckpoint()  # pin: both tiers read it
+    for fn in ("md5", "xxhash64"):
+        t0 = time.time()
+        agg = chunk_binary_cdc(assets, avg_chunk_bytes=64, hash_fn=fn).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("chunk_len").alias("b"),
+        ).collect()[0]
+        print(
+            f"[r11inc] chunk_binary_cdc[{fn}] over {n_batch:,} ~2KB "
+            f"payloads: {agg['n']:,} chunks / {agg['b']:,} bytes "
+            f"in {time.time() - t0:.1f}s",
+            flush=True,
+        )
+    corpus.unpersist()
+
+
 def probe_prefix(n_events: int) -> None:
     """100M-row probe of the _sharded_prefix_sum family (VERDICT r10
     #8): weighted_median / max-concurrency sweep / two-sample KS were
@@ -810,7 +910,7 @@ def main() -> None:
         "probe",
         choices=[
             "tpch", "ops", "corpus", "spans", "r10ops", "r10s3", "hotbucket",
-            "prefix",
+            "prefix", "r11inc",
         ],
     )
     p.add_argument("--family", type=int, default=10_000)
@@ -838,6 +938,8 @@ def main() -> None:
         probe_hotbucket(a.family)
     elif a.probe == "prefix":
         probe_prefix(a.events)
+    elif a.probe == "r11inc":
+        probe_r11inc(a.docs)
     else:
         probe_ops(a.docs, a.edges)
 

@@ -976,6 +976,27 @@ def test_chunk_binary_cdc_covers_and_survives_insert(spark):
     assert sorted(
         (r.chunk_idx, r.chunk_off, r.chunk_len) for r in again
     ) == [(r.chunk_idx, r.chunk_off, r.chunk_len) for r in by[1]]
+    # xxhash64 SCALE tier: same tiling + insert-shift properties, its
+    # own (different) boundary positions
+    xa = sorted(
+        chunk_binary_cdc(
+            df.filter("asset_id = 1"), avg_chunk_bytes=64,
+            hash_fn="xxhash64",
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    xb = sorted(
+        chunk_binary_cdc(
+            df.filter("asset_id = 2"), avg_chunk_bytes=64,
+            hash_fn="xxhash64",
+        ).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert b"".join(bytes(r.chunk) for r in xa) == a
+    assert b"".join(bytes(r.chunk) for r in xb) == b
+    dxa = {hashlib.md5(bytes(r.chunk)).hexdigest() for r in xa}
+    dxb = {hashlib.md5(bytes(r.chunk)).hexdigest() for r in xb}
+    assert len(dxa & dxb) >= len(dxa) - 2
 
 
 def test_interval_overlap_join_exact_once(spark):
