@@ -1066,6 +1066,67 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def jaccard_pairs_vs_corpus(
+    batch_shingles: DataFrame,
+    corpus_shingles: DataFrame,
+    *,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact BIPARTITE Jaccard pairs between a batch and a persisted
+    corpus shingle/digest table — the verify/apply half of the
+    incremental near-dup loop at ANY grain (text shingles, binary
+    chunk digests): both inputs are distinct ``(doc, shingle)`` rows,
+    the corpus side typically a scan of an at-rest artifact
+    (:func:`shingle_table`, ``multimodal.chunk_digest_table``) so
+    corpus payloads are never re-read.
+
+    Shape: one equi join on the shingle key (the intersection rows —
+    cost is Σ_shingle |batch docs| × |corpus docs|, bounded by the
+    batch's shingle vocabulary; for web-scale fan-in run the banded
+    candidate stage first — :func:`minhash_lsh_candidates_vs_corpus` —
+    and verify with :func:`jaccard_verify`), per-side size aggregates,
+    ONE IEEE division over exact integer counts. No a<b constraint —
+    the sides are disjoint sets by the daily-delta contract.
+
+    Output: batch_doc, corpus_doc, n_common, n_batch, n_corpus,
+    jaccard.
+    """
+    bs = batch_shingles.select(
+        F.col(batch_shingles.columns[0]).alias("batch_doc"),
+        F.col(batch_shingles.columns[1]).alias("__sh"),
+    ).distinct()
+    cs = corpus_shingles.select(
+        F.col(corpus_shingles.columns[0]).alias("corpus_doc"),
+        F.col(corpus_shingles.columns[1]).alias("__sh"),
+    ).distinct()
+    nb = bs.groupBy("batch_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch")
+    )
+    nc = cs.groupBy("corpus_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus")
+    )
+    common = (
+        bs.join(cs, "__sh")
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    out = (
+        common.join(nb, "batch_doc")
+        .join(nc, "corpus_doc")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (
+                F.col("n_batch") + F.col("n_corpus") - F.col("n_common")
+            ).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select(
+        "batch_doc", "corpus_doc", "n_common", "n_batch", "n_corpus",
+        "jaccard",
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     docs: DataFrame,

@@ -451,6 +451,42 @@ def chunk_binary_cdc(
     )
 
 
+def chunk_digest_table(
+    assets: DataFrame,
+    path: str,
+    *,
+    avg_chunk_bytes: int = 64,
+    window_bytes: int = 8,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    hash_fn: str = "md5",
+    mode: str = "overwrite",
+) -> None:
+    """Persisted distinct CDC chunk digests ``(asset_id, chunk_digest)``
+    — the at-rest artifact for INCREMENTAL binary near-dup (the
+    shingle_table pattern at blob grain): corpus payload bytes are
+    chunked and hashed ONCE per snapshot; a daily batch of uploads is
+    compared against this table (``dedup.jaccard_pairs_vs_corpus``)
+    without ever re-reading corpus blobs. ``mode="append"`` commits a
+    batch's digests (doc-disjoint increments — each asset committed
+    once). Digest = md5 of the chunk's HEX rendering (the
+    q_multimodal_chunk injectivity trick, so DuckDB can replay);
+    chunking params must match across snapshot and batches."""
+    chunks = chunk_binary_cdc(
+        assets,
+        avg_chunk_bytes=avg_chunk_bytes,
+        window_bytes=window_bytes,
+        id_col=id_col,
+        payload_col=payload_col,
+        hash_fn=hash_fn,
+    )
+    out = chunks.select(
+        F.col(id_col),
+        F.md5(F.hex("chunk")).alias("chunk_digest"),
+    ).distinct()
+    out.write.mode(mode).parquet(path)
+
+
 def extract_media_features_arrow(
     assets: DataFrame, *, decode_stub: str = "fake", batch_hint: int = 256
 ) -> DataFrame:

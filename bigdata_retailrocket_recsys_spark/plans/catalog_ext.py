@@ -13512,3 +13512,109 @@ def q_text_incremental_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.select(F.lit(1).cast("int").alias("inc"), *cols).unionByName(
         s2.select(F.lit(2).cast("int").alias("inc"), *cols)
     )
+
+
+@query(
+    "q_multimodal_neardup_incremental",
+    oracle=r"""
+    WITH a AS (
+        SELECT doc_id AS asset_id, ((doc_id % 2) + 2) % 2 AS sl,
+               hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        FROM documents
+        WHERE text IS NOT NULL AND doc_id IS NOT NULL
+          AND octet_length(encode(text)) >= 1
+    ), b AS (
+        SELECT asset_id, sl, hx, n,
+               list_filter(
+                   list_transform(
+                       CASE WHEN n >= 8 THEN generate_series(8, n)
+                            ELSE [] END,
+                       i -> CASE WHEN substring(
+                                     md5(substring(hx, 2*(i-8)+1, 16)),
+                                     1, 2) < '04'
+                                 THEN i END),
+                   x -> x IS NOT NULL AND x < n) AS bnds
+        FROM a
+    ), d AS (
+        SELECT asset_id, sl, hx, n, bnds,
+               unnest(generate_series(1, len(bnds) + 1)) AS k
+        FROM b
+    ), c AS (
+        SELECT DISTINCT asset_id, sl,
+               md5(substring(
+                   hx,
+                   (CASE WHEN k = 1 THEN 0 ELSE bnds[k-1] END) * 2 + 1,
+                   ((CASE WHEN k = len(bnds) + 1 THEN n ELSE bnds[k] END)
+                    - (CASE WHEN k = 1 THEN 0 ELSE bnds[k-1] END)) * 2
+               )) AS ch
+        FROM d
+    ), nb AS (
+        SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_batch
+        FROM c WHERE sl = 1 GROUP BY asset_id
+    ), nc AS (
+        SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_corpus
+        FROM c WHERE sl = 0 GROUP BY asset_id
+    ), common AS (
+        SELECT b2.asset_id AS batch_doc, c2.asset_id AS corpus_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM (SELECT * FROM c WHERE sl = 1) b2
+        JOIN (SELECT * FROM c WHERE sl = 0) c2 ON b2.ch = c2.ch
+        GROUP BY b2.asset_id, c2.asset_id
+    )
+    SELECT batch_doc, corpus_doc, n_common,
+           nb.n_batch, nc.n_corpus,
+           CAST(n_common AS DOUBLE)
+               / CAST(nb.n_batch + nc.n_corpus - n_common AS DOUBLE)
+               AS jaccard
+    FROM common
+    JOIN nb ON nb.asset_id = batch_doc
+    JOIN nc ON nc.asset_id = corpus_doc
+    WHERE CAST(n_common AS DOUBLE)
+              / CAST(nb.n_batch + nc.n_corpus - n_common AS DOUBLE) >= 0.5
+    """,
+)
+def q_multimodal_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL binary near-dup — the daily-upload path at blob
+    grain: the even-id half of the corpus persists its CDC chunk-digest
+    table once (multimodal.chunk_digest_table — payload bytes chunked
+    and hashed exactly once per snapshot); the odd-id batch is CDC-
+    chunked and compared against the at-rest digests with
+    dedup.jaccard_pairs_vs_corpus (exact bipartite Jaccard ≥ 0.5, ONE
+    IEEE division over exact counts) — corpus blobs are never re-read.
+    Completes the incremental family across every dedup grain (exact /
+    MinHash / substring spans / lines / binary chunks). DuckDB replays
+    chunk boundaries, digests, and the bipartite Jaccard end-to-end
+    (hex-slice injectivity)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        jaccard_pairs_vs_corpus,
+    )
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        chunk_binary_cdc,
+        chunk_digest_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    s = F.pmod(F.col("doc_id"), F.lit(2))
+    corpus_assets = attach_fake_media(
+        docs.filter(s == 0), id_col="doc_id", payload_from="text"
+    )
+    path = _session_tmp(spark, "chunk_digests")
+    chunk_digest_table(corpus_assets, path)
+    batch_assets = attach_fake_media(
+        docs.filter(s == 1), id_col="doc_id", payload_from="text"
+    )
+    batch_digests = chunk_binary_cdc(
+        batch_assets, avg_chunk_bytes=64, window_bytes=8
+    ).select(
+        F.col("asset_id"), F.md5(F.hex("chunk")).alias("chunk_digest")
+    ).distinct()
+    return jaccard_pairs_vs_corpus(
+        batch_digests,
+        spark.read.parquet(path),
+        min_jaccard=0.5,
+    )
