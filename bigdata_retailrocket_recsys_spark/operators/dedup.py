@@ -2123,8 +2123,18 @@ def duplicated_spans_vs_corpus(
     bc = spans.groupBy("__k").agg(
         F.count(F.lit(1)).cast("bigint").alias("__bc")
     )
-    cc = corpus_ngrams.groupBy("gram_key").agg(
-        F.sum("n_occ").cast("bigint").alias("__cc")
+    # semi-join the artifact to the BATCH vocabulary before aggregating:
+    # keys absent from the batch can never mark a batch start, and a
+    # daily delta's vocabulary is far smaller than the corpus table —
+    # without this the whole corpus-grain table re-aggregates per batch
+    # (measured at 1M-doc corpus / 100k batch: the artifact-side agg was
+    # the dominant stage of the vs-corpus pass)
+    cc = (
+        corpus_ngrams.join(
+            bc.select(F.col("__k").alias("gram_key")), "gram_key", "left_semi"
+        )
+        .groupBy("gram_key")
+        .agg(F.sum("n_occ").cast("bigint").alias("__cc"))
     )
     dup_keys = (
         bc.join(cc, bc["__k"] == cc["gram_key"], "left")

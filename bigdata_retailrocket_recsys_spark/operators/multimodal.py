@@ -340,12 +340,18 @@ def chunk_binary_cdc(
     Muthitacharoen et al., LBFS SOSP'01).
 
     ``hash_fn``: ``'md5'`` (default) is the ORACLE tier — DuckDB
-    replays the exact boundary rule; ``'xxhash64'`` is the SCALE tier
-    (``pmod(xxhash64(window_hex), avg_chunk_bytes) == 0`` — the
-    cheaper JVM hash, measured ~5× the md5 tier's throughput; not
-    DuckDB-expressible, so entries using it are rows-only). Both tiers
-    share every property (tiling, insert-shift robustness) — only the
-    boundary positions differ.
+    replays the exact boundary rule; ``'xxhash64'`` uses
+    ``pmod(xxhash64(window_hex), avg_chunk_bytes) == 0`` (not
+    DuckDB-expressible → rows-only entries). MEASURED HONESTLY (r11,
+    100k × 2 KB payloads): 74.8 s md5 vs 71.1 s xxhash64 — the hash
+    choice barely matters because the per-position hex ``substring``
+    dominates; overall throughput ≈ 2.7 MB/s·box at 64-byte target
+    chunks. That is fine for document/text-asset payloads and TOO SLOW
+    for multi-GB media — use :func:`chunk_binary_cdc_arrow` (gear-hash
+    numpy tier, measured 4.6 s on the same 100k×2 KB workload = 16×
+    this tier) there; this relational form is the oracle-replayable
+    reference semantics. Both tiers share every property (tiling,
+    insert-shift robustness) — only boundary positions differ.
 
     Boundary rule, fully relational and cross-engine replayable: cut
     AFTER byte ``i`` when the rolling fingerprint of the trailing
@@ -449,6 +455,132 @@ def chunk_binary_cdc(
         .substr(F.col("__c.off"), F.col("__c.len"))
         .alias("chunk"),
     )
+
+
+def _gear_table():
+    """Deterministic 256-entry uint64 gear table (Knuth MMIX LCG over
+    the byte index) — fixed across sessions/engines so gear boundaries
+    are reproducible artifacts, not RNG state."""
+    import numpy as np
+
+    t = np.empty(256, dtype=np.uint64)
+    x = np.uint64(0x9E3779B97F4A7C15)
+    a = np.uint64(6364136223846793005)
+    c = np.uint64(1442695040888963407)
+    with np.errstate(over="ignore"):  # uint64 wrap IS the MMIX recurrence
+        for i in range(256):
+            x = x * a + c
+            t[i] = x
+    return t
+
+
+CDC_CHUNK_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("chunk_off", IntegerType()),
+        StructField("chunk_len", IntegerType()),
+        StructField("chunk", BinaryType()),
+    ]
+)
+
+
+def chunk_binary_cdc_arrow(
+    assets: DataFrame,
+    *,
+    avg_chunk_bytes: int = 64,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    batch_hint: int = 64,
+) -> DataFrame:
+    """GEAR-hash content-defined chunking via Arrow-batched numpy — the
+    THROUGHPUT tier of :func:`chunk_binary_cdc` for multi-GB media
+    (the relational md5 tier is oracle-replayable but measured at
+    ~2.7 MB/s·box; this one vectorizes the rolling hash). Same output
+    contract (1-based offsets, exact tiling, insert-shift robustness —
+    the gear hash's implicit window is 64 bytes, so an edit disturbs
+    boundaries for at most 64 bytes downstream).
+
+    Gear rolling hash (FastCDC/ddelta lineage): ``h_i = (h_{i-1} << 1)
+    + GEAR[b_i]`` over a deterministic LCG table; cut after byte i when
+    the TOP ``log2(avg_chunk_bytes)`` bits of h_i are zero (expected
+    geometric chunks of ``avg_chunk_bytes``; avg must be a power of
+    two). The shift-left recurrence has finite memory — byte j's
+    contribution leaves h after 64 shifts — so the whole position-wise
+    hash vector is computed with 64 vectorized shift-accumulate passes
+    (``acc[j:] += GEAR[b[:n−j]] << j``), no Python-per-byte loop, no
+    row-at-a-time UDF: one Arrow batch in, numpy throughout, one Arrow
+    batch out. Per-batch memory is bounded by re-slicing incoming
+    batches to ``batch_hint`` rows (the extract_media_features_arrow
+    rule). NULL/empty payloads yield no chunks. MEASURED (r11, 100k ×
+    2 KB payloads): 4.6 s vs the relational md5 tier's 74.8 s — 16×;
+    ~44 MB/s·box end-to-end including the Arrow hop.
+
+    Boundary positions DIFFER from the md5 tier (different fingerprint)
+    — both are valid CDC chunkings; pick one per artifact family and
+    keep it pinned (chunk digests only compare within one rule).
+    Rows-only correctness tier: unit-locked tiling/insert-shift/
+    determinism; not DuckDB-expressible (64-bit gear recurrence).
+    """
+    import math
+
+    if avg_chunk_bytes < 2 or (avg_chunk_bytes & (avg_chunk_bytes - 1)):
+        raise ValueError(
+            f"avg_chunk_bytes must be a power of two >= 2, got {avg_chunk_bytes}"
+        )
+    if batch_hint < 1:
+        raise ValueError(f"batch_hint must be >= 1, got {batch_hint}")
+    k = int(math.log2(avg_chunk_bytes))
+
+    def _chunks(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        gear = _gear_table()
+        shift = np.uint64(64 - k)
+        cols = [f.name for f in CDC_CHUNK_SCHEMA]
+
+        def _sliced(frames):
+            for pdf in frames:
+                for off in range(0, len(pdf), batch_hint):
+                    yield pdf.iloc[off : off + batch_hint]
+
+        for pdf in _sliced(pdfs):
+            out = []
+            for aid, payload in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+                if payload is None or len(payload) == 0:
+                    continue
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(b)
+                g = gear[b]
+                acc = g.copy()
+                for j in range(1, min(64, n)):
+                    acc[j:] += g[: n - j] << np.uint64(j)
+                # cut AFTER 1-based byte i (numpy index i-1); a cut at n
+                # is the natural payload end, not a boundary
+                cuts = [
+                    int(c)
+                    for c in np.nonzero((acc >> shift) == 0)[0] + 1
+                    if c < n
+                ]
+                starts = [0] + list(cuts)
+                ends = list(cuts) + [n]
+                pb = bytes(payload)
+                for idx, (s, e) in enumerate(zip(starts, ends)):
+                    out.append(
+                        {
+                            "asset_id": int(aid),
+                            "chunk_idx": idx,
+                            "chunk_off": s + 1,
+                            "chunk_len": e - s,
+                            "chunk": pb[s:e],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return assets.select(
+        F.col(id_col).cast("bigint").alias("asset_id"), F.col(payload_col)
+    ).mapInPandas(_chunks, schema=CDC_CHUNK_SCHEMA)
 
 
 def chunk_digest_table(

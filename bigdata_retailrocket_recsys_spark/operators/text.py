@@ -1223,8 +1223,16 @@ def strip_repeated_lines_vs_corpus(
     bc = lines.filter(F.col("__h").isNotNull()).groupBy("__h").agg(
         F.countDistinct("__d").cast("bigint").alias("__bn")
     )
-    cc = corpus_lines.groupBy("line_key").agg(
-        F.sum("n_docs").cast("bigint").alias("__cn")
+    # semi-join the artifact to the batch's line vocabulary before
+    # aggregating (the duplicated_spans_vs_corpus rule): only keys the
+    # batch contains can need stripping, so the corpus-grain table never
+    # re-aggregates whole per daily batch
+    cc = (
+        corpus_lines.join(
+            bc.select(F.col("__h").alias("line_key")), "line_key", "left_semi"
+        )
+        .groupBy("line_key")
+        .agg(F.sum("n_docs").cast("bigint").alias("__cn"))
     )
     prevalent = (
         bc.join(cc, bc["__h"] == cc["line_key"], "left")

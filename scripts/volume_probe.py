@@ -686,7 +686,7 @@ def probe_r11inc(n_docs: int, n_batch: int = 100_000) -> None:
             "utf-8",
         ).alias("payload"),  # ~2 KB binary per asset
     )
-    assets = assets.localCheckpoint()  # pin: both tiers read it
+    assets = assets.localCheckpoint()  # pin: all tiers read it
     for fn in ("md5", "xxhash64"):
         t0 = time.time()
         agg = chunk_binary_cdc(assets, avg_chunk_bytes=64, hash_fn=fn).agg(
@@ -699,6 +699,21 @@ def probe_r11inc(n_docs: int, n_batch: int = 100_000) -> None:
             f"in {time.time() - t0:.1f}s",
             flush=True,
         )
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        chunk_binary_cdc_arrow,
+    )
+
+    t0 = time.time()
+    agg = chunk_binary_cdc_arrow(assets, avg_chunk_bytes=64).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("chunk_len").alias("b"),
+    ).collect()[0]
+    print(
+        f"[r11inc] chunk_binary_cdc_arrow[gear] over {n_batch:,} ~2KB "
+        f"payloads: {agg['n']:,} chunks / {agg['b']:,} bytes "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
     corpus.unpersist()
 
 

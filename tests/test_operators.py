@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -5036,3 +5037,55 @@ def test_strip_lines_vs_corpus_composition(spark, tmp_path):
     assert got2 == exp2
     by2 = {r[0]: r for r in got2}
     assert by2[20][2] == 1 and by2[21][2] == 0
+
+
+def test_chunk_binary_cdc_arrow_gear(spark):
+    """Gear-hash Arrow CDC tier: exact tiling + byte-exact reassembly,
+    NULL/empty yield nothing, determinism, and insert-shift robustness
+    (the gear recurrence's implicit 64-byte window bounds the
+    disturbance) — same contract as the relational md5 tier, different
+    (but pinned) boundary positions."""
+    import collections
+    import hashlib
+    import random
+
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        chunk_binary_cdc_arrow,
+    )
+
+    random.seed(7)
+    a = bytes(random.randrange(256) for _ in range(2000))
+    b = a[:137] + b"XYZ" + a[137:]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(a)),
+            (2, bytearray(b)),
+            (3, None),
+            (4, bytearray(b"")),
+            (5, bytearray(b"ab")),
+        ],
+        "asset_id int, payload binary",
+    )
+    rows = chunk_binary_cdc_arrow(df, avg_chunk_bytes=64).collect()
+    by = collections.defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.asset_id, r.chunk_idx)):
+        by[r.asset_id].append(r)
+    for aid, want in ((1, a), (2, b), (5, b"ab")):
+        off = 1
+        for r in by[aid]:
+            assert r.chunk_off == off, (aid, r)
+            assert r.chunk_len == len(bytes(r.chunk)) >= 1
+            off += r.chunk_len
+        assert b"".join(bytes(r.chunk) for r in by[aid]) == want
+    assert 3 not in by and 4 not in by
+    da = {hashlib.md5(bytes(r.chunk)).hexdigest() for r in by[1]}
+    db = {hashlib.md5(bytes(r.chunk)).hexdigest() for r in by[2]}
+    assert len(da & db) >= len(da) - 3  # ≤64-byte disturbance window
+    again = chunk_binary_cdc_arrow(
+        df.filter("asset_id = 1"), avg_chunk_bytes=64
+    ).collect()
+    assert sorted(
+        (r.chunk_idx, r.chunk_off, r.chunk_len) for r in again
+    ) == [(r.chunk_idx, r.chunk_off, r.chunk_len) for r in by[1]]
+    with pytest.raises(ValueError):
+        chunk_binary_cdc_arrow(df, avg_chunk_bytes=48)  # not a power of 2
