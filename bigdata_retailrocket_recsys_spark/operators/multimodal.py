@@ -531,12 +531,17 @@ def chunk_binary_cdc_arrow(
     if batch_hint < 1:
         raise ValueError(f"batch_hint must be >= 1, got {batch_hint}")
     k = int(math.log2(avg_chunk_bytes))
+    # capture the TABLE (an ndarray, pickled by value), never the
+    # module-level builder: a reference would make the executor's python
+    # worker import this package, which is absent from worker paths under
+    # real-cluster masters (caught by the local-cluster[2,4,8192] run)
+    gear_table = _gear_table()
 
     def _chunks(pdfs):
         import numpy as np
         import pandas as pd
 
-        gear = _gear_table()
+        gear = gear_table
         shift = np.uint64(64 - k)
         cols = [f.name for f in CDC_CHUNK_SCHEMA]
 

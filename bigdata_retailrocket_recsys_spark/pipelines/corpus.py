@@ -285,6 +285,7 @@ def build_corpus_incremental(
     near_dup_hash_fn: str = "xxhash64",
     near_dup_num_hashes: int = 16,
     near_dup_bands: int = 4,
+    near_dup_max_bucket: int | None = None,
 ) -> DataFrame:
     """INCREMENTAL corpus maintenance — the daily-delta path: only the
     NEW batch is gated, deduped, and decontaminated; the existing corpus
@@ -356,6 +357,7 @@ def build_corpus_incremental(
             num_hashes=near_dup_num_hashes,
             bands=near_dup_bands,
             hash_fn=near_dup_hash_fn,
+            max_bucket=near_dup_max_bucket,
         ).select(F.col("batch_doc").alias(id_col)).distinct()
         fresh = fresh.join(near, id_col, "left_anti")
     flags = contamination_check(
