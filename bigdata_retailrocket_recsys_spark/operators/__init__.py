@@ -19,13 +19,16 @@ from bigdata_retailrocket_recsys_spark.operators.aggregates import (
 )
 from bigdata_retailrocket_recsys_spark.operators.dedup import (
     content_digest_table,
+    duplicated_spans_vs_corpus,
     incremental_exact_dedup,
+    jaccard_pairs_vs_corpus,
     minhash_lsh_candidates_vs_corpus,
     contamination_check,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures_table,
+    ngram_count_table,
     ngram_jaccard_pairs,
     shingle_table,
     simhash,
@@ -78,6 +81,9 @@ __all__ = [
     "shingle_table",
     "simhash",
     "content_digest_table",
+    "duplicated_spans_vs_corpus",
+    "jaccard_pairs_vs_corpus",
+    "ngram_count_table",
     "incremental_exact_dedup",
     "feature_hash_index",
     "pack_sequences",
