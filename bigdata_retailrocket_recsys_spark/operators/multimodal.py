@@ -492,6 +492,8 @@ def chunk_binary_cdc_arrow(
     id_col: str = "asset_id",
     payload_col: str = "payload",
     batch_hint: int = 64,
+    min_chunk_bytes: int | None = None,
+    max_chunk_bytes: int | None = None,
 ) -> DataFrame:
     """GEAR-hash content-defined chunking via Arrow-batched numpy — the
     THROUGHPUT tier of :func:`chunk_binary_cdc` for multi-GB media
@@ -521,6 +523,16 @@ def chunk_binary_cdc_arrow(
     keep it pinned (chunk digests only compare within one rule).
     Rows-only correctness tier: unit-locked tiling/insert-shift/
     determinism; not DuckDB-expressible (64-bit gear recurrence).
+
+    ``min_chunk_bytes`` / ``max_chunk_bytes``: the classic FastCDC
+    clamps, available HERE because this tier's per-payload cut list is
+    walked sequentially anyway (the relational tier documents them out
+    — suppression state is not a per-position predicate): a rule cut
+    closer than ``min`` to the previously ACCEPTED cut is skipped, and
+    a forced cut is inserted whenever ``max`` bytes pass without one.
+    Every chunk then has length in [min, max] except a short final
+    tail. Clamps weaken insert-shift robustness to resync-at-next-
+    accepted-boundary (standard FastCDC behavior) — unit-locked.
     """
     import math
 
@@ -530,6 +542,17 @@ def chunk_binary_cdc_arrow(
         )
     if batch_hint < 1:
         raise ValueError(f"batch_hint must be >= 1, got {batch_hint}")
+    if min_chunk_bytes is not None and min_chunk_bytes < 1:
+        raise ValueError(f"min_chunk_bytes must be >= 1, got {min_chunk_bytes}")
+    if max_chunk_bytes is not None and (
+        max_chunk_bytes < (min_chunk_bytes or 1)
+    ):
+        raise ValueError(
+            "need max_chunk_bytes >= min_chunk_bytes >= 1, got "
+            f"min={min_chunk_bytes} max={max_chunk_bytes}"
+        )
+    mn = min_chunk_bytes or 0
+    mx = max_chunk_bytes
     k = int(math.log2(avg_chunk_bytes))
     # capture the TABLE (an ndarray, pickled by value), never the
     # module-level builder: a reference would make the executor's python
@@ -563,11 +586,32 @@ def chunk_binary_cdc_arrow(
                     acc[j:] += g[: n - j] << np.uint64(j)
                 # cut AFTER 1-based byte i (numpy index i-1); a cut at n
                 # is the natural payload end, not a boundary
-                cuts = [
+                raw = [
                     int(c)
                     for c in np.nonzero((acc >> shift) == 0)[0] + 1
                     if c < n
                 ]
+                if mn or mx is not None:
+                    # FastCDC clamps: sequential walk over the (short)
+                    # cut list — skip rule cuts inside the min gap,
+                    # force cuts at the max gap
+                    cuts, last = [], 0
+                    for c in raw:
+                        if mx is not None:
+                            while c - last > mx:
+                                last += mx
+                                if last < n:
+                                    cuts.append(last)
+                        if c - last >= mn and c < n:
+                            cuts.append(c)
+                            last = c
+                    if mx is not None:
+                        while n - last > mx:
+                            last += mx
+                            if last < n:
+                                cuts.append(last)
+                else:
+                    cuts = raw
                 starts = [0] + list(cuts)
                 ends = list(cuts) + [n]
                 pb = bytes(payload)

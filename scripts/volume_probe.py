@@ -426,6 +426,13 @@ def probe_corpus(n_docs: int) -> None:
         near_dup=near_dup,
         strip_substrings=near_dup,
         strip_lines=strip_lines,
+        # BDRR_CORPUS_MAXBUCKET=N bounds the LSH candidate stage against
+        # hot buckets inside the composition (the r11 star guard)
+        near_dup_max_bucket=(
+            int(os.environ["BDRR_CORPUS_MAXBUCKET"])
+            if os.environ.get("BDRR_CORPUS_MAXBUCKET")
+            else None
+        ),
     )
     agg = kept.agg(
         F.count(F.lit(1)).alias("n_docs"),

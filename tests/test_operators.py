@@ -5089,3 +5089,31 @@ def test_chunk_binary_cdc_arrow_gear(spark):
     ) == [(r.chunk_idx, r.chunk_off, r.chunk_len) for r in by[1]]
     with pytest.raises(ValueError):
         chunk_binary_cdc_arrow(df, avg_chunk_bytes=48)  # not a power of 2
+    # FastCDC clamps: every chunk in [min, max] except a short tail;
+    # clamped chunking still tiles + reassembles and resyncs after an
+    # insert at the next accepted boundary
+    cl = sorted(
+        chunk_binary_cdc_arrow(
+            df.filter("asset_id in (1, 2)"),
+            avg_chunk_bytes=64,
+            min_chunk_bytes=32,
+            max_chunk_bytes=128,
+        ).collect(),
+        key=lambda r: (r.asset_id, r.chunk_idx),
+    )
+    byc = collections.defaultdict(list)
+    for r in cl:
+        byc[r.asset_id].append(r)
+    for aid, want in ((1, a), (2, b)):
+        rs = byc[aid]
+        assert b"".join(bytes(r.chunk) for r in rs) == want
+        for r in rs[:-1]:
+            assert 32 <= r.chunk_len <= 128, (aid, r)
+        assert rs[-1].chunk_len <= 128
+    ca = {hashlib.md5(bytes(r.chunk)).hexdigest() for r in byc[1]}
+    cb = {hashlib.md5(bytes(r.chunk)).hexdigest() for r in byc[2]}
+    assert len(ca & cb) >= len(ca) // 2  # resync after the edit region
+    with pytest.raises(ValueError):
+        chunk_binary_cdc_arrow(
+            df, avg_chunk_bytes=64, min_chunk_bytes=9, max_chunk_bytes=8
+        )
