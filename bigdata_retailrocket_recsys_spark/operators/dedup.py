@@ -2119,16 +2119,42 @@ def duplicated_spans_vs_corpus(
     Output: (id, span_start [0-based token index], span_len [tokens]).
     """
     tok = _span_tok_frame(batch, id_col=id_col, text_col=text_col)
+    islands, spans = _vs_corpus_islands_lazy(
+        tok,
+        corpus_ngrams,
+        n=n,
+        min_occurrences=min_occurrences,
+        hash_fn=hash_fn,
+    )
+    out = islands.select(
+        F.col("__d").alias(id_col), "span_start", "span_len"
+    ).localCheckpoint(eager=True)
+    spans.unpersist()
+    return out
+
+
+def _vs_corpus_islands_lazy(
+    tok: DataFrame,
+    corpus_ngrams: DataFrame,
+    *,
+    n: int,
+    min_occurrences: int,
+    hash_fn: str,
+) -> "tuple[DataFrame, DataFrame]":
+    """Lazy maximal-island plan for the INCREMENTAL span passes:
+    batch-only shingle rows (cached — count aggregate + start semi-join,
+    S7) with the duplicated decision made against artifact + batch
+    counts. The artifact is semi-joined to the BATCH vocabulary before
+    aggregating: keys absent from the batch can never mark a batch
+    start, and a daily delta's vocabulary is far smaller than the
+    corpus table — without this the whole corpus-grain table
+    re-aggregates per batch (measured at 1M-doc corpus / 100k batch:
+    the artifact-side agg was the dominant stage). Caller materializes
+    islands, then ``spans.unpersist()``."""
     spans = _positioned_ngram_keys(tok, n=n, hash_fn=hash_fn).cache()
     bc = spans.groupBy("__k").agg(
         F.count(F.lit(1)).cast("bigint").alias("__bc")
     )
-    # semi-join the artifact to the BATCH vocabulary before aggregating:
-    # keys absent from the batch can never mark a batch start, and a
-    # daily delta's vocabulary is far smaller than the corpus table —
-    # without this the whole corpus-grain table re-aggregates per batch
-    # (measured at 1M-doc corpus / 100k batch: the artifact-side agg was
-    # the dominant stage of the vs-corpus pass)
     cc = (
         corpus_ngrams.join(
             bc.select(F.col("__k").alias("gram_key")), "gram_key", "left_semi"
@@ -2148,13 +2174,7 @@ def duplicated_spans_vs_corpus(
         .select("__k")
     )
     starts = spans.join(dup_keys, "__k", "left_semi").select("__d", "__s")
-    out = (
-        _islands_from_starts(starts, n=n)
-        .select(F.col("__d").alias(id_col), "span_start", "span_len")
-        .localCheckpoint(eager=True)
-    )
-    spans.unpersist()
-    return out
+    return _islands_from_starts(starts, n=n), spans
 
 
 def strip_duplicated_spans(
@@ -2204,6 +2224,17 @@ def strip_duplicated_spans(
     )
     islands = islands.localCheckpoint(eager=True)
     spans.unpersist()
+    return _rebuild_tokens_without_islands(tok, islands, id_col=id_col)
+
+
+def _rebuild_tokens_without_islands(
+    tok: DataFrame, islands: DataFrame, *, id_col: str
+) -> DataFrame:
+    """Covered-position explode + left-join + single-groupBy token
+    rebuild shared by the batch-global and vs-corpus strip passes:
+    every token inside an island (__d, span_start, span_len) is
+    dropped; each document is rebuilt from survivors in original
+    order. Output: (id, n_tokens, n_removed, text_clean)."""
     covered = (
         islands.select(
             "__d",
@@ -2247,6 +2278,43 @@ def strip_duplicated_spans(
         .alias("n_removed"),
         "text_clean",
     )
+
+
+def strip_duplicated_spans_vs_corpus(
+    batch: DataFrame,
+    *,
+    corpus_ngrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_occurrences: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental exact-substring REMOVAL — the cutting half of
+    :func:`duplicated_spans_vs_corpus` (detect + APPLY pairing, the
+    house style): every batch token inside a maximal span whose every
+    ``n``-gram occurs ≥ ``min_occurrences`` times across corpus ∪ batch
+    is dropped, and each batch document is rebuilt from survivors in
+    original order — with the corpus represented ONLY by its persisted
+    :func:`ngram_count_table`. Same composition invariant as the
+    detect pass (≡ :func:`strip_duplicated_spans` over corpus ∪ batch
+    restricted to batch docs — unit-locked); ONE batch token frame
+    feeds the shingle windows AND the rebuild (two batch tokenize
+    passes total, zero corpus passes).
+
+    Output: (id, n_tokens, n_removed, text_clean).
+    """
+    tok = _span_tok_frame(batch, id_col=id_col, text_col=text_col)
+    islands, spans = _vs_corpus_islands_lazy(
+        tok,
+        corpus_ngrams,
+        n=n,
+        min_occurrences=min_occurrences,
+        hash_fn=hash_fn,
+    )
+    islands = islands.localCheckpoint(eager=True)
+    spans.unpersist()
+    return _rebuild_tokens_without_islands(tok, islands, id_col=id_col)
 
 
 def strip_contaminated_spans(

@@ -13618,3 +13618,114 @@ def q_multimodal_neardup_incremental(
         spark.read.parquet(path),
         min_jaccard=0.5,
     )
+
+
+@query(
+    "q_dedup_incremental_strip",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, ((doc_id % 3) + 3) % 3 AS sl,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), tok AS (
+        SELECT doc_id, sl, p - 1 AS p, toks[p] AS tk
+        FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS p)
+    ), sp AS (
+        SELECT doc_id, sl, st - 1 AS p,
+               array_to_string(list_slice(toks, st, st + 4), ' ') AS g
+        FROM (SELECT doc_id, sl, toks,
+                     unnest(generate_series(1, len(toks) - 4)) AS st
+              FROM t WHERE len(toks) >= 5)
+    ), dup1 AS (
+        SELECT g FROM sp WHERE sl IN (0, 1) GROUP BY g HAVING COUNT(*) >= 2
+    ), isl1 AS (
+        SELECT doc_id, MIN(p) AS s, MAX(p) - MIN(p) + 5 AS l
+        FROM (SELECT doc_id, p,
+                     p - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY p ASC) AS grp
+              FROM sp WHERE sl = 1 AND g IN (SELECT g FROM dup1))
+        GROUP BY doc_id, grp
+    ), cov1 AS (
+        SELECT DISTINCT doc_id, unnest(generate_series(s, s + l - 1)) AS p
+        FROM isl1
+    ), reb1 AS (
+        SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(k.tk, ' ' ORDER BY k.p ASC) AS text_clean
+        FROM (SELECT tok.* FROM tok LEFT JOIN cov1 c
+                ON tok.doc_id = c.doc_id AND tok.p = c.p
+              WHERE tok.sl = 1 AND c.p IS NULL) k
+        GROUP BY k.doc_id
+    ), tot1 AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t WHERE sl = 1
+    ), dup2 AS (
+        SELECT g FROM sp GROUP BY g HAVING COUNT(*) >= 2
+    ), isl2 AS (
+        SELECT doc_id, MIN(p) AS s, MAX(p) - MIN(p) + 5 AS l
+        FROM (SELECT doc_id, p,
+                     p - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY p ASC) AS grp
+              FROM sp WHERE sl = 2 AND g IN (SELECT g FROM dup2))
+        GROUP BY doc_id, grp
+    ), cov2 AS (
+        SELECT DISTINCT doc_id, unnest(generate_series(s, s + l - 1)) AS p
+        FROM isl2
+    ), reb2 AS (
+        SELECT k.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(k.tk, ' ' ORDER BY k.p ASC) AS text_clean
+        FROM (SELECT tok.* FROM tok LEFT JOIN cov2 c
+                ON tok.doc_id = c.doc_id AND tok.p = c.p
+              WHERE tok.sl = 2 AND c.p IS NULL) k
+        GROUP BY k.doc_id
+    ), tot2 AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t WHERE sl = 2
+    )
+    SELECT CAST(1 AS INT) AS inc, t1.doc_id, t1.n_tokens,
+           CAST(t1.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tot1 t1 LEFT JOIN reb1 r USING (doc_id)
+    UNION ALL
+    SELECT CAST(2 AS INT) AS inc, t2.doc_id, t2.n_tokens,
+           CAST(t2.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM tot2 t2 LEFT JOIN reb2 r USING (doc_id)
+    """,
+)
+def q_dedup_incremental_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO increments through the incremental exact-substring REMOVAL
+    loop (operators/dedup.strip_duplicated_spans_vs_corpus — the APPLY
+    half of q_dedup_incremental_spans): day-1 batch text is rebuilt
+    with every corpus∪batch-duplicated maximal span cut, against the
+    persisted day-0 n-gram count table; the day-1 counts are appended
+    and day-2 strips against the committed state. The cleaned TEXT
+    itself is value-hashed per increment — any off-by-one in span
+    coverage, island merging, or token order breaks the oracle."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        ngram_count_table,
+        strip_duplicated_spans_vs_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    s = F.pmod(F.col("doc_id"), F.lit(3))
+    path = _session_tmp(spark, "inc_strip_ngrams")
+    ngram_count_table(docs.filter(s == 0), path, n=5)
+    s1 = strip_duplicated_spans_vs_corpus(
+        docs.filter(s == 1),
+        corpus_ngrams=spark.read.parquet(path),
+        n=5,
+        min_occurrences=2,
+    )
+    ngram_count_table(docs.filter(s == 1), path, n=5, mode="append")
+    s2 = strip_duplicated_spans_vs_corpus(
+        docs.filter(s == 2),
+        corpus_ngrams=spark.read.parquet(path),
+        n=5,
+        min_occurrences=2,
+    )
+    cols = ["doc_id", "n_tokens", "n_removed", "text_clean"]
+    return s1.select(F.lit(1).cast("int").alias("inc"), *cols).unionByName(
+        s2.select(F.lit(2).cast("int").alias("inc"), *cols)
+    )

@@ -4976,6 +4976,30 @@ def test_duplicated_spans_vs_corpus_composition(spark, tmp_path):
     )
     assert got2 == exp2 and [did for did, *_ in got2] == [20]
 
+    # APPLY half: strip vs corpus == batch-global strip over the union
+    # restricted to the batch (cleaned text compared verbatim)
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        strip_duplicated_spans,
+        strip_duplicated_spans_vs_corpus,
+    )
+
+    got_s = sorted(
+        tuple(r) for r in strip_duplicated_spans_vs_corpus(
+            d2, corpus_ngrams=t2, n=5, min_occurrences=2
+        ).collect()
+    )
+    exp_s = sorted(
+        tuple(r)
+        for r in strip_duplicated_spans(
+            d0.unionByName(d1).unionByName(d2), n=5, min_occurrences=2
+        ).collect()
+        if r[0] >= 20
+    )
+    assert got_s == exp_s
+    by_s = {r[0]: r for r in got_s}
+    assert by_s[20][2] >= 5 and "three four five" not in by_s[20][3]
+    assert by_s[21][2] == 0
+
 
 def test_strip_lines_vs_corpus_composition(spark, tmp_path):
     """Incremental CCNet line strip equals the batch-global pass over
