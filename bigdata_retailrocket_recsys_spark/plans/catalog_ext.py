@@ -13729,3 +13729,56 @@ def q_dedup_incremental_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.select(F.lit(1).cast("int").alias("inc"), *cols).unionByName(
         s2.select(F.lit(2).cast("int").alias("inc"), *cols)
     )
+
+
+@query(
+    "q_multimodal_chunk_cdc_gear",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           md5(hex(encode(text))) AS reassembled_hex_md5
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id IS NOT NULL
+      AND octet_length(encode(text)) >= 1
+    """,
+)
+def q_multimodal_chunk_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gear-hash Arrow CDC chunking (multimodal.chunk_binary_cdc_arrow —
+    the 16×-measured throughput tier): every payload chunked by the
+    vectorized gear rolling hash, then REASSEMBLED in chunk order and
+    value-hashed against the original bytes — the oracle checks the
+    tier's HARD contract (exact tiling: no byte lost, duplicated,
+    or reordered by any boundary decision; a single off-by-one breaks
+    every digest). Boundary POSITIONS are gear-specific and not
+    DuckDB-expressible (64-bit wrap recurrence) — they are pinned by
+    the unit test (tiling, insert-shift, determinism, FastCDC clamps);
+    this entry makes the tier driver-visible with a real value gate."""
+    from bigdata_retailrocket_recsys_spark.operators.multimodal import (
+        attach_fake_media,
+        chunk_binary_cdc_arrow,
+    )
+
+    assets = attach_fake_media(
+        _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        ),
+        id_col="doc_id",
+        payload_from="text",
+    )
+    chunks = chunk_binary_cdc_arrow(assets, avg_chunk_bytes=64)
+    return chunks.groupBy("asset_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "chunk_idx", F.hex("chunk").alias("hx")
+                            )
+                        )
+                    ),
+                    lambda x: x["hx"],
+                ),
+                "",
+            )
+        ).alias("reassembled_hex_md5")
+    )
