@@ -416,6 +416,14 @@ def psi_drift(
         .cast("bigint")
         .alias("__cb"),
     )
+    return _psi_tail(c)
+
+
+def _psi_tail(c: DataFrame) -> DataFrame:
+    """PSI over per-bucket counts (__bk, __ca, __cb): Laplace +1
+    smoothing, shared µ-floored contrib tree, exact bigint sum,
+    GREATEST clamp — the tail shared by the raw-bucket and
+    quantile-bin PSI forms."""
     t = c.agg(
         F.sum("__ca").cast("bigint").alias("__na"),
         F.sum("__cb").cast("bigint").alias("__nb"),
@@ -448,3 +456,91 @@ def psi_drift(
         "psi_u",
         (F.col("psi_u").cast("double") / F.lit(1e6)).alias("psi"),
     )
+
+
+def psi_drift_quantile(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_buckets: int = 10,
+    n_shards: int = 32,
+) -> DataFrame:
+    """PSI over BASELINE-QUANTILE bins — the standard scorecard form
+    (bin edges are the baseline slice's deciles, so each bin holds
+    ~1/n_buckets of the baseline by construction and the statistic
+    measures where the CURRENT slice moved, independent of the value
+    scale; fixed-width bins make PSI an artifact of the chosen width).
+
+    Engine-deterministic throughout: edges are ORDER STATISTICS of the
+    baseline — the smallest value whose cumulative baseline count
+    reaches k/n_buckets, by the integer cross-multiplication
+    ``cum·n_buckets ≥ k·n_a`` over the distinct-value axis (the
+    weighted-median rule generalized to every quantile), computed on a
+    sharded prefix sum (never a single-reducer window; unbounded value
+    cardinality at 100 TB). Bucket id = number of edges strictly below
+    the value (ties to an edge fall LEFT, the ≤-edge convention) —
+    all-integer. NaN/±inf excluded like :func:`ks_two_sample`. The PSI
+    tail (Laplace smoothing, shared PSI_CONTRIB_SQL tree, GREATEST
+    clamp) is :func:`psi_drift`'s, verbatim.
+
+    Output (one row): (n_a, n_b, n_buckets, psi_u, psi) — n_buckets is
+    the OBSERVED bucket count (≤ the requested ``n_buckets``; fewer
+    when the baseline has few distinct values).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_prefix_sum,
+    )
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != float("inf"))
+        & F.col(group_col).isin([group_a, group_b])
+    ).select(v.alias("__v"), F.col(group_col).alias("__g"))
+    c = base.groupBy("__v").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__ca"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("__cb"),
+    )
+    cum = _sharded_prefix_sum(c, [F.col("__v").asc()], "__ca", n_shards)
+    # one bounded row of n_buckets−1 edges (NULL when the baseline is
+    # empty past that quantile), broadcast back over the value axis
+    edges = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") * n_buckets >= k * F.col("__tot"),
+                    F.col("__v"),
+                )
+            ).alias(f"__e{k}")
+            for k in range(1, n_buckets)
+        ]
+    )
+    bucket = None
+    for k in range(1, n_buckets):
+        term = F.when(
+            F.col(f"__e{k}").isNotNull() & (F.col("__v") > F.col(f"__e{k}")),
+            1,
+        ).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    bucketed = (
+        c.crossJoin(F.broadcast(edges))
+        .select(
+            bucket.cast("bigint").alias("__bk"), "__ca", "__cb"
+        )
+        .groupBy("__bk")
+        .agg(
+            F.sum("__ca").cast("bigint").alias("__ca"),
+            F.sum("__cb").cast("bigint").alias("__cb"),
+        )
+    )
+    return _psi_tail(bucketed)

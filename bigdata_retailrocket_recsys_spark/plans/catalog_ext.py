@@ -13782,3 +13782,95 @@ def q_multimodal_chunk_cdc_gear(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("reassembled_hex_md5")
     )
+
+
+@query(
+    "q_stats_psi_quantile",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(value AS DOUBLE) AS v,
+               CASE WHEN ts < TIMESTAMP '2024-01-16'
+                    THEN 'base' ELSE 'cur' END AS g
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND NOT isnan(value) AND NOT isinf(value)
+    ), c AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN g = 'base' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN g = 'cur' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cb
+        FROM b GROUP BY v
+    ), t0 AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na0 FROM c
+    ), cum AS (
+        SELECT v, ca, cb,
+               CAST(SUM(ca) OVER (ORDER BY v ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cm
+        FROM c
+    ), edges AS (
+        SELECT {", ".join(
+            f"MIN(CASE WHEN cm * 10 >= {k} * na0 THEN v END) AS e{k}"
+            for k in range(1, 10)
+        )}
+        FROM cum CROSS JOIN t0
+    ), bk AS (
+        SELECT ({" + ".join(
+            f"CASE WHEN e{k} IS NOT NULL AND v > e{k} THEN 1 ELSE 0 END"
+            for k in range(1, 10)
+        )}) AS bkt, ca, cb
+        FROM c CROSS JOIN edges
+    ), g2 AS (
+        SELECT bkt, CAST(SUM(ca) AS BIGINT) AS ca,
+               CAST(SUM(cb) AS BIGINT) AS cb
+        FROM bk GROUP BY bkt
+    ), t AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS m FROM g2
+    ), j AS (
+        SELECT na, nb, m,
+               CAST(ca + 1 AS BIGINT) AS sa,
+               CAST(cb + 1 AS BIGINT) AS sb,
+               CAST(na + m AS BIGINT) AS sna,
+               CAST(nb + m AS BIGINT) AS snb
+        FROM g2 CROSS JOIN t
+    )
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b, MAX(m) AS n_buckets,
+           GREATEST(CAST(SUM({{contrib}}) AS BIGINT),
+                    CAST(0 AS BIGINT)) AS psi_u,
+           CAST(GREATEST(CAST(SUM({{contrib}}) AS BIGINT),
+                         CAST(0 AS BIGINT)) AS DOUBLE) / 1e6 AS psi
+    FROM j
+    """.format(contrib=_PSI_ORACLE_CONTRIB),
+)
+def q_stats_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI over BASELINE-DECILE bins (operators/aggregates.
+    psi_drift_quantile) — the standard scorecard drift form: bin edges
+    are order statistics of the baseline slice (first half of January)
+    by the integer cross-multiplication cum·10 ≥ k·n over a SHARDED
+    prefix sum of the distinct-value axis, so each bin holds ~10% of
+    the baseline and the statistic is scale-free (q_stats_psi's
+    fixed-width /50 buckets are the raw-bucket twin). Ties to an edge
+    fall left; NaN/±inf excluded (the KS rule); the PSI tail — Laplace
+    smoothing, the shared PSI_CONTRIB_SQL tree, the GREATEST clamp —
+    is psi_drift's verbatim."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        psi_drift_quantile,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    b = ev.select(
+        F.col("value").alias("v"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+            F.lit("base"),
+        )
+        .otherwise(F.lit("cur"))
+        .alias("g"),
+    )
+    return psi_drift_quantile(
+        b, value_col="v", group_col="g", group_a="base", group_b="cur",
+        n_buckets=10,
+    )

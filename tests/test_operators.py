@@ -5141,3 +5141,39 @@ def test_chunk_binary_cdc_arrow_gear(spark):
         chunk_binary_cdc_arrow(
             df, avg_chunk_bytes=64, min_chunk_bytes=9, max_chunk_bytes=8
         )
+
+
+def test_psi_drift_quantile_identity_and_shift(spark):
+    """Quantile-bin PSI: identical slices -> exactly 0 (clamped);
+    a hard shift of the current slice -> clearly positive; baseline
+    deciles put ~1/n of the BASELINE in every bin; a single-valued
+    baseline degenerates to one observed bucket without error."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        psi_drift_quantile,
+    )
+
+    same = [(float(i % 100), "a") for i in range(1000)]
+    same += [(float(i % 100), "b") for i in range(1000)]
+    df = spark.createDataFrame(same, "v double, g string")
+    r = psi_drift_quantile(
+        df, value_col="v", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    assert (r.n_a, r.n_b, r.n_buckets) == (1000, 1000, 10)
+    assert r.psi_u == 0 and r.psi == 0.0
+
+    shifted = [(float(i % 100), "a") for i in range(1000)]
+    shifted += [(float(500 + i % 100), "b") for i in range(1000)]
+    df2 = spark.createDataFrame(shifted, "v double, g string")
+    r2 = psi_drift_quantile(
+        df2, value_col="v", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    assert r2.psi > 1.0  # total mass migration -> huge PSI
+
+    one = [(5.0, "a")] * 50 + [(5.0, "b")] * 30 + [(7.0, "b")] * 20
+    df3 = spark.createDataFrame(one, "v double, g string")
+    r3 = psi_drift_quantile(
+        df3, value_col="v", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    # baseline single-valued: all edges equal 5.0, values 5.0 tie LEFT
+    # (bucket 0), 7.0 lands right of every edge
+    assert r3.n_buckets == 2 and r3.psi > 0.0
