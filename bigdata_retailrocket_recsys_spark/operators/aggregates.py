@@ -286,6 +286,88 @@ def cusum_changepoint(
     )
 
 
+def rolling_value_quantiles(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    window_days: int = 7,
+    n_shards: int = 32,
+) -> DataFrame:
+    """EXACT trailing-window quantiles per day — "p95 over the trailing
+    7 days" (SLO/latency/revenue monitoring), the quantile sibling of
+    :func:`rolling_distinct_actives`: a trailing RANGE percentile
+    window is unbounded state, so each (day, value) observation
+    explodes to its ``window_days`` window-END days (equi shape,
+    constant ×window inflation — never a band BNLJ), end days bounded
+    to REAL active days by a semi-join, then per-end-day order
+    statistics over a GROUPED sharded prefix sum (group-leading range
+    shards + broadcast offsets — no per-day single-reducer window).
+
+    Exactness: values are exact CENTS (``floor(value·100)`` bigint —
+    the q_eval_forecast_mase rule; floor-on-double is engine-
+    identical), quantiles are order statistics by cross-multiplication
+    (p50: ``cum·2 ≥ n``; p95: ``cum·100 ≥ 95·n``) — all-integer
+    output, no percentile_approx sketch, no float ordering. NaN/±inf
+    excluded (the KS rule).
+
+    Output per active end day: (end_day [epoch days], n_obs, min_c,
+    p50_c, p95_c, max_c) — all bigint.
+    """
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        _sharded_prefix_sum,
+    )
+
+    v = F.col(value_col).cast("double")
+    base = df.filter(
+        F.col(ts_col).isNotNull()
+        & v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != float("inf"))
+    ).select(
+        F.unix_date(F.to_date(F.col(ts_col))).cast("bigint").alias("__day"),
+        F.floor(v * 100).cast("bigint").alias("__vc"),
+    )
+    days = base.select("__day").distinct()
+    x = base.select(
+        "__vc",
+        F.explode(
+            F.sequence(
+                F.col("__day"), F.col("__day") + F.lit(window_days - 1)
+            )
+        ).alias("__ed"),
+    )
+    xx = x.join(
+        days.select(F.col("__day").alias("__ed")), "__ed", "left_semi"
+    )
+    c = xx.groupBy("__ed", "__vc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    cum = _sharded_prefix_sum(
+        c, [F.col("__vc").asc()], "__n", n_shards, partition_by=["__ed"]
+    )
+    return cum.groupBy("__ed").agg(
+        F.max("__tot").cast("bigint").alias("n_obs"),
+        F.min("__vc").cast("bigint").alias("min_c"),
+        F.min(
+            F.when(F.col("__cum") * 2 >= F.col("__tot"), F.col("__vc"))
+        ).cast("bigint").alias("p50_c"),
+        F.min(
+            F.when(
+                F.col("__cum") * 100 >= 95 * F.col("__tot"), F.col("__vc")
+            )
+        ).cast("bigint").alias("p95_c"),
+        F.max("__vc").cast("bigint").alias("max_c"),
+    ).select(
+        F.col("__ed").alias("end_day"),
+        "n_obs",
+        "min_c",
+        "p50_c",
+        "p95_c",
+        "max_c",
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     *,

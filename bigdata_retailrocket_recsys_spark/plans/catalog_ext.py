@@ -13874,3 +13874,150 @@ def q_stats_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, value_col="v", group_col="g", group_a="base", group_b="cur",
         n_buckets=10,
     )
+
+
+@query(
+    "q_corpus_fertility",
+    oracle=r"""
+    WITH b AS (
+        SELECT source,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(len(list_filter(
+                   string_split_regex(trim(text), '\s+'),
+                   t -> t <> '')) AS BIGINT) AS n_ws,
+               CAST(len(regexp_extract_all(
+                   text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+           CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS n_pretokens,
+           CAST(CAST(SUM(n_bytes) * 1000000 AS BIGINT)
+               // GREATEST(CAST(SUM(n_ws) AS BIGINT), 1)
+               AS BIGINT) AS bytes_per_ws_ppm,
+           CAST(CAST(SUM(n_bytes) * 1000000 AS BIGINT)
+               // GREATEST(CAST(SUM(n_bpe) AS BIGINT), 1)
+               AS BIGINT) AS bytes_per_pretoken_ppm,
+           CAST(CAST(SUM(n_bpe) * 1000000 AS BIGINT)
+               // GREATEST(CAST(SUM(n_ws) AS BIGINT), 1)
+               AS BIGINT) AS fertility_ppm
+    FROM b GROUP BY source
+    """,
+)
+def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain TOKENIZER-FERTILITY report — the budgeting/costing
+    diagnostic every corpus team runs before committing a mixture:
+    UTF-8 bytes per whitespace token, bytes per BPE-style pretoken
+    (the GPT-2 pretokenizer's letter-run/digit-run/punct classes —
+    the q_text_bpe regex), and fertility (pretokens per whitespace
+    word — high fertility flags scripts/domains where a subword
+    tokenizer will explode sequence lengths and eat budget). All
+    integer-division ppm ratios over exact sums (zero-guarded) — no
+    floats anywhere; one narrow projection + one map-side-combinable
+    rollup, zero joins."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    n_bytes = F.octet_length("text").cast("bigint")
+    n_ws = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+        )
+    ).cast("bigint")
+    n_bpe = F.size(
+        F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    ).cast("bigint")
+    b = docs.select(
+        "source",
+        n_bytes.alias("n_bytes"),
+        n_ws.alias("n_ws"),
+        n_bpe.alias("n_bpe"),
+    )
+    g = b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.sum("n_ws").cast("bigint").alias("n_ws_tokens"),
+        F.sum("n_bpe").cast("bigint").alias("n_pretokens"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_bytes",
+        "n_ws_tokens",
+        "n_pretokens",
+        F.expr(
+            "(n_bytes * CAST(1000000 AS BIGINT))"
+            " div GREATEST(n_ws_tokens, 1)"
+        ).alias("bytes_per_ws_ppm"),
+        F.expr(
+            "(n_bytes * CAST(1000000 AS BIGINT))"
+            " div GREATEST(n_pretokens, 1)"
+        ).alias("bytes_per_pretoken_ppm"),
+        F.expr(
+            "(n_pretokens * CAST(1000000 AS BIGINT))"
+            " div GREATEST(n_ws_tokens, 1)"
+        ).alias("fertility_ppm"),
+    )
+
+
+@query(
+    "q_window_rolling_quantile",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(floor(value * 100) AS BIGINT) AS vc
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND NOT isnan(value) AND NOT isinf(value)
+    ), days AS (
+        SELECT DISTINCT day FROM b
+    ), x AS (
+        SELECT b.vc, b.day + d AS ed
+        FROM b, (SELECT unnest(generate_series(0, 6)) AS d)
+    ), xx AS (
+        SELECT x.ed, x.vc FROM x JOIN days ON days.day = x.ed
+    ), c AS (
+        SELECT ed, vc, CAST(COUNT(*) AS BIGINT) AS n
+        FROM xx GROUP BY ed, vc
+    ), cum AS (
+        SELECT ed, vc, n,
+               CAST(SUM(n) OVER (PARTITION BY ed ORDER BY vc ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cm,
+               CAST(SUM(n) OVER (PARTITION BY ed) AS BIGINT) AS tot
+        FROM c
+    )
+    SELECT ed AS end_day,
+           CAST(MAX(tot) AS BIGINT) AS n_obs,
+           CAST(MIN(vc) AS BIGINT) AS min_c,
+           CAST(MIN(CASE WHEN cm * 2 >= tot THEN vc END) AS BIGINT)
+               AS p50_c,
+           CAST(MIN(CASE WHEN cm * 100 >= 95 * tot THEN vc END) AS BIGINT)
+               AS p95_c,
+           CAST(MAX(vc) AS BIGINT) AS max_c
+    FROM cum GROUP BY ed
+    """,
+)
+def q_window_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day value quantiles per active day
+    (operators/aggregates.rolling_value_quantiles) — the SLO/latency
+    monitoring shape a trailing RANGE percentile window cannot express
+    without unbounded state: explode-to-window-ends equi shape
+    (constant ×7, never a band BNLJ; the q_agg_rolling_distinct move),
+    per-end-day order statistics over a GROUPED sharded prefix sum,
+    exact cents + cross-multiplied ranks (p50: cum·2 ≥ n; p95:
+    cum·100 ≥ 95·n) — all-bigint output, no percentile sketch, no
+    float ordering anywhere."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        rolling_value_quantiles,
+    )
+
+    return rolling_value_quantiles(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        window_days=7,
+    )

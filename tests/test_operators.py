@@ -5177,3 +5177,35 @@ def test_psi_drift_quantile_identity_and_shift(spark):
     # baseline single-valued: all edges equal 5.0, values 5.0 tie LEFT
     # (bucket 0), 7.0 lands right of every edge
     assert r3.n_buckets == 2 and r3.psi > 0.0
+
+
+def test_rolling_value_quantiles_exact(spark):
+    """Trailing-window quantiles are exact order statistics: day D's row
+    aggregates days [D-6, D] (observations flow FORWARD to their window
+    ends); p50/p95 are the cross-multiplied rank values on hand-
+    computable inputs; NaN/inf rows are excluded; only active days
+    report."""
+    from datetime import datetime as dt
+
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        rolling_value_quantiles,
+    )
+
+    rows = [(dt(2024, 1, 10, 12), float(i)) for i in range(1, 101)]
+    rows += [(dt(2024, 1, 12, 3), 1000.0), (dt(2024, 1, 12, 4), float("nan"))]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        r.end_day: r
+        for r in rolling_value_quantiles(
+            df, ts_col="ts", value_col="value", window_days=7
+        ).collect()
+    }
+    d10 = (dt(2024, 1, 10) - dt(1970, 1, 1)).days
+    # only the two ACTIVE days report (semi-join to real days)
+    assert set(got) == {d10, d10 + 2}
+    r1 = got[d10]
+    assert (r1.n_obs, r1.min_c, r1.p50_c, r1.p95_c, r1.max_c) == (
+        100, 100, 5000, 9500, 10000,
+    )
+    r2 = got[d10 + 2]  # trailing window includes day 10's 100 obs + 1000.0
+    assert r2.n_obs == 101 and r2.max_c == 100000 and r2.p95_c == 9600
