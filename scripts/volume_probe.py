@@ -786,6 +786,44 @@ def probe_prefix(n_events: int) -> None:
     )
 
     t0 = time.time()
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        psi_drift_quantile,
+        rolling_value_quantiles,
+    )
+
+    r = psi_drift_quantile(
+        ks_rows, value_col="v", group_col="g", group_a="a", group_b="b"
+    ).collect()[0]
+    print(
+        f"[prefix] psi_drift_quantile over {n_events:,} rows / 1M distinct "
+        f"values: psi={r['psi']:.6f} ({r['n_buckets']} bins) "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
+    ev = base.select(
+        F.timestamp_micros(
+            F.lit(1704067200000000)
+            + F.pmod(F.xxhash64(F.col("id") + 31), F.lit(30 * 86400))
+            * 1_000_000
+        ).alias("ts"),
+        (F.pmod(F.xxhash64(F.col("id") + 37), F.lit(100_000)).cast("double")
+         / F.lit(100.0)).alias("value"),
+    )
+    rq = rolling_value_quantiles(
+        ev, ts_col="ts", value_col="value", window_days=7
+    )
+    row = rq.orderBy(F.desc("end_day")).limit(1).collect()[0]
+    print(
+        f"[prefix] rolling_value_quantiles over {n_events:,} events / 30 "
+        f"days (x7 explode): last day n={row['n_obs']:,} "
+        f"p50={row['p50_c']} p95={row['p95_c']} "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    t0 = time.time()
     n_sessions = n_events // 2
     sess = spark.range(n_sessions).repartition(256).select(
         F.col("id").alias("session_id"),

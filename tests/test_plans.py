@@ -699,3 +699,30 @@ def test_ks_prefix_sums_sharded_and_topk_bounded(spark):
     assert "rangepartitioning" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_quantile_equi_and_sharded(spark):
+    """rolling_value_quantiles: the window-membership expansion must be
+    the explode+semi-join EQUI shape (a trailing band join would plan a
+    BroadcastNestedLoopJoin) and the per-end-day cumsum must ride the
+    range-sharded prefix sum, never a single-reducer window."""
+    plan = plan_str(
+        QUERIES["q_window_rolling_quantile"].fn(spark, SF_DIR), "simple"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+
+
+def test_psi_quantile_sharded_edges_broadcast(spark):
+    """psi_drift_quantile: decile edges come from the sharded prefix sum
+    (rangepartitioning) and join back as a broadcast 1-row frame — no
+    cartesian, no single-reducer value window."""
+    plan = plan_str(
+        QUERIES["q_stats_psi_quantile"].fn(spark, SF_DIR), "simple"
+    )
+    assert "rangepartitioning" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan
+    )
