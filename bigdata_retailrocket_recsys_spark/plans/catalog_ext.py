@@ -14021,3 +14021,87 @@ def q_window_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         window_days=7,
     )
+
+
+@query(
+    "q_dedup_cluster_report",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT DISTINCT doc_id AS doc, lang, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc, COUNT(*) AS n_sh FROM tok GROUP BY doc
+    ), common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b
+          ON a.shingle = b.shingle AND a.doc < b.doc
+         AND a.lang = b.lang AND a.source = b.source
+        GROUP BY a.doc, b.doc
+    ), pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(s, d) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), cc AS (
+        SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+    ), csz AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM cc GROUP BY cluster_id
+    )
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM csz GROUP BY sz
+    """,
+)
+def q_dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pass REPORT: cluster-size histogram over the Jaccard≥0.5
+    near-dup components (the q_dedup_clusters chain) — the summary a
+    production dedup emits before anyone approves the cut: how many
+    singletons (untouched), how many k-clusters, total docs per size,
+    and n_removable = docs the keeper policy would drop. All-integer
+    (size × count cross-products); the heavy chain is the already-
+    audited pair/CC machinery, the report adds two bounded rollups.
+    Oracle: the recursive-CTE closure extended with the same
+    histogram."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        shingle_n=1,
+        min_jaccard=0.5,
+    ).select("doc_a", "doc_b")
+    cc = connected_components(
+        docs, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    csz = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return csz.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("sz") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    ).select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "n_removable",
+    )
