@@ -2126,3 +2126,84 @@ def readability_scores(
             " - CAST(15590000 AS BIGINT)"
         ).alias("fk_u"),
     )
+
+
+#: Per-bigram PMI contribution, µ-floored — ONE template formatted with
+#: column names for BOTH engines (the KL_CONTRIB_SQL discipline:
+#: identical IEEE tree, so the bigint PMI values value-hash). PMI =
+#: ln( c_ab·N / (c_a·c_b) ) over bigram-event counts.
+PMI_CONTRIB_SQL = (
+    "CAST(FLOOR(ln((CAST({cab} AS DOUBLE) * CAST({n} AS DOUBLE))"
+    "             / (CAST({ca} AS DOUBLE) * CAST({cb} AS DOUBLE)))"
+    " * 1e6) AS BIGINT)"
+)
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation mining — the top-k adjacent word pairs by pointwise
+    mutual information (Church & Hanks 1990): bigrams whose joint
+    frequency beats the independence expectation ("new york",
+    "machine learning"), the classic phrase-detection / tokenizer-
+    merge-candidate surface. ``min_count`` suppresses the PMI
+    low-frequency pathology (a 1-occurrence pair of two hapaxes maxes
+    PMI).
+
+    Determinism: counts are exact bigints from ONE tokenize-once
+    lead-window pass (corpus-wide — no per-doc state); unigram margins
+    are the bigram table's own left/right sums, so p(a), p(b), p(ab)
+    share one event space; PMI is µ-floored through PMI_CONTRIB_SQL
+    (the KL/BM25 shared-template discipline — both engines parse the
+    identical IEEE tree) and ranked on the exact bigint with a total
+    (pmi_u DESC, w1, w2) tiebreak; the global top-k is a
+    TakeOrderedAndProject, never a full sort.
+
+    Output: (w1, w2, n_ab, n_a, n_b, pmi_u) — ≤ top_k rows.
+    """
+    from pyspark.sql import Window
+
+    base = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__d"),
+        F.posexplode(ws_tokens(text_col)).alias("__p", "__t"),
+    )
+    w = Window.partitionBy("__d").orderBy("__p")
+    big = (
+        base.select(
+            F.col("__t").alias("w1"),
+            F.lead("__t", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    cab = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    # margins from the SAME bigram event space (left/right position
+    # counts) — cached: three consumers (S7)
+    cab = cab.cache()
+    ca = cab.groupBy("w1").agg(F.sum("n_ab").cast("bigint").alias("n_a"))
+    cb = cab.groupBy("w2").agg(F.sum("n_ab").cast("bigint").alias("n_b"))
+    n = cab.agg(F.sum("n_ab").cast("bigint").alias("__n"))
+    contrib = F.expr(
+        PMI_CONTRIB_SQL.format(cab="n_ab", n="__n", ca="n_a", cb="n_b")
+    )
+    out = (
+        cab.filter(F.col("n_ab") >= min_count)
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "n_ab", "n_a", "n_b", contrib.alias("pmi_u"))
+        .orderBy(F.col("pmi_u").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+        .localCheckpoint(eager=True)  # bounded top-k; free the cache
+    )
+    cab.unpersist()
+    return out

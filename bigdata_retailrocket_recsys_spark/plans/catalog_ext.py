@@ -14105,3 +14105,61 @@ def q_dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_removable",
     )
+
+
+from bigdata_retailrocket_recsys_spark.operators.text import (  # noqa: E402
+    PMI_CONTRIB_SQL,
+)
+
+_PMI_ORACLE_CONTRIB = PMI_CONTRIB_SQL.format(
+    cab="n_ab", n="n", ca="n_a", cb="n_b"
+)
+
+
+@query(
+    "q_text_collocations",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), big AS (
+        SELECT toks[p] AS w1, toks[p + 1] AS w2
+        FROM tok, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+                           AS p)
+        WHERE toks[p] <> '' AND toks[p + 1] <> ''
+    ), cab AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM big GROUP BY w1, w2
+    ), ca AS (
+        SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM cab GROUP BY w1
+    ), cb AS (
+        SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM cab GROUP BY w2
+    ), t AS (
+        SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cab
+    ), s AS (
+        SELECT w1, w2, n_ab, n_a, n_b,
+               {_PMI_ORACLE_CONTRIB} AS pmi_u
+        FROM cab JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN t
+        WHERE n_ab >= 3
+    )
+    SELECT w1, w2, n_ab, n_a, n_b, pmi_u FROM s
+    ORDER BY pmi_u DESC, w1 ASC, w2 ASC LIMIT 25
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/text.collocations_pmi — Church &
+    Hanks PMI over adjacent word pairs): top-25 bigrams whose joint
+    frequency beats independence, min_count=3 against the PMI
+    low-frequency pathology. Counts exact from one tokenize-once
+    lead-window pass; margins from the bigram table's own left/right
+    sums (one shared event space); PMI µ-floored through the shared
+    PMI_CONTRIB_SQL tree and ranked on the bigint with a total
+    tiebreak — the global top-k is a TakeOrderedAndProject."""
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        collocations_pmi,
+    )
+
+    return collocations_pmi(
+        _t(spark, sf_dir, "documents"), min_count=3, top_k=25
+    )

@@ -5209,3 +5209,31 @@ def test_rolling_value_quantiles_exact(spark):
     )
     r2 = got[d10 + 2]  # trailing window includes day 10's 100 obs + 1000.0
     assert r2.n_obs == 101 and r2.max_c == 100000 and r2.p95_c == 9600
+
+
+def test_collocations_pmi_planted(spark):
+    """A planted always-adjacent pair tops PMI; a high-frequency but
+    independent pair scores near zero; min_count suppresses the
+    one-occurrence hapax pathology."""
+    import random
+
+    from bigdata_retailrocket_recsys_spark.operators.text import (
+        collocations_pmi,
+    )
+
+    random.seed(11)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = []
+    for d in range(60):
+        toks = [random.choice(vocab) for _ in range(20)]
+        toks[5:5] = ["new", "york"]  # planted collocation, every doc
+        rows.append((d, " ".join(toks)))
+    rows.append((999, "hapaxa hapaxb"))  # 1-occurrence pair
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = collocations_pmi(df, min_count=5, top_k=10).collect()
+    assert (out[0].w1, out[0].w2) == ("new", "york")
+    assert out[0].n_ab == 60 and out[0].pmi_u > 1_000_000  # PMI >> 1 nat
+    names = {(r.w1, r.w2) for r in out}
+    assert ("hapaxa", "hapaxb") not in names  # min_count suppression
+    # random vocab pairs that slip in score far below the planted pair
+    assert all(r.pmi_u <= out[0].pmi_u for r in out)
