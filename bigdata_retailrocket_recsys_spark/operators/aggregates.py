@@ -614,8 +614,12 @@ def psi_drift_quantile(
             1,
         ).otherwise(0)
         bucket = term if bucket is None else bucket + term
+    # Bucketing reads CUM, not c (ADVICE r11 #2): cum carries every c
+    # column plus the running sums, and it rides _sharded_prefix_sum's
+    # internal per-shard cache — so the edges path and this path share
+    # the cached collapse instead of re-running the base scan+groupBy.
     bucketed = (
-        c.crossJoin(F.broadcast(edges))
+        cum.crossJoin(F.broadcast(edges))
         .select(
             bucket.cast("bigint").alias("__bk"), "__ca", "__cb"
         )

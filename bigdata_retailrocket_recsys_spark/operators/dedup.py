@@ -225,9 +225,13 @@ def minhash_lsh_candidates_vs_corpus(
     if max_bucket is not None:
         from pyspark.sql import Window
 
-        # rank-then-filter compiles to WindowGroupLimit (top-m per bucket
-        # without materializing the full sorted bucket); the hot bucket is
-        # one task's linear scan, never a 10⁵×batch join fan-out.
+        # NOTE (ADVICE r11 #5): the count().over(unordered window) in the
+        # same select needs the FULL partition (bsz must count dropped
+        # members for the overflow audit), so the rank filter does NOT
+        # compile to a WindowGroupLimit top-m pushdown here. Behavior is
+        # still linear per bucket — the hot bucket is one sorted task's
+        # scan, never a 10⁵×batch join fan-out — the full-partition pass
+        # is the price of the never-silent n_dropped column.
         wo = Window.partitionBy("band", "bucket").orderBy("doc")
         wc = Window.partitionBy("band", "bucket")
         cb = (
@@ -546,58 +550,99 @@ def minhash_lsh_candidates(
     )
 
 
-def _capped_bucket_pairs(banded: DataFrame, *, max_bucket: int) -> DataFrame:
-    """Shared hot-bucket-guarded pairing over (doc, band, bucket) rows:
-    ≤ ``max_bucket`` members → clique (a<b self-join, the uncapped
-    shape); > ``max_bucket`` → spanning star from hub = min(doc).
-    One window pass sizes every bucket (the hot bucket is ONE sorted
-    partition — linear, a 10⁵-member bucket is one task's 10⁵ rows, not
-    5×10⁹ join rows); the sized frame feeds both branches so it is
-    cached (S7 — Spark never reuses a twice-referenced subtree) and the
-    cache is bounded (docs × bands rows). Output: doc_a, doc_b,
-    n_shared_bands, n_capped_bands."""
+def _hot_bucket_edges(
+    banded: DataFrame,
+    *,
+    keys: list[str],
+    id_col: str,
+    max_bucket: int,
+    payload_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """THE hot-bucket star guard (VERDICT r10 #1 / r11 consolidation) —
+    the single producer behind every banded-LSH capped path (MinHash
+    within-set, SimHash 64/128, embedding sign-LSH). Semantics over
+    (``id_col``, ``*payload_cols``, ``*keys``) rows: a ``keys``-group
+    with ≤ ``max_bucket`` members emits the clique (a<b self-join, the
+    uncapped shape); an over-cap group pre-collapses to a spanning STAR
+    from hub = min(id) — linear B−1 edges instead of B(B−1)/2. One
+    window pass sizes every bucket (the hot bucket is ONE sorted
+    partition — a 10⁵-member bucket is one task's 10⁵ rows, not 5×10⁹
+    join rows). ``payload_cols`` (SimHash signatures) ride the hub
+    struct — ``id_col`` leads it so lexicographic struct-min IS min-id —
+    and come back as ``{c}_a`` / ``{c}_b`` on every edge, so a star
+    edge's Hamming/verify input needs no extra join.
+
+    Returns ``(sized, edges)`` LAZY. ``sized`` feeds the clique join
+    (twice) AND the star filter, so it is ``.cache()``d here (S7 —
+    Spark never reuses a twice-referenced subtree); the CALLER must
+    finish with :func:`_finalize_capped` (eagerly materialize the
+    bounded pair output, then unpersist ``sized``) — the dot_topk_int8
+    rule, so no docs×bands signature-grain cache outlives the call
+    (ADVICE r11 #1). Edge columns: ``{id}_a``, ``{id}_b``,
+    ``{payload}_a/_b`` …, ``capped`` (0 clique / 1 star)."""
     from pyspark.sql import Window
 
-    wb = Window.partitionBy("band", "bucket")
+    wb = Window.partitionBy(*keys)
     sized = banded.select(
-        "doc",
-        "band",
-        "bucket",
-        F.count(F.lit(1)).over(wb).alias("bsz"),
-        F.min("doc").over(wb).alias("hub"),
+        id_col,
+        *payload_cols,
+        *keys,
+        F.count(F.lit(1)).over(wb).alias("__bsz"),
+        F.min(F.struct(id_col, *payload_cols)).over(wb).alias("__hub"),
     ).cache()
-    small = sized.filter(F.col("bsz") <= max_bucket)
+    small = sized.filter(F.col("__bsz") <= max_bucket)
     a = small.alias("a")
     b = small.alias("b")
-    clique = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-            "inner",
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.lit(0).alias("capped"),
-        )
+    clique = a.join(
+        b,
+        [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+        + [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+        "inner",
+    ).select(
+        F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+        F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+        F.lit(0).alias("capped"),
     )
     star = sized.filter(
-        (F.col("bsz") > max_bucket) & (F.col("doc") != F.col("hub"))
+        (F.col("__bsz") > max_bucket)
+        & (F.col(id_col) != F.col(f"__hub.{id_col}"))
     ).select(
-        F.col("hub").alias("doc_a"),
-        F.col("doc").alias("doc_b"),
+        F.col(f"__hub.{id_col}").alias(f"{id_col}_a"),
+        F.col(id_col).alias(f"{id_col}_b"),
+        *[F.col(f"__hub.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
         F.lit(1).alias("capped"),
     )
-    return (
-        clique.unionByName(star)
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared_bands"),
-            F.sum("capped").alias("n_capped_bands"),
-        )
+    return sized, clique.unionByName(star)
+
+
+def _finalize_capped(pairs: DataFrame, sized: DataFrame) -> DataFrame:
+    """Capped-path cache discipline: eagerly materialize the BOUNDED
+    pair output (≤ cap·N clique rows + linear star rows — orders of
+    magnitude below the docs×bands banding grain), truncate its lineage
+    (localCheckpoint is immune to refreshByPath and never recomputes
+    the banding subtree), then release the corpus-sized ``sized``
+    cache immediately — the same materialize-then-unpersist rule as
+    dot_topk_int8 / duplicated_spans."""
+    out = pairs.localCheckpoint(eager=True)
+    sized.unpersist()
+    return out
+
+
+def _capped_bucket_pairs(banded: DataFrame, *, max_bucket: int) -> DataFrame:
+    """MinHash tail of :func:`_hot_bucket_edges`: band-grain edges
+    re-aggregated to pair grain. Output: doc_a, doc_b, n_shared_bands,
+    n_capped_bands."""
+    sized, edges = _hot_bucket_edges(
+        banded, keys=["band", "bucket"], id_col="doc", max_bucket=max_bucket
     )
+    pairs = edges.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_shared_bands"),
+        F.sum("capped").alias("n_capped_bands"),
+    )
+    return _finalize_capped(pairs, sized)
 
 
 def _bitsum_signature(sh: DataFrame, bit_exprs: list[str]) -> DataFrame:
@@ -771,9 +816,11 @@ def simhash128_near_pairs(
             "banding guarantee needs max_hamming < n_bands "
             f"(got {max_hamming} >= {n_bands})"
         )
-    sigs = simhash128(
-        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
-    ).cache()  # consumed by every band branch (S7)
+    sigs = simhash128(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    if max_bucket is None:
+        # uncapped: banded feeds BOTH self-join sides (S7); capped mode
+        # reads banded once into _hot_bucket_edges' released sized cache
+        sigs = sigs.cache()
     base, rem = divmod(128, n_bands)
     widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
     offsets = [sum(widths[:b]) for b in range(n_bands)]
@@ -1071,6 +1118,8 @@ def jaccard_pairs_vs_corpus(
     corpus_shingles: DataFrame,
     *,
     min_jaccard: float = 0.5,
+    id_col: str | None = None,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Exact BIPARTITE Jaccard pairs between a batch and a persisted
     corpus shingle/digest table — the verify/apply half of the
@@ -1088,16 +1137,35 @@ def jaccard_pairs_vs_corpus(
     ONE IEEE division over exact integer counts. No a<b constraint —
     the sides are disjoint sets by the daily-delta contract.
 
+    Column binding (ADVICE r11 #3): pass ``id_col``/``shingle_col`` to
+    bind by NAME on both sides; when omitted, the inputs must be
+    EXACTLY two columns (id, shingle) in that order — a wider or
+    reordered frame raises instead of silently computing Jaccards over
+    the wrong columns.
+
     Output: batch_doc, corpus_doc, n_common, n_batch, n_corpus,
     jaccard.
     """
+    def _bind(df: DataFrame, side: str) -> tuple[str, str]:
+        if id_col is not None and shingle_col is not None:
+            return id_col, shingle_col
+        if len(df.columns) != 2:
+            raise ValueError(
+                f"jaccard_pairs_vs_corpus: {side} frame has columns "
+                f"{df.columns}; positional binding requires exactly "
+                "(id, shingle) — pass id_col=/shingle_col= for wider frames"
+            )
+        return df.columns[0], df.columns[1]
+
+    b_id, b_sh = _bind(batch_shingles, "batch")
+    c_id, c_sh = _bind(corpus_shingles, "corpus")
     bs = batch_shingles.select(
-        F.col(batch_shingles.columns[0]).alias("batch_doc"),
-        F.col(batch_shingles.columns[1]).alias("__sh"),
+        F.col(b_id).alias("batch_doc"),
+        F.col(b_sh).alias("__sh"),
     ).distinct()
     cs = corpus_shingles.select(
-        F.col(corpus_shingles.columns[0]).alias("corpus_doc"),
-        F.col(corpus_shingles.columns[1]).alias("__sh"),
+        F.col(c_id).alias("corpus_doc"),
+        F.col(c_sh).alias("__sh"),
     ).distinct()
     nb = bs.groupBy("batch_doc").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_batch")
@@ -1161,6 +1229,16 @@ def jaccard_verify(
     pairs are eagerly ``localCheckpoint``-ed at CALL time (the
     duplicated_spans discipline), so the returned frame holds no
     lineage into the freed cache.
+
+    CAPPED-RUN CAVEAT (VERDICT r11 #4): when the upstream candidates
+    came from a ``max_bucket``-capped LSH run, over-cap buckets emit a
+    spanning STAR, not the clique — verified pairs are then COMPLETE at
+    cluster grain (every member connects to the hub, so connected
+    components recover the family; property-locked) but NOT at pair
+    grain: two non-hub members of an over-cap bucket never appear as a
+    direct pair. Any consumer reading PAIRS (not clusters) must check
+    the candidates' ``n_capped_bands``/``from_capped_bucket`` columns
+    before trusting pair completeness.
 
     Output: doc_a, doc_b, n_common, n_a, n_b, jaccard.
     """
@@ -1627,31 +1705,16 @@ def embedding_cosine_pairs_lsh(
             .distinct()  # a pair may share cells in several tables
         )
     else:
-        from pyspark.sql import Window
-
-        wb = Window.partitionBy(*join_keys)
-        sized = banded.select(
-            "vid",
-            *join_keys,
-            F.count(F.lit(1)).over(wb).alias("__bsz"),
-            F.min("vid").over(wb).alias("__hub"),
-        )  # downstream of the localCheckpoint — computed once per branch
-        small = sized.filter(F.col("__bsz") <= max_bucket)
-        a = small.alias("a")
-        b = small.alias("b")
-        clique = a.join(
-            b,
-            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in join_keys]
-            + [F.col("a.vid") < F.col("b.vid")],
-        ).select(
-            F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b")
+        # shared star guard (r11 verdict consolidation): the sized frame
+        # feeds clique AND star, so _hot_bucket_edges caches it — the old
+        # inline copy here skipped the cache and recomputed the banding
+        # per branch (the "ReuseExchange does NOT dedupe" class)
+        sized, edges = _hot_bucket_edges(
+            banded, keys=join_keys, id_col="vid", max_bucket=max_bucket
         )
-        star = sized.filter(
-            (F.col("__bsz") > max_bucket) & (F.col("vid") != F.col("__hub"))
-        ).select(
-            F.col("__hub").alias("vid_a"), F.col("vid").alias("vid_b")
+        cand = _finalize_capped(
+            edges.select("vid_a", "vid_b").distinct(), sized
         )
-        cand = clique.unionByName(star).distinct()
     vecs = v.select("vid", "vec")
     cos = cosine_similarity(F.col("va.vec"), F.col("vb.vec"))
     return (
@@ -1790,9 +1853,13 @@ def simhash_near_pairs(
         sig_fn = simhash_md5  # oracle-replayable twin (see simhash_md5)
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
-    sigs = sig_fn(
-        df, id_col=id_col, text_col=text_col, shingle_n=shingle_n
-    ).cache()  # consumed by every band branch (S7)
+    sigs = sig_fn(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    if max_bucket is None:
+        # uncapped: banded feeds BOTH self-join sides (S7). Capped mode
+        # skips the cache — _hot_bucket_edges reads banded exactly once
+        # into its own (released) sized cache, so caching here would
+        # just pin a docs-grain frame for the session (ADVICE r11 #1).
+        sigs = sigs.cache()
     # distribute 64 bits across bands with the remainder spread over the
     # first (64 % n_bands) bands, so EVERY signature bit is banded (a
     # uniform 64//n_bands width would drop the top 64 % n_bands bits
@@ -1836,11 +1903,11 @@ def _banded_sig_pairs(
     """Shared SimHash pairing tail over (doc, sig..., band, key) rows:
     banded self-join → Hamming verify → dedup; with ``max_bucket`` set,
     over-cap (band, key) groups emit a spanning star from
-    hub = min(doc) instead of the clique (same guard as
-    :func:`_capped_bucket_pairs`, signatures ride the window struct so
-    the star edge's Hamming is computable without a join)."""
-    ham = " + ".join(f"bit_count(a.{c} ^ b.{c})" for c in sig_cols)
+    hub = min(doc) via the shared :func:`_hot_bucket_edges` guard —
+    signatures ride the edge as payload columns so the star edge's
+    Hamming is computable without a join."""
     if max_bucket is None:
+        ham = " + ".join(f"bit_count(a.{c} ^ b.{c})" for c in sig_cols)
         a = banded.alias("a")
         b = banded.alias("b")
         return (
@@ -1858,51 +1925,21 @@ def _banded_sig_pairs(
             .filter(F.col("hamming") <= max_hamming)
             .distinct()
         )
-    from pyspark.sql import Window
-
-    wb = Window.partitionBy("band", "key")
-    # min(struct(doc, sig...)) = the min-doc member WITH its signature —
-    # doc leads the struct so lexicographic struct ordering is doc order
-    sized = banded.select(
-        "doc",
-        *sig_cols,
-        "band",
-        "key",
-        F.count(F.lit(1)).over(wb).alias("bsz"),
-        F.min(F.struct("doc", *sig_cols)).over(wb).alias("hub"),
-    ).cache()  # feeds both branches (S7)
-    small = sized.filter(F.col("bsz") <= max_bucket)
-    a = small.alias("a")
-    b = small.alias("b")
-    clique = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.expr(ham).alias("hamming"),
-            F.lit(0).alias("capped"),
-        )
+    sized, edges = _hot_bucket_edges(
+        banded,
+        keys=["band", "key"],
+        id_col="doc",
+        max_bucket=max_bucket,
+        payload_cols=tuple(sig_cols),
     )
-    star_ham = " + ".join(f"bit_count(hub.{c} ^ {c})" for c in sig_cols)
-    star = sized.filter(
-        (F.col("bsz") > max_bucket) & (F.col("doc") != F.col("hub.doc"))
-    ).select(
-        F.col("hub.doc").alias("doc_a"),
-        F.col("doc").alias("doc_b"),
-        F.expr(star_ham).alias("hamming"),
-        F.lit(1).alias("capped"),
-    )
-    return (
-        clique.unionByName(star)
+    edge_ham = " + ".join(f"bit_count({c}_a ^ {c}_b)" for c in sig_cols)
+    pairs = (
+        edges.select("doc_a", "doc_b", F.expr(edge_ham).alias("hamming"), "capped")
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("doc_a", "doc_b", "hamming")
         .agg(F.max("capped").alias("from_capped_bucket"))
     )
+    return _finalize_capped(pairs, sized)
 
 
 def duplicated_spans(

@@ -627,9 +627,22 @@ def chunk_binary_cdc_arrow(
                     )
             yield pd.DataFrame(out, columns=cols)
 
-    return assets.select(
+    # Tier contract (ADVICE r11 #4): this Arrow tier requires an INTEGRAL
+    # id (the batch protocol carries it as int64); the relational
+    # chunk_binary_cdc accepts any id type. Validate up front — an ANSI
+    # bigint cast on a string id would otherwise fail mid-job — and alias
+    # the output id back to id_col so both tiers share one contract.
+    id_type = dict(assets.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"chunk_binary_cdc_arrow: id_col {id_col!r} has type {id_type}; "
+            "the Arrow tier requires an integral id — use the relational "
+            "chunk_binary_cdc for non-numeric ids"
+        )
+    out = assets.select(
         F.col(id_col).cast("bigint").alias("asset_id"), F.col(payload_col)
     ).mapInPandas(_chunks, schema=CDC_CHUNK_SCHEMA)
+    return out.withColumnRenamed("asset_id", id_col)
 
 
 def chunk_digest_table(

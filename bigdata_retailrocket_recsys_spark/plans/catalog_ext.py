@@ -13388,7 +13388,14 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ENTIRE guarded chain — md5 signatures, banding, window bucket
     sizing, small-bucket clique, star collapse, audit counts — is
     value-hashed against a DuckDB replay (the q_dedup_minhash_md5
-    signature CTE extended with the sized/clique/star split)."""
+    signature CTE extended with the sized/clique/star split).
+
+    PAIR-GRAIN CAVEAT (VERDICT r11 #4): rows with n_capped_bands > 0
+    came (at least partly) from star collapse — the pair SET is
+    complete at cluster grain (CC over these edges recovers every
+    over-cap family) but two non-hub members of an over-cap bucket
+    never pair directly. Pair-grain consumers must treat any output
+    with n_capped_bands > 0 as a lower bound on the true pair set."""
     from bigdata_retailrocket_recsys_spark.operators.dedup import (
         minhash_lsh_candidates,
     )
