@@ -1739,6 +1739,283 @@ def embedding_cosine_pairs_lsh(
     )
 
 
+def _rademacher_planes(tables: int, bits: int, dim: int):
+    """Deterministic ±1 (Rademacher) hyperplanes for sign-LSH, derived
+    from md5 so BOTH engines can regenerate them: weight(t, j, d) = +1
+    iff the first hex char of md5(f"{t}:{j}:{d}") is < '8' (top bit of
+    the digest — a fair coin). Random-±1 hyperplanes are the standard
+    practical SimHash family for vectors (Charikar STOC'02 §4 uses
+    random hyperplanes; ±1 entries preserve the collision-probability
+    analysis up to constants), and unlike seeded-numpy Gaussians the
+    md5 derivation is replayable inside a DuckDB oracle — the same
+    exact-integer-twin move as simhash_md5."""
+    import hashlib
+
+    return [
+        (
+            t,
+            j,
+            [
+                1
+                if hashlib.md5(f"{t}:{j}:{d}".encode()).hexdigest()[0] < "8"
+                else -1
+                for d in range(dim)
+            ],
+        )
+        for t in range(tables)
+        for j in range(bits)
+    ]
+
+
+def _quantized_vec(vec_col: str) -> Column:
+    """Component-wise floor(v·1e9) bigint quantization — the repo's
+    arbitrary-float determinism rule (CLAUDE.md: raw FLOAT→DECIMAL
+    rounds differently across engines; floor-scaled bigints never do).
+    Sign-LSH dots over these are EXACT integer arithmetic, so bucket
+    ids are bit-reproducible in any engine."""
+    return F.expr(
+        f"transform({vec_col}, x -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))"
+    )
+
+
+def embed_sign_buckets(
+    df: DataFrame,
+    *,
+    dim: int,
+    tables: int = 4,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket assignment per vector — the HASH PASS of the
+    incremental embedding-dedup tier (VERDICT r11 #3): each of
+    ``tables`` independent Rademacher tables maps a vector to a
+    ``bits``-bit integer bucket; vectors sharing a (table, bucket) cell
+    are near-dup candidates. Deterministic and engine-replayable end to
+    end: ±1 planes from :func:`_rademacher_planes` (md5-derived),
+    components quantized to floor(v·1e9) bigints, dot products and the
+    bucket's bit-OR all exact integers — no float ever crosses an
+    engine boundary, so the persisted artifact can be value-hashed by
+    a DuckDB oracle (unlike the seeded-numpy Gaussian planes of
+    :func:`embedding_cosine_pairs_lsh`, which stay the in-memory tier).
+
+    Plan shape (100 TB notes): the tables×bits plane rows are a TINY
+    literal frame broadcast against the vectors (one broadcast
+    nested-loop join — linear in N·tables·bits), then one
+    map-side-combinable groupBy builds each bucket. Vectors with NULL,
+    wrong-dim, or non-finite components cannot be hashed by fixed
+    planes and are excluded (the embedding_cosine_pairs_lsh guard,
+    extended: a NaN/inf component would poison the quantization cast).
+
+    Output: (``id_col``, tbl, bucket) — ``tables`` rows per vector.
+    """
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    if tables < 1:
+        raise ValueError(f"tables must be >= 1, got {tables}")
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        _rademacher_planes(tables, bits, dim),
+        "tbl int, bit int, w array<int>",
+    )
+    finite = ~F.expr(
+        f"exists({vec_col}, x -> isnan(CAST(x AS DOUBLE)) "
+        "OR abs(CAST(x AS DOUBLE)) = CAST('inf' AS DOUBLE))"
+    )
+    v = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & finite
+    ).select(F.col(id_col).alias("vid"), _quantized_vec(vec_col).alias("q"))
+    dot = F.aggregate(
+        F.zip_with("q", "w", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return (
+        v.crossJoin(F.broadcast(pdf))
+        .select(
+            "vid",
+            "tbl",
+            F.when(dot > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("bitval"),
+        )
+        .groupBy("vid", "tbl")
+        .agg(F.sum("bitval").alias("bucket"))
+        .select(F.col("vid").alias(id_col), "tbl", "bucket")
+    )
+
+
+def embed_bucket_table(
+    df: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    tables: int = 4,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persisted sign-LSH bucket table ``(id, tbl, bucket)`` — the
+    at-rest artifact for INCREMENTAL embedding dedup (VERDICT r11 #3;
+    the minhash_signatures_table pattern at the embedding grain):
+    corpus vectors are hashed ONCE per snapshot; a daily batch is
+    compared against this table (:func:`embed_candidates_vs_corpus`)
+    without re-reading or re-hashing corpus vectors. ``mode="append"``
+    commits a batch's buckets (doc-disjoint increments). LSH params
+    (dim/tables/bits) must match across snapshot and batches — they
+    define the plane family."""
+    embed_sign_buckets(
+        df, dim=dim, tables=tables, bits=bits, id_col=id_col, vec_col=vec_col
+    ).write.mode(mode).parquet(path)
+
+
+def embed_candidates_vs_corpus(
+    batch: DataFrame,
+    corpus_buckets: DataFrame,
+    *,
+    dim: int,
+    tables: int = 4,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_batch: bool = True,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Bipartite sign-LSH candidates between a NEW batch and a persisted
+    corpus bucket table — the embedding twin of
+    :func:`minhash_lsh_candidates_vs_corpus` (VERDICT r11 #3): the
+    batch is hashed with the SAME md5-derived plane family, banded
+    batch buckets are (by default) broadcast past a scan of the at-rest
+    table, and candidates are (batch, corpus) vectors sharing any
+    (tbl, bucket) cell. No corpus vector is read or re-hashed.
+
+    HOT-BUCKET GUARD (``max_bucket=``): same corpus-side cap as the
+    minhash twin — only the ``max_bucket`` smallest corpus ids per
+    (tbl, bucket) cell join (a 10⁵-strong re-encoded-upload family
+    otherwise floods the verify stage from one cell); never silent —
+    the output gains ``max_bucket_overflow``. A capped batch doc still
+    meets up to ``max_bucket`` family representatives, so the "is this
+    a dup of the family" decision survives (pair-grain completeness
+    does not — the :func:`jaccard_verify` caveat applies).
+
+    Output: batch_vid, corpus_vid, n_shared_tables
+    (+ max_bucket_overflow when capped).
+    """
+    bb = embed_sign_buckets(
+        batch, dim=dim, tables=tables, bits=bits, id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col(id_col).alias("bvid"), "tbl", "bucket")
+    if broadcast_batch:
+        bb = F.broadcast(bb)
+    cb = corpus_buckets.select(
+        F.col(id_col).alias("cvid"), "tbl", "bucket"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_shared_tables")]
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        # corpus-side cap (the minhash vs-corpus shape): full-partition
+        # window — bsz must count dropped members for the audit column,
+        # so no WindowGroupLimit pushdown; still linear per cell
+        wo = Window.partitionBy("tbl", "bucket").orderBy("cvid")
+        wc = Window.partitionBy("tbl", "bucket")
+        cb = (
+            cb.select(
+                "cvid",
+                "tbl",
+                "bucket",
+                F.row_number().over(wo).alias("rn"),
+                F.count(F.lit(1)).over(wc).alias("bsz"),
+            )
+            .filter(F.col("rn") <= max_bucket)
+            .select(
+                "cvid",
+                "tbl",
+                "bucket",
+                F.greatest(F.col("bsz") - max_bucket, F.lit(0)).alias(
+                    "n_dropped"
+                ),
+            )
+        )
+        aggs.append(F.max("n_dropped").alias("max_bucket_overflow"))
+    return (
+        cb.alias("c")
+        .join(
+            bb.alias("b"),
+            (F.col("c.tbl") == F.col("b.tbl"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+            "inner",
+        )
+        .groupBy(
+            F.col("b.bvid").alias("batch_vid"),
+            F.col("c.cvid").alias("corpus_vid"),
+        )
+        .agg(*aggs)
+    )
+
+
+def semdedup_apply_vs_corpus(
+    batch: DataFrame,
+    corpus_buckets: DataFrame,
+    corpus_vectors: DataFrame,
+    *,
+    dim: int,
+    tables: int = 4,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.9,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup APPLY (Abbas et al. 2023, daily-delta form;
+    VERDICT r11 #3 completes the incremental family's embedding grain):
+    LSH candidates vs the persisted bucket table
+    (:func:`embed_candidates_vs_corpus`) → exact-cosine verify on the
+    candidate pairs ONLY (corpus vectors are fetched by id for just the
+    candidates — an equi join bounded by the candidate count, never a
+    corpus-wide vector scan) → batch rows whose best corpus cosine ≥
+    ``min_cosine`` are dropped as semantic dups of the existing corpus;
+    survivors are the rows to append. Unhashable batch rows (NULL /
+    wrong-dim / non-finite vectors) cannot be compared and SURVIVE —
+    the q_dedup_exact NULL discipline.
+
+    Returns the batch's surviving rows (all batch columns).
+    """
+    cands = embed_candidates_vs_corpus(
+        batch,
+        corpus_buckets,
+        dim=dim,
+        tables=tables,
+        bits=bits,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket=max_bucket,
+    ).select("batch_vid", "corpus_vid")
+    cv = corpus_vectors.select(
+        F.col(id_col).alias("corpus_vid"),
+        to_double_array(vec_col).alias("cvec"),
+    )
+    bv = batch.select(
+        F.col(id_col).alias("batch_vid"),
+        to_double_array(vec_col).alias("bvec"),
+    )
+    cos = cosine_similarity(F.col("bvec"), F.col("cvec"))
+    dupes = (
+        cands.join(bv, "batch_vid")
+        .join(cv, "corpus_vid")
+        .select("batch_vid", cos.alias("cosine"))
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= min_cosine))
+        .select(F.col("batch_vid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dupes, id_col, "left_anti")
+
+
 def contamination_check(
     train_df: DataFrame,
     eval_df: DataFrame,

@@ -14170,3 +14170,222 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations_pmi(
         _t(spark, sf_dir, "documents"), min_count=3, top_k=25
     )
+
+
+# Shared DuckDB replay of operators/dedup.embed_sign_buckets (VERDICT r11
+# #3): md5-derived Rademacher ±1 planes × floor(v·1e9)-quantized
+# components — every bucket id is exact integer arithmetic, identical in
+# both engines (prototype-verified bit-identical on sf0.01: 2000/2000
+# bucket rows). {src} must provide (uid, embedding); emits bk(uid, t,
+# bucket). The shared-template rule (BM25_CONTRIB_SQL precedent) keeps
+# the two embed-incremental oracles from drifting apart.
+_EMBED_BUCKET_CTES = """
+    planes AS (
+        SELECT t.t, j.j, d.d,
+               CASE WHEN substring(md5(CAST(t.t AS VARCHAR) || ':'
+                        || CAST(j.j AS VARCHAR) || ':'
+                        || CAST(d.d AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE -1 END AS w
+        FROM (SELECT unnest(generate_series(0, {tables_m1})) AS t) t,
+             (SELECT unnest(generate_series(0, {bits_m1})) AS j) j,
+             (SELECT unnest(generate_series(0, 63)) AS d) d
+    ), qv AS (
+        SELECT uid, p - 1 AS d,
+               CAST(floor(CAST(embedding[p] AS DOUBLE) * 1e9) AS BIGINT)
+                   AS qv
+        FROM (SELECT uid, embedding FROM {src}
+              WHERE embedding IS NOT NULL AND len(embedding) = 64
+                AND NOT list_bool_or(list_transform(embedding,
+                        x -> isnan(CAST(x AS DOUBLE))
+                             OR isinf(CAST(x AS DOUBLE))))),
+             LATERAL (SELECT unnest(generate_series(1, 64)) AS p)
+    ), dots AS (
+        SELECT qv.uid, p.t, p.j, SUM(p.w * qv.qv) AS dot
+        FROM qv JOIN planes p USING (d) GROUP BY qv.uid, p.t, p.j
+    ), bk AS (
+        SELECT uid, t,
+               SUM(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                   AS bucket
+        FROM dots GROUP BY uid, t
+    )
+"""
+
+
+@query(
+    "q_dedup_incremental_embed",
+    oracle="WITH "
+    + _EMBED_BUCKET_CTES.format(
+        src="(SELECT vec_id AS uid, embedding FROM embeddings "
+        "WHERE vec_id IS NOT NULL)",
+        tables_m1=3,
+        # bits=12 (not the operator's default 8): at 8 bits every random
+        # fixture batch vector collides with SOME corpus vector and the
+        # survivor set is vacuously empty; 12 bits gives a ~35% dup /
+        # 65% survivor mix, so the hash checks BOTH branches
+        bits_m1=11,
+    )
+    + """
+    , dup1 AS (
+        SELECT DISTINCT b.uid AS vec_id
+        FROM bk b JOIN bk c ON b.t = c.t AND b.bucket = c.bucket
+        WHERE ((b.uid % 5) + 5) % 5 = 0 AND ((c.uid % 5) + 5) % 5 >= 2
+    ), s1 AS (
+        SELECT vec_id FROM embeddings
+        WHERE vec_id IS NOT NULL AND ((vec_id % 5) + 5) % 5 = 0
+          AND vec_id NOT IN (SELECT vec_id FROM dup1)
+    ), dup2 AS (
+        SELECT DISTINCT b.uid AS vec_id
+        FROM bk b JOIN bk c ON b.t = c.t AND b.bucket = c.bucket
+        WHERE ((b.uid % 5) + 5) % 5 = 1
+          AND (((c.uid % 5) + 5) % 5 >= 2
+               OR c.uid IN (SELECT vec_id FROM s1))
+    ), s2 AS (
+        SELECT vec_id FROM embeddings
+        WHERE vec_id IS NOT NULL AND ((vec_id % 5) + 5) % 5 = 1
+          AND vec_id NOT IN (SELECT vec_id FROM dup2)
+    )
+    SELECT CAST(1 AS INT) AS inc, vec_id FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT) AS inc, vec_id FROM s2
+    """,
+)
+def q_dedup_incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO increments through the incremental EMBEDDING-dedup loop
+    (operators/dedup.embed_bucket_table + embed_candidates_vs_corpus —
+    VERDICT r11 #3, completing the incremental family's last grain):
+    the day-0 corpus (vec_id ≡ 2,3,4 mod 5) persists its sign-LSH
+    bucket table ONCE; day-1 (≡ 0) batch vectors sharing any
+    (table, bucket) cell with the corpus are dropped, survivors'
+    buckets are APPENDED (pinned with an eager localCheckpoint before
+    the write — the refreshByPath trap: the survivors' lineage reads
+    the very table being appended); day-2 (≡ 1) runs against the
+    committed state, so a day-2 near-copy of a day-1 survivor is
+    caught only if the commit round-trip is exact. Corpus vectors are
+    never re-read or re-hashed. Unhashable batch rows (NULL vector)
+    always survive (the q_dedup_exact NULL discipline). Fully
+    value-hashed: buckets are md5-Rademacher × quantized-bigint
+    integers (_EMBED_BUCKET_CTES), so ONE CTE chain replays the whole
+    hash → persist → bipartite-join → append → rejoin composition."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_bucket_table,
+        embed_candidates_vs_corpus,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id").isNotNull())
+    m = F.pmod(F.col("vec_id"), F.lit(5))
+    corpus0 = emb.filter(m >= 2)
+    day1 = emb.filter(m == 0)
+    day2 = emb.filter(m == 1)
+    path = _session_tmp(spark, "inc_embed_buckets")
+    # bits=12: see the oracle note — 8 bits is vacuous on random fixtures
+    embed_bucket_table(corpus0, path, dim=64, bits=12)
+    dup1 = (
+        embed_candidates_vs_corpus(
+            day1, spark.read.parquet(path), dim=64, bits=12
+        )
+        .select(F.col("batch_vid").alias("vec_id"))
+        .distinct()
+    )
+    surv1 = (
+        day1.join(dup1, "vec_id", "left_anti")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)  # pin BEFORE the same-path append
+    )
+    embed_bucket_table(surv1, path, dim=64, bits=12, mode="append")
+    dup2 = (
+        embed_candidates_vs_corpus(
+            day2, spark.read.parquet(path), dim=64, bits=12
+        )
+        .select(F.col("batch_vid").alias("vec_id"))
+        .distinct()
+    )
+    surv2 = day2.join(dup2, "vec_id", "left_anti")
+    one = F.lit(1).cast("int").alias("inc")
+    two = F.lit(2).cast("int").alias("inc")
+    return surv1.select(one, "vec_id").unionByName(surv2.select(two, "vec_id"))
+
+
+@query(
+    "q_dedup_embed_vs_corpus_apply",
+    oracle="""WITH src AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id IS NOT NULL
+    ), cop AS (
+        SELECT vec_id + 1000000 AS vec_id, embedding, label
+        FROM (SELECT vec_id, embedding, label FROM src
+              WHERE ((vec_id % 5) + 5) % 5 >= 2 AND embedding IS NOT NULL
+              ORDER BY vec_id ASC LIMIT 20)
+    ), batch AS (
+        SELECT vec_id, embedding, label FROM src
+        WHERE ((vec_id % 5) + 5) % 5 = 0
+        UNION ALL SELECT vec_id, embedding, label FROM cop
+    ), corpus AS (
+        SELECT vec_id, embedding FROM src WHERE ((vec_id % 5) + 5) % 5 >= 2
+    ), allv AS (
+        SELECT 'b' || CAST(vec_id AS VARCHAR) AS uid, embedding FROM batch
+        UNION ALL
+        SELECT 'c' || CAST(vec_id AS VARCHAR) AS uid, embedding FROM corpus
+    ), """
+    + _EMBED_BUCKET_CTES.format(src="allv", tables_m1=3, bits_m1=7).lstrip()
+    + """
+    , cand AS (
+        SELECT DISTINCT CAST(substring(b.uid, 2) AS BIGINT) AS bvid,
+               CAST(substring(c.uid, 2) AS BIGINT) AS cvid
+        FROM bk b JOIN bk c ON b.t = c.t AND b.bucket = c.bucket
+        WHERE b.uid LIKE 'b%' AND c.uid LIKE 'c%'
+    ), dup AS (
+        SELECT DISTINCT cand.bvid
+        FROM cand
+        JOIN batch bv ON bv.vec_id = cand.bvid
+        JOIN corpus cv ON cv.vec_id = cand.cvid
+        WHERE list_cosine_similarity(CAST(bv.embedding AS DOUBLE[]),
+                                     CAST(cv.embedding AS DOUBLE[])) >= 0.6
+    )
+    SELECT vec_id, label FROM batch
+    WHERE vec_id NOT IN (SELECT bvid FROM dup)
+    """,
+)
+def q_dedup_embed_vs_corpus_apply(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SemDeDup APPLY with the verify stage FIRING
+    (operators/dedup.semdedup_apply_vs_corpus): 20 exact copies of
+    corpus vectors (shifted ids — the q_dedup_lsh_capped planting
+    move) ride into the batch, collide with their sources in every
+    sign-LSH table, pass the exact-cosine verify at ~1.0, and are
+    dropped as semantic dups of the existing corpus; genuine batch
+    rows survive (max real candidate cosine across all fixtures is
+    0.443 — min_cosine=0.6 sits in a wide margin on both sides, the
+    q_dedup_embed_apply threshold rule). Corpus vectors are fetched
+    by id for candidates only, never scanned corpus-wide."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_bucket_table,
+        semdedup_apply_vs_corpus,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id").isNotNull())
+    m = F.pmod(F.col("vec_id"), F.lit(5))
+    corpus = emb.filter(m >= 2)
+    copies = (
+        corpus.filter(F.col("embedding").isNotNull())
+        .orderBy(F.col("vec_id").asc())
+        .limit(20)
+        .select(
+            (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+    )
+    batch = emb.filter(m == 0).select(
+        "vec_id", "embedding", "label"
+    ).unionByName(copies)
+    path = _session_tmp(spark, "embed_apply_buckets")
+    embed_bucket_table(corpus, path, dim=64)
+    surv = semdedup_apply_vs_corpus(
+        batch,
+        spark.read.parquet(path),
+        corpus,
+        dim=64,
+        min_cosine=0.6,
+    )
+    return surv.select("vec_id", "label")

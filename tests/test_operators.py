@@ -5237,3 +5237,161 @@ def test_collocations_pmi_planted(spark):
     assert ("hapaxa", "hapaxb") not in names  # min_count suppression
     # random vocab pairs that slip in score far below the planted pair
     assert all(r.pmi_u <= out[0].pmi_u for r in out)
+
+
+def test_embed_sign_buckets_guards_and_determinism(spark):
+    """Incremental embedding tier (VERDICT r11 #3): unhashable vectors
+    (NULL, wrong dim, NaN/inf component) are excluded; buckets are a
+    pure function of the vector (repartitioning never changes them) and
+    identical vectors always share every bucket."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_sign_buckets,
+    )
+
+    rows = [
+        (1, [0.5, -0.25, 0.125, 1.0]),
+        (2, [0.5, -0.25, 0.125, 1.0]),      # identical to 1
+        (3, [-1.0, 2.0, -3.0, 0.0625]),
+        (4, None),                          # NULL vector
+        (5, [1.0, 2.0]),                    # wrong dim
+        (6, [1.0, float("nan"), 0.0, 0.0]), # NaN component
+        (7, [1.0, float("inf"), 0.0, 0.0]), # inf component
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = embed_sign_buckets(df, dim=4, tables=3, bits=6)
+    got = {(r.vec_id, r.tbl): r.bucket for r in out.collect()}
+    assert {v for v, _ in got} == {1, 2, 3}
+    assert all((1, t) in got and got[(1, t)] == got[(2, t)] for t in range(3))
+    again = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in embed_sign_buckets(
+            df.repartition(7), dim=4, tables=3, bits=6
+        ).collect()
+    }
+    assert again == got
+
+
+def test_embed_candidates_vs_corpus_composition_invariant(spark):
+    """The vs-corpus bipartite candidates over a PERSISTED bucket table
+    must equal the batch↔corpus pairs of a batch-global bucketing of
+    corpus ∪ batch — the incremental-family composition invariant
+    (same lock as q_dedup_incremental_spans' unit twin)."""
+    import random
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_bucket_table,
+        embed_candidates_vs_corpus,
+        embed_sign_buckets,
+    )
+
+    random.seed(5)
+    vecs = [
+        (i, [random.gauss(0, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") % 3 != 0)
+    batch = df.filter(F.col("vec_id") % 3 == 0)
+    import tempfile
+
+    path = tempfile.mkdtemp() + "/bk"
+    embed_bucket_table(corpus, path, dim=8, tables=3, bits=4)
+    inc = {
+        (r.batch_vid, r.corpus_vid, r.n_shared_tables)
+        for r in embed_candidates_vs_corpus(
+            batch, spark.read.parquet(path), dim=8, tables=3, bits=4
+        ).collect()
+    }
+    # batch-global pass over corpus ∪ batch, restricted to cross pairs
+    allb = embed_sign_buckets(df, dim=8, tables=3, bits=4)
+    a, b = allb.alias("a"), allb.alias("b")
+    glob = {
+        (r.bv, r.cv, r.n)
+        for r in a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") % 3 == 0)
+            & (F.col("b.vec_id") % 3 != 0),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("bv"), F.col("b.vec_id").alias("cv")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert inc == glob and len(inc) > 0
+
+
+def test_embed_candidates_vs_corpus_max_bucket(spark):
+    """Corpus-side hot-bucket cap on the embedding vs-corpus join: a
+    planted family of identical corpus vectors floods one cell per
+    table; with max_bucket=m only the m smallest corpus ids join, the
+    overflow is audited, and the batch doc's is-dup decision survives
+    (it still meets m family representatives)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_bucket_table,
+        embed_candidates_vs_corpus,
+    )
+
+    fam = [(i, [1.0, 2.0, -0.5, 0.25]) for i in range(100)]
+    df = spark.createDataFrame(fam, "vec_id int, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(500, [1.0, 2.0, -0.5, 0.25])], "vec_id int, embedding array<double>"
+    )
+    import tempfile
+
+    path = tempfile.mkdtemp() + "/bkcap"
+    embed_bucket_table(df, path, dim=4, tables=2, bits=4)
+    unc = embed_candidates_vs_corpus(
+        batch, spark.read.parquet(path), dim=4, tables=2, bits=4
+    ).collect()
+    assert len(unc) == 100  # every family member pairs with the batch doc
+    cap = embed_candidates_vs_corpus(
+        batch, spark.read.parquet(path), dim=4, tables=2, bits=4,
+        max_bucket=10,
+    ).collect()
+    assert len(cap) == 10  # the 10 smallest corpus ids per cell
+    assert {r.corpus_vid for r in cap} == set(range(10))
+    assert all(
+        r.n_shared_tables == 2 and r.max_bucket_overflow == 90 for r in cap
+    )
+
+
+def test_semdedup_apply_vs_corpus(spark):
+    """Incremental SemDeDup apply: exact copies of corpus vectors are
+    dropped (cosine 1.0 ≥ threshold), dissimilar batch rows survive,
+    and unhashable batch rows (NULL vector) always survive."""
+    import random
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_bucket_table,
+        semdedup_apply_vs_corpus,
+    )
+
+    random.seed(9)
+    corpus_rows = [
+        (i, [random.gauss(0, 1) for _ in range(8)]) for i in range(50)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id int, embedding array<double>"
+    )
+    batch_rows = (
+        [(1000 + i, corpus_rows[i][1]) for i in range(5)]  # copies
+        + [(2000, [float(x) for x in [9, -9, 9, -9, 9, -9, 9, -9]])]
+        + [(3000, None)]  # unhashable
+    )
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id int, embedding array<double>"
+    )
+    import tempfile
+
+    path = tempfile.mkdtemp() + "/bksem"
+    embed_bucket_table(corpus, path, dim=8, tables=4, bits=4)
+    surv = {
+        r.vec_id
+        for r in semdedup_apply_vs_corpus(
+            batch, spark.read.parquet(path), corpus, dim=8, tables=4,
+            bits=4, min_cosine=0.95,
+        ).collect()
+    }
+    assert surv == {2000, 3000}
