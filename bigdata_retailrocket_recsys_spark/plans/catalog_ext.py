@@ -14389,3 +14389,45 @@ def q_dedup_embed_vs_corpus_apply(
         min_cosine=0.6,
     )
     return surv.select("vec_id", "label")
+
+
+@query(
+    "q_scan_avro",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(event_id) AS BIGINT) AS max_event
+    FROM events WHERE user_id % 3 = 0 GROUP BY event_type
+    """,
+)
+def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink round-trip (sources/avro_io — VERDICT r11 #6):
+    the row-major intake format a real fleet lands on. The 'avro' short
+    name is the EXTERNAL spark-avro connector's ServiceLoader alias
+    (absent in this sandbox), but Spark 4 bundles the provider class in
+    spark-sql itself — avro_format() resolves whichever tier works, so
+    this entry runs the identical plan under either deployment. Write →
+    read → aggregate, value-hashed against the source table (the
+    q_scan_json/q_scan_orc pattern); integer/string columns only (Avro
+    has no NaN-safe double oracle story and needs none here)."""
+    from bigdata_retailrocket_recsys_spark.sources.avro_io import (
+        read_avro,
+        write_avro,
+    )
+
+    out = _session_tmp(spark, "avro_roundtrip")
+    write_avro(
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 3 == 0)
+        .select("event_id", "user_id", "event_type"),
+        out,
+    )
+    return (
+        read_avro(spark, out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("user_id").alias("min_user"),
+            F.max("event_id").alias("max_event"),
+        )
+    )

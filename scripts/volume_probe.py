@@ -964,13 +964,109 @@ def probe_r10s3(n_docs: int, n_events: int) -> None:
     ev.unpersist()
 
 
+def probe_capfire(n_docs: int, n_family: int) -> None:
+    """VERDICT r11 #2: prove the hot-bucket star guard firing ON
+    NEAR-DUP SURVIVORS inside the FULL 7-stage composition. The r11
+    capped-vs-uncapped pipeline A/B was output-identical because the
+    planted EXACT dups died before LSH — here the family is TEMPLATED
+    (a fixed 29-token template + a per-doc timestamp token, the classic
+    re-rendered-page shape): exact dedup passes every member to LSH,
+    pairwise Jaccard ≈ 25/31 ≈ 0.81 clears the 0.5 verify, and with
+    most members sharing whole signatures the (band, bucket) cells
+    concentrate into hot buckets the cap must handle. Checks: (a)
+    cluster recall — exactly ONE family keeper survives the pipeline
+    (budget set above the corpus so the cut stage passes everything),
+    (b) wall stays in the no-family baseline's ballpark (linear, no
+    pair blowup)."""
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.pipelines.corpus import (
+        build_corpus,
+    )
+
+    max_bucket = int(os.environ.get("BDRR_CORPUS_MAXBUCKET", "256"))
+    fam_text = F.concat(
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 28), "
+            "j -> concat('tpl', pmod(xxhash64(j * 77 + 13), 50000))))"
+        ),
+        F.lit(" ts"),
+        F.col("doc_id").cast("string"),
+    )
+    docs = (
+        synth_documents(spark, n_docs)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") < n_family, fam_text).otherwise(
+                F.col("text")
+            ),
+        )
+        .withColumn(
+            "source",
+            F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(50))),
+        )
+        .cache()
+    )
+    n = docs.count()
+    print(
+        f"[capfire] {n:,} docs incl. {n_family:,}-member templated family, "
+        f"max_bucket={max_bucket}",
+        flush=True,
+    )
+
+    def _run(d, cap):
+        t0 = time.time()
+        kc = build_corpus(
+            d,
+            eval_source="src0",
+            budget_tokens=n * 60,  # above the corpus — budget never cuts
+            min_quality=0.3,
+            near_dup=True,
+            strip_substrings=True,
+            near_dup_max_bucket=cap,
+        ).cache()
+        total = kc.count()
+        fam_kept = kc.filter(F.col("doc_id") < n_family).count()
+        kc.unpersist()
+        return total, fam_kept, time.time() - t0
+
+    baseline = synth_documents(spark, n_docs).withColumn(
+        "source",
+        F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(50))),
+    )
+    bt, _, bw = _run(baseline, max_bucket)
+    print(f"[capfire] baseline(no family): kept {bt:,} in {bw:.1f}s", flush=True)
+    ct, cf, cw = _run(docs, max_bucket)
+    print(
+        f"[capfire] family CAPPED: kept {ct:,} in {cw:.1f}s; "
+        f"family keepers = {cf}",
+        flush=True,
+    )
+    # cluster-recall-vs-uncapped equality: the star guard must keep the
+    # SAME family components the uncapped clique finds (absolute 1-keeper
+    # recall is probabilistic by LSH design — a member missing all 4 core
+    # bands splits off in BOTH variants). Skippable at family sizes where
+    # the uncapped clique itself is the blowup being guarded against.
+    if os.environ.get("BDRR_CAPFIRE_UNCAPPED", "1") == "1":
+        ut, uf, uw = _run(docs, None)
+        verdict = "EQUAL — guard lossless at cluster grain" if (
+            uf == cf and ut == ct
+        ) else f"MISMATCH capped=({ct},{cf}) uncapped=({ut},{uf})"
+        print(
+            f"[capfire] family UNCAPPED: kept {ut:,} in {uw:.1f}s; "
+            f"family keepers = {uf} → {verdict}",
+            flush=True,
+        )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
         "probe",
         choices=[
             "tpch", "ops", "corpus", "spans", "r10ops", "r10s3", "hotbucket",
-            "prefix", "r11inc",
+            "prefix", "r11inc", "capfire",
         ],
     )
     p.add_argument("--family", type=int, default=10_000)
@@ -1000,6 +1096,8 @@ def main() -> None:
         probe_prefix(a.events)
     elif a.probe == "r11inc":
         probe_r11inc(a.docs)
+    elif a.probe == "capfire":
+        probe_capfire(a.docs, a.family)
     else:
         probe_ops(a.docs, a.edges)
 
