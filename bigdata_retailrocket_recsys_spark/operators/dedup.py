@@ -763,6 +763,46 @@ def simhash_md5(
     )
 
 
+def simhash128_md5(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 2
+) -> DataFrame:
+    """128-bit SimHash from the FULL md5 digest — the oracle-replayable
+    twin of :func:`simhash128` (r12 graduation of the 128-bit tier,
+    VERDICT r11 #8): md5 is 128 bits, so its 32 hex nibbles supply all
+    128 vote bits with the same integer-only nibble extraction as
+    :func:`simhash_md5` (bit ``j`` = bit ``j%4`` of nibble ``j//4``) —
+    both engines reproduce every vote, signature word, and Hamming
+    distance exactly. ALL 128 bit sums ride ONE map-side-combinable
+    aggregation. Returns ``(doc, sig_lo, sig_hi)`` like the xxhash64
+    scale tier."""
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=shingle_n).select(
+        "doc",
+        F.expr(
+            "transform(sequence(0, 31), k -> "
+            "instr('0123456789abcdef', substring(md5(shingle), k + 1, 1)) - 1)"
+        ).alias("nibs"),
+    )
+    exprs = [f"(nibs[{j // 4}] >> {j % 4}) & 1" for j in range(128)]
+    sums = sh.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.expr(e)).alias(f"s{j}") for j, e in enumerate(exprs)],
+    )
+
+    def _word(w: int):
+        sig = None
+        for j in range(64):
+            term = F.when(
+                F.col(f"s{64 * w + j}") * 2 > F.col("n"),
+                F.lit(1 << j if j < 63 else -(1 << 63)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            sig = term if sig is None else sig + term
+        return sig
+
+    return sums.select(
+        "doc", _word(0).alias("sig_lo"), _word(1).alias("sig_hi")
+    )
+
+
 def simhash128(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 2
 ) -> DataFrame:
@@ -794,11 +834,15 @@ def simhash128_near_pairs(
     shingle_n: int = 2,
     max_hamming: int = 3,
     n_bands: int = 4,
+    hash_fn: str = "xxhash64",
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded near-dup candidate pairs over the 128-bit signature — the
     scale tier of :func:`simhash_near_pairs` (same Manku pigeonhole:
     Hamming ≤ max_hamming < n_bands ⟹ exact agreement on ≥1 band).
+    ``hash_fn='md5'`` swaps in the :func:`simhash128_md5` bit source —
+    the oracle-replayable twin (r12 graduation); ``'xxhash64'`` stays
+    the scale tier (int hashes, half the hash bytes).
     Bands split the concatenated 128-bit space with remainder bits
     spread over the leading bands; a band straddling the lo/hi word
     boundary is stitched from both words (all integer shifts, no UDF).
@@ -816,7 +860,13 @@ def simhash128_near_pairs(
             "banding guarantee needs max_hamming < n_bands "
             f"(got {max_hamming} >= {n_bands})"
         )
-    sigs = simhash128(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    if hash_fn == "xxhash64":
+        sig_fn = simhash128
+    elif hash_fn == "md5":
+        sig_fn = simhash128_md5
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    sigs = sig_fn(df, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
     if max_bucket is None:
         # uncapped: banded feeds BOTH self-join sides (S7); capped mode
         # reads banded once into _hot_bucket_edges' released sized cache
@@ -1846,6 +1896,69 @@ def embed_sign_buckets(
         .groupBy("vid", "tbl")
         .agg(F.sum("bitval").alias("bucket"))
         .select(F.col("vid").alias(id_col), "tbl", "bucket")
+    )
+
+
+def embed_lsh_pairs(
+    df: DataFrame,
+    *,
+    dim: int,
+    tables: int = 8,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.9,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """WITHIN-SET embedding near-dup pairs over the deterministic
+    Rademacher sign-LSH (:func:`embed_sign_buckets`) + exact-cosine
+    verify — the oracle-replayable twin of
+    :func:`embedding_cosine_pairs_lsh` (r12 graduation, VERDICT r11
+    #8): bucket ids are exact integers both engines reproduce, so the
+    candidate SET (not just its statistics) replays in DuckDB; the
+    Gaussian-plane operator stays the in-memory tier. Candidate volume
+    is bounded by cell size, never all-pairs; ``max_bucket=`` routes
+    over-cap cells through the shared :func:`_hot_bucket_edges` star
+    guard. Recall is the standard sign-LSH curve ((1-θ/π)^bits per
+    table) — probabilistic in the DATA but deterministic in the
+    ENGINE, which is what an oracle needs. Output: id_a, id_b, cosine
+    (NaN-cosine pairs dropped, the embedding_cosine_pairs_lsh rule)."""
+    b = embed_sign_buckets(
+        df, dim=dim, tables=tables, bits=bits, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("vid"), "tbl", "bucket")
+    if max_bucket is None:
+        bb = b.localCheckpoint()  # hash pass runs once, both join sides
+        cand = (
+            bb.alias("a")
+            .join(
+                bb.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vid") < F.col("b.vid")),
+            )
+            .select(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
+            .distinct()
+        )
+    else:
+        sized, edges = _hot_bucket_edges(
+            b, keys=["tbl", "bucket"], id_col="vid", max_bucket=max_bucket
+        )
+        cand = _finalize_capped(
+            edges.select("vid_a", "vid_b").distinct(), sized
+        )
+    vecs = df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col).alias("vid"), to_double_array(vec_col).alias("vec"))
+    cos = cosine_similarity(F.col("va.vec"), F.col("vb.vec"))
+    return (
+        cand.join(vecs.alias("va"), F.col("vid_a") == F.col("va.vid"))
+        .join(vecs.alias("vb"), F.col("vid_b") == F.col("vb.vid"))
+        .select(
+            F.col("vid_a").alias("id_a"),
+            F.col("vid_b").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= min_cosine))
     )
 
 

@@ -457,17 +457,92 @@ def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
-@query("q_dedup_embed_cosine_lsh")  # probabilistic recall → rows-only; the
-# exact-subset + recall invariants are locked in tests/test_operators.py
+# Shared DuckDB replay of operators/dedup.embed_sign_buckets (VERDICT r11
+# #3): md5-derived Rademacher ±1 planes × floor(v·1e9)-quantized
+# components — every bucket id is exact integer arithmetic, identical in
+# both engines (prototype-verified bit-identical on sf0.01: 2000/2000
+# bucket rows). {src} must provide (uid, embedding); emits bk(uid, t,
+# bucket). The shared-template rule (BM25_CONTRIB_SQL precedent) keeps
+# the two embed-incremental oracles from drifting apart.
+_EMBED_BUCKET_CTES = """
+    planes AS (
+        SELECT t.t, j.j, d.d,
+               CASE WHEN substring(md5(CAST(t.t AS VARCHAR) || ':'
+                        || CAST(j.j AS VARCHAR) || ':'
+                        || CAST(d.d AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE -1 END AS w
+        FROM (SELECT unnest(generate_series(0, {tables_m1})) AS t) t,
+             (SELECT unnest(generate_series(0, {bits_m1})) AS j) j,
+             (SELECT unnest(generate_series(0, 63)) AS d) d
+    ), qv AS (
+        SELECT uid, p - 1 AS d,
+               CAST(floor(CAST(embedding[p] AS DOUBLE) * 1e9) AS BIGINT)
+                   AS qv
+        FROM (SELECT uid, embedding FROM {src}
+              WHERE embedding IS NOT NULL AND len(embedding) = 64
+                AND NOT list_bool_or(list_transform(embedding,
+                        x -> isnan(CAST(x AS DOUBLE))
+                             OR isinf(CAST(x AS DOUBLE))))),
+             LATERAL (SELECT unnest(generate_series(1, 64)) AS p)
+    ), dots AS (
+        SELECT qv.uid, p.t, p.j, SUM(p.w * qv.qv) AS dot
+        FROM qv JOIN planes p USING (d) GROUP BY qv.uid, p.t, p.j
+    ), bk AS (
+        SELECT uid, t,
+               SUM(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                   AS bucket
+        FROM dots GROUP BY uid, t
+    )
+"""
+
+
+_EMBED_LSH_PAIRS_ORACLE = """WITH src AS (
+        SELECT vec_id AS uid, embedding FROM embeddings
+        WHERE vec_id IS NOT NULL
+    ), {bucket_ctes}
+    , cand AS (
+        SELECT DISTINCT a.uid AS id_a, b.uid AS id_b
+        FROM bk a JOIN bk b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.uid < b.uid
+    )
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN embeddings va ON va.vec_id = c.id_a
+    JOIN embeddings vb ON vb.vec_id = c.id_b
+    WHERE list_cosine_similarity(CAST(va.embedding AS DOUBLE[]),
+                                 CAST(vb.embedding AS DOUBLE[])) >= 0.42
+"""
+
+
+@query(
+    "q_dedup_embed_cosine_lsh",
+    oracle=_EMBED_LSH_PAIRS_ORACLE.format(
+        bucket_ctes=_EMBED_BUCKET_CTES.format(
+            src="src", tables_m1=15, bits_m1=3
+        ).lstrip()
+    ),
+)
 def q_dedup_embed_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs, scale path: banded sign-LSH candidates +
     exact cosine verify (candidate volume bounded by bucket size, never
     all-pairs — VERDICT r1 scale-killer #2 remediation). Same output shape
-    as q_dedup_embed_cosine, unblocked. Banding is tuned to the similarity
-    regime: the fixture's pairs live near cosine 0.42 (θ≈65°), so 4-bit
-    buckets × 16 tables give ~94% recall there; for true near-dup work
-    (cosine ≥0.9) the operator defaults (8×12) are the right trade."""
-    return embedding_cosine_pairs_lsh(
+    as q_dedup_embed_cosine, unblocked. GRADUATED r12 (VERDICT r11 #8):
+    runs the DETERMINISTIC Rademacher tier (operators/dedup
+    .embed_lsh_pairs — md5-derived ±1 planes over floor(v·1e9)-quantized
+    components give exact-integer buckets DuckDB reproduces bit-for-bit,
+    so the candidate SET itself is value-hashed, then the 0.42
+    margin-threshold verify — the q_dedup_embed_apply rule); the
+    Gaussian-plane embedding_cosine_pairs_lsh stays the in-memory tier,
+    its exact-subset + recall invariants still unit-locked. Banding is
+    tuned to the fixture's similarity regime (pairs near cosine 0.42,
+    θ≈65° → P(bit)≈0.64): 4-bit buckets × 16 tables ≈ 95% recall; for
+    true near-dup work (cosine ≥0.9) the defaults (8×12) are the right
+    trade."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_lsh_pairs,
+    )
+
+    return embed_lsh_pairs(
         _t(spark, sf_dir, "embeddings"),
         dim=64,
         id_col="vec_id",
@@ -7751,16 +7826,79 @@ def q_sim_topk_lsh_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash128_pairs", oracle=None)
+def _simhash128_md5_oracle(max_hamming: int = 3) -> str:
+    """Generated brute-force DuckDB replay of the 128-bit md5-SimHash
+    banded pairs (the :func:`_simhash_md5_oracle` move over the FULL
+    digest — md5 is 128 bits, so its 32 nibbles supply every vote bit).
+    Integer-only end-to-end; banding + hamming filter ≡ all-pairs +
+    hamming filter by pigeonhole (property-locked), so the brute force
+    here and Spark's banded join MUST emit identical pair sets.
+    Bigram shingles (shingle_n=2), the clamped list_slice pattern."""
+    nib = "(instr('0123456789abcdef', substr(hex, {pos}, 1)) - 1)"
+    votes = ",\n               ".join(
+        "SUM(CASE WHEN (({n} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}".format(
+            n=nib.format(pos=j // 4 + 1), b=j % 4, j=j
+        )
+        for j in range(128)
+    )
+    bits = ",\n               ".join(
+        f"CASE WHEN v{j} > 0 THEN 1 ELSE 0 END AS b{j}" for j in range(128)
+    )
+    # DuckDB binds a left-associated +-chain recursively and caps the
+    # depth at 128 — chunk the 128 Hamming terms into four parenthesized
+    # 32-term groups (32-deep each) summed at the top
+    chunks = []
+    for c in range(0, 128, 32):
+        terms = " + ".join(
+            f"CASE WHEN a.b{j} <> b.b{j} THEN 1 ELSE 0 END"
+            for j in range(c, c + 32)
+        )
+        chunks.append(f"({terms})")
+    ham = "\n                 + ".join(chunks)
+    return rf"""
+    WITH t AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc,
+               array_to_string(list_slice(toks, st, st + 1), ' ') AS shingle
+        FROM (SELECT doc, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 1, 1)))
+                         AS st
+              FROM t)
+    ), h AS (
+        SELECT doc, md5(shingle) AS hex FROM sh
+    ), votes AS (
+        SELECT doc,
+               {votes}
+        FROM h GROUP BY doc
+    ), bits AS (
+        SELECT doc,
+               {bits}
+        FROM votes
+    ), pairs AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               {ham} AS hamming
+        FROM bits a JOIN bits b ON a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@query("q_dedup_simhash128_pairs", oracle=_simhash128_md5_oracle())
 def q_dedup_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit SimHash banded near-dup pairs
     (operators/dedup.simhash128_near_pairs) — the >10M-doc tier: the
     64-bit signature's 16-bit band keys saturate at ~2^16 docs
     (candidates ≈ N²·bands/2^17, measured in the r7 volume probe), while
-    two fused xxhash64 bit streams give 32-bit keys at the same
-    n_bands=4 — saturation pushed to billions of docs, one extra bigint
-    per row. Pigeonhole recall vs 128-bit brute force is property-locked
-    (incl. bands straddling the word boundary); xxhash64 → rows-only."""
+    128 signature bits give 32-bit keys at the same n_bands=4 —
+    saturation pushed to billions of docs, one extra bigint per row.
+    GRADUATED r12 (VERDICT r11 #8, the q_dedup_minhash_persisted
+    precedent): runs the md5 bit-source tier (simhash128_md5 — md5 IS
+    128 bits, its 32 nibbles replay every vote in DuckDB), so the whole
+    banded chain incl. the word-straddling band keys is value-hashed;
+    the xxhash64 tier stays the scale path, its pigeonhole recall vs
+    128-bit brute force property-locked (incl. straddling bands)."""
     from bigdata_retailrocket_recsys_spark.operators.dedup import (
         simhash128_near_pairs,
     )
@@ -7772,6 +7910,7 @@ def q_dedup_simhash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=2,  # bigrams, same discrimination tier as the 64-bit entry
         max_hamming=3,
         n_bands=4,
+        hash_fn="md5",
     )
 
 
@@ -14172,43 +14311,6 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared DuckDB replay of operators/dedup.embed_sign_buckets (VERDICT r11
-# #3): md5-derived Rademacher ±1 planes × floor(v·1e9)-quantized
-# components — every bucket id is exact integer arithmetic, identical in
-# both engines (prototype-verified bit-identical on sf0.01: 2000/2000
-# bucket rows). {src} must provide (uid, embedding); emits bk(uid, t,
-# bucket). The shared-template rule (BM25_CONTRIB_SQL precedent) keeps
-# the two embed-incremental oracles from drifting apart.
-_EMBED_BUCKET_CTES = """
-    planes AS (
-        SELECT t.t, j.j, d.d,
-               CASE WHEN substring(md5(CAST(t.t AS VARCHAR) || ':'
-                        || CAST(j.j AS VARCHAR) || ':'
-                        || CAST(d.d AS VARCHAR)), 1, 1) < '8'
-                    THEN 1 ELSE -1 END AS w
-        FROM (SELECT unnest(generate_series(0, {tables_m1})) AS t) t,
-             (SELECT unnest(generate_series(0, {bits_m1})) AS j) j,
-             (SELECT unnest(generate_series(0, 63)) AS d) d
-    ), qv AS (
-        SELECT uid, p - 1 AS d,
-               CAST(floor(CAST(embedding[p] AS DOUBLE) * 1e9) AS BIGINT)
-                   AS qv
-        FROM (SELECT uid, embedding FROM {src}
-              WHERE embedding IS NOT NULL AND len(embedding) = 64
-                AND NOT list_bool_or(list_transform(embedding,
-                        x -> isnan(CAST(x AS DOUBLE))
-                             OR isinf(CAST(x AS DOUBLE))))),
-             LATERAL (SELECT unnest(generate_series(1, 64)) AS p)
-    ), dots AS (
-        SELECT qv.uid, p.t, p.j, SUM(p.w * qv.qv) AS dot
-        FROM qv JOIN planes p USING (d) GROUP BY qv.uid, p.t, p.j
-    ), bk AS (
-        SELECT uid, t,
-               SUM(CASE WHEN dot > 0 THEN (1::BIGINT << j) ELSE 0 END)
-                   AS bucket
-        FROM dots GROUP BY uid, t
-    )
-"""
 
 
 @query(

@@ -5429,3 +5429,42 @@ def test_avro_roundtrip(spark):
         map(tuple, df.collect())
     )
     assert fmt == "avro" or fmt.endswith("AvroFileFormat")
+
+
+def test_embed_lsh_pairs_twin(spark):
+    """embed_lsh_pairs (r12 graduation twin): candidates are a SUBSET of
+    exact cosine pairs (verify is exact), identical vectors always pair
+    (they share every bucket), and the capped path is value-identical
+    when the cap never fires."""
+    import random
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_lsh_pairs,
+        embedding_cosine_pairs,
+    )
+
+    random.seed(4)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]  # exact copies
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embed_lsh_pairs(
+            df, dim=8, tables=6, bits=4, min_cosine=0.9
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_pairs(
+            df, id_col="vec_id", vec_col="embedding", min_cosine=0.9
+        ).collect()
+    }
+    assert got <= exact
+    assert (0, 100) in got and (1, 101) in got  # identical → every bucket
+    hi = {
+        (r.id_a, r.id_b)
+        for r in embed_lsh_pairs(
+            df, dim=8, tables=6, bits=4, min_cosine=0.9, max_bucket=10**6
+        ).collect()
+    }
+    assert hi == got
