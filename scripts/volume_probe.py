@@ -1060,13 +1060,109 @@ def probe_capfire(n_docs: int, n_family: int) -> None:
         )
 
 
+def probe_r12embed(n_vecs: int, n_batch: int = 100_000) -> None:
+    """r12 incremental embedding tier at volume: corpus bucket-table
+    build over ``n_vecs`` random 64-dim vectors, a ``n_batch`` daily
+    batch against the at-rest table (with a planted 10k re-encoded
+    family colliding into hot cells — the max_bucket scenario), and the
+    within-set Rademacher pair tier with a planted identical family."""
+    import tempfile
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_bucket_table,
+        embed_candidates_vs_corpus,
+        embed_lsh_pairs,
+        semdedup_apply_vs_corpus,
+    )
+
+    # deterministic pseudo-random vectors: 64 hash-derived components in
+    # [-1, 1); family ids (< 10k) all share vector(7) — a re-encoded
+    # upload cluster that floods one cell per table
+    def vecs(base, fam_to: int = 0):
+        src = F.when(F.col("id") < fam_to, F.lit(7)).otherwise(F.col("id"))
+        # CAST pins bigint arithmetic: xxhash64 hashes by TYPE, so an
+        # int-typed 7*64+j would hash differently from the bigint path
+        comp = F.expr(
+            "transform(sequence(0, 63), j -> "
+            "CAST(pmod(xxhash64(CAST(__src AS BIGINT) * 64 + j), 2000000) "
+            "AS DOUBLE) / 1000000.0 - 1.0)"
+        )
+        return base.select(
+            F.col("id").alias("vec_id"), src.alias("__src")
+        ).select("vec_id", comp.alias("embedding"))
+
+    corpus = vecs(
+        spark.range(n_vecs).repartition(64), fam_to=10_000
+    )
+    path = tempfile.mkdtemp() + "/bk"
+    t0 = time.time()
+    embed_bucket_table(corpus, path, dim=64, bits=16)
+    print(
+        f"[r12embed] bucket table over {n_vecs:,} x 64-dim vectors "
+        f"(10k-member planted family): {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    batch = vecs(
+        spark.range(2_000_000_000, 2_000_000_000 + n_batch)
+        .select((F.col("id")).alias("id")).repartition(32),
+        fam_to=0,
+    ).withColumn(
+        "embedding",
+        # 100 batch docs re-encode the family vector
+        F.when(
+            F.col("vec_id") < 2_000_000_100,
+            F.expr(
+                "transform(sequence(0, 63), j -> "
+                "CAST(pmod(xxhash64(CAST(7 AS BIGINT) * 64 + j), 2000000) "
+                "AS DOUBLE) / 1000000.0 - 1.0)"
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    bt = spark.read.parquet(path)
+    t0 = time.time()
+    n_unc = embed_candidates_vs_corpus(batch, bt, dim=64, bits=16).count()
+    w_unc = time.time() - t0
+    t0 = time.time()
+    n_cap = embed_candidates_vs_corpus(
+        batch, bt, dim=64, bits=16, max_bucket=64
+    ).count()
+    w_cap = time.time() - t0
+    print(
+        f"[r12embed] candidates vs corpus ({n_batch:,} batch): uncapped "
+        f"{n_unc:,} pairs / {w_unc:.1f}s; capped(64) {n_cap:,} pairs / "
+        f"{w_cap:.1f}s",
+        flush=True,
+    )
+    t0 = time.time()
+    surv = semdedup_apply_vs_corpus(
+        batch, bt, corpus, dim=64, bits=16, min_cosine=0.95, max_bucket=64
+    ).count()
+    print(
+        f"[r12embed] semdedup apply (capped, cosine>=0.95): "
+        f"{surv:,}/{n_batch:,} batch survivors in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    t0 = time.time()
+    n_pairs = embed_lsh_pairs(
+        corpus, dim=64, tables=4, bits=16, min_cosine=0.95, max_bucket=64
+    ).count()
+    print(
+        f"[r12embed] within-set pairs over {n_vecs:,} vecs (16-bit "
+        f"buckets, capped 64): {n_pairs:,} pairs in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
         "probe",
         choices=[
             "tpch", "ops", "corpus", "spans", "r10ops", "r10s3", "hotbucket",
-            "prefix", "r11inc", "capfire",
+            "prefix", "r11inc", "capfire", "r12embed",
         ],
     )
     p.add_argument("--family", type=int, default=10_000)
@@ -1098,6 +1194,8 @@ def main() -> None:
         probe_r11inc(a.docs)
     elif a.probe == "capfire":
         probe_capfire(a.docs, a.family)
+    elif a.probe == "r12embed":
+        probe_r12embed(a.docs)
     else:
         probe_ops(a.docs, a.edges)
 
