@@ -39,3 +39,15 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """dot(a,b) / (|a|·|b|); 0.0 for zero vectors."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine_similarity` with the per-vector norms PRECOMPUTED —
+    the identical IEEE tree (sqrt-of-sum-of-squares per side, multiply,
+    divide), just with ``l2_norm`` factored through the vector
+    projection, so results are bit-identical to the fused form. Use in
+    pair-verify stages: a vector appearing in P candidate pairs pays its
+    norm once instead of P times (the embed verify wall is ~2/3 norm
+    recomputation at 64 dims — r12 measured)."""
+    denom = na * nb
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)

@@ -66,7 +66,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_retailrocket_recsys_spark.functions.vector import (
+    cosine_from_norms,
     cosine_similarity,
+    l2_norm,
     to_double_array,
 )
 from bigdata_retailrocket_recsys_spark.operators.text import ws_tokens
@@ -1615,6 +1617,9 @@ def embedding_cosine_pairs(
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         to_double_array(vec_col).alias("vec"),
     )
+    # norms once per VECTOR, not per pair (cosine_from_norms — the
+    # fused form recomputes both sqrt-of-sum-of-squares per candidate)
+    v = v.withColumn("nrm", l2_norm(F.col("vec")))
     if max_block_rows is not None:
         counts = (
             v.groupBy("blk") if block_col else v.groupBy()
@@ -1634,7 +1639,9 @@ def embedding_cosine_pairs(
     cond = F.col("a.vid") < F.col("b.vid")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
-    cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
+    cos = cosine_from_norms(
+        F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+    )
     return (
         a.join(b, cond, "inner")
         .select(
@@ -1765,8 +1772,10 @@ def embedding_cosine_pairs_lsh(
         cand = _finalize_capped(
             edges.select("vid_a", "vid_b").distinct(), sized
         )
-    vecs = v.select("vid", "vec")
-    cos = cosine_similarity(F.col("va.vec"), F.col("vb.vec"))
+    vecs = v.select("vid", "vec", l2_norm(F.col("vec")).alias("nrm"))
+    cos = cosine_from_norms(
+        F.col("va.vec"), F.col("vb.vec"), F.col("va.nrm"), F.col("vb.nrm")
+    )
     return (
         cand.join(vecs.alias("va"), F.col("vid_a") == F.col("va.vid"))
         .join(vecs.alias("vb"), F.col("vid_b") == F.col("vb.vid"))
@@ -1949,7 +1958,10 @@ def embed_lsh_pairs(
     vecs = df.filter(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
     ).select(F.col(id_col).alias("vid"), to_double_array(vec_col).alias("vec"))
-    cos = cosine_similarity(F.col("va.vec"), F.col("vb.vec"))
+    vecs = vecs.withColumn("nrm", l2_norm(F.col("vec")))
+    cos = cosine_from_norms(
+        F.col("va.vec"), F.col("vb.vec"), F.col("va.nrm"), F.col("vb.nrm")
+    )
     return (
         cand.join(vecs.alias("va"), F.col("vid_a") == F.col("va.vid"))
         .join(vecs.alias("vb"), F.col("vid_b") == F.col("vb.vid"))
@@ -2112,12 +2124,14 @@ def semdedup_apply_vs_corpus(
     cv = corpus_vectors.select(
         F.col(id_col).alias("corpus_vid"),
         to_double_array(vec_col).alias("cvec"),
-    )
+    ).withColumn("cnrm", l2_norm(F.col("cvec")))
     bv = batch.select(
         F.col(id_col).alias("batch_vid"),
         to_double_array(vec_col).alias("bvec"),
+    ).withColumn("bnrm", l2_norm(F.col("bvec")))
+    cos = cosine_from_norms(
+        F.col("bvec"), F.col("cvec"), F.col("bnrm"), F.col("cnrm")
     )
-    cos = cosine_similarity(F.col("bvec"), F.col("cvec"))
     dupes = (
         cands.join(bv, "batch_vid")
         .join(cv, "corpus_vid")
