@@ -14533,3 +14533,57 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event"),
         )
     )
+
+
+@query(
+    "q_stream_embed_commit",
+    oracle="WITH "
+    + _EMBED_BUCKET_CTES.format(
+        src="(SELECT vec_id AS uid, embedding FROM embeddings "
+        "WHERE vec_id IS NOT NULL)",
+        tables_m1=3,
+        bits_m1=11,
+    )
+    + """
+    , dup1 AS (
+        SELECT DISTINCT b.uid AS vec_id
+        FROM bk b JOIN bk c ON b.t = c.t AND b.bucket = c.bucket
+        WHERE ((b.uid % 4) + 4) % 4 = 1 AND ((c.uid % 4) + 4) % 4 IN (2, 3)
+    ), s1 AS (
+        SELECT vec_id FROM embeddings
+        WHERE vec_id IS NOT NULL AND ((vec_id % 4) + 4) % 4 = 1
+          AND vec_id NOT IN (SELECT vec_id FROM dup1)
+    ), dup2 AS (
+        SELECT DISTINCT b.uid AS vec_id
+        FROM bk b JOIN bk c ON b.t = c.t AND b.bucket = c.bucket
+        WHERE ((b.uid % 4) + 4) % 4 = 0
+          AND (((c.uid % 4) + 4) % 4 IN (2, 3)
+               OR c.uid IN (SELECT vec_id FROM s1))
+    ), s2 AS (
+        SELECT vec_id FROM embeddings
+        WHERE vec_id IS NOT NULL AND ((vec_id % 4) + 4) % 4 = 0
+          AND vec_id NOT IN (SELECT vec_id FROM dup2)
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id IN (SELECT vec_id FROM s1
+                       UNION ALL SELECT vec_id FROM s2)
+    """,
+)
+def q_stream_embed_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding-dedup commit loop (streaming/embed_intake
+    .run_streaming_embed_commit — the embedding-grain twin of
+    q_stream_corpus_commit, completing the daily-delta loop at EVERY
+    dedup grain batch AND streaming): each staged micro-batch is
+    decided against the committed sign-LSH bucket table inside
+    foreachBatch and survivors are appended back (bucket rows + corpus
+    rows, pinned with an eager localCheckpoint before the appends —
+    the refreshByPath discipline), so batch 2's candidates see batch
+    1's commits. Staged-file order is pinned (maxFilesPerTrigger=1 +
+    latestFirst=false), so the committed-rows artifact is value-hashed
+    by the same md5-Rademacher CTE chain as q_dedup_incremental_embed
+    at the %4 split."""
+    from bigdata_retailrocket_recsys_spark.streaming.embed_intake import (
+        run_streaming_embed_commit,
+    )
+
+    return run_streaming_embed_commit(spark, sf_dir)

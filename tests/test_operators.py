@@ -5468,3 +5468,52 @@ def test_embed_lsh_pairs_twin(spark):
         ).collect()
     }
     assert hi == got
+
+
+def test_stream_embed_commit_equals_batch_chain(spark):
+    """q_stream_embed_commit composition invariant: the foreachBatch
+    decide+commit loop over two pinned-order staged files must equal
+    the sequential BATCH chain (bucket table → batch1 survivors →
+    append → batch2 survivors) exactly — the commit round-trip and the
+    eager pre-append checkpoint are what keep them identical."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_bucket_table,
+        embed_candidates_vs_corpus,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+    from bigdata_retailrocket_recsys_spark.streaming.embed_intake import (
+        run_streaming_embed_commit,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.vec_id, r.label)
+        for r in run_streaming_embed_commit(spark, sf_dir).collect()
+    }
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+    )
+    m = F.pmod(F.col("vec_id"), F.lit(4))
+    import tempfile
+
+    path = tempfile.mkdtemp() + "/bk"
+    embed_bucket_table(emb.filter(m.isin(2, 3)), path, dim=64, bits=12)
+    surv = []
+    for sel in (m == 1, m == 0):
+        batch = emb.filter(sel)
+        dup = (
+            embed_candidates_vs_corpus(
+                batch, spark.read.parquet(path), dim=64, bits=12
+            )
+            .select(F.col("batch_vid").alias("vec_id"))
+            .distinct()
+        )
+        s = (
+            batch.join(dup, "vec_id", "left_anti")
+            .select("vec_id", "embedding", "label")
+            .localCheckpoint(eager=True)
+        )
+        embed_bucket_table(s, path, dim=64, bits=12, mode="append")
+        surv.extend((r.vec_id, r.label) for r in s.collect())
+    assert got == set(surv) and len(got) > 0
