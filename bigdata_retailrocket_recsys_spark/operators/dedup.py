@@ -62,7 +62,7 @@ returning (the dot_topk_int8 rule).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_retailrocket_recsys_spark.functions.vector import (
@@ -1838,14 +1838,62 @@ def _quantized_vec(vec_col: str) -> Column:
     )
 
 
+def _auto_bits(n_vectors: int) -> int:
+    """Scale-aware bucket width: ``bits ≈ log2(N) + 4`` (CLAUDE.md rule,
+    VERDICT r12 #1) — enough cells that an N-vector table averages
+    ~1/16 vector per cell, clamped to [8, 62]. 8 bits (the old fixed
+    default) is vacuous beyond a few hundred vectors: every vector
+    collides somewhere and the candidate stage degenerates toward
+    all-pairs."""
+    import math
+
+    return min(62, max(8, math.ceil(math.log2(max(n_vectors, 2))) + 4))
+
+
+# Above this many literal ints the plane family stops being a sane
+# expression-tree literal (tables·bits·dim; 16 tables × 62 bits × 256
+# dims ≈ 2.5e5) and the hash pass falls back to the broadcast-join form.
+_LITERAL_PLANES_MAX = 1 << 18
+
+
+def _hashable_filter(
+    df: DataFrame, *, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Rows whose vectors fixed sign-planes can hash: non-NULL id and
+    vector, exact ``dim``, every component finite and non-NULL (a
+    NaN/inf/NULL component would poison the quantization cast; the
+    exists() three-valued logic drops NULL-component vectors too)."""
+    finite = ~F.expr(
+        f"exists({vec_col}, x -> isnan(CAST(x AS DOUBLE)) "
+        "OR abs(CAST(x AS DOUBLE)) = CAST('inf' AS DOUBLE))"
+    )
+    return df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & finite
+    )
+
+
+def _hashable_vectors(
+    df: DataFrame, *, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vid, q): the hashable rows (:func:`_hashable_filter`) with
+    their floor(v·1e9)-quantized component vectors."""
+    return _hashable_filter(
+        df, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("vid"), _quantized_vec(vec_col).alias("q"))
+
+
 def embed_sign_buckets(
     df: DataFrame,
     *,
     dim: int,
     tables: int = 4,
-    bits: int = 8,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 0,
 ) -> DataFrame:
     """Sign-LSH bucket assignment per vector — the HASH PASS of the
     incremental embedding-dedup tier (VERDICT r11 #3): each of
@@ -1859,35 +1907,140 @@ def embed_sign_buckets(
     a DuckDB oracle (unlike the seeded-numpy Gaussian planes of
     :func:`embedding_cosine_pairs_lsh`, which stay the in-memory tier).
 
-    Plan shape (100 TB notes): the tables×bits plane rows are a TINY
-    literal frame broadcast against the vectors (one broadcast
-    nested-loop join — linear in N·tables·bits), then one
-    map-side-combinable groupBy builds each bucket. Vectors with NULL,
-    wrong-dim, or non-finite components cannot be hashed by fixed
-    planes and are excluded (the embedding_cosine_pairs_lsh guard,
-    extended: a NaN/inf component would poison the quantization cast).
+    ``bits`` (r13, VERDICT r12 #1): default ``None`` derives
+    ``bits = clamp(ceil(log2(N)) + 4, 8, 62)`` from ONE ``count()`` of
+    the input (:func:`_auto_bits`) — the old fixed ``8`` was vacuous
+    beyond a few hundred vectors. Pass ``bits`` explicitly whenever the
+    buckets must match a persisted table's plane family (the whole
+    vs-corpus tier requires it).
 
-    Output: (``id_col``, tbl, bucket) — ``tables`` rows per vector.
+    Plan shape (100 TB notes, r13 rewrite — VERDICT r12 #2): the plane
+    family is ONE foldable array literal inside a single codegen
+    projection — per vector, ``transform`` over tables × ``aggregate``
+    over bits computes every bucket with ZERO shuffle and no
+    intermediate tables×bits row inflation (the old broadcast-join +
+    groupBy form shuffled N·tables rows; the dot_topk_int8 array-grain
+    lesson applied). Quantization is FUSED into the dot's zip_with
+    lambda (floor(x·1e9)·w per component) rather than projected as a
+    separate ``q`` alias: a ``q`` alias is referenced by only ONE
+    top-level expression here, so CollapseProject inlines it and the
+    whole quantize pass would re-run per (table, bit) WITH an extra
+    array allocation each time (verified in the optimized plan — the
+    ngram_diversity no-inline datapoint needs ≥2 top-level references);
+    fusing does the same arithmetic with zero intermediate arrays.
+    Families larger than ``_LITERAL_PLANES_MAX`` literal ints fall back
+    to the broadcast-join form (value-identical; locked by unit test).
+
+    ``n_probes`` (r13, VERDICT r12 #8): QUERY-SIDE multi-probe — per
+    table, also emit the ``n_probes`` Hamming-1 neighbor buckets
+    obtained by flipping the bits with the SMALLEST |dot| (the least
+    confident sign decisions, ties broken by bit index — deterministic
+    and oracle-replayable). Raises recall for family members that
+    missed a cell by one marginal plane, at (1+n_probes)× candidate
+    volume. NEVER use when persisting an artifact — probes are for the
+    batch side of a lookup, not for at-rest state.
+
+    Output: (``id_col``, tbl, bucket) — ``tables``·(1+``n_probes``)
+    rows per vector.
     """
+    if bits is None:
+        bits = _auto_bits(df.count())
     if not 1 <= bits <= 62:
         raise ValueError(f"bits must be in [1, 62], got {bits}")
     if tables < 1:
         raise ValueError(f"tables must be >= 1, got {tables}")
-    spark = df.sparkSession
+    if not 0 <= n_probes <= bits:
+        raise ValueError(
+            f"n_probes must be in [0, bits={bits}], got {n_probes}"
+        )
+    if tables * bits * dim > _LITERAL_PLANES_MAX:
+        if n_probes > 0:
+            raise ValueError(
+                "n_probes requires the literal-planes form; "
+                f"tables*bits*dim = {tables * bits * dim} exceeds "
+                f"{_LITERAL_PLANES_MAX}"
+            )
+        return _embed_sign_buckets_join_form(
+            _hashable_vectors(df, dim=dim, id_col=id_col, vec_col=vec_col),
+            df.sparkSession, tables=tables, bits=bits, dim=dim,
+            id_col=id_col,
+        )
+    v = _hashable_filter(df, dim=dim, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    planes = _rademacher_planes(tables, bits, dim)
+    # planes[t*bits + j] — _rademacher_planes iterates t-major, j-minor
+    planes_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(x) for x in w) + ")"
+            for (_t, _j, w) in planes
+        )
+        + ")"
+    )
+    # quantization fused into the dot lambda — see the docstring
+    dot_sql = (
+        f"aggregate(zip_with(v, element_at({planes_sql}, "
+        f"t * {bits} + j + 1), (x, y) -> "
+        "CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT) "
+        "* CAST(y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    dss_sql = (
+        f"transform(sequence(0, {tables - 1}), t -> "
+        f"transform(sequence(0, {bits - 1}), j -> {dot_sql}))"
+    )
+    bucket_sql = (
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        "(acc, j) -> acc + IF(element_at(ds, j + 1) > 0, "
+        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    )
+    if n_probes == 0:
+        barr_sql = f"transform(dss, ds -> array({bucket_sql}))"
+    else:
+        # least-confident bits first: sort (|dot|, j) asc, flip each of
+        # the first n_probes via XOR — bucket recomputed inline per
+        # probe (bits adds each, trivial next to the dot pass)
+        probes_sql = (
+            f"transform(slice(array_sort(transform(sequence(0, "
+            f"{bits - 1}), j -> struct(abs(element_at(ds, j + 1)) AS a, "
+            f"j AS j))), 1, {n_probes}), s -> "
+            f"CAST({bucket_sql} ^ shiftleft(CAST(1 AS BIGINT), s.j) "
+            "AS BIGINT))"
+        )
+        barr_sql = (
+            f"transform(dss, ds -> concat(array({bucket_sql}), "
+            f"{probes_sql}))"
+        )
+    return (
+        v.select("vid", F.expr(dss_sql).alias("dss"))
+        .select("vid", F.posexplode(F.expr(barr_sql)).alias("tbl", "barr"))
+        .select(
+            F.col("vid").alias(id_col),
+            "tbl",
+            F.explode("barr").alias("bucket"),
+        )
+    )
+
+
+def _embed_sign_buckets_join_form(
+    v: DataFrame,
+    spark: SparkSession,
+    *,
+    tables: int,
+    bits: int,
+    dim: int,
+    id_col: str,
+) -> DataFrame:
+    """Broadcast-join fallback for plane families too large to inline as
+    a literal (> ``_LITERAL_PLANES_MAX`` ints): tiny plane frame
+    broadcast against the vectors, one map-side-combinable groupBy per
+    bucket — linear in N·tables·bits, value-identical to the literal
+    form (unit-locked)."""
     pdf = spark.createDataFrame(
         _rademacher_planes(tables, bits, dim),
         "tbl int, bit int, w array<int>",
     )
-    finite = ~F.expr(
-        f"exists({vec_col}, x -> isnan(CAST(x AS DOUBLE)) "
-        "OR abs(CAST(x AS DOUBLE)) = CAST('inf' AS DOUBLE))"
-    )
-    v = df.filter(
-        F.col(id_col).isNotNull()
-        & F.col(vec_col).isNotNull()
-        & (F.size(vec_col) == dim)
-        & finite
-    ).select(F.col(id_col).alias("vid"), _quantized_vec(vec_col).alias("q"))
     dot = F.aggregate(
         F.zip_with("q", "w", lambda x, y: x * y),
         F.lit(0).cast("bigint"),
@@ -1905,6 +2058,131 @@ def embed_sign_buckets(
         .groupBy("vid", "tbl")
         .agg(F.sum("bitval").alias("bucket"))
         .select(F.col("vid").alias(id_col), "tbl", "bucket")
+    )
+
+
+def _embed_lsh_candidates(
+    df: DataFrame,
+    *,
+    dim: int,
+    tables: int,
+    bits: int,
+    id_col: str,
+    vec_col: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """WITHIN-SET sign-LSH candidate pairs (vid_a < vid_b, distinct) —
+    the shared candidate generator behind :func:`embed_lsh_pairs` and
+    :func:`embed_lsh_audit` (one producer so the audited candidate set
+    IS the production candidate set, the _hot_bucket_edges rule).
+    ``max_bucket=`` routes over-cap cells through the shared star
+    guard; both paths pin a bounded frame (see embed_lsh_pairs)."""
+    b = embed_sign_buckets(
+        df, dim=dim, tables=tables, bits=bits, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("vid"), "tbl", "bucket")
+    if max_bucket is None:
+        bb = b.localCheckpoint()  # hash pass runs once, both join sides
+        return (
+            bb.alias("a")
+            .join(
+                bb.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vid") < F.col("b.vid")),
+            )
+            .select(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
+            .distinct()
+        )
+    sized, edges = _hot_bucket_edges(
+        b, keys=["tbl", "bucket"], id_col="vid", max_bucket=max_bucket
+    )
+    return _finalize_capped(edges.select("vid_a", "vid_b").distinct(), sized)
+
+
+def embed_lsh_audit(
+    df: DataFrame,
+    *,
+    dim: int,
+    tables: int = 8,
+    bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.9,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Sign-LSH recall/precision AUDIT for the EMBEDDING tier — the
+    :func:`lsh_audit` pattern at the vector grain (VERDICT r12 #1:
+    "measure, don't guess" for the most parameter-sensitive recall in
+    the repo): compare the banded sign-LSH candidate set against exact
+    brute-force-cosine ground truth and report the confusion counts.
+    The operational answer to "are (tables, bits) tuned right for this
+    corpus?" — run it on a sampled slice before committing a plane
+    family to a persisted bucket table (bits ≈ log2(N)+4 is the prior;
+    this measures whether it holds on YOUR similarity regime).
+
+    - truth = pairs with exact cosine ≥ ``min_cosine`` over the SAME
+      hashable universe LSH searches (non-NULL, exact-dim, finite —
+      unhashable vectors can't be candidates, so counting them as truth
+      would charge LSH for pairs it was never shown); NaN-cosine pairs
+      dropped (the embedding_cosine_pairs rule).
+    - cand = :func:`_embed_lsh_candidates` — the EXACT production
+      candidate generator, so the audit measures the shipped path.
+    - n_misses are RECALL failures (the silent-data-loss direction);
+      n_false_alarms are wasted verify work (harmless — the cosine
+      verify drops them).
+
+    One full-outer join of two distinct pair sets → a single global
+    aggregate — one ALL-INTEGER row (the lsh_audit rule: ratio doubles
+    would NULL on an empty truth set and NULL doubles stringify
+    asymmetrically cross-engine).
+
+    Cost note: ground truth is a brute-force all-pairs self-join —
+    quadratic BY DESIGN (you are buying the true answer); run at sample
+    scale, never on the full corpus. ``max_bucket=`` passes through so
+    the audit runs with the production cap; star pre-collapse shows up
+    honestly as n_misses on non-hub pairs of over-cap cells.
+
+    Output: one row (n_truth, n_candidates, n_hits, n_misses,
+    n_false_alarms).
+    """
+    vecs = (
+        _hashable_filter(df, dim=dim, id_col=id_col, vec_col=vec_col)
+        .select(F.col(id_col).alias("vid"), to_double_array(vec_col).alias("vec"))
+        .withColumn("nrm", l2_norm(F.col("vec")))
+    )
+    cos = cosine_from_norms(
+        F.col("a.vec"), F.col("b.vec"), F.col("a.nrm"), F.col("b.nrm")
+    )
+    truth = (
+        vecs.alias("a")
+        .join(vecs.alias("b"), F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vid_a"),
+            F.col("b.vid").alias("vid_b"),
+            cos.alias("cosine"),
+        )
+        .filter(~F.isnan("cosine") & (F.col("cosine") >= min_cosine))
+        .select("vid_a", "vid_b", F.lit(1).alias("__t"))
+    )
+    cand = _embed_lsh_candidates(
+        df, dim=dim, tables=tables, bits=bits, id_col=id_col,
+        vec_col=vec_col, max_bucket=max_bucket,
+    ).select("vid_a", "vid_b", F.lit(1).alias("__c"))
+    j = truth.join(cand, ["vid_a", "vid_b"], "full_outer")
+
+    def _n(cond: Column) -> Column:
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint")
+
+    t = F.col("__t").isNotNull()
+    c = F.col("__c").isNotNull()
+    return j.agg(
+        _n(t).alias("n_truth"),
+        _n(c).alias("n_candidates"),
+        _n(t & c).alias("n_hits"),
+        _n(t & ~c).alias("n_misses"),
+        _n(~t & c).alias("n_false_alarms"),
     )
 
 
@@ -1930,31 +2208,20 @@ def embed_lsh_pairs(
     over-cap cells through the shared :func:`_hot_bucket_edges` star
     guard. Recall is the standard sign-LSH curve ((1-θ/π)^bits per
     table) — probabilistic in the DATA but deterministic in the
-    ENGINE, which is what an oracle needs. Output: id_a, id_b, cosine
-    (NaN-cosine pairs dropped, the embedding_cosine_pairs_lsh rule)."""
-    b = embed_sign_buckets(
-        df, dim=dim, tables=tables, bits=bits, id_col=id_col, vec_col=vec_col
-    ).select(F.col(id_col).alias("vid"), "tbl", "bucket")
-    if max_bucket is None:
-        bb = b.localCheckpoint()  # hash pass runs once, both join sides
-        cand = (
-            bb.alias("a")
-            .join(
-                bb.alias("b"),
-                (F.col("a.tbl") == F.col("b.tbl"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.vid") < F.col("b.vid")),
-            )
-            .select(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
-            .distinct()
-        )
-    else:
-        sized, edges = _hot_bucket_edges(
-            b, keys=["tbl", "bucket"], id_col="vid", max_bucket=max_bucket
-        )
-        cand = _finalize_capped(
-            edges.select("vid_a", "vid_b").distinct(), sized
-        )
+    ENGINE, which is what an oracle needs — and what
+    :func:`embed_lsh_audit` measures against exact ground truth at
+    sample scale. Output: id_a, id_b, cosine
+    (NaN-cosine pairs dropped, the embedding_cosine_pairs_lsh rule).
+
+    Storage note (ADVICE r12 #3): both candidate paths pin a bounded
+    frame with a localCheckpoint that lives until session end — the
+    dot_topk_int8 accumulation pattern. Bounded per call and tracked by
+    the rehearsal's BDRR_STORAGE_BOUND_MB ledger; a long-lived session
+    making many calls accumulates one pinned RDD per call."""
+    cand = _embed_lsh_candidates(
+        df, dim=dim, tables=tables, bits=bits, id_col=id_col,
+        vec_col=vec_col, max_bucket=max_bucket,
+    )
     vecs = df.filter(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
     ).select(F.col(id_col).alias("vid"), to_double_array(vec_col).alias("vec"))
@@ -1980,7 +2247,7 @@ def embed_bucket_table(
     *,
     dim: int,
     tables: int = 4,
-    bits: int = 8,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
@@ -1993,7 +2260,18 @@ def embed_bucket_table(
     without re-reading or re-hashing corpus vectors. ``mode="append"``
     commits a batch's buckets (doc-disjoint increments). LSH params
     (dim/tables/bits) must match across snapshot and batches — they
-    define the plane family."""
+    define the plane family, so ``bits`` is REQUIRED here (r13, VERDICT
+    r12 #1): an artifact with silently-defaulted ``bits`` cannot be
+    queried correctly later. Rule of thumb: ``bits ≈ log2(N) + 4``
+    (:func:`_auto_bits` computes it from a count if you need a
+    starting point); :func:`embed_lsh_audit` measures whether the
+    choice holds on a corpus sample."""
+    if bits is None:
+        raise ValueError(
+            "embed_bucket_table requires explicit bits= — the persisted "
+            "plane family must be reproducible by every later batch "
+            "(rule of thumb: bits ≈ log2(N)+4; see embed_lsh_audit)"
+        )
     embed_sign_buckets(
         df, dim=dim, tables=tables, bits=bits, id_col=id_col, vec_col=vec_col
     ).write.mode(mode).parquet(path)
@@ -2005,11 +2283,12 @@ def embed_candidates_vs_corpus(
     *,
     dim: int,
     tables: int = 4,
-    bits: int = 8,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     broadcast_batch: bool = True,
     max_bucket: int | None = None,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Bipartite sign-LSH candidates between a NEW batch and a persisted
     corpus bucket table — the embedding twin of
@@ -2028,12 +2307,35 @@ def embed_candidates_vs_corpus(
     a dup of the family" decision survives (pair-grain completeness
     does not — the :func:`jaccard_verify` caveat applies).
 
+    MULTI-PROBE (``n_probes``, r13 — VERDICT r12 #8): the BATCH side
+    also probes, per table, the ``n_probes`` Hamming-1 neighbor buckets
+    whose sign decisions were least confident (smallest |dot| — see
+    :func:`embed_sign_buckets`). Single-probe banding splits families
+    whose members miss a cell by one marginal plane (the 6-of-20k
+    keeper datapoint); probing trades (1+n_probes)× candidate volume
+    for that recall. The persisted table is UNTOUCHED — probes are
+    query-side only, so the artifact stays probe-free. A batch-corpus
+    pair can still match at most once per table (probe buckets differ
+    from the main bucket and each other by construction), so
+    ``n_shared_tables`` keeps its meaning.
+
+    ``bits`` is REQUIRED (r13, VERDICT r12 #1): it must equal the
+    persisted table's plane family; deriving a default from the BATCH
+    size would silently mismatch the corpus family and report zero
+    candidates.
+
     Output: batch_vid, corpus_vid, n_shared_tables
     (+ max_bucket_overflow when capped).
     """
+    if bits is None:
+        raise ValueError(
+            "embed_candidates_vs_corpus requires explicit bits= matching "
+            "the corpus bucket table's plane family (a batch-derived "
+            "default would silently produce zero candidates)"
+        )
     bb = embed_sign_buckets(
         batch, dim=dim, tables=tables, bits=bits, id_col=id_col,
-        vec_col=vec_col,
+        vec_col=vec_col, n_probes=n_probes,
     ).select(F.col(id_col).alias("bvid"), "tbl", "bucket")
     if broadcast_batch:
         bb = F.broadcast(bb)
@@ -2091,11 +2393,12 @@ def semdedup_apply_vs_corpus(
     *,
     dim: int,
     tables: int = 4,
-    bits: int = 8,
+    bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float = 0.9,
     max_bucket: int | None = None,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Incremental SemDeDup APPLY (Abbas et al. 2023, daily-delta form;
     VERDICT r11 #3 completes the incremental family's embedding grain):
@@ -2109,6 +2412,10 @@ def semdedup_apply_vs_corpus(
     wrong-dim / non-finite vectors) cannot be compared and SURVIVE —
     the q_dedup_exact NULL discipline.
 
+    ``bits`` is REQUIRED — it must match the persisted bucket table's
+    plane family (the :func:`embed_candidates_vs_corpus` rule);
+    ``n_probes`` passes through to the batch-side multi-probe.
+
     Returns the batch's surviving rows (all batch columns).
     """
     cands = embed_candidates_vs_corpus(
@@ -2120,6 +2427,7 @@ def semdedup_apply_vs_corpus(
         id_col=id_col,
         vec_col=vec_col,
         max_bucket=max_bucket,
+        n_probes=n_probes,
     ).select("batch_vid", "corpus_vid")
     cv = corpus_vectors.select(
         F.col(id_col).alias("corpus_vid"),

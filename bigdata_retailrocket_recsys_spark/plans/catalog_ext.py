@@ -473,17 +473,23 @@ _EMBED_BUCKET_CTES = """
                     THEN 1 ELSE -1 END AS w
         FROM (SELECT unnest(generate_series(0, {tables_m1})) AS t) t,
              (SELECT unnest(generate_series(0, {bits_m1})) AS j) j,
-             (SELECT unnest(generate_series(0, 63)) AS d) d
+             (SELECT unnest(generate_series(0, {dim_m1})) AS d) d
     ), qv AS (
         SELECT uid, p - 1 AS d,
                CAST(floor(CAST(embedding[p] AS DOUBLE) * 1e9) AS BIGINT)
                    AS qv
         FROM (SELECT uid, embedding FROM {src}
-              WHERE embedding IS NOT NULL AND len(embedding) = 64
+              WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+                -- NULL-component vectors are excluded like the Spark
+                -- operator (exists() 3VL → NULL → filtered); DuckDB's
+                -- list_bool_or IGNORES NULL elements, so without this
+                -- the oracle would keep them and silently drop the NULL
+                -- positions from the dot (ADVICE r12 #1)
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0
                 AND NOT list_bool_or(list_transform(embedding,
                         x -> isnan(CAST(x AS DOUBLE))
                              OR isinf(CAST(x AS DOUBLE))))),
-             LATERAL (SELECT unnest(generate_series(1, 64)) AS p)
+             LATERAL (SELECT unnest(generate_series(1, {dim})) AS p)
     ), dots AS (
         SELECT qv.uid, p.t, p.j, SUM(p.w * qv.qv) AS dot
         FROM qv JOIN planes p USING (d) GROUP BY qv.uid, p.t, p.j
@@ -518,7 +524,7 @@ _EMBED_LSH_PAIRS_ORACLE = """WITH src AS (
     "q_dedup_embed_cosine_lsh",
     oracle=_EMBED_LSH_PAIRS_ORACLE.format(
         bucket_ctes=_EMBED_BUCKET_CTES.format(
-            src="src", tables_m1=15, bits_m1=3
+            src="src", tables_m1=15, bits_m1=3, dim=64, dim_m1=63
         ).lstrip()
     ),
 )
@@ -14320,11 +14326,13 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         src="(SELECT vec_id AS uid, embedding FROM embeddings "
         "WHERE vec_id IS NOT NULL)",
         tables_m1=3,
-        # bits=12 (not the operator's default 8): at 8 bits every random
-        # fixture batch vector collides with SOME corpus vector and the
-        # survivor set is vacuously empty; 12 bits gives a ~35% dup /
-        # 65% survivor mix, so the hash checks BOTH branches
+        # bits=12 (not 8): at 8 bits every random fixture batch vector
+        # collides with SOME corpus vector and the survivor set is
+        # vacuously empty; 12 bits gives a ~35% dup / 65% survivor mix,
+        # so the hash checks BOTH branches
         bits_m1=11,
+        dim=64,
+        dim_m1=63,
     )
     + """
     , dup1 AS (
@@ -14428,7 +14436,9 @@ def q_dedup_incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'c' || CAST(vec_id AS VARCHAR) AS uid, embedding FROM corpus
     ), """
-    + _EMBED_BUCKET_CTES.format(src="allv", tables_m1=3, bits_m1=7).lstrip()
+    + _EMBED_BUCKET_CTES.format(
+        src="allv", tables_m1=3, bits_m1=11, dim=64, dim_m1=63
+    ).lstrip()
     + """
     , cand AS (
         SELECT DISTINCT CAST(substring(b.uid, 2) AS BIGINT) AS bvid,
@@ -14482,15 +14492,113 @@ def q_dedup_embed_vs_corpus_apply(
         "vec_id", "embedding", "label"
     ).unionByName(copies)
     path = _session_tmp(spark, "embed_apply_buckets")
-    embed_bucket_table(corpus, path, dim=64)
+    # bits explicit since r13: the vs-corpus family requires the batch's
+    # plane params to MATCH the persisted table's (no silent default)
+    embed_bucket_table(corpus, path, dim=64, bits=12)
     surv = semdedup_apply_vs_corpus(
         batch,
         spark.read.parquet(path),
         corpus,
         dim=64,
+        bits=12,
         min_cosine=0.6,
     )
     return surv.select("vec_id", "label")
+
+
+@query(
+    "q_dedup_embed_lsh_audit",
+    oracle="""WITH src AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id IS NOT NULL
+    ), hsrc AS (
+        SELECT vec_id, embedding FROM src
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND NOT list_bool_or(list_transform(embedding,
+                  x -> isnan(CAST(x AS DOUBLE))
+                       OR isinf(CAST(x AS DOUBLE))))
+    ), cop AS (
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM (SELECT vec_id, embedding FROM hsrc
+              ORDER BY vec_id ASC LIMIT 10)
+    ), allv AS (
+        SELECT vec_id AS uid, embedding FROM src
+        UNION ALL SELECT vec_id AS uid, embedding FROM cop
+    ), hv AS (
+        SELECT uid, embedding FROM allv
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND NOT list_bool_or(list_transform(embedding,
+                  x -> isnan(CAST(x AS DOUBLE))
+                       OR isinf(CAST(x AS DOUBLE))))
+    ), truth AS (
+        SELECT a.uid AS vid_a, b.uid AS vid_b
+        FROM hv a JOIN hv b ON a.uid < b.uid
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.6
+    ), """
+    + _EMBED_BUCKET_CTES.format(
+        src="allv", tables_m1=3, bits_m1=11, dim=64, dim_m1=63
+    ).lstrip()
+    + """
+    , cand AS (
+        SELECT DISTINCT a.uid AS vid_a, b.uid AS vid_b
+        FROM bk a JOIN bk b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.uid < b.uid
+    ), hits AS (
+        SELECT t.vid_a FROM truth t
+        JOIN cand c ON t.vid_a = c.vid_a AND t.vid_b = c.vid_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM truth) -
+                (SELECT COUNT(*) FROM hits) AS BIGINT) AS n_misses,
+           CAST((SELECT COUNT(*) FROM cand) -
+                (SELECT COUNT(*) FROM hits) AS BIGINT) AS n_false_alarms
+    """,
+)
+def q_dedup_embed_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH recall/precision audit for the EMBEDDING dedup tier
+    (operators/dedup.embed_lsh_audit — VERDICT r12 #1, the
+    q_dedup_lsh_audit pattern at the vector grain): banded candidates
+    from the EXACT production generator vs brute-force-cosine ground
+    truth → one all-integer confusion row. Ten exact copies of the ten
+    smallest hashable vectors ride in (the q_dedup_embed_vs_corpus_apply
+    planting move); identical vectors share every bucket, so all ten
+    planted truth pairs are HITS — 100% recall on real dups is part of
+    the hash check. min_cosine=0.6 sits in a wide margin (max real
+    all-pairs cosine 0.513 across fixtures, measured; copies at 1.0),
+    so the truth SET is cross-engine exact despite float cosines.
+    (tables=4, bits=12) is the non-vacuous fixture family — the
+    audited answer to "is bits ≈ log2(N)+4 right for this corpus?"."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        _hashable_filter,
+        embed_lsh_audit,
+    )
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    copies = (
+        _hashable_filter(emb, dim=64, id_col="vec_id", vec_col="embedding")
+        .orderBy(F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+        )
+    )
+    return embed_lsh_audit(
+        emb.unionByName(copies),
+        dim=64,
+        tables=4,
+        bits=12,
+        id_col="vec_id",
+        vec_col="embedding",
+        min_cosine=0.6,
+    )
 
 
 @query(
@@ -14543,6 +14651,8 @@ def q_scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE vec_id IS NOT NULL)",
         tables_m1=3,
         bits_m1=11,
+        dim=64,
+        dim_m1=63,
     )
     + """
     , dup1 AS (

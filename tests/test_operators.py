@@ -5517,3 +5517,139 @@ def test_stream_embed_commit_equals_batch_chain(spark):
         embed_bucket_table(s, path, dim=64, bits=12, mode="append")
         surv.extend((r.vec_id, r.label) for r in s.collect())
     assert got == set(surv) and len(got) > 0
+
+def test_embed_sign_buckets_literal_vs_join_form(spark):
+    """r13 array-grain rewrite (VERDICT r12 #2): the literal-planes
+    single-projection form is value-identical to the broadcast-join
+    fallback, and its optimized plan has ZERO Exchange and exactly ONE
+    quantization site (fused into the dot lambda — a separate q alias
+    is inlined by CollapseProject and would re-quantize per bit)."""
+    import random
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        _embed_sign_buckets_join_form,
+        _hashable_vectors,
+        embed_sign_buckets,
+    )
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    lit_form = embed_sign_buckets(df, dim=8, tables=3, bits=5)
+    join_form = _embed_sign_buckets_join_form(
+        _hashable_vectors(df, dim=8, id_col="vec_id", vec_col="embedding"),
+        spark, tables=3, bits=5, dim=8, id_col="vec_id",
+    )
+    a = sorted((r.vec_id, r.tbl, r.bucket) for r in lit_form.collect())
+    b = sorted((r.vec_id, r.tbl, r.bucket) for r in join_form.collect())
+    assert a == b and len(a) == 80 * 3
+    plan = lit_form._jdf.queryExecution().optimizedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("FLOOR(") == 1
+
+
+def test_embed_sign_buckets_multiprobe(spark):
+    """Multi-probe (VERDICT r12 #8): n_probes emits exactly 1+n_probes
+    buckets per (vector, table); the main bucket is always among them;
+    every probe is Hamming distance 1 from the main bucket; n_probes=0
+    is unchanged; out-of-range n_probes raises."""
+    import collections
+    import random
+
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_sign_buckets,
+    )
+
+    random.seed(12)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    main = {
+        (r.vec_id, r.tbl): r.bucket
+        for r in embed_sign_buckets(df, dim=8, tables=3, bits=6).collect()
+    }
+    probed = [
+        (r.vec_id, r.tbl, r.bucket)
+        for r in embed_sign_buckets(
+            df, dim=8, tables=3, bits=6, n_probes=2
+        ).collect()
+    ]
+    per_cell = collections.Counter((v, t) for v, t, _ in probed)
+    assert set(per_cell.values()) == {3}
+    got = collections.defaultdict(set)
+    for v, t, bk in probed:
+        got[(v, t)].add(bk)
+    for key, bks in got.items():
+        assert main[key] in bks
+        assert all(
+            bin(bk ^ main[key]).count("1") <= 1 for bk in bks
+        )
+    with _pytest.raises(ValueError, match="n_probes"):
+        embed_sign_buckets(df, dim=8, tables=3, bits=6, n_probes=7)
+
+
+def test_embed_bits_contract(spark):
+    """bits contract (VERDICT r12 #1): embed_sign_buckets derives
+    bits ≈ log2(N)+4 from a count when not passed; the artifact writer
+    and both vs-corpus consumers RAISE without an explicit bits (a
+    silently-defaulted plane family cannot be matched later)."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        _auto_bits,
+        embed_bucket_table,
+        embed_candidates_vs_corpus,
+        embed_sign_buckets,
+        semdedup_apply_vs_corpus,
+    )
+
+    assert _auto_bits(1) == 8
+    assert _auto_bits(500) == 13
+    assert _auto_bits(1_000_000) == 24
+    assert _auto_bits(2**62) == 62
+
+    rows = [(i, [float(i % 7) - 3.0] * 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    # auto-derived bits: 20 vectors -> ceil(log2(20))+4 = 9 -> buckets < 2^9
+    auto = embed_sign_buckets(df, dim=4, tables=2)
+    assert all(0 <= r.bucket < 2**9 for r in auto.collect())
+
+    path = tempfile.mkdtemp() + "/bk"
+    with _pytest.raises(ValueError, match="bits"):
+        embed_bucket_table(df, path, dim=4)
+    embed_bucket_table(df, path, dim=4, bits=8)
+    bt = spark.read.parquet(path)
+    with _pytest.raises(ValueError, match="bits"):
+        embed_candidates_vs_corpus(df, bt, dim=4)
+    with _pytest.raises(ValueError, match="bits"):
+        semdedup_apply_vs_corpus(df, bt, df, dim=4)
+
+
+def test_embed_lsh_audit_planted_recall(spark):
+    """embed_lsh_audit (VERDICT r12 #1): planted exact copies are
+    always HITS (identical vectors share every bucket), so n_misses
+    counts only genuine near-threshold recall failures; the confusion
+    row is internally consistent; truth excludes unhashable vectors."""
+    import random
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_lsh_audit,
+    )
+
+    random.seed(13)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact copies
+    rows += [(200, None), (201, [float("nan")] * 8)]   # unhashable
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    r = embed_lsh_audit(
+        df, dim=8, tables=4, bits=6, min_cosine=0.95
+    ).collect()[0]
+    assert r.n_hits + r.n_misses == r.n_truth
+    assert r.n_hits + r.n_false_alarms == r.n_candidates
+    assert r.n_truth >= 5          # the 5 planted pairs are truth
+    # planted copies always collide -> at most the non-planted
+    # near-threshold pairs can be misses
+    assert r.n_hits >= 5
