@@ -1915,21 +1915,21 @@ def embed_sign_buckets(
     vs-corpus tier requires it).
 
     Plan shape (100 TB notes, r13 rewrite — VERDICT r12 #2): the plane
-    family is ONE foldable array literal inside a single codegen
-    projection — per vector, ``transform`` over tables × ``aggregate``
-    over bits computes every bucket with ZERO shuffle and no
-    intermediate tables×bits row inflation (the old broadcast-join +
-    groupBy form shuffled N·tables rows; the dot_topk_int8 array-grain
-    lesson applied). Quantization is FUSED into the dot's zip_with
-    lambda (floor(x·1e9)·w per component) rather than projected as a
-    separate ``q`` alias: a ``q`` alias is referenced by only ONE
-    top-level expression here, so CollapseProject inlines it and the
-    whole quantize pass would re-run per (table, bit) WITH an extra
-    array allocation each time (verified in the optimized plan — the
-    ngram_diversity no-inline datapoint needs ≥2 top-level references);
-    fusing does the same arithmetic with zero intermediate arrays.
-    Families larger than ``_LITERAL_PLANES_MAX`` literal ints fall back
-    to the broadcast-join form (value-identical; locked by unit test).
+    family is ONE foldable array literal inside a single projection —
+    per vector, ``transform`` over tables × ``aggregate`` over bits
+    computes every bucket with ZERO shuffle and no intermediate
+    tables×bits row inflation (the old broadcast-join + groupBy form
+    shuffled N·tables rows; the dot_topk_int8 array-grain lesson
+    applied). The quantized vector is bound ONCE per row via the
+    single-element-transform LET idiom —
+    ``element_at(transform(array(<quantize>), q -> <body>), 1)`` — a
+    lambda variable is evaluated once and referenced freely, where a
+    projected ``q`` alias referenced by only one top-level expression
+    gets INLINED by CollapseProject and re-quantized per (table, bit)
+    (measured at 1M×64: let-bind 15.0 s, per-bit re-quantize 23.4 s,
+    old join form 19-20 s). Families larger than
+    ``_LITERAL_PLANES_MAX`` literal ints fall back to the
+    broadcast-join form (value-identical; locked by unit test).
 
     ``n_probes`` (r13, VERDICT r12 #8): QUERY-SIDE multi-probe — per
     table, also emit the ``n_probes`` Hamming-1 neighbor buckets
@@ -1978,17 +1978,20 @@ def embed_sign_buckets(
         )
         + ")"
     )
-    # quantization fused into the dot lambda — see the docstring
+    # quantize ONCE per row via the single-element-transform LET idiom
+    # (see the docstring), then every (t, j) dot reads the bound q
+    quant_sql = (
+        "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))"
+    )
     dot_sql = (
-        f"aggregate(zip_with(v, element_at({planes_sql}, "
-        f"t * {bits} + j + 1), (x, y) -> "
-        "CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT) "
-        "* CAST(y AS BIGINT)), "
+        f"aggregate(zip_with(q, element_at({planes_sql}, "
+        f"t * {bits} + j + 1), (x, y) -> x * CAST(y AS BIGINT)), "
         "CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
     dss_sql = (
+        f"element_at(transform(array({quant_sql}), q -> "
         f"transform(sequence(0, {tables - 1}), t -> "
-        f"transform(sequence(0, {bits - 1}), j -> {dot_sql}))"
+        f"transform(sequence(0, {bits - 1}), j -> {dot_sql}))), 1)"
     )
     bucket_sql = (
         f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "

@@ -14417,6 +14417,8 @@ def q_dedup_incremental_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_embed_vs_corpus_apply",
+    headline=True,  # r13 (VERDICT r12 #5): the embedding tier is the
+    # newest heavy surface — track its wall per round via the bench
     oracle="""WITH src AS (
         SELECT vec_id, embedding, label FROM embeddings
         WHERE vec_id IS NOT NULL

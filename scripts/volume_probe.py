@@ -356,12 +356,52 @@ def probe_spans(n_docs: int) -> None:
         )
 
 
+def _disk_preflight(n_docs: int, *, near_dup: bool) -> None:
+    """Disk-ceiling guard for corpus probes (VERDICT r12 #6): the r12
+    30M-doc 7-stage near-dup run bottomed at ~39 G free of 252 G and
+    extrapolates to an ENOSPC wall around 60-80M docs on this box —
+    make the cliff a MESSAGE before the run, not a mid-run crash.
+    Spill model from the measured points (30M near-dup ≈ 90 G of
+    shuffle/spill under zstd; the 4-stage tier is ~3× lighter):
+    ~3 GB per 1M docs near-dup, ~1 GB per 1M docs otherwise, plus
+    15 G headroom for the OS and parquet scratch. Aborts when the
+    estimate exceeds free space; BDRR_DISK_OVERRIDE=1 downgrades the
+    abort to a warning (you were told)."""
+    import tempfile as _tf
+
+    per_m_gb = 3.0 if near_dup else 1.0
+    need_gb = n_docs / 1e6 * per_m_gb + 15.0
+    free_gb = shutil.disk_usage(_tf.gettempdir()).free / 1e9
+    print(
+        f"[preflight] est. spill+scratch ~{need_gb:.0f} G "
+        f"({'near-dup' if near_dup else '4-stage'} tier), "
+        f"free {free_gb:.0f} G",
+        flush=True,
+    )
+    if need_gb > free_gb:
+        msg = (
+            f"[preflight] estimated spill {need_gb:.0f} G exceeds free "
+            f"disk {free_gb:.0f} G — this run would likely die with "
+            "ENOSPC mid-shuffle (the r5 100M-event failure mode). "
+            "Reduce --docs, point TMPDIR at a larger volume, or set "
+            "BDRR_DISK_OVERRIDE=1 to proceed anyway."
+        )
+        if os.environ.get("BDRR_DISK_OVERRIDE", "") == "1":
+            print(msg + " (override set — proceeding)", flush=True)
+        else:
+            print(msg, flush=True)
+            sys.exit(2)
+
+
 def probe_corpus(n_docs: int) -> None:
     """Time the full corpus-construction pipeline (q_corpus_pipeline's
     exact composition via pipelines.corpus.build_corpus) at volume:
     ``n_docs`` synthetic docs over 50 domains with planted exact dups
     (every 1000th doc repeats its predecessor verbatim → the dedup stage
     does real work) and domain 'src0' as the eval split."""
+    _disk_preflight(
+        n_docs, near_dup=os.environ.get("BDRR_CORPUS_NEARDUP", "") == "1"
+    )
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -1156,13 +1196,132 @@ def probe_r12embed(n_vecs: int, n_batch: int = 100_000) -> None:
     )
 
 
+def probe_r13embed(n_vecs: int, n_batch: int = 100_000) -> None:
+    """r13 embedding-tier probes (VERDICT r12 #2/#8): (a) interleaved
+    A/B of the array-grain literal bucket build vs the broadcast-join
+    form at volume (the rewrite's honest wall), and (b) the multi-probe
+    recall trade on the vs-corpus path — ``n_planted`` batch vectors
+    are NEAR-duplicates (small deterministic perturbation, cosine
+    ≈0.98) of corpus vectors, so single-probe banding misses the
+    members whose marginal planes flipped (the 6-of-20k family-split
+    datapoint's mechanism); n_probes ∈ {0, 1, 2, 4} measures recall
+    (planted members with ≥1 corpus candidate) against candidate
+    volume."""
+    import tempfile
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        _embed_sign_buckets_join_form,
+        _hashable_vectors,
+        embed_bucket_table,
+        embed_candidates_vs_corpus,
+        embed_sign_buckets,
+    )
+
+    def vecs(base):
+        comp = F.expr(
+            "transform(sequence(0, 63), j -> "
+            "CAST(pmod(xxhash64(CAST(vec_id AS BIGINT) * 64 + j), 2000000) "
+            "AS DOUBLE) / 1000000.0 - 1.0)"
+        )
+        return base.select(F.col("id").alias("vec_id")).select(
+            "vec_id", comp.alias("embedding")
+        )
+
+    corpus = vecs(spark.range(n_vecs).repartition(64)).localCheckpoint()
+    corpus.count()
+
+    # (a) bucket-build A/B, warm interleaved x2 each
+    def run_lit():
+        return (
+            embed_sign_buckets(corpus, dim=64, tables=4, bits=16)
+            .agg(F.sum("bucket"), F.count(F.lit(1)))
+            .collect()[0]
+        )
+
+    def run_join():
+        v = _hashable_vectors(
+            corpus, dim=64, id_col="vec_id", vec_col="embedding"
+        )
+        return (
+            _embed_sign_buckets_join_form(
+                v, spark, tables=4, bits=16, dim=64, id_col="vec_id"
+            )
+            .agg(F.sum("bucket"), F.count(F.lit(1)))
+            .collect()[0]
+        )
+
+    run_lit(), run_join()  # warm both plans
+    for i in range(2):
+        for name, fn in (("literal", run_lit), ("join", run_join)):
+            t0 = time.time()
+            chk = tuple(fn())
+            print(
+                f"[r13embed] bucket build {name} pass {i}: "
+                f"{time.time() - t0:.1f}s checksum={chk}",
+                flush=True,
+            )
+
+    # (b) multi-probe recall on NEAR-dup (not identical) planted members:
+    # batch vector i (< n_planted) = corpus vector i with component j
+    # nudged by a deterministic ±0.06 — cosine ≈ 0.98, so each sign
+    # decision near its margin can flip and single-probe banding loses
+    # some members
+    n_planted = 10_000
+    path = tempfile.mkdtemp() + "/bk"
+    embed_bucket_table(corpus, path, dim=64, bits=24)
+    bt = spark.read.parquet(path).localCheckpoint()
+    bt.count()
+    perturbed = F.expr(
+        "transform(sequence(0, 63), j -> "
+        "CAST(pmod(xxhash64(CAST(vec_id AS BIGINT) * 64 + j), 2000000) "
+        "AS DOUBLE) / 1000000.0 - 1.0 "
+        "+ (CAST(pmod(xxhash64('p', CAST(vec_id AS BIGINT) * 64 + j), 121) "
+        "AS DOUBLE) - 60.0) / 1000.0)"
+    )
+    batch = (
+        spark.range(n_planted)
+        .select(F.col("id").alias("vec_id"))
+        .select(
+            (F.col("vec_id") + 3_000_000_000).alias("vec_id"),
+            perturbed.alias("embedding"),
+            F.col("vec_id").alias("src_id"),
+        )
+    ).localCheckpoint()
+    batch.count()
+    for np_ in (0, 1, 2, 4):
+        t0 = time.time()
+        cand = embed_candidates_vs_corpus(
+            batch.select("vec_id", "embedding"), bt, dim=64, bits=24,
+            n_probes=np_,
+        ).localCheckpoint()
+        n_cand = cand.count()
+        # recall: planted member found its OWN source vector
+        n_found = (
+            cand.filter(
+                F.col("batch_vid") - 3_000_000_000 == F.col("corpus_vid")
+            )
+            .select("batch_vid")
+            .distinct()
+            .count()
+        )
+        print(
+            f"[r13embed] vs-corpus n_probes={np_}: recall "
+            f"{n_found}/{n_planted} planted near-dups, {n_cand:,} total "
+            f"candidates in {time.time() - t0:.1f}s",
+            flush=True,
+        )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
         "probe",
         choices=[
             "tpch", "ops", "corpus", "spans", "r10ops", "r10s3", "hotbucket",
-            "prefix", "r11inc", "capfire", "r12embed",
+            "prefix", "r11inc", "capfire", "r12embed", "r13embed",
         ],
     )
     p.add_argument("--family", type=int, default=10_000)
@@ -1196,6 +1355,8 @@ def main() -> None:
         probe_capfire(a.docs, a.family)
     elif a.probe == "r12embed":
         probe_r12embed(a.docs)
+    elif a.probe == "r13embed":
+        probe_r13embed(a.docs)
     else:
         probe_ops(a.docs, a.edges)
 

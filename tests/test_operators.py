@@ -5653,3 +5653,40 @@ def test_embed_lsh_audit_planted_recall(spark):
     # planted copies always collide -> at most the non-planted
     # near-threshold pairs can be misses
     assert r.n_hits >= 5
+
+def test_delta_io_gate(spark):
+    """Delta/Iceberg packaging decision (VERDICT r12 #7, the avro_io
+    precedent): resolver works to its gate — on this sandbox neither
+    connector is deployed, so availability is False and every entry
+    point raises the LOUD NotImplementedError with the deployment
+    recipe (never a silent parquet fallback); the builder confs are the
+    documented extension pair. If a connector IS deployed, the gate
+    opens and a write/read round-trip must work."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.sources.delta_io import (
+        delta_available,
+        delta_format,
+        delta_session_confs,
+        iceberg_available,
+        read_delta,
+        write_delta,
+    )
+
+    confs = delta_session_confs()
+    assert confs["spark.sql.extensions"].endswith("DeltaSparkSessionExtension")
+    assert confs["spark.sql.catalog.spark_catalog"].endswith("DeltaCatalog")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    path = tempfile.mkdtemp() + "/delta"
+    if not delta_available(spark):
+        with _pytest.raises(NotImplementedError, match="delta-spark"):
+            delta_format(spark)
+        with _pytest.raises(NotImplementedError, match="q_sink_upsert"):
+            write_delta(df, path)
+        assert iceberg_available(spark) in (False, True)  # classpath probe runs
+        return
+    write_delta(df, path)
+    got = sorted((r.id, r.v) for r in read_delta(spark, path).collect())
+    assert got == [(i, 2 * i) for i in range(5)]
