@@ -390,6 +390,171 @@ def cosine_topk_ivf_at_rest(
     )
 
 
+def _ivf_pinned_eligible(
+    df: DataFrame, *, dim: int, id_col: str, vec_col: str, bound: float
+) -> DataFrame:
+    """Vectors the exact-integer IVF tier can quantize: non-NULL id and
+    vector, exact ``dim``, every component non-NULL, finite, and
+    |v| < ``bound`` (the quantization domain — floor(v·1e6) over
+    |v| < 100 keeps dist² and dot sums inside bigint: (2e8)²·64 ≈
+    2.6e18 < 2⁶³). Out-of-domain vectors are excluded exactly like
+    unhashable ones in the sign-LSH tier — documented, never silent
+    truncation of a value."""
+    in_domain = ~F.expr(
+        f"exists({vec_col}, x -> isnan(CAST(x AS DOUBLE)) "
+        "OR abs(CAST(x AS DOUBLE)) >= CAST('inf' AS DOUBLE) "
+        f"OR abs(CAST(x AS DOUBLE)) >= {bound})"
+    )
+    return df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & in_domain
+    )
+
+
+def _quantized(vec_col: str, scale: int) -> Column:
+    return F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+
+
+def ivf_pinned_write_at_rest(
+    corpus: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    bound: float = 100.0,
+) -> None:
+    """Exact-integer IVF index AT REST with PINNED sample centroids —
+    the ORACLED twin of :func:`ivf_write_at_rest` (r13 graduation,
+    VERDICT r12 #4; the simhash_md5 twin move applied to IVF): instead
+    of iterative float KMeans, the centroids are the quantized vectors
+    of the ``n_cells`` smallest eligible corpus ids (sample-initialized
+    cells — the standard no-iteration IVF seeding), every assignment is
+    an argmin of EXACT bigint squared distances over floor(v·scale)
+    components with a deterministic (dist², cell) tie-break, and the
+    probe ranks by exact bigint dot — so the whole
+    write→partition→probe→top-k chain is bit-reproducible in DuckDB.
+    The KMeans tier (:func:`ivf_write_at_rest`) stays the
+    quality-centroid path (rows-only, floats inherent to the fit);
+    this tier is the at-rest MACHINERY value-checked end to end.
+
+    Layout (same shape as the KMeans tier): ``{path}/vectors`` —
+    (vec_id, qv, cell) parquet partitioned by cell so a probe prunes
+    directories; ``{path}/centroids`` — n_cells rows of
+    (cell, cent: array<bigint>).
+    """
+    elig = _ivf_pinned_eligible(
+        corpus, dim=dim, id_col=id_col, vec_col=vec_col, bound=bound
+    ).select(F.col(id_col).alias("vec_id"), _quantized(vec_col, scale).alias("qv"))
+    from pyspark.sql import Window
+
+    # n_cells smallest ids → cells 0..n_cells-1 (bounded frame: limit
+    # runs before the window, so the rank is over ≤ n_cells rows)
+    cent = (
+        elig.orderBy(F.col("vec_id").asc())
+        .limit(n_cells)
+        .select(
+            (
+                F.row_number().over(Window.orderBy(F.col("vec_id").asc())) - 1
+            ).alias("cell"),
+            F.col("qv").alias("cent"),
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qv", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    assigned = topk_per_group(
+        elig.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "qv", "cell", dist2.alias("d2")
+        ),
+        group_cols=["vec_id"],
+        order_by=[F.col("d2").asc(), F.col("cell").asc()],
+        k=1,
+        rank_col="__rn",
+    ).select("vec_id", "qv", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        path + "/vectors"
+    )
+    cent.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def dot_topk_ivf_pinned_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale: int = 1_000_000,
+    bound: float = 100.0,
+) -> DataFrame:
+    """Probe the pinned exact-integer IVF index
+    (:func:`ivf_pinned_write_at_rest`): each query picks its ``nprobe``
+    nearest centroids by exact bigint dist² (ties → smaller cell),
+    scans ONLY those cell partitions (the probe-cell set is the same
+    bounded driver-side collect as the KMeans tier — ≤ nprobe ×
+    n_queries ints), and ranks candidates by exact bigint dot with a
+    total (dot desc, vec_id asc) tie-break. Output: query_id, vec_id,
+    dot (bigint), rank — every column integer, full DuckDB hash oracle.
+    """
+    cent = spark.read.parquet(path + "/centroids")
+    q = _ivf_pinned_eligible(
+        queries, dim=dim, id_col=query_id_col, vec_col=vec_col, bound=bound
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        _quantized(vec_col, scale).alias("qq"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("qq", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(cent)).select(
+            "query_id", "qq", "cell", dist2.alias("d2")
+        ),
+        group_cols=["query_id"],
+        order_by=[F.col("d2").asc(), F.col("cell").asc()],
+        k=nprobe,
+        rank_col="__pr",
+    ).select("query_id", "qq", "cell")
+    cells = sorted(
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    )
+    vecs = spark.read.parquet(path + "/vectors").filter(
+        F.col("cell").isin(cells)
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "qq", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = (
+        vecs.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot.alias("dot"))
+    )
+    return topk_per_group(
+        scored,
+        group_cols=["query_id"],
+        order_by=[F.col("dot").desc(), F.col("vec_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -654,6 +654,91 @@ def q_sim_topk_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_topk_ivf_pinned",
+    oracle="""WITH src AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id IS NOT NULL
+    ), elig AS (
+        SELECT vec_id, embedding FROM src
+        WHERE embedding IS NOT NULL AND len(embedding) = 64
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND NOT list_bool_or(list_transform(embedding,
+                  x -> isnan(CAST(x AS DOUBLE))
+                       OR abs(CAST(x AS DOUBLE)) >= CAST('inf' AS DOUBLE)
+                       OR abs(CAST(x AS DOUBLE)) >= 100))
+    ), qv AS (
+        SELECT vec_id, p - 1 AS d,
+               CAST(floor(CAST(embedding[p] AS DOUBLE) * 1000000) AS BIGINT)
+                   AS q
+        FROM elig, LATERAL (SELECT unnest(generate_series(1, 64)) AS p)
+    ), cent_ids AS (
+        SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1
+                            AS INT) AS cell
+        FROM (SELECT vec_id FROM elig ORDER BY vec_id ASC LIMIT 8)
+    ), cent AS (
+        SELECT c.cell, v.d, v.q FROM cent_ids c
+        JOIN qv v ON v.vec_id = c.vec_id
+    ), dist AS (
+        SELECT v.vec_id, c.cell,
+               CAST(SUM((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS d2
+        FROM qv v JOIN cent c USING (d) GROUP BY v.vec_id, c.cell
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+            FROM dist) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+            FROM dist
+            WHERE ((vec_id % 100) + 100) % 100 = 7) WHERE rn <= 2
+    ), pairs AS (
+        SELECT p.query_id, a.vec_id FROM probes p
+        JOIN assign a USING (cell) WHERE a.vec_id != p.query_id
+    ), dots AS (
+        SELECT pr.query_id, pr.vec_id,
+               CAST(SUM(qa.q * qb.q) AS BIGINT) AS dot
+        FROM pairs pr
+        JOIN qv qa ON qa.vec_id = pr.vec_id
+        JOIN qv qb ON qb.vec_id = pr.query_id AND qb.d = qa.d
+        GROUP BY pr.query_id, pr.vec_id
+    )
+    SELECT query_id, vec_id, dot, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, vec_id, dot, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rank
+        FROM dots) WHERE rank <= 5
+    """,
+)
+def q_sim_topk_ivf_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer IVF at rest with PINNED sample centroids — the
+    ORACLED twin of q_sim_topk_ivf_at_rest (r13 graduation, VERDICT r12
+    #4; the simhash_md5 twin precedent): centroids are the quantized
+    vectors of the 8 smallest eligible ids, cell assignment is an exact
+    bigint argmin of squared distances over floor(v·1e6) components
+    (ties → smaller cell), queries (vec_id ≡ 7 mod 100) probe their 2
+    nearest cells via directory-pruned partition scans, and the top-5
+    ranks by exact bigint dot with a total tie-break — the whole
+    write→partition→probe→rank chain value-hashed in DuckDB. The KMeans
+    tier stays the quality-centroid path (floats inherent to the fit,
+    rows-only); this entry value-checks the at-rest MACHINERY."""
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        dot_topk_ivf_pinned_at_rest,
+        ivf_pinned_write_at_rest,
+    )
+
+    idx_path = _session_tmp(spark, "ivf_pinned_index")
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf_pinned_write_at_rest(emb, idx_path, dim=64, n_cells=8)
+    queries = emb.filter(
+        (F.pmod(F.col("vec_id"), F.lit(100)) == 7)
+        & F.col("vec_id").isNotNull()
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return dot_topk_ivf_pinned_at_rest(
+        spark, idx_path, queries, dim=64, k=5, nprobe=2
+    ).select("query_id", "vec_id", "dot", "rank")
+
+
+@query(
     "q_vector_norm",
     oracle="""
     WITH n AS (

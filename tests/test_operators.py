@@ -5690,3 +5690,74 @@ def test_delta_io_gate(spark):
     write_delta(df, path)
     got = sorted((r.id, r.v) for r in read_delta(spark, path).collect())
     assert got == [(i, 2 * i) for i in range(5)]
+
+def test_ivf_pinned_exact_int(spark):
+    """Pinned-centroid exact-integer IVF (r13 graduation twin): a
+    centroid's own vector lands in its cell at distance 0; probe
+    results equal a brute-force integer-dot top-k over the probed
+    cells' members; out-of-domain vectors (|v| >= 100) are excluded
+    like unhashable ones; the probe scan is partition-pruned."""
+    import random
+    import tempfile
+
+    from bigdata_retailrocket_recsys_spark.operators.similarity import (
+        dot_topk_ivf_pinned_at_rest,
+        ivf_pinned_write_at_rest,
+    )
+
+    random.seed(17)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(90)]
+    rows.append((500, [250.0] * 8))  # out of quantization domain
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    path = tempfile.mkdtemp() + "/ivf"
+    ivf_pinned_write_at_rest(df, path, dim=8, n_cells=4)
+    vecs = spark.read.parquet(path + "/vectors")
+    stored = {r.vec_id for r in vecs.select("vec_id").collect()}
+    assert 500 not in stored and len(stored) == 90
+    # centroids are vectors of ids 0..3 -> each assigned to its own cell
+    own = {
+        r.vec_id: r.cell
+        for r in vecs.filter(F.col("vec_id") < 4).collect()
+    }
+    cent = {
+        r.cell: r.cent
+        for r in spark.read.parquet(path + "/centroids").collect()
+    }
+    qv = {r.vec_id: r.qv for r in vecs.collect()}
+    for vid, cell in own.items():
+        assert list(cent[cell]) == list(qv[vid])
+
+    queries = df.filter(F.col("vec_id").isin(10, 20)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = dot_topk_ivf_pinned_at_rest(
+        spark, path, queries, dim=8, k=3, nprobe=2
+    )
+    got = [(r.query_id, r.vec_id, r.dot, r.rank) for r in out.collect()]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # brute-force replay in python over the stored quantized vectors
+    cells = {r.vec_id: r.cell for r in vecs.collect()}
+    for qid in (10, 20):
+        d2 = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv[qid], cv)), c)
+            for c, cv in cent.items()
+        )
+        probed = {c for _, c in d2[:2]}
+        cand = [
+            v for v in stored if cells[v] in probed and v != qid
+        ]
+        exp = sorted(
+            (
+                (-sum(a * b for a, b in zip(qv[v], qv[qid])), v)
+                for v in cand
+            )
+        )[:3]
+        want = [
+            (qid, v, -negdot, i + 1)
+            for i, (negdot, v) in enumerate(exp)
+        ]
+        assert sorted(
+            (g for g in got if g[0] == qid), key=lambda g: g[3]
+        ) == want
