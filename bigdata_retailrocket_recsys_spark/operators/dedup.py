@@ -2454,6 +2454,161 @@ def semdedup_apply_vs_corpus(
     return batch.join(dupes, id_col, "left_anti")
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Robust winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 §4 — the MOSS algorithm): hash every k-gram,
+    slide a window of ``w`` consecutive gram hashes, and select each
+    window's RIGHTMOST minimum. The selected set has expected density
+    2/(w+1) and carries the winnowing GUARANTEE: any substring match of
+    length ≥ w+k-1 tokens shares at least one fingerprint — the
+    position-aware fourth fingerprint tier next to MinHash (set
+    resemblance), SimHash (weighted bits) and the Lee-et-al. span pass
+    (exact substrings). North-star extension (SURVEY §2.11), no
+    reference counterpart.
+
+    Relational shape: gram rows (tokenize-once lead windows, the
+    shingle_rows pattern with positions kept) → each gram explodes to
+    the ≤ ``w`` windows containing it (w× row inflation — w is small by
+    design; the same explode replays in DuckDB, which is what makes the
+    md5 tier value-hashable) → per (doc, window) rightmost-min by ONE
+    row_number over (hash asc, pos desc) → distinct selected grams.
+    Docs shorter than w+k-1 tokens still fingerprint (their single
+    clamped window selects one gram; sub-k docs fingerprint their one
+    partial gram). ``hash_fn='md5'`` is the oracle tier (lexicographic
+    min over fixed-width hex); xxhash64 the scale tier (8-byte keys).
+
+    Output: (doc, pos, fp) — selected gram positions and hashes.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be xxhash64|md5, got {hash_fn}")
+    from pyspark.sql import Window
+
+    tok = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(ws_tokens(text_col)).alias("pos", "tok"),
+    )
+    wd = Window.partitionBy("doc").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(wd) for j in range(1, k)]
+    grams = tok.select(
+        "doc",
+        "pos",
+        F.concat_ws(" ", *leads).alias("gram"),
+        leads[-1].isNotNull().alias("full"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("doc_len"),
+    ).filter(
+        F.col("full") | ((F.col("pos") == 0) & (F.col("doc_len") < k))
+    )
+    h = (
+        F.xxhash64("gram") if hash_fn == "xxhash64" else F.md5("gram")
+    )
+    g = grams.select(
+        "doc",
+        "pos",
+        h.alias("h"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("npos"),
+    )
+    # windows j containing gram pos: [max(pos-w+1, 0), min(pos, npos-w)],
+    # clamped so short docs keep exactly one window (j = 0)
+    lo = F.greatest(F.col("pos") - F.lit(w - 1), F.lit(0))
+    hi = F.least(F.col("pos"), F.greatest(F.col("npos") - F.lit(w), F.lit(0)))
+    wnd = g.select(
+        "doc", "pos", "h", F.explode(F.sequence(lo, hi)).alias("j")
+    )
+    pick = (
+        wnd.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("doc", "j").orderBy(
+                    F.col("h").asc(), F.col("pos").desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("doc", "pos", F.col("h").alias("fp"))
+        .distinct()
+    )
+    return pick
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+    min_common: int = 2,
+    max_fp_docs: int | None = None,
+) -> DataFrame:
+    """MOSS-style near-dup candidate pairs by shared winnowing
+    fingerprints (:func:`winnowing_fingerprints`): docs sharing ≥
+    ``min_common`` distinct selected hashes, with per-doc fingerprint
+    counts so a consumer can compute containment/resemblance. The
+    winnowing guarantee makes this the detector for LOCAL overlap
+    (shared passages ≥ w+k-1 tokens) that set-grain MinHash dilutes
+    away on long documents.
+
+    ``max_fp_docs=`` drops fingerprints present in more than that many
+    docs before pairing — MOSS's ignore-too-common rule: boilerplate
+    hashes are noise AND the hot join keys (a fingerprint shared by B
+    docs emits B(B-1)/2 pairs — the LSH hot-bucket geometry; the cap is
+    the equivalent guard, never silent: capped hashes simply don't
+    count toward n_common, exactly like MOSS).
+
+    Output: doc_a, doc_b, n_common, n_a, n_b (all integers).
+    """
+    fp = winnowing_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w, hash_fn=hash_fn
+    ).select("doc", "fp").distinct()
+    if max_fp_docs is not None:
+        keep = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") <= max_fp_docs)
+            .select("fp")
+        )
+        fp = fp.join(keep, "fp", "left_semi")
+    fp = fp.localCheckpoint()  # one hash pass feeds counts + both join sides
+    cnt = fp.groupBy("doc").agg(F.count(F.lit(1)).alias("nf"))
+    pairs = (
+        fp.alias("a")
+        .join(
+            fp.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        pairs.join(
+            cnt.select(F.col("doc").alias("doc_a"), F.col("nf").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            cnt.select(F.col("doc").alias("doc_b"), F.col("nf").alias("n_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b")
+    )
+
+
 def contamination_check(
     train_df: DataFrame,
     eval_df: DataFrame,

@@ -8430,6 +8430,71 @@ def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_winnowing",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), g AS (
+        SELECT doc, st - 1 AS pos,
+               md5(array_to_string(list_slice(toks, st, st + 2), ' ')) AS h
+        FROM (SELECT doc, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM base)
+    ), n AS (
+        SELECT doc, COUNT(*) AS npos FROM g GROUP BY doc
+    ), wnd AS (
+        SELECT g.doc, g.pos, g.h, w.j
+        FROM g JOIN n USING (doc),
+             LATERAL (SELECT unnest(generate_series(
+                 GREATEST(g.pos - 3, 0),
+                 LEAST(g.pos, GREATEST(n.npos - 4, 0)))) AS j) w
+    ), pick AS (
+        SELECT DISTINCT doc, h FROM (
+            SELECT doc, pos, h, ROW_NUMBER() OVER (
+                PARTITION BY doc, j ORDER BY h ASC, pos DESC) AS rn
+            FROM wnd) WHERE rn = 1
+    ), cnt AS (
+        SELECT doc, COUNT(*) AS nf FROM pick GROUP BY doc
+    ), pr AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM pick a JOIN pick b ON a.h = b.h AND a.doc < b.doc
+        GROUP BY a.doc, b.doc HAVING COUNT(*) >= 2
+    )
+    SELECT pr.doc_a, pr.doc_b, pr.n_common,
+           CAST(ca.nf AS BIGINT) AS n_a, CAST(cb.nf AS BIGINT) AS n_b
+    FROM pr JOIN cnt ca ON ca.doc = pr.doc_a
+    JOIN cnt cb ON cb.doc = pr.doc_b
+    """,
+)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint near-dup pairs (operators/dedup
+    .winnowing_pairs — Schleimer et al. 2003, the MOSS algorithm; r13):
+    k-gram md5 hashes → sliding w-window rightmost-min selection
+    (expected density 2/(w+1), guarantee: any shared passage ≥ w+k-1
+    tokens shares a fingerprint) → pairs sharing ≥2 selected hashes
+    with per-doc fingerprint counts. The POSITION-AWARE fourth
+    fingerprint tier next to MinHash/SimHash/spans — local overlap
+    detection that set-grain resemblance dilutes away on long docs.
+    md5 is the oracle tier (lexicographic hex min replays in DuckDB via
+    the same window explode); xxhash64 stays the scale tier
+    (unit-locked against the naive reference)."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        winnowing_pairs,
+    )
+
+    return winnowing_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        w=4,
+        hash_fn="md5",
+        min_common=2,
+    )
+
+
+@query(
     "q_text_strip_boilerplate",
     oracle=r"""
     WITH base AS (

@@ -5761,3 +5761,83 @@ def test_ivf_pinned_exact_int(spark):
         assert sorted(
             (g for g in got if g[0] == qid), key=lambda g: g[3]
         ) == want
+
+def test_winnowing_matches_naive_reference(spark):
+    """Winnowing (Schleimer et al. 2003): the relational window-explode
+    selection must equal a naive pure-python robust-winnowing reference
+    EXACTLY (positions and hashes), the ≥ w+k-1 shared-passage
+    guarantee must hold on a planted passage, the density must sit near
+    2/(w+1), and max_fp_docs must drop too-common fingerprints from
+    pairing (the MOSS ignore rule)."""
+    import hashlib
+    import random
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    K, W = 3, 4
+    random.seed(3)
+
+    def mk(n):
+        return " ".join("w%d" % random.randrange(40) for _ in range(n))
+
+    docs = [(i, mk(random.choice([1, 2, 3, 5, 8, 30, 60]))) for i in range(50)]
+    shared = mk(10)  # > w+k-1 = 6 tokens -> must share a fingerprint
+    docs += [
+        (100, mk(20) + " " + shared + " " + mk(5)),
+        (101, shared + " " + mk(25)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    def naive(text):
+        toks = text.strip().split()
+        grams = (
+            [" ".join(toks)]
+            if len(toks) < K
+            else [" ".join(toks[i:i + K]) for i in range(len(toks) - K + 1)]
+        )
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        n = len(hs)
+        sel = set()
+        for j in range(max(n - W + 1, 1)):
+            wnd = hs[j:j + W]
+            m = min(wnd)
+            p = max(i for i in range(j, min(j + W, n)) if hs[i] == m)
+            sel.add((p, hs[p]))
+        return sel
+
+    exp = {d: naive(t) for d, t in docs}
+    got = {}
+    for r in winnowing_fingerprints(df, k=K, w=W, hash_fn="md5").collect():
+        got.setdefault(r.doc, set()).add((r.pos, r.fp))
+    assert got == exp
+    f100 = {h for _, h in got[100]}
+    f101 = {h for _, h in got[101]}
+    assert f100 & f101  # the winnowing guarantee
+    tot = sum(len(v) for v in got.values())
+    grams = sum(max(len(t.split()) - K + 1, 1) for _, t in docs)
+    assert 0.25 <= tot / grams <= 0.55  # density ~ 2/(w+1) = 0.4
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_common
+        for r in winnowing_pairs(
+            df, k=K, w=W, hash_fn="md5", min_common=1
+        ).collect()
+    }
+    assert (100, 101) in pairs
+    # xxhash64 scale tier: same selection geometry, different hashes —
+    # the planted pair must still be found
+    x = {
+        (r.doc_a, r.doc_b)
+        for r in winnowing_pairs(
+            df, k=K, w=W, hash_fn="xxhash64", min_common=1
+        ).collect()
+    }
+    assert (100, 101) in x
+    # MOSS ignore rule: capping at 1 doc per fingerprint kills ALL pairs
+    none = winnowing_pairs(
+        df, k=K, w=W, hash_fn="md5", min_common=1, max_fp_docs=1
+    ).count()
+    assert none == 0
