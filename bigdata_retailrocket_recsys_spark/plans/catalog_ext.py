@@ -14659,6 +14659,67 @@ def q_dedup_embed_vs_corpus_apply(
 
 
 @query(
+    "q_dedup_embed_multiprobe",
+    oracle="""WITH src AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id IS NOT NULL
+    ), allv AS (
+        SELECT 'b' || CAST(vec_id AS VARCHAR) AS uid, embedding FROM src
+        WHERE ((vec_id % 5) + 5) % 5 = 0
+        UNION ALL
+        SELECT 'c' || CAST(vec_id AS VARCHAR) AS uid, embedding FROM src
+        WHERE ((vec_id % 5) + 5) % 5 >= 2
+    ), """
+    + _EMBED_BUCKET_CTES.format(
+        src="allv", tables_m1=3, bits_m1=11, dim=64, dim_m1=63
+    ).lstrip()
+    + """
+    , bprobe AS (
+        SELECT uid, t, bucket FROM bk WHERE uid LIKE 'b%'
+        UNION
+        SELECT d.uid, d.t,
+               xor(k.bucket, (CAST(1 AS BIGINT) << d.j)) AS bucket
+        FROM (SELECT uid, t, j, dot, ROW_NUMBER() OVER (
+                  PARTITION BY uid, t ORDER BY abs(dot) ASC, j ASC) AS rn
+              FROM dots WHERE uid LIKE 'b%') d
+        JOIN bk k ON k.uid = d.uid AND k.t = d.t
+        WHERE d.rn <= 2
+    )
+    SELECT CAST(substring(b.uid, 2) AS BIGINT) AS batch_vid,
+           CAST(substring(c.uid, 2) AS BIGINT) AS corpus_vid,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_tables
+    FROM bprobe b
+    JOIN bk c ON c.t = b.t AND c.bucket = b.bucket AND c.uid LIKE 'c%'
+    GROUP BY 1, 2
+    """,
+)
+def q_dedup_embed_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH candidates vs the persisted corpus bucket
+    table (operators/dedup.embed_candidates_vs_corpus n_probes=2 —
+    VERDICT r12 #8 made driver-visible): per table the batch side also
+    probes the two Hamming-1 neighbor buckets whose sign decisions had
+    the smallest |dot| (ties → smaller bit index) — the probe choice is
+    EXACT integer arithmetic over the md5-Rademacher dots, so the
+    probed candidate SET itself replays in DuckDB (xor of the shifted
+    bit on the bk chain). Measured trade at 1M vecs (volume_probe
+    r13embed): recall on planted near-dups 98.1% → 99.99% at ~2×
+    candidate volume. The persisted artifact stays probe-free."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_bucket_table,
+        embed_candidates_vs_corpus,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id").isNotNull())
+    m = F.pmod(F.col("vec_id"), F.lit(5))
+    corpus = emb.filter(m >= 2)
+    batch = emb.filter(m == 0)
+    path = _session_tmp(spark, "embed_multiprobe_buckets")
+    embed_bucket_table(corpus, path, dim=64, bits=12)
+    return embed_candidates_vs_corpus(
+        batch, spark.read.parquet(path), dim=64, bits=12, n_probes=2
+    )
+
+
+@query(
     "q_dedup_embed_lsh_audit",
     oracle="""WITH src AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id IS NOT NULL
