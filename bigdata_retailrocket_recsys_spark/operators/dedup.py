@@ -2609,6 +2609,31 @@ def winnowing_pairs(
     )
 
 
+def winnowing_fingerprint_table(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    hash_fn: str = "xxhash64",
+    mode: str = "overwrite",
+) -> None:
+    """Persisted winnowing fingerprint table ``(doc, pos, fp)`` — the
+    at-rest artifact for INCREMENTAL winnowing dedup (the
+    minhash_signatures_table pattern at the fingerprint grain): corpus
+    text is tokenized and winnowed ONCE per snapshot; a daily batch is
+    compared against this table (select (doc, fp) distinct →
+    :func:`jaccard_pairs_vs_corpus`) without re-reading corpus text.
+    ``mode="append"`` commits doc-disjoint increments. (k, w, hash_fn)
+    define the fingerprint family and must match across snapshot and
+    batches."""
+    winnowing_fingerprints(
+        df, id_col=id_col, text_col=text_col, k=k, w=w, hash_fn=hash_fn
+    ).write.mode(mode).parquet(path)
+
+
 def contamination_check(
     train_df: DataFrame,
     eval_df: DataFrame,

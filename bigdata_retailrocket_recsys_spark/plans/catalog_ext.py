@@ -626,31 +626,13 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank")
 
 
-@query("q_sim_topk_ivf_at_rest", oracle=None)
-def q_sim_topk_ivf_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe against the PERSISTED cell-partitioned index: write the
-    corpus once via ivf_write_at_rest (partitionBy("cell") parquet +
-    centroid table), then a probe that scans only the nprobe nearest cells
-    per query — the scan carries a PartitionFilter on cell (plan-locked in
-    tests/test_plans.py). Value-identical to q_sim_topk_ivf at the same
-    seed (locked in tests/test_operators.py). KMeans assignment isn't
-    DuckDB-expressible → rows-only."""
-    from bigdata_retailrocket_recsys_spark.operators.similarity import (
-        cosine_topk_ivf_at_rest,
-        ivf_write_at_rest,
-    )
-
-    idx_path = _session_tmp(spark, "ivf_index")
-    emb = _t(spark, sf_dir, "embeddings")
-    ivf_write_at_rest(
-        emb, idx_path, n_cells=8, id_col="vec_id", vec_col="embedding"
-    )
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return cosine_topk_ivf_at_rest(
-        spark, idx_path, queries, k=10, nprobe=3, vec_col="embedding"
-    ).select("query_id", "vec_id", "rank")
+# q_sim_topk_ivf_at_rest RETIRED r13 (the r9 q_sim_topk_lsh precedent):
+# superseded by q_sim_topk_ivf_pinned, which value-hashes the same
+# at-rest write→partition→probe machinery with pinned exact-integer
+# centroids. The KMeans operators (ivf_write_at_rest /
+# cosine_topk_ivf_at_rest) stay exported and unit-tested
+# (test_ivf_at_rest_matches_in_memory); KMeans assignment itself stays
+# covered by the rows-only q_sim_topk_ivf.
 
 
 @query(
@@ -8492,6 +8474,88 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_fn="md5",
         min_common=2,
     )
+
+
+@query(
+    "q_dedup_winnowing_vs_corpus",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id AS doc, ((doc_id % 3) + 3) % 3 AS m,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), g AS (
+        SELECT doc, m, st - 1 AS pos,
+               md5(array_to_string(list_slice(toks, st, st + 2), ' ')) AS h
+        FROM (SELECT doc, m, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM base)
+    ), n AS (
+        SELECT doc, COUNT(*) AS npos FROM g GROUP BY doc
+    ), wnd AS (
+        SELECT g.doc, g.m, g.pos, g.h, w.j
+        FROM g JOIN n USING (doc),
+             LATERAL (SELECT unnest(generate_series(
+                 GREATEST(g.pos - 3, 0),
+                 LEAST(g.pos, GREATEST(n.npos - 4, 0)))) AS j) w
+    ), pick AS (
+        SELECT DISTINCT doc, m, h FROM (
+            SELECT doc, m, pos, h, ROW_NUMBER() OVER (
+                PARTITION BY doc, j ORDER BY h ASC, pos DESC) AS rn
+            FROM wnd) WHERE rn = 1
+    ), cnt AS (
+        SELECT doc, COUNT(*) AS nf FROM pick GROUP BY doc
+    ), pr AS (
+        SELECT b.doc AS batch_doc, c.doc AS corpus_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM pick b JOIN pick c ON b.h = c.h AND b.m = 0 AND c.m != 0
+        GROUP BY b.doc, c.doc
+    )
+    SELECT pr.batch_doc, pr.corpus_doc, pr.n_common,
+           CAST(ca.nf AS BIGINT) AS n_batch,
+           CAST(cb.nf AS BIGINT) AS n_corpus
+    FROM pr JOIN cnt ca ON ca.doc = pr.batch_doc
+    JOIN cnt cb ON cb.doc = pr.corpus_doc
+    WHERE CAST(pr.n_common AS DOUBLE) /
+          (ca.nf + cb.nf - pr.n_common) >= 0.5
+    """,
+)
+def q_dedup_winnowing_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL winnowing dedup — batch vs the persisted fingerprint
+    table (operators/dedup.winnowing_fingerprint_table +
+    jaccard_pairs_vs_corpus; r13, completing the winnowing tier's
+    daily-delta half the way every other grain has one): the day-0
+    corpus (doc_id ≢ 0 mod 3) winnows its text ONCE into an at-rest
+    (doc, pos, fp) table; the day-1 batch (≡ 0) winnows itself and is
+    compared against the artifact by exact bipartite fingerprint
+    Jaccard — corpus TEXT is never re-read, the comparison reads only
+    fingerprint rows. Output keeps the integer columns (n_common /
+    n_batch / n_corpus) with the ≥0.5 Jaccard filter applied through
+    ONE IEEE division over exact counts (the established
+    cross-engine-deterministic form). 10-14 genuine cross-increment
+    near-dup pairs survive on every fixture (measured) — both filter
+    branches are exercised."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        jaccard_pairs_vs_corpus,
+        winnowing_fingerprint_table,
+        winnowing_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    corpus = docs.filter(m != 0)
+    batch = docs.filter(m == 0)
+    path = _session_tmp(spark, "winnow_fp_table")
+    winnowing_fingerprint_table(corpus, path, k=3, w=4, hash_fn="md5")
+    bfp = (
+        winnowing_fingerprints(batch, k=3, w=4, hash_fn="md5")
+        .select("doc", "fp")
+        .distinct()
+    )
+    cfp = spark.read.parquet(path).select("doc", "fp").distinct()
+    return jaccard_pairs_vs_corpus(
+        bfp, cfp, id_col="doc", shingle_col="fp", min_jaccard=0.5
+    ).select("batch_doc", "corpus_doc", "n_common", "n_batch", "n_corpus")
 
 
 @query(

@@ -1315,13 +1315,59 @@ def probe_r13embed(n_vecs: int, n_batch: int = 100_000) -> None:
         )
 
 
+def probe_r13ops(n_docs: int) -> None:
+    """r13 operator volume: winnowing fingerprints + MOSS pairs over
+    ``n_docs`` synthetic 30-token docs (28M grams at 1M docs; the
+    w-window explode is the 4× row inflation the docstring documents)
+    with planted exact-dup runs so the pair stage does real work."""
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+
+    docs = synth_documents(spark, n_docs)
+    # every 500th doc reproduces doc 7's token stream (the corpus-probe
+    # planting move) so winnowing_pairs finds a real dup family
+    dup_text = F.expr(
+        "concat_ws(' ', transform(sequence(0, 29), "
+        "j -> concat('w', pmod(xxhash64(7 * 30 + j), 50000))))"
+    )
+    docs = docs.withColumn(
+        "text",
+        F.when(F.pmod(F.col("doc_id"), 500) == 3, dup_text).otherwise(
+            F.col("text")
+        ),
+    ).localCheckpoint()
+    n = docs.count()
+    t0 = time.time()
+    nf = winnowing_fingerprints(docs, k=3, w=4).count()
+    print(
+        f"[r13ops] winnowing_fingerprints over {n:,} docs: {nf:,} "
+        f"fingerprints in {time.time() - t0:.1f}s "
+        f"(density {nf / (n * 28):.3f}, expect ~0.4)",
+        flush=True,
+    )
+    t0 = time.time()
+    np_ = winnowing_pairs(
+        docs, k=3, w=4, min_common=2, max_fp_docs=64
+    ).count()
+    print(
+        f"[r13ops] winnowing_pairs (max_fp_docs=64): {np_:,} pairs in "
+        f"{time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
         "probe",
         choices=[
             "tpch", "ops", "corpus", "spans", "r10ops", "r10s3", "hotbucket",
-            "prefix", "r11inc", "capfire", "r12embed", "r13embed",
+            "prefix", "r11inc", "capfire", "r12embed", "r13embed", "r13ops",
         ],
     )
     p.add_argument("--family", type=int, default=10_000)
@@ -1357,6 +1403,8 @@ def main() -> None:
         probe_r12embed(a.docs)
     elif a.probe == "r13embed":
         probe_r13embed(a.docs)
+    elif a.probe == "r13ops":
+        probe_r13ops(a.docs)
     else:
         probe_ops(a.docs, a.edges)
 

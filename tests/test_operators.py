@@ -5841,3 +5841,39 @@ def test_winnowing_matches_naive_reference(spark):
         df, k=K, w=W, hash_fn="md5", min_common=1, max_fp_docs=1
     ).count()
     assert none == 0
+
+def test_winnowing_fingerprint_table_roundtrip(spark):
+    """The persisted winnowing artifact equals the direct fingerprint
+    set exactly (write→read is lossless), and an append commits a
+    doc-disjoint increment so the at-rest table equals the global pass
+    over corpus ∪ batch — the incremental-family composition rule."""
+    import random
+    import tempfile
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        winnowing_fingerprint_table,
+        winnowing_fingerprints,
+    )
+
+    random.seed(23)
+
+    def mk(n):
+        return " ".join("w%d" % random.randrange(30) for _ in range(n))
+
+    docs = [(i, mk(random.choice([2, 6, 20, 40]))) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    day0 = df.filter(F.col("doc_id") % 2 == 0)
+    day1 = df.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp() + "/wfp"
+    winnowing_fingerprint_table(day0, path, k=3, w=4, hash_fn="md5")
+    winnowing_fingerprint_table(
+        day1, path, k=3, w=4, hash_fn="md5", mode="append"
+    )
+    at_rest = {
+        (r.doc, r.pos, r.fp) for r in spark.read.parquet(path).collect()
+    }
+    direct = {
+        (r.doc, r.pos, r.fp)
+        for r in winnowing_fingerprints(df, k=3, w=4, hash_fn="md5").collect()
+    }
+    assert at_rest == direct and len(at_rest) > 0

@@ -218,9 +218,9 @@ def test_ivf_at_rest_probe_prunes_partitions(spark):
     the probe-cell predicate becomes a PartitionFilter on the
     cell-partitioned vectors parquet (directory pruning), so at 100 TB a
     query reads nprobe/n_cells of the corpus, never all of it."""
-    df = QUERIES["q_sim_topk_ivf_at_rest"].fn(spark, SF_DIR)
+    df = QUERIES["q_sim_topk_ivf_pinned"].fn(spark, SF_DIR)
     plan = plan_str(df)
-    assert "bdrr_ivf_index" in plan
+    assert "ivf_pinned_index" in plan
     pf = plan[plan.index("PartitionFilters") :].splitlines()[0]
     assert "cell" in pf, pf
     # the filter must be partition-level, not a post-scan data filter:
