@@ -8559,6 +8559,80 @@ def q_dedup_winnowing_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_winnowing_apply",
+    oracle=r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), g AS (
+        SELECT doc, st - 1 AS pos,
+               md5(array_to_string(list_slice(toks, st, st + 2), ' ')) AS h
+        FROM (SELECT doc, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM base)
+    ), n AS (
+        SELECT doc, COUNT(*) AS npos FROM g GROUP BY doc
+    ), wnd AS (
+        SELECT g.doc, g.pos, g.h, w.j
+        FROM g JOIN n USING (doc),
+             LATERAL (SELECT unnest(generate_series(
+                 GREATEST(g.pos - 3, 0),
+                 LEAST(g.pos, GREATEST(n.npos - 4, 0)))) AS j) w
+    ), pick AS (
+        SELECT DISTINCT doc, h FROM (
+            SELECT doc, pos, h, ROW_NUMBER() OVER (
+                PARTITION BY doc, j ORDER BY h ASC, pos DESC) AS rn
+            FROM wnd) WHERE rn = 1
+    ), pr AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b
+        FROM pick a JOIN pick b ON a.h = b.h AND a.doc < b.doc
+        GROUP BY a.doc, b.doc HAVING COUNT(*) >= 2
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pr
+        UNION SELECT doc_b, doc_a FROM pr
+    ), reach(s, d) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ), clusters AS (
+        SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """,
+)
+def q_dedup_winnowing_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-tier APPLY (r13 — completes detect→cluster→keep for
+    the fourth fingerprint family, the q_dedup_apply /
+    q_dedup_embed_apply composition at the winnowing grain): MOSS pairs
+    sharing ≥2 selected md5 fingerprints → connected components →
+    canonical min-id keeper per cluster → surviving corpus. Docs with
+    no fingerprints in common (including NULL-text docs, which have no
+    fingerprints at all) are singleton clusters and survive. ONE
+    recursive-CTE chain replays winnow → pair → closure → keeper."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+        winnowing_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    edges = winnowing_pairs(
+        docs, k=3, w=4, hash_fn="md5", min_common=2
+    ).select("doc_a", "doc_b")
+    cc = connected_components(
+        docs, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    keepers = cc.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "source"
+    )
+
+
+@query(
     "q_text_strip_boilerplate",
     oracle=r"""
     WITH base AS (
