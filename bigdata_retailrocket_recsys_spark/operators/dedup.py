@@ -2581,7 +2581,14 @@ def winnowing_pairs(
             .select("fp")
         )
         fp = fp.join(keep, "fp", "left_semi")
-    fp = fp.localCheckpoint()  # one hash pass feeds counts + both join sides
+    # one hash pass feeds counts + both join sides (ReuseExchange does
+    # not dedupe a shared subtree — S7 discipline). cache(), NOT an
+    # eager localCheckpoint: the (doc, fp) set is corpus-proportional
+    # (narrow — ~16 B/fingerprint, density 2/(w+1) of grams) and only
+    # backs the lazy return, the minhash_lsh_candidates lifetime class;
+    # an evictable cache keeps executor storage honest at 10M+ docs
+    # where a pinned checkpoint would cross the storage-ledger bound.
+    fp = fp.cache()
     cnt = fp.groupBy("doc").agg(F.count(F.lit(1)).alias("nf"))
     pairs = (
         fp.alias("a")
