@@ -630,3 +630,72 @@ def psi_drift_quantile(
         )
     )
     return _psi_tail(bucketed)
+
+
+def survival_life_table(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    churn_gap_days: int = 14,
+) -> DataFrame:
+    """Kaplan-Meier-style LIFE TABLE at day grain — time-to-churn
+    analytics (the retention/growth-accounting family's survival
+    sibling; north-star extension, SURVEY §2.11): each user's duration
+    is last-activity-day − first-activity-day; a user whose last
+    activity predates the observation horizon (global max day) by more
+    than ``churn_gap_days`` is an observed CHURN at that duration,
+    otherwise right-CENSORED (still alive at the horizon — the standard
+    KM censoring rule).
+
+    Output per observed duration t: ``t_days``, ``n_at_risk`` (users
+    with duration ≥ t — alive entering day t), ``n_churned``,
+    ``n_censored`` — ALL-INTEGER (the established cross-engine rule):
+    the KM survival product Π(1 − d_t/n_t) is one float fold the
+    consumer applies; emitting it here would trade a bit-exact oracle
+    for a cosmetic column.
+
+    Scale shape: ONE per-user min/max aggregate (map-side combinable)
+    → a 1-row broadcast horizon → a day-grain groupBy. The reverse
+    cumulative ``n_at_risk`` window runs on the AGGREGATED frame whose
+    cardinality is bounded by the calendar span (≤ a few thousand rows
+    for a decade of days), so the unpartitioned window is
+    single-reducer-over-bounded-input by construction — the
+    q_dedup_lsh_audit one-row-aggregate class, not a fact-sized
+    collapse."""
+    from pyspark.sql import Window
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    pu = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.min(day).alias("fd"),
+            F.max(day).alias("ld"),
+        )
+    )
+    h = pu.agg(F.max("ld").alias("__h"))
+    d = pu.crossJoin(F.broadcast(h)).select(
+        (F.col("ld") - F.col("fd")).alias("t"),
+        F.when(
+            F.col("ld") < F.col("__h") - F.lit(churn_gap_days), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("ch"),
+    )
+    g = d.groupBy("t").agg(
+        F.sum("ch").cast("bigint").alias("n_churned"),
+        F.sum(F.lit(1) - F.col("ch")).cast("bigint").alias("n_censored"),
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.sum(F.col("n_churned") + F.col("n_censored"))
+        .over(w)
+        .cast("bigint")
+        .alias("n_at_risk"),
+        "n_churned",
+        "n_censored",
+    )

@@ -12727,6 +12727,52 @@ def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_survival_life_table",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))
+                   AS fd,
+               MAX(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))
+                   AS ld
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ), h AS (
+        SELECT MAX(ld) AS h FROM pu
+    ), d AS (
+        SELECT ld - fd AS t,
+               CASE WHEN ld < h.h - 14 THEN 1 ELSE 0 END AS ch
+        FROM pu, h
+    ), g AS (
+        SELECT t, CAST(SUM(ch) AS BIGINT) AS n_churned,
+               CAST(SUM(1 - ch) AS BIGINT) AS n_censored
+        FROM d GROUP BY t
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(SUM(n_churned + n_censored) OVER (
+               ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_at_risk,
+           n_churned, n_censored
+    FROM g
+    """,
+)
+def q_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table at day grain (operators/aggregates
+    .survival_life_table, churn_gap_days=14): per observed duration,
+    users at risk / churned / right-censored — the survival sibling of
+    retention and growth accounting. All-integer columns (the KM
+    product is one consumer-side float fold); n_at_risk is a reverse
+    cumsum over the day-grain aggregate, bounded by the calendar span
+    by construction."""
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        survival_life_table,
+    )
+
+    return survival_life_table(_t(spark, sf_dir, "events"))
+
+
+@query(
     "q_agg_rolling_distinct",
     oracle="""
     WITH p AS (

@@ -5877,3 +5877,43 @@ def test_winnowing_fingerprint_table_roundtrip(spark):
         for r in winnowing_fingerprints(df, k=3, w=4, hash_fn="md5").collect()
     }
     assert at_rest == direct and len(at_rest) > 0
+
+def test_survival_life_table(spark):
+    """Life table semantics on a constructed cohort: durations and the
+    churn-vs-censored split follow the horizon minus churn_gap rule;
+    n_at_risk is the reverse cumulative count; totals reconcile."""
+    import datetime as dt
+
+    from bigdata_retailrocket_recsys_spark.operators.aggregates import (
+        survival_life_table,
+    )
+
+    def t(day):
+        return dt.datetime(2024, 1, 1 + day, 12, 0, 0)
+
+    rows = [
+        # u1: days 0..2 (dur 2), last day 2, horizon 30 -> churned
+        (1, t(0)), (1, t(2)),
+        # u2: days 0..2 (dur 2), churned
+        (2, t(0)), (2, t(2)),
+        # u3: days 5..25 (dur 20), last day 25 >= 30-14 -> censored
+        (3, t(5)), (3, t(25)),
+        # u4: day 30 only (dur 0), defines the horizon, censored
+        (4, t(30)),
+        # u5: days 0..10 (dur 10), last day 10 < 16 -> churned
+        (5, t(0)), (5, t(10)),
+        (None, t(1)),  # NULL user dropped
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = {
+        r.t_days: (r.n_at_risk, r.n_churned, r.n_censored)
+        for r in survival_life_table(df, churn_gap_days=14).collect()
+    }
+    assert got == {
+        0: (5, 0, 1),   # all 5 at risk; u4 censored at 0
+        2: (4, 2, 0),   # u1, u2 churn at 2
+        10: (2, 1, 0),  # u5 churns at 10
+        20: (1, 0, 1),  # u3 censored at 20
+    }
+    tot = sum(c + s for _, c, s in got.values())
+    assert tot == 5
