@@ -15094,3 +15094,78 @@ def q_stream_embed_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_embed_commit(spark, sf_dir)
+
+
+@query(
+    "q_stream_winnowing_commit",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id AS doc, ((doc_id % 4) + 4) % 4 AS m,
+               string_split_regex(trim(text), '\s+') AS toks
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), g AS (
+        SELECT doc, m, st - 1 AS pos,
+               md5(array_to_string(list_slice(toks, st, st + 2), ' ')) AS h
+        FROM (SELECT doc, m, toks,
+                     unnest(generate_series(1, GREATEST(len(toks) - 2, 1)))
+                         AS st
+              FROM base)
+    ), n AS (
+        SELECT doc, COUNT(*) AS npos FROM g GROUP BY doc
+    ), wnd AS (
+        SELECT g.doc, g.m, g.pos, g.h, w.j
+        FROM g JOIN n USING (doc),
+             LATERAL (SELECT unnest(generate_series(
+                 GREATEST(g.pos - 3, 0),
+                 LEAST(g.pos, GREATEST(n.npos - 4, 0)))) AS j) w
+    ), pick AS (
+        SELECT DISTINCT doc, m, h FROM (
+            SELECT doc, m, pos, h, ROW_NUMBER() OVER (
+                PARTITION BY doc, j ORDER BY h ASC, pos DESC) AS rn
+            FROM wnd) WHERE rn = 1
+    ), dup1 AS (
+        SELECT DISTINCT bd FROM (
+            SELECT b.doc AS bd, c.doc AS cd
+            FROM pick b JOIN pick c ON b.h = c.h
+            WHERE b.m = 1 AND c.m IN (2, 3)
+            GROUP BY b.doc, c.doc HAVING COUNT(*) >= 2)
+    ), s1 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 4) + 4) % 4 = 1
+          AND doc_id NOT IN (SELECT bd FROM dup1)
+    ), dup2 AS (
+        SELECT DISTINCT bd FROM (
+            SELECT b.doc AS bd, c.doc AS cd
+            FROM pick b JOIN pick c ON b.h = c.h
+            WHERE b.m = 0
+              AND (c.m IN (2, 3)
+                   OR c.doc IN (SELECT doc_id FROM s1))
+            GROUP BY b.doc, c.doc HAVING COUNT(*) >= 2)
+    ), s2 AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id IS NOT NULL AND ((doc_id % 4) + 4) % 4 = 0
+          AND doc_id NOT IN (SELECT bd FROM dup2)
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM s1
+                       UNION ALL SELECT doc_id FROM s2)
+    """,
+)
+def q_stream_winnowing_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING winnowing commit loop (streaming/winnow_intake
+    .run_streaming_winnowing_commit — the fingerprint-grain twin of
+    q_stream_corpus_commit / q_stream_embed_commit; with the r13
+    winnowing tier this keeps the daily-delta loop complete at EVERY
+    dedup grain, batch AND streaming): each staged micro-batch drops
+    docs sharing ≥2 selected md5 fingerprints with SOME committed doc
+    (the pairwise MOSS rule), survivors' fingerprints and rows are
+    appended back (eager localCheckpoint before the appends — the
+    refreshByPath discipline), so batch 2's decisions see batch 1's
+    commits. NULL-text docs have no fingerprints and always survive.
+    Staged-file order pinned (maxFilesPerTrigger=1 + latestFirst=false)
+    → ONE CTE chain replays the two-increment composition."""
+    from bigdata_retailrocket_recsys_spark.streaming.winnow_intake import (
+        run_streaming_winnowing_commit,
+    )
+
+    return run_streaming_winnowing_commit(spark, sf_dir)

@@ -5917,3 +5917,65 @@ def test_survival_life_table(spark):
     }
     tot = sum(c + s for _, c, s in got.values())
     assert tot == 5
+
+def test_stream_winnowing_commit_equals_batch_chain(spark):
+    """q_stream_winnowing_commit composition invariant: the foreachBatch
+    decide+commit loop over two pinned-order staged files must equal
+    the sequential BATCH chain (fingerprint table → batch1 survivors →
+    append → batch2 survivors) exactly."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        winnowing_fingerprint_table,
+        winnowing_fingerprints,
+    )
+    from bigdata_retailrocket_recsys_spark.sources.readers import load_table
+    from bigdata_retailrocket_recsys_spark.streaming.winnow_intake import (
+        run_streaming_winnowing_commit,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.source)
+        for r in run_streaming_winnowing_commit(spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    import tempfile
+
+    path = tempfile.mkdtemp() + "/wfp"
+    winnowing_fingerprint_table(
+        docs.filter(m.isin(2, 3)), path, k=3, w=4, hash_fn="md5"
+    )
+    surv = []
+    for sel in (m == 1, m == 0):
+        batch = docs.filter(sel)
+        bfp = (
+            winnowing_fingerprints(batch, k=3, w=4, hash_fn="md5")
+            .select("doc", "fp")
+            .distinct()
+        )
+        cfp = (
+            spark.read.parquet(path)
+            .select(F.col("doc").alias("cdoc"), "fp")
+            .distinct()
+        )
+        dup = (
+            bfp.join(cfp, "fp")
+            .groupBy("doc", "cdoc")
+            .agg(F.count(F.lit(1)).alias("nc"))
+            .filter(F.col("nc") >= 2)
+            .select(F.col("doc").alias("doc_id"))
+            .distinct()
+        )
+        s = (
+            batch.join(dup, "doc_id", "left_anti")
+            .select("doc_id", "text", "source")
+            .localCheckpoint(eager=True)
+        )
+        winnowing_fingerprint_table(
+            s, path, k=3, w=4, hash_fn="md5", mode="append"
+        )
+        surv.extend((r.doc_id, r.source) for r in s.collect())
+    assert got == set(surv) and len(got) > 0
