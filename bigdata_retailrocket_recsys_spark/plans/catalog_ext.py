@@ -7443,6 +7443,92 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_eval_did",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type = 'purchase' AND value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE))
+          AND NOT isinf(CAST(value AS DOUBLE))
+    ), mid AS (
+        SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM ev
+    ), cells AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS treat,
+               CASE WHEN d >= mid.mid THEN 1 ELSE 0 END AS post,
+               cents
+        FROM ev, mid
+    )
+    SELECT treat, post,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(FLOOR(CAST(SUM(cents) * 1000000 AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+               AS mean_ucents
+    FROM cells GROUP BY treat, post
+    """,
+)
+def q_eval_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout — the causal-analytics sibling
+    of q_ab_test / q_eval_ips (r13): purchase value per (treat × post)
+    cell, with treatment assigned by the content-defined md5 hex-prefix
+    idiom and the period split at the integer midpoint day of the
+    purchase span (a 1-row broadcast — both engines derive the same
+    mid). Emits the four cells as exact integers (count, cent sum,
+    µ-floored mean micro-cents — ONE int64 division per row, the
+    q_ab_test rule); the DiD estimate (m11−m01)−(m10−m00) and its SE
+    are one consumer-side fold over these exact cells — publishing the
+    float here would re-import the cross-engine determinism problem for
+    a cosmetic column."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            # NaN/inf values poison the cents cast under ANSI (advdata)
+            & ~F.isnan(F.col("value"))
+            & (F.abs("value") != F.lit(float("inf")))
+        )
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    mid = ev.agg(
+        ((F.min("d") + F.max("d") + 1) / 2).cast("bigint").alias("__mid")
+    )
+    cells = ev.crossJoin(F.broadcast(mid)).select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("treat"),
+        (F.col("d") >= F.col("__mid")).cast("int").alias("post"),
+        "cents",
+    )
+    return cells.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.floor(
+            (F.sum("cents") * 1000000).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        .cast("bigint")
+        .alias("mean_ucents"),
+    )
+
+
+@query(
     "q_ab_test",
     oracle="""
     WITH assigned AS (
