@@ -46,6 +46,18 @@ _span_islands_lazy :1531        span frame                     freed by
 connected_components* / LSH     per-round labels / bucket      eager local-
                                 frames                         Checkpoint,
                                                                bounded
+winnowing_pairs (r13)           distinct (doc, fp) — corpus-   lazy return
+                                proportional NARROW (density
+                                2/(w+1) of grams)
+_embed_lsh_candidates (r13,     (vid, tbl, bucket) — N×tables  localCheck-
+consolidating the r12 paths)    narrow rows                    point backing
+                                                               the lazy
+                                                               return
+                                                               (documented
+                                                               in embed_
+                                                               lsh_pairs)
+embed_lsh_audit (r13)           via _embed_lsh_candidates;     1-row output;
+                                truth tier has NO cache        same class
 ==============================  =============================  ==========
 
 "Lazy return" caches cannot be freed in-operator: they back the returned
