@@ -7529,6 +7529,114 @@ def q_eval_did(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_eval_cuped",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type = 'purchase' AND value IS NOT NULL
+          AND NOT isnan(CAST(value AS DOUBLE))
+          AND NOT isinf(CAST(value AS DOUBLE))
+    ), mid AS (
+        SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM ev
+    ), pu AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN d <  mid.mid THEN cents ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN d >= mid.mid THEN cents ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM ev, mid GROUP BY user_id
+    ), tagged AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                    THEN 1 ELSE 0 END AS treat,
+               x, y
+        FROM pu
+    )
+    SELECT treat,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+           CAST(SUM(x * x) AS BIGINT) AS sum_x2
+    FROM tagged GROUP BY treat
+    """,
+)
+def q_eval_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduction readout (Deng et al. WSDM'13) — the
+    experimentation family's moment-sum entry next to q_ab_test /
+    q_eval_did (r13): per user, pre-period purchase cents x (the
+    covariate) and post-period cents y (the metric), split at the same
+    integer midpoint day as q_eval_did; per md5-assigned arm the EXACT
+    integer moment sums (n, Σx, Σy, Σxy, Σx²). θ = cov(x,y)/var(x),
+    the adjusted means, and the variance reduction are one consumer
+    fold over these exact cells (the corr-moments rule: publish exact
+    integer moments, never the float). Bound note: Σxy is cents² —
+    fits bigint to ~3·10⁹ users at $100 average; shard or DECIMAL
+    beyond that (documented, fixtures are far inside)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.abs("value") != F.lit(float("inf")))
+        )
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("d"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    mid = ev.agg(
+        F.floor((F.min("d") + F.max("d") + 1) / 2)
+        .cast("bigint")
+        .alias("__mid")
+    )
+    pu = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") < F.col("__mid"), F.col("cents"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("d") >= F.col("__mid"), F.col("cents"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    tagged = pu.select(
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("treat"),
+        "x",
+        "y",
+    )
+    return tagged.groupBy("treat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+    )
+
+
+@query(
     "q_ab_test",
     oracle="""
     WITH assigned AS (
