@@ -2492,6 +2492,11 @@ def winnowing_fingerprints(
     design; the same explode replays in DuckDB, which is what makes the
     md5 tier value-hashable) → per (doc, window) rightmost-min by ONE
     row_number over (hash asc, pos desc) → distinct selected grams.
+    The whole chain is ONE exchange (hash by doc, plan-locked in
+    tests/test_plans.py): the (doc, j) window and the final distinct
+    both ride the doc partitioning — Spark's subset-clustering rule
+    (hashpartitioning(doc) satisfies ClusteredDistribution over any
+    superset of {doc}), so only in-partition sorts follow the shuffle.
     Docs shorter than w+k-1 tokens still fingerprint (their single
     clamped window selects one gram; sub-k docs fingerprint their one
     partial gram). ``hash_fn='md5'`` is the oracle tier (lexicographic

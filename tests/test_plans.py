@@ -726,3 +726,21 @@ def test_psi_quantile_sharded_edges_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         plan
     )
+
+
+def test_winnowing_single_exchange(spark):
+    """winnowing_fingerprints must be ONE hash exchange (by doc)
+    end-to-end: the window explode keeps doc in every downstream key,
+    so the (doc, j) rightmost-min window and the final distinct both
+    ride the doc partitioning via the subset-clustering rule — a second
+    exchange appearing here means someone broke the key chain."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y z w v u")],
+        "doc_id int, text string",
+    )
+    plan = plan_str(winnowing_fingerprints(docs, k=3, w=4), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
