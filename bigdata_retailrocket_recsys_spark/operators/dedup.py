@@ -1460,36 +1460,75 @@ def connected_components(
     switch to the large-star/small-star variant which converges in
     O(log² n) rounds).
 
+    Convergence detection is FUSED into the round (r13 optimization,
+    guide §2.4): the old label rides the same min aggregate (tagged
+    union → ``min(when(src=old))``), the changed count is an
+    ``Observation`` metric collected BY the eager checkpoint's own job —
+    one job and one exchange per round, where the previous shape paid a
+    second join+count job re-shuffling the full label table each round.
+    Labels never increase under min-propagation, so ``new < old`` is
+    exactly the old ``new != old`` check; round count and output are
+    value-identical (unit-locked).
+
     Output: ``node_col``, ``cluster_id`` (min node id reachable; singleton
     nodes keep their own id).
     """
-    sym = edges.select(
-        F.col(src_col).alias("__n"), F.col(dst_col).alias("__peer")
-    ).union(
-        edges.select(F.col(dst_col).alias("__n"), F.col(src_col).alias("__peer"))
+    from pyspark.sql import Observation
+
+    # The symmetrized edge set drives EVERY round — checkpoint it once so
+    # a lazy upstream edge pipeline (LSH → verify) executes once, not
+    # once per round (r13; bounded: 2·|edges| narrow rows).
+    sym = (
+        edges.select(
+            F.col(src_col).alias("__n"), F.col(dst_col).alias("__peer")
+        )
+        .union(
+            edges.select(
+                F.col(dst_col).alias("__n"), F.col(src_col).alias("__peer")
+            )
+        )
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(node_col).alias("__n"), F.col(node_col).alias("__lbl")
-    ).localCheckpoint(eager=True)
+    # Only edge-adjacent nodes can ever change labels; keep the iterated
+    # table edge-bounded and union the untouched singletons back at the
+    # end (r13, guide §8 — at corpus scale the label table shrinks from
+    # corpus-sized to candidate-bounded in every round's shuffle).
+    all_nodes = nodes.select(F.col(node_col).alias("__n"))
+    endpoints = sym.select("__n").distinct()
+    passive = all_nodes.join(endpoints, "__n", "left_anti")
+    labels = (
+        all_nodes.join(endpoints, "__n", "left_semi")
+        .select("__n", F.col("__n").alias("__lbl"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr = sym.join(
             labels.select(
                 F.col("__n").alias("__peer"), F.col("__lbl")
             ),
             "__peer",
-        ).select("__n", "__lbl")
+        ).select("__n", "__lbl", F.lit(1).alias("__src"))
+        obs = Observation()
         new_labels = (
-            labels.union(nbr)
+            labels.select("__n", "__lbl", F.lit(0).alias("__src"))
+            .union(nbr)
             .groupBy("__n")
-            .agg(F.min("__lbl").alias("__lbl"))
+            .agg(
+                F.min("__lbl").alias("__lbl"),
+                F.min(F.when(F.col("__src") == 0, F.col("__lbl"))).alias(
+                    "__old"
+                ),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("__lbl") < F.col("__old")).cast("bigint")
+                ).alias("__changed"),
+            )
+            .select("__n", "__lbl")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("new")
-            .join(labels.alias("old"), "__n")
-            .filter(F.col("new.__lbl") != F.col("old.__lbl"))
-            .count()
-        )
+        changed = obs.get["__changed"] or 0
         labels = new_labels
         if changed == 0:
             break
@@ -1502,7 +1541,9 @@ def connected_components(
                 "connected_components_bigstar (O(log^2 n) rounds) or "
                 "raise max_iter / pass strict=False."
             )
-    return labels.select(
+    return labels.union(
+        passive.select("__n", F.col("__n").alias("__lbl"))
+    ).select(
         F.col("__n").alias(node_col), F.col("__lbl").alias("cluster_id")
     )
 
@@ -1551,6 +1592,7 @@ def connected_components_bigstar(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_e = e.count()
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -1580,11 +1622,12 @@ def connected_components_bigstar(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = (
-            e_small.count() == e.count()
-            and e_small.exceptAll(e).isEmpty()
-        )
-        e = e_small
+        # carry the previous round's edge count in the driver (r13: one
+        # fewer count job per round); set equality still only pays the
+        # exceptAll shuffle when the counts already match
+        n_small = e_small.count()
+        converged = n_small == n_e and e_small.exceptAll(e).isEmpty()
+        e, n_e = e_small, n_small
         if converged:
             break
     if stats is not None:
@@ -2692,18 +2735,25 @@ def contamination_check(
         .distinct()
     )
     ev = shingle_rows(eval_df, id_col=id_col, text_col=text_col, n=shingle_n)
-    tot = ev.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hit = (
-        ev.join(tr, "shingle", "left_semi")
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+    # ONE pass (r13): the checked side's shingles are per-doc distinct and
+    # the reference set is globally distinct, so a LEFT join adds at most
+    # one marker per row (no fan-out) and a single aggregate yields both
+    # the total and the matched count — the old shape ran the checked-side
+    # shingle window twice (total + semi-join consumers, uncached) and
+    # paid a third join to stitch the two aggregates back together.
+    marked = ev.join(
+        tr.withColumn("__m", F.lit(1)), "shingle", "left"
     )
-    matched = F.coalesce(F.col("n_matched"), F.lit(0))
-    return tot.join(hit, "doc", "left").select(
+    return marked.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__m").alias("n_matched"),
+    ).select(
         F.col("doc").alias(id_col),
         "n_shingles",
-        matched.alias("n_matched"),
-        (matched * 2 >= F.col("n_shingles")).cast("int").alias("contaminated"),
+        "n_matched",
+        (F.col("n_matched") * 2 >= F.col("n_shingles")).cast("int").alias(
+            "contaminated"
+        ),
     )
 
 

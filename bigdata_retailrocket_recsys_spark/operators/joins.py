@@ -95,8 +95,18 @@ def covis_pairs(
     ts_col: str | None = None,
     pair_strategy: str = "auto",
     aggregate: bool = True,
+    symmetric: bool = False,
 ) -> DataFrame:
     """J3 — unordered co-occurrence pairs within a group.
+
+    ``symmetric=True`` (r13, aggregate-mode only): emit BOTH orientations
+    (a,b) and (b,a) from ONE pass — the pair condition becomes ``!=``
+    instead of ``<`` so each unordered pair contributes two rows to the
+    same single count aggregate. Value-identical to
+    ``pairs.union(pairs-flipped)`` of the default output, but that union
+    re-executes the whole pair pipeline twice (Spark never reuses a
+    twice-referenced subtree — S7); this form pays one pipeline and one
+    exchange with 2× the aggregate input rows.
 
     Self-join ``a.group = b.group AND a.item < b.item``; `<` drops self-pairs
     and (b,a) duplicates (reference py:252-260). Output:
@@ -135,6 +145,8 @@ def covis_pairs(
     df = df.filter(
         F.col(group_col).isNotNull() & F.col(item_col).isNotNull()
     )
+    if symmetric and not aggregate:
+        raise ValueError("symmetric=True requires aggregate=True")
     if count_distinct_col not in (None, group_col):
         pair_strategy = "selfjoin"  # array path can't count a third column
     elif pair_strategy == "auto":
@@ -186,7 +198,10 @@ def covis_pairs(
             F.transform(
                 arr,
                 lambda x: F.transform(
-                    F.filter(arr, lambda y: y > x),
+                    F.filter(
+                        arr,
+                        (lambda y: y != x) if symmetric else (lambda y: y > x),
+                    ),
                     lambda y: F.struct(
                         x.alias("item_a"), y.alias("item_b")
                     ),
@@ -220,10 +235,14 @@ def covis_pairs(
     items = items.select(group_col, item_col).distinct()
     a = items.alias("a")
     b = items.alias("b")
+    pair_cond = (
+        F.col(f"a.{item_col}") != F.col(f"b.{item_col}")
+        if symmetric
+        else F.col(f"a.{item_col}") < F.col(f"b.{item_col}")
+    )
     pairs = a.join(
         b,
-        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-        & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")),
+        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}")) & pair_cond,
         "inner",
     )
     if not aggregate:

@@ -193,17 +193,31 @@ def build_corpus(
             shingle_n=shingle_n,
             min_jaccard=near_dup_min_jaccard,
         ).select("doc_a", "doc_b")
+        # r13 optimization (guide §8 — decide on small rows): only docs
+        # that appear in a verified edge can LOSE their cluster (every
+        # other doc is a singleton keeper), so CC runs over the
+        # edge-endpoint set (candidate-bounded) instead of the whole
+        # corpus, and the keeper semi-join (corpus-sized right side)
+        # becomes a loser ANTI-join (candidate-bounded, broadcastable).
+        # Value-identical: min-label CC on the edge-induced subgraph
+        # assigns the same labels to edge nodes, and keepers = all docs
+        # minus {edge nodes with cluster_id != id} (oracle-locked).
+        edge_nodes = (
+            edges.select(F.col("doc_a").alias(id_col))
+            .union(edges.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
         cc = connected_components(
-            train.select(id_col),
+            edge_nodes,
             edges,
             node_col=id_col,
             src_col="doc_a",
             dst_col="doc_b",
         )
-        nd_keep = cc.filter(F.col(id_col) == F.col("cluster_id")).select(
+        nd_lose = cc.filter(F.col(id_col) != F.col("cluster_id")).select(
             id_col
         )
-        train = train.join(nd_keep, id_col, "left_semi")
+        train = train.join(nd_lose, id_col, "left_anti")
     if strip_substrings:
         # duplicated-span detection runs on the SURVIVING corpus (a span
         # duplicated only across docs the near-dup stage removed is no

@@ -190,12 +190,17 @@ def build_candidates(
     events_cat: DataFrame,
     cfg: PipelineConfig,
     prefix: DataFrame | None = None,
+    item_cat_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Five candidate strategies unioned + distinct (py:225-375).
 
     ``events_cat``: sessionized events joined to categories
     (session_id, user_id, ts, item_id, category_id). ``prefix``: optional
-    precomputed :func:`prefix_events` (cached by the runner). Output:
+    precomputed :func:`prefix_events` (cached by the runner).
+    ``item_cat_dim``: optional (item_id, category_id) dimension — when the
+    caller already holds the dim that categorized ``events_cat`` (the
+    runner does), passing it skips re-deriving it with a distinct over the
+    fact table (r13: one exchange less). Output:
     (session_id, atc_ts, category_id).
     """
     a = anchors.select("session_id", "user_id", "atc_ts").alias("a")
@@ -208,24 +213,22 @@ def build_candidates(
 
     # 2) item co-visitation (py:252-287): item pairs per session → covis>=3
     #    → candidate items co-visited with prefix items → their categories,
-    #    scored by max covis, top-15 per anchor
-    pairs = covis_pairs(
+    #    scored by max covis, top-15 per anchor. symmetric=True emits both
+    #    orientations from ONE pass (r13) — the old
+    #    pairs.union(pairs-flipped) re-executed the whole covis pipeline
+    #    twice (S7: Spark never reuses a twice-referenced subtree).
+    sym = covis_pairs(
         events_cat,
         group_col="session_id",
         item_col="item_id",
         min_count=cfg.covis_min,
         max_per_group=cfg.max_items_per_session_pairing,
         ts_col="ts",
-    )  # item_a, item_b, covis
-    sym = pairs.select("item_a", "item_b", "covis").union(
-        pairs.select(
-            F.col("item_b").alias("item_a"),
-            F.col("item_a").alias("item_b"),
-            "covis",
-        )
-    )
+        symmetric=True,
+    )  # item_a, item_b, covis — both orientations
     prefix_items = prefix.select("session_id", "atc_ts", "item_id").distinct()
-    item_cat_dim = events_cat.select("item_id", "category_id").distinct()
+    if item_cat_dim is None:
+        item_cat_dim = events_cat.select("item_id", "category_id").distinct()
     covis_cats = (
         prefix_items.join(sym, prefix_items.item_id == sym.item_a, "inner")
         .join(
@@ -248,7 +251,7 @@ def build_candidates(
 
     # 3) category co-occurrence (py:291-329): category pairs per session,
     #    countDistinct sessions, cooccur>=5, join prefix categories, top-10
-    cat_pairs = covis_pairs(
+    cat_sym = covis_pairs(
         events_cat.select("session_id", "category_id"),
         group_col="session_id",
         item_col="category_id",
@@ -256,15 +259,11 @@ def build_candidates(
         # distinct categories per session are bounded by the catalog's
         # category count (hundreds) — safe for the 2-shuffle array path
         pair_strategy="array",
-    ).withColumnRenamed("covis", "cooccur")
-    cat_sym = cat_pairs.select(
-        F.col("item_a").alias("cat_a"), F.col("item_b").alias("cat_b"), "cooccur"
-    ).union(
-        cat_pairs.select(
-            F.col("item_b").alias("cat_a"),
-            F.col("item_a").alias("cat_b"),
-            "cooccur",
-        )
+        symmetric=True,  # r13: one pass, both orientations (see above)
+    ).select(
+        F.col("item_a").alias("cat_a"),
+        F.col("item_b").alias("cat_b"),
+        F.col("covis").alias("cooccur"),
     )
     prefix_cats = prefix.select("session_id", "atc_ts", "category_id").distinct()
     cooccur_cats = (
@@ -580,10 +579,14 @@ def run_events_pipeline(
         .alias("event"),
     )
     events_sess = sessionize_events(raw, cfg)
+    # cached (r13): the dim is read 3× — the events_cat broadcast join,
+    # the anchor broadcast join, and build_candidates' item→category
+    # lookup; uncached, each reference re-scans + re-parses the raw JSON
     item_cat = (
         raw.select("item_id")
         .distinct()
         .select("item_id", (F.col("item_id") % 20).alias("category_id"))
+        .cache()
     )
     # cache the sessionized+categorized events: ~10 downstream subtrees read
     # it (the reference caches the same way, py:134, 381-382)
@@ -604,7 +607,9 @@ def run_events_pipeline(
     # the anchor-prefix theta join feeds 3 candidate strategies + 2 feature
     # dims — compute the SortMergeJoin once, cache, reuse (SURVEY §7.3)
     prefix = prefix_events(anchors, events_cat).cache()
-    candidates = build_candidates(anchors, events_cat, cfg, prefix=prefix).cache()
+    candidates = build_candidates(
+        anchors, events_cat, cfg, prefix=prefix, item_cat_dim=item_cat
+    ).cache()
     features = build_features(
         anchors,
         candidates,

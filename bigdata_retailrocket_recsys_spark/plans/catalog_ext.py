@@ -6899,26 +6899,26 @@ def _mad_tables(f):
     and the caller) and ``mad`` is the per-group quadrupled MAD. Both
     rank passes ride the SHARDED grouped global_rank."""
     from bigdata_retailrocket_recsys_spark.operators.windows import (
-        global_rank,
-    )
-
-    totals = f.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+        _sharded_global_rank,
     )
 
     def middle_sum(df, val_col, out_col):
-        o = global_rank(
-            df, [F.col(val_col).asc()], partition_by=["event_type"],
-            out_col="rn",
-        ).join(F.broadcast(totals), "event_type")
+        # _sharded_global_rank already carries the per-group total as
+        # ``__n`` (its broadcast offset table computes it) — reading it
+        # directly replaces the old per-pass count aggregate + second
+        # broadcast join (r13: two fewer subtrees per rank pass,
+        # value-identical — __n IS count(*) per event_type).
+        o = _sharded_global_rank(
+            df, [F.col(val_col).asc()], 32, ["event_type"]
+        ).withColumn("rn", (F.col("__rn") + F.col("__off")).cast("bigint"))
         return o.groupBy("event_type").agg(
             (
                 F.min(
-                    F.when(F.col("rn") == F.expr("(n + 1) div 2"),
+                    F.when(F.col("rn") == F.expr("(__n + 1) div 2"),
                            F.col(val_col))
                 )
                 + F.min(
-                    F.when(F.col("rn") == F.expr("(n + 2) div 2"),
+                    F.when(F.col("rn") == F.expr("(__n + 2) div 2"),
                            F.col(val_col))
                 )
             ).alias(out_col)

@@ -2238,6 +2238,39 @@ def test_connected_components_strict_nonconvergence_raises(spark):
     assert out.count() == n  # partial labels still produced on opt-out
 
 
+def test_connected_components_fused_convergence_signal(spark):
+    """Both directions of the r13 fused (Observation-based) convergence
+    count: an edgeless graph converges on round 1 (changed=0 read
+    correctly — an always-positive misread would raise under strict with
+    max_iter=1), and a 3-chain under max_iter=1 must STILL raise (a
+    changed>0 misread as 0 would silently return partial labels)."""
+    import pytest as _pytest
+
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node bigint")
+    no_edges = spark.createDataFrame([], "src bigint, dst bigint")
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(nodes, no_edges, max_iter=1).collect()
+    }
+    assert got == {i: i for i in range(4)}
+
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(RuntimeError, match="bigstar"):
+        connected_components(nodes, chain, max_iter=1)
+    # and with enough rounds the same chain fully converges
+    got2 = {
+        r.node: r.cluster_id
+        for r in connected_components(nodes, chain, max_iter=5).collect()
+    }
+    assert got2 == {i: 0 for i in range(4)}
+
+
 def test_connected_components_bigstar_large_random_graph(spark):
     """5k-node random graph (mixed chains + hubs + singletons): bigstar
     must agree with a driver-side union-find exactly, and converge well

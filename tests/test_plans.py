@@ -183,11 +183,17 @@ def test_text_chunk_and_redact_zero_shuffle(spark):
         assert "Exchange" not in plan, q
 
 
-def test_decontaminate_is_semi_join(spark):
-    """Eval shingles probe the train set with a LEFT-SEMI join (existence
-    only — never materializes the pair fan-out a full join would)."""
+def test_decontaminate_probe_has_no_fanout(spark):
+    """Eval shingles probe the train set with ONE existence join that can
+    never multiply rows: since r13 the probe is a LeftOuter marker join
+    against the DISTINCT train-shingle set (≤1 match per row — same
+    no-fan-out guarantee as the old LeftSemi, but total + matched counts
+    now ride a single aggregate instead of two passes + a stitch join)."""
     plan = plan_str(QUERIES["q_text_decontaminate"].fn(spark, SF_DIR))
-    assert "LeftSemi" in plan
+    assert "LeftOuter" in plan
+    assert plan.count("Join") >= 1
+    # no inner/cross pairing of shingles anywhere in the probe
+    assert "Inner" not in plan and "Cross" not in plan
 
 
 def test_minhash_persisted_no_shingle_recompute(spark):
