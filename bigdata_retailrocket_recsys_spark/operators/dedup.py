@@ -1267,6 +1267,7 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_n: int = 3,
     min_jaccard: float = 0.5,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard VERIFICATION of candidate pairs — the second half of
     the textbook LSH near-dup pipeline (candidates from
@@ -1310,7 +1311,13 @@ def jaccard_verify(
         docs, id_col=id_col, text_col=text_col, n=shingle_n
     ).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    p = pairs.select("doc_a", "doc_b").distinct()
+    # pairs_distinct=True (r13): skip the dedup exchange when the caller
+    # proves the pair list is already unique — e.g. it is the aggregated
+    # (groupBy doc_a, doc_b) output of minhash_lsh_candidates. The
+    # default stays safe: a duplicated pair would double n_common.
+    p = pairs.select("doc_a", "doc_b")
+    if not pairs_distinct:
+        p = p.distinct()
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), "shingle")
     common = (

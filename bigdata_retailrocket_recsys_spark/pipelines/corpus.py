@@ -37,7 +37,6 @@ from pyspark.sql import functions as F
 from bigdata_retailrocket_recsys_spark.operators.dedup import (
     connected_components,
     contamination_check,
-    exact_dedup,
     jaccard_verify,
     minhash_lsh_candidates,
     strip_contaminated_spans,
@@ -156,11 +155,27 @@ def build_corpus(
         ).withColumn("__norm", normalize_text(text_col))
     if cache:
         gated = gated.cache()
-    keepers = exact_dedup(gated, key_cols=["__norm"], id_col=id_col).select(
-        F.col("keeper_id").alias(id_col)
+    # Exact dedup as ONE exchange (r13): keeper = min id per normalized-
+    # text digest ≡ row_number()=1 over (digest, id asc) — the operator
+    # form (exact_dedup agg + keeper semi-join) pays a digest exchange
+    # PLUS a two-sided id exchange for the join-back; the window form
+    # keeps survivors in the same pass. Keeper selection still sees ALL
+    # gated docs including the eval split (an eval doc can out-rank a
+    # train duplicate), exactly as before; __norm is non-null by
+    # construction (text is non-null), so the md5 key needs no NULL
+    # guard here (exact_dedup's "row:<id>" branch is unreachable).
+    from pyspark.sql import Window as _W
+
+    w_dup = _W.partitionBy(F.md5(F.col("__norm"))).orderBy(
+        F.col(id_col).asc()
     )
-    train = gated.join(keepers, id_col, "left_semi").filter(
-        F.col(domain_col).isNull() | (F.col(domain_col) != eval_source)
+    train = (
+        gated.withColumn("__rn", F.row_number().over(w_dup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(
+            F.col(domain_col).isNull() | (F.col(domain_col) != eval_source)
+        )
     )
     if cache:
         # train is multiply referenced on EVERY path — at minimum the
@@ -192,6 +207,10 @@ def build_corpus(
             text_col=text_col,
             shingle_n=shingle_n,
             min_jaccard=near_dup_min_jaccard,
+            # LSH candidates are pair-unique by construction (groupBy
+            # doc_a, doc_b in both the clique and capped tails) — skip
+            # the defensive dedup exchange (r13)
+            pairs_distinct=True,
         ).select("doc_a", "doc_b")
         # r13 optimization (guide §8 — decide on small rows): only docs
         # that appear in a verified edge can LOSE their cluster (every

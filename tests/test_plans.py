@@ -449,7 +449,9 @@ def test_corpus_pipeline_plan_shape(spark):
     assert "BatchEvalPython" not in plan, plan[:800]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan, plan[:800]
+    # r13: exact-dedup keeper = row_number()=1 over the digest key (ONE
+    # exchange) — the old keeper semi-join paid digest agg + id join-back
+    assert "row_number" in plan, plan[:800]
     assert "LeftAnti" in plan, plan[:800]
     assert "InMemoryTableScan" in plan, "shared frames must be cached"
 
@@ -465,7 +467,9 @@ def test_corpus_pipeline_neardup_plan_shape(spark):
     assert "BatchEvalPython" not in plan, plan[:800]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan, plan[:800]
+    # r13: window keeper for exact dedup; near-dup losers + decon stay
+    # anti joins (candidate-bounded right sides)
+    assert "row_number" in plan, plan[:800]
     assert "LeftAnti" in plan, plan[:800]
     assert "InMemoryTableScan" in plan, "shared frames must be cached"
 
@@ -579,7 +583,7 @@ def test_corpus_pipeline_ccnet_and_surgical_plan_shape(spark):
         assert "BatchEvalPython" not in plan, (name, plan[:500])
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-        assert "LeftSemi" in plan, (name, plan[:500])
+        assert "row_number" in plan, (name, plan[:500])  # r13 window keeper
         assert "InMemoryTableScan" in plan, name
 
 
