@@ -406,6 +406,8 @@ def k_core(
     # localCheckpoint per round: the loop otherwise nests each round's
     # plan inside the next and planning blows up long before the data
     # does (same discipline as pagerank / connected_components)
+    from pyspark.sql import Observation
+
     cur = und.localCheckpoint(eager=True)
     n_prev = cur.count()
     for _ in range(max_iter):
@@ -416,13 +418,18 @@ def k_core(
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.filter(F.col("deg") >= k).select("vtx")
+        # surviving-edge count rides the checkpoint's own job as an
+        # Observation metric (r13) — the old separate count() job per
+        # peeling round is gone; count(*) is 0, never NULL, on empty
+        obs = Observation()
         nxt = (
             cur.join(keep.withColumnRenamed("vtx", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("vtx", "v"), "v", "left_semi")
             .select("u", "v")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_now = nxt.count()
+        n_now = obs.get["n"]
         cur = nxt
         if n_now == n_prev:
             break
@@ -476,24 +483,35 @@ def bfs_distances(
         .unionAll(adj.select(F.col("v").alias("x"), F.col("u").alias("y")))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(source, 0)], ["node", "min_hop"]
     ).localCheckpoint(eager=True)
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
+        # frontier size rides the checkpoint's job as an Observation
+        # metric, and ``visited`` accumulates as a UNION of the per-hop
+        # checkpointed frames instead of re-materializing per hop (r13):
+        # one job per hop where the old loop paid three (checkpoint +
+        # take(1) probe + visited re-checkpoint). Each union arm is a
+        # LogicalRDD, so the anti-join right side never recomputes and
+        # the plan stays ≤ max_hops unions wide.
+        obs = Observation()
         nxt = (
             frontier.join(adj, frontier.node == adj.x)
             .select(F.col("y").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if not nxt.take(1):
+        if obs.get["n"] == 0:
             break
         visited = visited.unionByName(
             nxt.select("node", F.lit(hop).alias("min_hop"))
-        ).localCheckpoint(eager=True)
+        )
         frontier = nxt
     return visited.select(
         "node", F.col("min_hop").cast("bigint").alias("min_hop")
