@@ -176,6 +176,14 @@ def build_corpus(
         .filter(
             F.col(domain_col).isNull() | (F.col(domain_col) != eval_source)
         )
+        # re-cluster by id before the cache: the old keeper semi-join
+        # left train hash-partitioned by id and every id-keyed consumer
+        # (shingle windows, strip joins, loser/decon anti-joins — the
+        # near-dup path has many) reused that layout from the cache;
+        # without this, each consumer re-exchanges the digest-partitioned
+        # window output (measured: neardup 1.21 vs r13 before, 2
+        # exchanges → 1+1 with it, downstream layout restored)
+        .repartition(F.col(id_col))
     )
     if cache:
         # train is multiply referenced on EVERY path — at minimum the
