@@ -619,10 +619,26 @@ def run_events_pipeline(
         prefix=prefix,
     )
     if with_embeddings:
-        emb = train_category_embeddings(
-            events_cat.filter(F.col("ts") < F.lit(train_cutoff).cast("timestamp")),
-            cfg,
+        # Overlap the W2V fit with candidate materialization (guide §2.6):
+        # the MLlib fit is a long chain of small, mostly-serial jobs that
+        # leaves executor cores idle, and the fit blocks the driver before
+        # the caller's action can start the candidate shuffles. Submitting
+        # the fit from a driver thread and materializing the candidates
+        # cache on the main thread back-fills the idle cores — the final
+        # action then reads the populated cache instead of paying the
+        # candidate stages after the fit. Same jobs, overlapped wall
+        # (FIFO scheduling; actions are only sequential because driver
+        # code calls them sequentially). Output is unchanged: the fit
+        # input and the candidate plan are byte-identical.
+        from concurrent.futures import ThreadPoolExecutor
+
+        train_ev = events_cat.filter(
+            F.col("ts") < F.lit(train_cutoff).cast("timestamp")
         )
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fit = pool.submit(train_category_embeddings, train_ev, cfg)
+            candidates.write.format("noop").mode("overwrite").save()
+            emb = fit.result()
         features = attach_embeddings(features, emb, cfg)
     if observe is not None:
         features = features.observe(

@@ -67,7 +67,9 @@ def mode_plans(args: list[str]) -> None:
 
     spark = get_session()
     names = args or headline_names(QUERIES)
-    outdir = os.path.join(REPO_ROOT, "plans", "r13")
+    outdir = os.path.join(
+        REPO_ROOT, "plans", os.environ.get("BDRR_PLANS_ROUND", "r14")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = QUERIES[name].fn(spark, SF_DIR)
