@@ -1437,7 +1437,7 @@ def lsh_audit(
 
 
 def connected_components(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     *,
     node_col: str = "node",
@@ -1445,10 +1445,28 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     strict: bool = True,
+    edges_pinned: bool = False,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over near-dup
     candidate pairs (the step after any pairwise dedup — LSH/Jaccard pairs
     only say "a~b"; picking one canonical doc per GROUP needs components).
+
+    ``nodes``: the node universe (must be a superset of the edge
+    endpoints); singletons with no edges keep their own id via a lazy
+    anti-join branch in the returned frame. Pass ``None`` (r14) to get
+    labels for the EDGE-ADJACENT nodes only — every other node is a
+    singleton by definition, and callers that consume losers/keepers
+    (``cluster_id != id``) never need the passive rows; skipping them
+    removes the endpoint distinct + the passive anti-join + union from
+    the plan.
+
+    ``edges_pinned`` (r14): promise that ``edges`` is already
+    materialized (an eager ``localCheckpoint``/cached frame — e.g.
+    :func:`jaccard_verify` output). The per-round symmetrized view is
+    then a narrow union over that pinned frame and the one-job eager
+    checkpoint of ``sym`` is skipped. Leave False for lazy edge
+    pipelines (LSH → verify built inline): without the pin every round
+    would re-execute the whole upstream.
 
     ``strict`` (default): raise RuntimeError if labels have not converged
     after ``max_iter`` rounds instead of silently returning a partial
@@ -1462,64 +1480,76 @@ def connected_components(
     ``max_iter``). Each round is one join + one map-side-combinable min
     aggregate; lineage is truncated per round with ``localCheckpoint`` so
     the plan stays flat. The driver-side loop is orchestration only — no
-    data is collected beyond the 1-value convergence count (the standard
-    Spark shape for iterative graph algorithms; at extreme diameters
-    switch to the large-star/small-star variant which converges in
-    O(log² n) rounds).
+    data is collected beyond the 1-value convergence count.
 
-    Convergence detection is FUSED into the round (r13 optimization,
-    guide §2.4): the old label rides the same min aggregate (tagged
-    union → ``min(when(src=old))``), the changed count is an
-    ``Observation`` metric collected BY the eager checkpoint's own job —
-    one job and one exchange per round, where the previous shape paid a
-    second join+count job re-shuffling the full label table each round.
-    Labels never increase under min-propagation, so ``new < old`` is
-    exactly the old ``new != old`` check; round count and output are
-    value-identical (unit-locked).
+    Convergence detection is FUSED into the round (r13, guide §2.4): the
+    old label rides the same min aggregate (tagged union →
+    ``min(when(src=old))``), the changed count is an ``Observation``
+    metric collected BY the eager checkpoint's own job — one job and one
+    exchange per round. Labels never increase under min-propagation, so
+    ``new < old`` is exactly the old ``new != old`` check (unit-locked).
+
+    Round 1 is FUSED off the edge set itself (r14): the identity labels
+    are implicit in ``sym`` (node n's round-0 label IS n), so the old
+    labels-init eager checkpoint, the endpoint ``distinct`` exchange and
+    the node semi-join are gone — round 1 aggregates
+    ``sym ∪ {(n, n)}`` directly, which is the same multiset the old
+    shape fed it (duplicate identity rows collapse under min).
+    Value-identical labels and round count for any ``nodes`` ⊇
+    endpoints (unit-locked).
 
     Output: ``node_col``, ``cluster_id`` (min node id reachable; singleton
-    nodes keep their own id).
+    nodes keep their own id — omitted entirely when ``nodes=None``).
     """
     from pyspark.sql import Observation
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # The symmetrized edge set drives EVERY round — checkpoint it once so
     # a lazy upstream edge pipeline (LSH → verify) executes once, not
-    # once per round (r13; bounded: 2·|edges| narrow rows).
-    sym = (
+    # once per round (r13; bounded: 2·|edges| narrow rows). When the
+    # caller pinned the edges already, the union is narrow work over a
+    # LogicalRDD — skip the extra checkpoint job (r14).
+    sym = edges.select(
+        F.col(src_col).alias("__n"), F.col(dst_col).alias("__peer")
+    ).union(
         edges.select(
-            F.col(src_col).alias("__n"), F.col(dst_col).alias("__peer")
+            F.col(dst_col).alias("__n"), F.col(src_col).alias("__peer")
         )
-        .union(
-            edges.select(
-                F.col(dst_col).alias("__n"), F.col(src_col).alias("__peer")
-            )
+    )
+    if not edges_pinned:
+        sym = sym.localCheckpoint(eager=True)
+    # Only edge-adjacent nodes can ever change labels; iterate over the
+    # edge-bounded set and union the untouched singletons back at the end
+    # (r13, guide §8). The anti-join right side needs no distinct.
+    passive = None
+    if nodes is not None:
+        passive = nodes.select(F.col(node_col).alias("__n")).join(
+            sym.select("__n"), "__n", "left_anti"
         )
-        .localCheckpoint(eager=True)
-    )
-    # Only edge-adjacent nodes can ever change labels; keep the iterated
-    # table edge-bounded and union the untouched singletons back at the
-    # end (r13, guide §8 — at corpus scale the label table shrinks from
-    # corpus-sized to candidate-bounded in every round's shuffle).
-    all_nodes = nodes.select(F.col(node_col).alias("__n"))
-    endpoints = sym.select("__n").distinct()
-    passive = all_nodes.join(endpoints, "__n", "left_anti")
-    labels = (
-        all_nodes.join(endpoints, "__n", "left_semi")
-        .select("__n", F.col("__n").alias("__lbl"))
-        .localCheckpoint(eager=True)
-    )
+    labels: DataFrame | None = None  # round 1 reads identity labels off sym
     for _ in range(max_iter):
-        nbr = sym.join(
-            labels.select(
-                F.col("__n").alias("__peer"), F.col("__lbl")
-            ),
-            "__peer",
-        ).select("__n", "__lbl", F.lit(1).alias("__src"))
+        if labels is None:
+            tagged = sym.select(
+                "__n", F.col("__peer").alias("__lbl"), F.lit(1).alias("__src")
+            ).union(
+                sym.select(
+                    "__n", F.col("__n").alias("__lbl"), F.lit(0).alias("__src")
+                )
+            )
+        else:
+            nbr = sym.join(
+                labels.select(
+                    F.col("__n").alias("__peer"), F.col("__lbl")
+                ),
+                "__peer",
+            ).select("__n", "__lbl", F.lit(1).alias("__src"))
+            tagged = labels.select(
+                "__n", "__lbl", F.lit(0).alias("__src")
+            ).union(nbr)
         obs = Observation()
         new_labels = (
-            labels.select("__n", "__lbl", F.lit(0).alias("__src"))
-            .union(nbr)
-            .groupBy("__n")
+            tagged.groupBy("__n")
             .agg(
                 F.min("__lbl").alias("__lbl"),
                 F.min(F.when(F.col("__src") == 0, F.col("__lbl"))).alias(
@@ -1548,9 +1578,10 @@ def connected_components(
                 "connected_components_bigstar (O(log^2 n) rounds) or "
                 "raise max_iter / pass strict=False."
             )
-    return labels.union(
-        passive.select("__n", F.col("__n").alias("__lbl"))
-    ).select(
+    out = labels
+    if passive is not None:
+        out = out.union(passive.select("__n", F.col("__n").alias("__lbl")))
+    return out.select(
         F.col("__n").alias(node_col), F.col("__lbl").alias("cluster_id")
     )
 

@@ -229,17 +229,17 @@ def build_corpus(
         # Value-identical: min-label CC on the edge-induced subgraph
         # assigns the same labels to edge nodes, and keepers = all docs
         # minus {edge nodes with cluster_id != id} (oracle-locked).
-        edge_nodes = (
-            edges.select(F.col("doc_a").alias(id_col))
-            .union(edges.select(F.col("doc_b").alias(id_col)))
-            .distinct()
-        )
+        # nodes=None (r14): CC derives the endpoint set itself (no
+        # distinct / semi-join / passive branch); edges_pinned because
+        # jaccard_verify eagerly checkpointed them — no sym checkpoint
+        # job either.
         cc = connected_components(
-            edge_nodes,
+            None,
             edges,
             node_col=id_col,
             src_col="doc_a",
             dst_col="doc_b",
+            edges_pinned=True,
         )
         nd_lose = cc.filter(F.col(id_col) != F.col("cluster_id")).select(
             id_col

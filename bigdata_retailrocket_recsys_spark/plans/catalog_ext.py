@@ -2056,12 +2056,19 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=1,
         min_jaccard=0.5,
     ).select("doc_a", "doc_b")
+    # r14 (the corpus-pipeline loser move, guide §8): only edge-adjacent
+    # docs can lose their cluster — CC over nodes=None labels just the
+    # endpoints and the corpus-sized keeper semi-join becomes a
+    # candidate-bounded loser anti-join. NULL-id docs were dropped by the
+    # old keeper filter (NULL == NULL is never true) — kept explicit.
     cc = connected_components(
-        docs, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+        None, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )
-    keepers = cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
-    return docs.join(keepers, "doc_id", "left_semi").select(
-        "doc_id", "lang", "source"
+    losers = cc.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        docs.filter(F.col("doc_id").isNotNull())
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
     )
 
 
@@ -8815,13 +8822,15 @@ def q_dedup_winnowing_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = winnowing_pairs(
         docs, k=3, w=4, hash_fn="md5", min_common=2
     ).select("doc_a", "doc_b")
+    # r14: loser anti-join over endpoint-only CC labels (see
+    # q_dedup_apply) — docs is already NULL-id-filtered above.
     cc = connected_components(
-        docs, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+        None, edges, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
     )
-    keepers = cc.filter(F.col("doc_id") == F.col("cluster_id")).select(
+    losers = cc.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    return docs.join(keepers, "doc_id", "left_semi").select(
+    return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "source"
     )
 
@@ -9710,18 +9719,23 @@ def q_dedup_embed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="label",
         min_cosine=0.42,
     ).select("id_a", "id_b")
+    # r14: loser anti-join over endpoint-only CC labels (see
+    # q_dedup_apply); NULL vec_id rows were never keepers — kept out
+    # explicitly.
     cc = connected_components(
-        emb.filter(F.col("vec_id").isNotNull()).select("vec_id"),
+        None,
         pairs,
         node_col="vec_id",
         src_col="id_a",
         dst_col="id_b",
     )
-    keepers = cc.filter(F.col("vec_id") == F.col("cluster_id")).select(
+    losers = cc.filter(F.col("vec_id") != F.col("cluster_id")).select(
         "vec_id"
     )
-    return emb.join(keepers, "vec_id", "left_semi").select(
-        "vec_id", "label"
+    return (
+        emb.filter(F.col("vec_id").isNotNull())
+        .join(losers, "vec_id", "left_anti")
+        .select("vec_id", "label")
     )
 
 
@@ -13407,6 +13421,7 @@ def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(
         base.select("doc_id"), edges, node_col="doc_id",
         src_col="doc_a", dst_col="doc_b",
+        edges_pinned=True,  # jaccard_verify checkpointed them (r14)
     )
     scores = base.select(
         "doc_id",
