@@ -45,34 +45,56 @@ def pagerank(
     rows-only in the driver contract; invariants (mass conservation,
     NumPy power-iteration agreement) are property-tested.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # Pin the canonical edge set ONCE (r14): every derived frame below —
+    # nodes, out-degrees, weights AND the per-iteration dangling branch —
+    # reads the pinned LogicalRDD instead of re-executing the caller's
+    # edge pipeline (often itself a covis self-join; the old shape
+    # re-derived src degrees from RAW edges once per iteration).
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # per-node dangling flag carried THROUGH the iteration (r14, §2.4):
+    # the dangling mass becomes a 1-row aggregate over the checkpointed
+    # ranks themselves — the old per-iteration node-sized anti-join
+    # shuffle against the src list is gone. Same mass over the same node
+    # set (reduction order may differ in the last ulp; ranks are
+    # documented reduction-order-dependent floats, rows-only).
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
+        .join(
+            outdeg.select(F.col("src").alias("node"), F.lit(1).alias("__o")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__o").isNull().alias("__dng"))
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edge weight = 1/outdeg of the source, fixed for all iterations
     w = e.join(outdeg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
     ).cache()
-    srcs = outdeg.select(F.col("src").alias("node"))
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("node", "__dng", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for i in range(iters):
         # mass parked on dangling nodes (no out-edges) this round:
         # a 1-row aggregate kept IN the dataflow (broadcast nested-loop
         # join fans the scalar to every row — no driver round-trip)
-        dangling = ranks.join(srcs, "node", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_m")
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__dng"), F.col("rank"))), F.lit(0.0)
+            ).alias("dangling_m")
         )
         contribs = (
-            w.join(ranks.withColumnRenamed("node", "src"), "src")
+            w.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
         )
@@ -81,6 +103,7 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__dng",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -96,7 +119,7 @@ def pagerank(
         # next iteration starts from a constant-size plan
         if i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_counts(
@@ -224,7 +247,11 @@ def pagerank_exact(
         und.select(F.col("v").alias("s"), F.col("u").alias("d"))
     ).localCheckpoint(eager=True)
     outdeg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("o"))
-    out_edges = sym.join(outdeg, "s")
+    # cached (r14): the loop references out_edges every iteration and
+    # Spark never reuses a twice-referenced subtree — uncached, each
+    # round re-aggregates degrees and re-joins them onto sym. Exact
+    # integers, so caching cannot perturb values.
+    out_edges = sym.join(outdeg, "s").cache()
     base = (unit * (damping_den - damping_num)) // damping_den
     ranks = sym.select(F.col("s").alias("vtx")).distinct().withColumn(
         "mass", F.lit(unit).cast("bigint")
