@@ -1623,14 +1623,30 @@ def connected_components_bigstar(
     large+small iterations executed (tests assert the log² bound on a
     deep chain).
     """
+    from pyspark.sql import Observation
+
+    # per-round fingerprint (r14, VERDICT r13 #5): edge count + a
+    # content checksum ride the checkpoint's own job; the exact
+    # ``exceptAll`` set-equality shuffle now fires only when BOTH match
+    # the previous round — i.e. exactly once, at true convergence —
+    # instead of on every count coincidence. pmod to 2^30 before the
+    # sum: a raw xxhash64 sum overflows bigint under ANSI (CLAUDE.md),
+    # and 2^30 keeps the sum in range up to ~2^33 edges.
+    _ck = F.sum(
+        F.pmod(F.xxhash64("__u", "__v"), F.lit(1 << 30))
+    ).alias("__ck")
+
+    obs0 = Observation()
     e = (
         edges.select(F.col(src_col).alias("__u"), F.col(dst_col).alias("__v"))
         .filter(F.col("__u") != F.col("__v"))
         .filter(F.col("__u").isNotNull() & F.col("__v").isNotNull())
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("__n"), _ck)
         .localCheckpoint(eager=True)
     )
-    n_e = e.count()
+    n_e = obs0.get["__n"]
+    ck_e = obs0.get["__ck"]
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -1653,19 +1669,28 @@ def connected_components_bigstar(
         )
         mins_s = oriented.groupBy("__u").agg(F.min("__v").alias("__m"))
         hooked = oriented.join(mins_s, "__u")
+        obs = Observation()
         e_small = (
             hooked.select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
             .union(hooked.select(F.col("__u"), F.col("__m").alias("__v")))
             .filter(F.col("__u") != F.col("__v"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("__n"), _ck)
             .localCheckpoint(eager=True)
         )
-        # carry the previous round's edge count in the driver (r13: one
-        # fewer count job per round); set equality still only pays the
-        # exceptAll shuffle when the counts already match
-        n_small = e_small.count()
-        converged = n_small == n_e and e_small.exceptAll(e).isEmpty()
-        e, n_e = e_small, n_small
+        # count + checksum ride the checkpoint job (r14): the count job
+        # per round is gone, and the exact exceptAll proof only runs
+        # when count AND checksum both match the previous round —
+        # exactly once, at true convergence (the checksum is a cheap
+        # NEGATIVE filter; equality is still proven exactly).
+        n_small = obs.get["__n"]
+        ck_small = obs.get["__ck"]
+        converged = (
+            n_small == n_e
+            and ck_small == ck_e
+            and e_small.exceptAll(e).isEmpty()
+        )
+        e, n_e, ck_e = e_small, n_small, ck_small
         if converged:
             break
     if stats is not None:
