@@ -589,10 +589,16 @@ def run_events_pipeline(
         .cache()
     )
     # cache the sessionized+categorized events: ~10 downstream subtrees read
-    # it (the reference caches the same way, py:134, 381-382)
+    # it (the reference caches the same way, py:134, 381-382). `event`
+    # rides in the cache (r14) so the anchor extraction below reads the
+    # cache instead of re-running the full sessionize window a second
+    # time — at 10M events that was a duplicated fact-sized window
+    # shuffle per pipeline run.
     events_cat = (
         events_sess.join(F.broadcast(item_cat), "item_id", "inner")
-        .select("session_id", "user_id", "ts", "item_id", "category_id")
+        .select(
+            "session_id", "user_id", "ts", "item_id", "category_id", "event"
+        )
         .cache()
     )
     if split == "train":
@@ -601,9 +607,25 @@ def run_events_pipeline(
         a_start, a_end = train_cutoff, end
     else:
         raise ValueError(f"split must be 'train' or 'valid', got {split!r}")
-    anchors = extract_anchors(
-        events_sess, item_cat, start=a_start, end=a_end
-    ).cache()
+    # anchor extraction off the categorized cache — identical rows to
+    # extract_anchors(events_sess, item_cat): same anchor filter, and the
+    # category comes from the same broadcast item_cat dim that built
+    # events_cat (inner join both ways)
+    anchors = (
+        events_cat.filter(F.col("event") == "addtocart")
+        .filter(
+            (F.col("ts") >= F.lit(a_start).cast("timestamp"))
+            & (F.col("ts") < F.lit(a_end).cast("timestamp"))
+        )
+        .select(
+            "session_id",
+            "user_id",
+            F.col("ts").alias("atc_ts"),
+            "item_id",
+            "category_id",
+        )
+        .cache()
+    )
     # the anchor-prefix theta join feeds 3 candidate strategies + 2 feature
     # dims — compute the SortMergeJoin once, cache, reuse (SURVEY §7.3)
     prefix = prefix_events(anchors, events_cat).cache()
@@ -635,6 +657,11 @@ def run_events_pipeline(
         train_ev = events_cat.filter(
             F.col("ts") < F.lit(train_cutoff).cast("timestamp")
         )
+        # populate the shared events_cat cache ONCE before forking: the
+        # fit and the candidate stages both read it, and racing them
+        # computes the sessionize partitions twice (measured at 10M
+        # events: the race cost ~15% of the soak wall)
+        events_cat.write.format("noop").mode("overwrite").save()
         with ThreadPoolExecutor(max_workers=1) as pool:
             fit = pool.submit(train_category_embeddings, train_ev, cfg)
             candidates.write.format("noop").mode("overwrite").save()

@@ -135,14 +135,24 @@ def main() -> None:
 
     t0 = time.perf_counter()
     events_sess = rr.sessionize_events(raw, cfg)
+    # cached (r14): 2 consumers (events_cat join + both splits'
+    # candidate dim via item_cat_dim=) — uncached, each re-scanned and
+    # re-parsed the replicated JSON
     item_cat = (
         raw.select("item_id")
         .distinct()
         .select("item_id", (F.col("item_id") % 20).alias("category_id"))
+        .cache()
     )
+    # `event` rides in the cache (r14, the run_events_pipeline move): the
+    # per-split anchor extraction reads the cache instead of re-running
+    # the full sessionize window — at 10M events that was two extra
+    # fact-sized window shuffles per run (one per split)
     events_cat = (
         events_sess.join(F.broadcast(item_cat), "item_id", "inner")
-        .select("session_id", "user_id", "ts", "item_id", "category_id")
+        .select(
+            "session_id", "user_id", "ts", "item_id", "category_id", "event"
+        )
         .cache()
     )
     # BOTH matrices, like the reference's 444 s run (py:629-630): train
@@ -151,23 +161,49 @@ def main() -> None:
     cutoff, end = "2024-01-21", "2024-02-01"
 
     def build_split(a_start: str, a_end: str):
-        anchors = rr.extract_anchors(
-            events_sess, item_cat, start=a_start, end=a_end
-        ).cache()
+        anchors = (
+            events_cat.filter(F.col("event") == "addtocart")
+            .filter(
+                (F.col("ts") >= F.lit(a_start).cast("timestamp"))
+                & (F.col("ts") < F.lit(a_end).cast("timestamp"))
+            )
+            .select(
+                "session_id",
+                "user_id",
+                F.col("ts").alias("atc_ts"),
+                "item_id",
+                "category_id",
+            )
+            .cache()
+        )
         prefix = rr.prefix_events(anchors, events_cat).cache()
         cands = rr.build_candidates(
-            anchors, events_cat, cfg, prefix=prefix
+            anchors, events_cat, cfg, prefix=prefix, item_cat_dim=item_cat
         ).cache()
-        return rr.build_features(
+        feats = rr.build_features(
             anchors, cands, events_cat, train_cutoff=cutoff, cfg=cfg,
             prefix=prefix,
         )
+        return feats, cands
 
-    feats_train = build_split("2024-01-01", cutoff)
-    feats_valid = build_split(cutoff, end)
-    emb = rr.train_category_embeddings(
-        events_cat.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")), cfg
-    )
+    feats_train, cands_train = build_split("2024-01-01", cutoff)
+    feats_valid, cands_valid = build_split(cutoff, end)
+    # overlap the W2V fit with candidate materialization (r14, the
+    # run_events_pipeline move): populate the shared events_cat cache
+    # once, then the fit's small serial jobs run while both splits'
+    # candidate shuffles back-fill the idle cores
+    events_cat.write.format("noop").mode("overwrite").save()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fit = pool.submit(
+            rr.train_category_embeddings,
+            events_cat.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")),
+            cfg,
+        )
+        cands_train.write.format("noop").mode("overwrite").save()
+        cands_valid.write.format("noop").mode("overwrite").save()
+        emb = fit.result()
     out = rr.attach_embeddings(
         feats_train.unionByName(feats_valid), emb, cfg
     )
