@@ -1973,6 +1973,80 @@ def _auto_bits(n_vectors: int) -> int:
 # dims ≈ 2.5e5) and the hash pass falls back to the broadcast-join form.
 _LITERAL_PLANES_MAX = 1 << 18
 
+# Session-scoped parse cache for the sign-bucket expressions (r14,
+# VERDICT r13 #4): the plane-family SQL string embeds tables·bits·dim
+# literal ints, and F.expr() re-parsed it (~0.25 s at 4×12×64) on EVERY
+# embed_sign_buckets call — the vs-corpus apply path pays it twice per
+# query (corpus write + batch side). Column objects are immutable
+# unresolved trees, reusable across DataFrames; keying on the full
+# (tables, bits, dim, n_probes) family makes reuse exact. Driver-side
+# only (py4j expression handles — nothing is captured into executor
+# closures).
+_SIGN_BUCKET_EXPR_CACHE: dict = {}
+
+
+def _sign_bucket_exprs(tables: int, bits: int, dim: int, n_probes: int):
+    """(dss, barr) Column pair for :func:`embed_sign_buckets`, memoized
+    per (tables, bits, dim, n_probes). ``dss`` computes the per-vector
+    exact-integer dot grid (quantize bound ONCE via the
+    single-element-transform LET idiom — see embed_sign_buckets);
+    ``barr`` folds each table's dots into the bucket id (+ the
+    ``n_probes`` least-confident Hamming-1 probe buckets)."""
+    key = (tables, bits, dim, n_probes)
+    hit = _SIGN_BUCKET_EXPR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    planes = _rademacher_planes(tables, bits, dim)
+    # planes[t*bits + j] — _rademacher_planes iterates t-major, j-minor
+    planes_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(str(x) for x in w) + ")"
+            for (_t, _j, w) in planes
+        )
+        + ")"
+    )
+    # quantize ONCE per row via the single-element-transform LET idiom,
+    # then every (t, j) dot reads the bound q
+    quant_sql = (
+        "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))"
+    )
+    dot_sql = (
+        f"aggregate(zip_with(q, element_at({planes_sql}, "
+        f"t * {bits} + j + 1), (x, y) -> x * CAST(y AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    dss_sql = (
+        f"element_at(transform(array({quant_sql}), q -> "
+        f"transform(sequence(0, {tables - 1}), t -> "
+        f"transform(sequence(0, {bits - 1}), j -> {dot_sql}))), 1)"
+    )
+    bucket_sql = (
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+        "(acc, j) -> acc + IF(element_at(ds, j + 1) > 0, "
+        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    )
+    if n_probes == 0:
+        barr_sql = f"transform(dss, ds -> array({bucket_sql}))"
+    else:
+        # least-confident bits first: sort (|dot|, j) asc, flip each of
+        # the first n_probes via XOR — bucket recomputed inline per
+        # probe (bits adds each, trivial next to the dot pass)
+        probes_sql = (
+            f"transform(slice(array_sort(transform(sequence(0, "
+            f"{bits - 1}), j -> struct(abs(element_at(ds, j + 1)) AS a, "
+            f"j AS j))), 1, {n_probes}), s -> "
+            f"CAST({bucket_sql} ^ shiftleft(CAST(1 AS BIGINT), s.j) "
+            "AS BIGINT))"
+        )
+        barr_sql = (
+            f"transform(dss, ds -> concat(array({bucket_sql}), "
+            f"{probes_sql}))"
+        )
+    pair = (F.expr(dss_sql), F.expr(barr_sql))
+    _SIGN_BUCKET_EXPR_CACHE[key] = pair
+    return pair
+
 
 def _hashable_filter(
     df: DataFrame, *, dim: int, id_col: str, vec_col: str
@@ -2086,56 +2160,10 @@ def embed_sign_buckets(
     v = _hashable_filter(df, dim=dim, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    planes = _rademacher_planes(tables, bits, dim)
-    # planes[t*bits + j] — _rademacher_planes iterates t-major, j-minor
-    planes_sql = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(str(x) for x in w) + ")"
-            for (_t, _j, w) in planes
-        )
-        + ")"
-    )
-    # quantize ONCE per row via the single-element-transform LET idiom
-    # (see the docstring), then every (t, j) dot reads the bound q
-    quant_sql = (
-        "transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))"
-    )
-    dot_sql = (
-        f"aggregate(zip_with(q, element_at({planes_sql}, "
-        f"t * {bits} + j + 1), (x, y) -> x * CAST(y AS BIGINT)), "
-        "CAST(0 AS BIGINT), (a, x) -> a + x)"
-    )
-    dss_sql = (
-        f"element_at(transform(array({quant_sql}), q -> "
-        f"transform(sequence(0, {tables - 1}), t -> "
-        f"transform(sequence(0, {bits - 1}), j -> {dot_sql}))), 1)"
-    )
-    bucket_sql = (
-        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
-        "(acc, j) -> acc + IF(element_at(ds, j + 1) > 0, "
-        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
-    )
-    if n_probes == 0:
-        barr_sql = f"transform(dss, ds -> array({bucket_sql}))"
-    else:
-        # least-confident bits first: sort (|dot|, j) asc, flip each of
-        # the first n_probes via XOR — bucket recomputed inline per
-        # probe (bits adds each, trivial next to the dot pass)
-        probes_sql = (
-            f"transform(slice(array_sort(transform(sequence(0, "
-            f"{bits - 1}), j -> struct(abs(element_at(ds, j + 1)) AS a, "
-            f"j AS j))), 1, {n_probes}), s -> "
-            f"CAST({bucket_sql} ^ shiftleft(CAST(1 AS BIGINT), s.j) "
-            "AS BIGINT))"
-        )
-        barr_sql = (
-            f"transform(dss, ds -> concat(array({bucket_sql}), "
-            f"{probes_sql}))"
-        )
+    dss_expr, barr_expr = _sign_bucket_exprs(tables, bits, dim, n_probes)
     return (
-        v.select("vid", F.expr(dss_sql).alias("dss"))
-        .select("vid", F.posexplode(F.expr(barr_sql)).alias("tbl", "barr"))
+        v.select("vid", dss_expr.alias("dss"))
+        .select("vid", F.posexplode(barr_expr).alias("tbl", "barr"))
         .select(
             F.col("vid").alias(id_col),
             "tbl",

@@ -1361,6 +1361,134 @@ def probe_r13ops(n_docs: int) -> None:
     )
 
 
+def probe_r14(n_rows: int, n_edges: int, n_vecs: int) -> None:
+    """r14 volume re-audits (VERDICT r13 #4/#9): (a) the heaviest lazy
+    plans — RFM-shape triple sharded ntile and degree-oriented triangle
+    counts — confirmed cache-bounded at 10-100x the toy SF (walls, no
+    cliff); (b) pagerank at volume over a LAZY derived edge pipeline
+    (the r14 fix pins it — pre-fix every iteration re-derived it);
+    (c) the embedding apply tier at 10M vectors: bucket-table writer
+    parallelism (files follow the bucket frame's partitions, never one
+    task) and the plane-literal plan-vs-execute time split."""
+    import tempfile
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # (a) RFM triple ntile at volume (q_rfm's shape, r5 pattern)
+    from bigdata_retailrocket_recsys_spark.operators.windows import (
+        global_ntile,
+    )
+
+    rows = (
+        spark.range(n_rows)
+        .repartition(64)
+        .select(
+            F.col("id").alias("user_id"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("r"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("fq"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100000)).alias("m"),
+        )
+        .localCheckpoint()
+    )
+    print(f"[r14] rfm base materialized: {rows.count():,}", flush=True)
+    t0 = time.time()
+    out = rows
+    for col in ("r", "fq", "m"):
+        out = global_ntile(out, order_by=[F.col(col).asc()], k=5,
+                           out_col=f"{col}_q")
+    chk = out.agg(
+        F.sum(F.col("r_q") + F.col("fq_q") + F.col("m_q"))
+    ).collect()[0][0]
+    print(
+        f"[r14] rfm triple sharded ntile over {n_rows:,} rows: "
+        f"checksum {chk} in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    # (b) triangles + pagerank over a lazily DERIVED edge list (distinct
+    # + self-filter upstream — the shape whose re-execution the r14
+    # pagerank pin removes)
+    from bigdata_retailrocket_recsys_spark.operators.graph import (
+        pagerank,
+        triangle_counts,
+    )
+
+    n_vtx = max(1000, n_edges // 6)
+    edges = spark.range(n_edges).repartition(64).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_vtx)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(n_vtx)).alias("dst"),
+    )
+    t0 = time.time()
+    n_tri = triangle_counts(edges).count()
+    print(
+        f"[r14] triangle_counts over {n_edges:,} edges / {n_vtx:,} "
+        f"vertices: {n_tri:,} vertices in triangles "
+        f"in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+    t0 = time.time()
+    ranks = pagerank(edges, iters=10)
+    mass = ranks.agg(F.sum("rank")).collect()[0][0]
+    print(
+        f"[r14] pagerank(10 iters) over {n_edges:,} edges: "
+        f"mass {mass:.6f} in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+    # (c) embed apply tier at n_vecs: writer parallelism + batch apply
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        embed_bucket_table,
+        semdedup_apply_vs_corpus,
+    )
+
+    comp = F.expr(
+        "transform(sequence(0, 63), j -> "
+        "CAST(pmod(xxhash64(CAST(vec_id AS BIGINT) * 64 + j), 2000000) "
+        "AS DOUBLE) / 1000000.0 - 1.0)"
+    )
+    corpus = (
+        spark.range(n_vecs)
+        .repartition(64)
+        .select(F.col("id").alias("vec_id"))
+        .select("vec_id", comp.alias("embedding"))
+        .localCheckpoint()
+    )
+    print(f"[r14] corpus vecs materialized: {corpus.count():,}", flush=True)
+    bits = 24
+    path = tempfile.mkdtemp(prefix="bdrr_r14_buckets_")
+    t0 = time.time()
+    embed_bucket_table(corpus, path, dim=64, bits=bits)
+    t_write = time.time() - t0
+    import glob
+
+    n_files = len(glob.glob(path + "/part-*"))
+    print(
+        f"[r14] embed_bucket_table over {n_vecs:,} vecs (bits={bits}): "
+        f"{n_files} part files in {t_write:.1f}s",
+        flush=True,
+    )
+    batch = (
+        spark.range(100_000)
+        .select((F.col("id") + F.lit(3_000_000_000)).alias("vec_id"))
+        .select("vec_id", comp.alias("embedding"))
+    )
+    t0 = time.time()
+    surv = semdedup_apply_vs_corpus(
+        batch,
+        spark.read.parquet(path),
+        corpus,
+        dim=64,
+        bits=bits,
+        min_cosine=0.6,
+    ).count()
+    print(
+        f"[r14] semdedup_apply_vs_corpus 100k batch vs {n_vecs:,}-vec "
+        f"table: {surv:,} survivors in {time.time() - t0:.1f}s",
+        flush=True,
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument(
@@ -1368,6 +1496,7 @@ def main() -> None:
         choices=[
             "tpch", "ops", "corpus", "spans", "r10ops", "r10s3", "hotbucket",
             "prefix", "r11inc", "capfire", "r12embed", "r13embed", "r13ops",
+            "r14",
         ],
     )
     p.add_argument("--family", type=int, default=10_000)
@@ -1405,6 +1534,8 @@ def main() -> None:
         probe_r13embed(a.docs)
     elif a.probe == "r13ops":
         probe_r13ops(a.docs)
+    elif a.probe == "r14":
+        probe_r14(a.events, a.edges, a.docs)
     else:
         probe_ops(a.docs, a.edges)
 
