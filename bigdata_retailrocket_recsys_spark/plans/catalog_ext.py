@@ -3196,7 +3196,13 @@ def q_recommend_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "rec_category", "score")
 
 
-@query("q_graph_pagerank", oracle=None)
+@query(
+    "q_graph_pagerank",
+    oracle=None,
+    headline=True,  # r14: the iterative-graph tier's wall is now
+    # tracked per round (this round's 0.25 A/B — the edge-pin +
+    # flag-fused dangling rewrite — is the kind of drift this catches)
+)
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the symmetric category co-visitation graph (10 power
     iterations, damping 0.85): the graph-importance complement of the
