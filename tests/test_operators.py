@@ -571,6 +571,41 @@ def test_connected_components_chain_and_singleton(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
 
 
+def test_connected_components_nodes_none_and_pinned(spark):
+    """r14 modes: nodes=None returns endpoint-only labels (identical to
+    the full run restricted to endpoints); edges_pinned=True on an
+    already-checkpointed edge frame is value-identical to the default."""
+    from bigdata_retailrocket_recsys_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node bigint")
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (4, 5)], "src bigint, dst bigint"
+    )
+    full = {
+        r.node: r.cluster_id
+        for r in connected_components(nodes, edges).collect()
+    }
+    lab = {
+        r.node: r.cluster_id
+        for r in connected_components(None, edges).collect()
+    }
+    # endpoint-only: singletons 6,7 absent, labels identical on endpoints
+    assert lab == {k: v for k, v in full.items() if k in {0, 1, 2, 3, 4, 5}}
+    pinned = edges.localCheckpoint(eager=True)
+    lab_pinned = {
+        r.node: r.cluster_id
+        for r in connected_components(
+            None, pinned, edges_pinned=True
+        ).collect()
+    }
+    assert lab_pinned == lab
+    # empty edge set: nodes=None yields an empty labels frame
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(None, empty).count() == 0
+
+
 def test_tfidf_hand_computed(spark):
     import math
 
